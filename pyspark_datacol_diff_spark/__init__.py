@@ -1,0 +1,50 @@
+"""pyspark_datacol_diff_spark — a PySpark-native analytics engine with the
+capabilities of the reference library ``pyspark-datacol-diff`` (DataFrame
+column-level diff), rebuilt Spark-first and extended with large-scale
+training-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal columns).
+
+Public API:
+
+    from pyspark_datacol_diff_spark import (
+        diff, diff_summary, compute_dataframe_diff, standardize, gen_comp_col,
+    )
+"""
+
+from .errors import (
+    DataColDiffError,
+    InvalidArgumentError,
+    PrimaryKeyError,
+    SchemaMismatchError,
+)
+from .operators.diff import (
+    compute_dataframe_diff,
+    column_mismatch_counts,
+    diff,
+    diff_summary,
+    flag_counts,
+    gen_comp_col,
+    standardize,
+    suffix_columns,
+    validate_schemas,
+)
+from .session import get_spark
+
+__all__ = [
+    "DataColDiffError",
+    "InvalidArgumentError",
+    "PrimaryKeyError",
+    "SchemaMismatchError",
+    "compute_dataframe_diff",
+    "column_mismatch_counts",
+    "diff",
+    "diff_summary",
+    "flag_counts",
+    "gen_comp_col",
+    "get_spark",
+    "standardize",
+    "suffix_columns",
+    "validate_schemas",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,306 @@
+"""Column-level DataFrame diff — the engine's core operator.
+
+Reproduces the query semantics of the reference library
+(``/root/reference/find_datacol_diff.py`` — all line references below point
+there) with an idiomatic single-pass Spark plan:
+
+reference plan                          | this engine
+----------------------------------------|---------------------------------
+``fillna("")`` + sentinel ``coalesce``  | null-safe compare (``<=>`` /
+(:39-40, :103-104)                      | ``coalesce`` to '' for strings)
+n× ``withColumnRenamed`` loop (:42-44)  | one alias-``select``
+2n ``withColumn`` + ``array_union``     | ONE ``select`` building the whole
+loop (:101-115)                         | array with ``array_compact``
+4 + n + 2 ``count()`` actions           | ONE ``groupBy`` each for flag and
+(:136-149)                              | per-column counts (partial aggs)
+``sys.exit(1)`` on error (:53,:79,:160) | typed exceptions
+
+Output schema (reference :99-133, SURVEY.md §1.2)::
+
+    <pk>_s1 ..., <pk>_s2 ...,
+    CompColArr: array<struct<col_name:string, s1_value:string, s2_value:string>>,
+    Flag: 'S1_ONLY' | 'S2_ONLY' | 'NODIFF' | ''   ('' = matched-with-diffs)
+
+Semantic parity notes (SURVEY.md §4.4), all preserved by default:
+
+- matched rows where a string column is null on one side and '' on the
+  other are NOT a diff (reference ``fillna("")``); disable with
+  ``null_equals_blank=False`` for strict ``IS DISTINCT FROM`` semantics;
+- rows with any null primary-key part never equi-join; their
+  ``CompColArr`` is forced empty and they land in S1_ONLY/S2_ONLY
+  (reference :124 and the when-order of :132 — a row whose OWN key is
+  null gets 'S1_ONLY' because the s2-null test runs first; preserved);
+- duplicate primary keys fan out through the join (reference does the
+  same); ``assert_unique_keys=True`` adds an optional guard;
+- non-string columns compare natively (typed), not via string casts —
+  values are stringified only in the output structs (reference :109-110).
+
+Scale notes (100 TB): one full-outer sort-merge join is the only shuffle;
+AQE handles skew and post-shuffle coalescing. No Python UDFs anywhere —
+the whole plan is Catalyst expressions inside WholeStageCodegen. Neither
+side of a full-outer join can be broadcast (both sides are preserved), so
+shuffle size is governed by the two scans; column pruning still applies
+to any column the caller excludes via ``compare_cols``/``exclude_cols``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    StringType,
+)
+
+from ..errors import InvalidArgumentError, PrimaryKeyError, SchemaMismatchError
+
+S1_SUFFIX = "_s1"
+S2_SUFFIX = "_s2"
+DIFF_ARRAY_COL = "CompColArr"
+FLAG_COL = "Flag"
+
+FLAG_S1_ONLY = "S1_ONLY"
+FLAG_S2_ONLY = "S2_ONLY"
+FLAG_NODIFF = "NODIFF"
+FLAG_DIFF = ""  # reference encodes "matched but differs" as empty string
+
+
+# ---------------------------------------------------------------------------
+# validation / standardization
+# ---------------------------------------------------------------------------
+
+def validate_schemas(s1: DataFrame, s2: DataFrame) -> None:
+    """Check both inputs share one case-insensitive column-name set.
+
+    The reference checks only ``s1 - s2`` (reference :34, asymmetric —
+    documented as a latent bug in SURVEY.md §4.4); we check both
+    directions and raise instead of returning ``None``.
+    """
+    c1 = {c.lower() for c in s1.columns}
+    c2 = {c.lower() for c in s2.columns}
+    if c1 != c2:
+        raise SchemaMismatchError(only_in_s1=c1 - c2, only_in_s2=c2 - c1)
+
+
+def suffix_columns(df: DataFrame, suffix: str) -> DataFrame:
+    """Rename every column ``c`` -> ``c + suffix`` in ONE Project node.
+
+    Replaces the reference's n× ``withColumnRenamed`` loop (:42-44) which
+    builds n nested Projects that Catalyst must re-collapse.
+    """
+    return df.select([F.col(c).alias(c + suffix) for c in df.columns])
+
+
+def standardize(s1: DataFrame, s2: DataFrame) -> dict[str, DataFrame]:
+    """API-parity port of ``initialise_and_standardise_df`` (:19-56).
+
+    Differences: raises typed errors instead of sys.exit/None, and does
+    NOT mutate the data with ``fillna("")`` — null-vs-blank equality is
+    instead handled at comparison time (``null_equals_blank``), keeping
+    the output values faithful to the input.
+    """
+    validate_schemas(s1, s2)
+    return {"s1": suffix_columns(s1, S1_SUFFIX), "s2": suffix_columns(s2, S2_SUFFIX)}
+
+
+def gen_comp_col(
+    org_src: DataFrame, pk_lst: Sequence[str]
+) -> tuple[list[str], list[str], list[str]]:
+    """Port of ``gen_comp_col`` (:59-80): suffixed key lists + compare cols.
+
+    Returns compare columns in the source's column order (deterministic),
+    not the reference's ``set`` order, so ``CompColArr`` element order is
+    stable across runs.
+    """
+    if not pk_lst:
+        raise InvalidArgumentError("pk_lst must not be empty")
+    lower_cols = {c.lower(): c for c in org_src.columns}
+    missing = [k for k in pk_lst if k.lower() not in lower_cols]
+    if missing:
+        raise PrimaryKeyError(f"primary key columns not found: {missing}")
+    pk_lower = {k.lower() for k in pk_lst}
+    s1_keys = [k + S1_SUFFIX for k in pk_lst]
+    s2_keys = [k + S2_SUFFIX for k in pk_lst]
+    comp_cols = [c for c in org_src.columns if c.lower() not in pk_lower]
+    return s1_keys, s2_keys, comp_cols
+
+
+# ---------------------------------------------------------------------------
+# comparison expression
+# ---------------------------------------------------------------------------
+
+def _is_diff_expr(
+    a: Column,
+    b: Column,
+    dtype,
+    *,
+    null_equals_blank: bool,
+    float_tol: float | None,
+) -> Column:
+    """Null-safe per-column inequality.
+
+    - strings (compat mode): ``coalesce(a,'') <> coalesce(b,'')`` —
+      exactly the reference's ``fillna('') + sentinel`` outcome (:39-40,
+      :103-106) without mutating data or risking sentinel collision;
+    - floats/doubles with ``float_tol``: differ when exactly one side is
+      null, or both non-null and ``abs(a-b) > tol`` (NaN-safe: NaN vs
+      number exceeds no tolerance check and is caught by the not-equal
+      arm);
+    - everything else: ``NOT (a <=> b)`` (IS DISTINCT FROM).
+    """
+    if isinstance(dtype, StringType) and null_equals_blank:
+        return F.coalesce(a, F.lit("")) != F.coalesce(b, F.lit(""))
+    if float_tol is not None and isinstance(dtype, (FloatType, DoubleType)):
+        one_null = a.isNull() != b.isNull()
+        both = a.isNotNull() & b.isNotNull()
+        return one_null | (both & ~(F.abs(a - b) <= F.lit(float_tol)))
+    return ~a.eqNullSafe(b)
+
+
+# ---------------------------------------------------------------------------
+# the diff operator
+# ---------------------------------------------------------------------------
+
+def diff(
+    s1: DataFrame,
+    s2: DataFrame,
+    pk: Sequence[str],
+    *,
+    compare_cols: Iterable[str] | None = None,
+    exclude_cols: Iterable[str] | None = None,
+    null_equals_blank: bool = True,
+    float_tol: float | None = None,
+) -> DataFrame:
+    """Full diff of two same-schema DataFrames keyed by ``pk``.
+
+    One full-outer equi-join + ONE projection that builds the entire
+    mismatch array (reference: join :96-99, then a 2n-deep withColumn
+    chain :101-115 — collapsed here into a single ``select`` with
+    ``array_compact``).
+    """
+    validate_schemas(s1, s2)
+    s1_keys, s2_keys, comp_cols = gen_comp_col(s1, pk)
+
+    if compare_cols is not None:
+        want = {c.lower() for c in compare_cols}
+        unknown = want - {c.lower() for c in comp_cols}
+        if unknown:
+            raise InvalidArgumentError(f"compare_cols not in schema/non-key: {sorted(unknown)}")
+        comp_cols = [c for c in comp_cols if c.lower() in want]
+    if exclude_cols is not None:
+        drop = {c.lower() for c in exclude_cols}
+        comp_cols = [c for c in comp_cols if c.lower() not in drop]
+
+    # Prune to only the columns we need BEFORE the join so the parquet
+    # scan reads nothing extra (ReadSchema stays minimal at 100 TB).
+    keep = list(pk) + comp_cols
+    dtypes = {f.name.lower(): f.dataType for f in s1.select(*keep).schema.fields}
+    s1n = suffix_columns(s1.select(*keep), S1_SUFFIX)
+    s2n = suffix_columns(s2.select(*keep), S2_SUFFIX)
+
+    cond = reduce(
+        lambda x, y: x & y,
+        [s1n[k1] == s2n[k2] for k1, k2 in zip(s1_keys, s2_keys)],
+    )
+    joined = s1n.join(s2n, cond, "full_outer")
+
+    # any-null on a composite key — same truth table as the reference's
+    # null-propagating concat(*keys).isNull() (:124,:129-130)
+    s1_key_null = reduce(or_, [F.col(k).isNull() for k in s1_keys])
+    s2_key_null = reduce(or_, [F.col(k).isNull() for k in s2_keys])
+    matched = ~s1_key_null & ~s2_key_null
+
+    per_col_entries = [
+        F.when(
+            _is_diff_expr(
+                F.col(c + S1_SUFFIX),
+                F.col(c + S2_SUFFIX),
+                dtypes[c.lower()],
+                null_equals_blank=null_equals_blank,
+                float_tol=float_tol,
+            ),
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(c + S1_SUFFIX).cast("string").alias("s1_value"),
+                F.col(c + S2_SUFFIX).cast("string").alias("s2_value"),
+            ),
+        )
+        for c in comp_cols
+    ]
+    # array_compact drops the nulls left by non-differing columns —
+    # whole array in one expression, no iterative array_union (:112).
+    empty_arr = F.array().cast(
+        "array<struct<col_name:string,s1_value:string,s2_value:string>>"
+    )
+    if per_col_entries:
+        comp_arr = F.when(
+            matched, F.array_compact(F.array(*per_col_entries))
+        ).otherwise(empty_arr)
+    else:
+        comp_arr = empty_arr
+
+    flag = (
+        F.when(s2_key_null, F.lit(FLAG_S1_ONLY))  # when-order preserved (:132)
+        .when(s1_key_null, F.lit(FLAG_S2_ONLY))
+        .when(F.size(DIFF_ARRAY_COL) == 0, F.lit(FLAG_NODIFF))
+        .otherwise(F.lit(FLAG_DIFF))
+    )
+
+    return joined.select(
+        *s1_keys, *s2_keys, comp_arr.alias(DIFF_ARRAY_COL)
+    ).withColumn(FLAG_COL, flag)
+
+
+# ---------------------------------------------------------------------------
+# summary aggregations — single-pass replacements for n+6 count() actions
+# ---------------------------------------------------------------------------
+
+def flag_counts(diff_df: DataFrame) -> DataFrame:
+    """``Flag -> count`` in ONE hash aggregate (vs four filter+count jobs,
+    reference :136-139). Columns: ``Flag``, ``cnt``."""
+    return diff_df.groupBy(FLAG_COL).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def column_mismatch_counts(diff_df: DataFrame) -> DataFrame:
+    """Per-column mismatch counts in ONE explode+aggregate (vs one
+    filter+count job per column, reference :146-149).
+
+    Columns: ``ColName``, ``Count`` (reference's pandas summary names,
+    :153), ordered by descending count. Partial aggregation happens
+    map-side before the (tiny, n_cols-row) shuffle.
+    """
+    return (
+        diff_df.select(F.explode(F.col(f"{DIFF_ARRAY_COL}.col_name")).alias("ColName"))
+        .groupBy("ColName")
+        .agg(F.count(F.lit(1)).alias("Count"))
+        .orderBy(F.desc("Count"), "ColName")
+    )
+
+
+def diff_summary(diff_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Both summaries as (still-lazy) Spark DataFrames."""
+    return flag_counts(diff_df), column_mismatch_counts(diff_df)
+
+
+def compute_dataframe_diff(
+    s1: DataFrame,
+    s2: DataFrame,
+    pk_lst: Sequence[str],
+    **options,
+):
+    """API-parity facade matching the reference's public entry point
+    (``pysparkdatacoldiff/find_dataframe_diff.py:7-23``): returns
+    ``(diff_df, col_stats)`` where ``col_stats`` is a *pandas* DataFrame
+    ``['ColName', 'Count']`` sorted by count descending.
+
+    The pandas conversion touches only n_cols rows — the distributed
+    result stays in Spark.
+    """
+    d = diff(s1, s2, pk_lst, **options)
+    stats = column_mismatch_counts(d).toPandas()
+    return d, stats

@@ -1,0 +1,129 @@
+"""Core diff-operator tests: golden counts by construction, output schema,
+summary aggregations, facade parity. Mirrors the reference's test strategy
+(SURVEY.md §5: golden per-column counts over a hand-checkable fixture)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_datacol_diff_spark import (
+    SchemaMismatchError,
+    column_mismatch_counts,
+    compute_dataframe_diff,
+    diff,
+    flag_counts,
+    gen_comp_col,
+    standardize,
+)
+
+
+def flag_map(diff_df):
+    return {r["Flag"]: r["cnt"] for r in flag_counts(diff_df).collect()}
+
+
+def col_map(diff_df):
+    return {r["ColName"]: r["Count"] for r in column_mismatch_counts(diff_df).collect()}
+
+
+def test_golden_counts(spark, employee_pair):
+    s1, s2, exp = employee_pair
+    d = diff(s1, s2, ["id"])
+    flags = flag_map(d)
+    assert flags.get("S1_ONLY", 0) == exp["s1_only"]
+    assert flags.get("S2_ONLY", 0) == exp["s2_only"]
+    n_diff_rows = flags.get("", 0)
+    n_nodiff = flags.get("NODIFF", 0)
+    assert n_diff_rows + n_nodiff == exp["matched"]
+
+    cols = col_map(d)
+    assert cols.get("first_name", 0) == exp["first_name"]
+    assert cols.get("email", 0) == exp["email"]
+    assert cols.get("country", 0) == exp["country"]
+    assert "gender" not in cols  # zero-mismatch columns don't appear
+
+
+def test_output_schema(spark, employee_pair):
+    s1, s2, _ = employee_pair
+    d = diff(s1, s2, ["id"])
+    assert d.columns == ["id_s1", "id_s2", "CompColArr", "Flag"]
+    arr_type = dict(d.dtypes)["CompColArr"]
+    assert arr_type == "array<struct<col_name:string,s1_value:string,s2_value:string>>"
+
+
+def test_unmatched_rows_have_empty_array(spark, employee_pair):
+    s1, s2, _ = employee_pair
+    d = diff(s1, s2, ["id"])
+    bad = d.filter(
+        F.col("Flag").isin("S1_ONLY", "S2_ONLY") & (F.size("CompColArr") > 0)
+    ).count()
+    assert bad == 0
+
+
+def test_flag_semantics(spark, employee_pair):
+    s1, s2, _ = employee_pair
+    d = diff(s1, s2, ["id"])
+    # S1_ONLY rows: s2 keys null; S2_ONLY: s1 keys null
+    assert d.filter((F.col("Flag") == "S1_ONLY") & F.col("id_s2").isNotNull()).count() == 0
+    assert d.filter((F.col("Flag") == "S2_ONLY") & F.col("id_s1").isNotNull()).count() == 0
+    # NODIFF <=> matched and empty array
+    assert (
+        d.filter((F.col("Flag") == "NODIFF") & (F.size("CompColArr") > 0)).count() == 0
+    )
+    # '' rows have at least one mismatch entry
+    assert d.filter((F.col("Flag") == "") & (F.size("CompColArr") == 0)).count() == 0
+
+
+def test_mismatch_values_recorded(spark, employee_pair):
+    s1, s2, _ = employee_pair
+    d = diff(s1, s2, ["id"])
+    row = (
+        d.filter(F.array_contains(F.col("CompColArr.col_name"), "first_name"))
+        .filter(F.col("id_s1") == "12")
+        .select(F.explode("CompColArr").alias("e"))
+        .filter(F.col("e.col_name") == "first_name")
+        .collect()
+    )
+    assert len(row) == 1
+    assert row[0]["e"]["s1_value"] == "name12"
+    assert row[0]["e"]["s2_value"] == "NAME12"
+
+
+def test_facade_returns_pandas_stats(spark, employee_pair):
+    s1, s2, exp = employee_pair
+    d, stats = compute_dataframe_diff(s1, s2, ["id"])
+    assert list(stats.columns) == ["ColName", "Count"]
+    assert stats.iloc[0]["ColName"] == "first_name"  # highest count first
+    got = dict(zip(stats["ColName"], stats["Count"]))
+    assert got["first_name"] == exp["first_name"]
+
+
+def test_standardize_suffixes(spark, employee_pair):
+    s1, s2, _ = employee_pair
+    out = standardize(s1, s2)
+    assert all(c.endswith("_s1") for c in out["s1"].columns)
+    assert all(c.endswith("_s2") for c in out["s2"].columns)
+    assert out["s1"].count() == s1.count()
+
+
+def test_standardize_schema_mismatch_raises(spark, employee_pair):
+    s1, _, _ = employee_pair
+    other = spark.createDataFrame([("a", "b")], ["x", "y"])
+    with pytest.raises(SchemaMismatchError) as ei:
+        standardize(s1, other)
+    assert ei.value.only_in_s1 and ei.value.only_in_s2
+
+
+def test_gen_comp_col(spark, employee_pair):
+    s1, _, _ = employee_pair
+    k1, k2, comp = gen_comp_col(s1, ["id", "gender"])
+    assert k1 == ["id_s1", "gender_s1"]
+    assert k2 == ["id_s2", "gender_s2"]
+    assert comp == ["first_name", "email", "country"]  # source column order
+
+
+def test_compare_and_exclude_cols(spark, employee_pair):
+    s1, s2, exp = employee_pair
+    only_email = col_map(diff(s1, s2, ["id"], compare_cols=["email"]))
+    assert set(only_email) == {"email"} and only_email["email"] == exp["email"]
+    no_email = col_map(diff(s1, s2, ["id"], exclude_cols=["email"]))
+    assert "email" not in no_email
+    assert no_email["first_name"] == exp["first_name"]
