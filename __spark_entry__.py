@@ -1,38 +1,628 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship diff query on /root/testdata/sf0.001.
+``queries()``     — one callable per implemented operator (SURVEY.md §2 +
+                    north-star extensions); each takes (spark, sf_dir).
+``oracle_sql()``  — DuckDB-equivalent ANSI SQL per query (tables are
+                    pre-registered views). Omitted only for ops whose
+                    hashing is engine-internal (MinHashLSH, SimHash).
+
+Determinism contract with the oracle (why some outputs look scaled):
+aggregates over doubles are order-dependent in the last ulp, and Spark
+and DuckDB sum in different orders — so every aggregated money/value
+column is computed in exact DECIMAL arithmetic and emitted as a BIGINT
+(cents = *100, e4 = *10000, e6 = *1000000). Ratios are derived from
+those exact integers with identical double expressions on both sides.
+Raw (non-aggregated) doubles pass through untouched — both engines read
+identical bits from parquet.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from pyspark_datacol_diff_spark import diff, flag_counts, column_mismatch_counts
+from pyspark_datacol_diff_spark.operators import dedup as DD
+from pyspark_datacol_diff_spark.operators import similarity as SIM
+from pyspark_datacol_diff_spark.operators import text as TX
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+        # rejects by default — read nanos as long, convert to micros.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# diff fixtures: deterministic perturbed pairs, expressible identically in
+# Spark and ANSI SQL (FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+def _orders_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s1 = o.filter(k % 101 != 0)
+    s2 = (
+        o.filter(k % 97 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(k % 11 == 0, F.col("o_custkey") + 1000000).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 13 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(k % 7 == 0, F.concat(F.col("o_orderpriority"), F.lit("!"))).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    return s1, s2
+
+
+# Matching CTE prelude for the DuckDB oracle (same mutations, same drops).
+_ORDERS_PAIR_SQL = """
+WITH s1 AS (SELECT * FROM orders WHERE o_orderkey % 101 <> 0),
+s2 AS (SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice, o_orderdate,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority || '!' ELSE o_orderpriority END AS o_orderpriority
+       FROM orders WHERE o_orderkey % 97 <> 0),
+j AS (SELECT s1.o_orderkey AS k1, s2.o_orderkey AS k2,
+             s1.o_custkey AS c1, s2.o_custkey AS c2,
+             s1.o_orderstatus AS st1, s2.o_orderstatus AS st2,
+             s1.o_totalprice AS tp1, s2.o_totalprice AS tp2,
+             s1.o_orderdate AS od1, s2.o_orderdate AS od2,
+             s1.o_orderpriority AS pr1, s2.o_orderpriority AS pr2
+      FROM s1 FULL OUTER JOIN s2 ON s1.o_orderkey = s2.o_orderkey)
+"""
+
+# Null-safe any-column-differs predicate (strings use the reference's
+# null=='' compat semantics, matching diff()'s default).
+_ORDERS_DIFF_PRED = (
+    "(c1 IS DISTINCT FROM c2) OR (coalesce(st1,'') <> coalesce(st2,'')) "
+    "OR (tp1 IS DISTINCT FROM tp2) OR (od1 IS DISTINCT FROM od2) "
+    "OR (coalesce(pr1,'') <> coalesce(pr2,''))"
+)
+
+_ORDERS_FLAG_SQL = f"""
+CASE WHEN k2 IS NULL THEN 'S1_ONLY'
+     WHEN k1 IS NULL THEN 'S2_ONLY'
+     WHEN {_ORDERS_DIFF_PRED} THEN ''
+     ELSE 'NODIFF' END
+"""
+
+
+def _lineitem_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    li = _t(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    s1 = li.filter(ok % 89 != 0)
+    s2 = (
+        li.filter(ok % 83 != 0)
+        .withColumn(
+            "l_returnflag",
+            F.when((ok + ln) % 17 == 0, F.lit("Z")).otherwise(F.col("l_returnflag")),
+        )
+        .withColumn(
+            "l_suppkey",
+            F.when((ok * 7 + ln) % 19 == 0, F.col("l_suppkey") + 500).otherwise(
+                F.col("l_suppkey")
+            ),
+        )
+        .withColumn(
+            "l_discount",
+            F.when((ok + ln) % 23 == 0, F.col("l_discount") + F.lit(0.01)).otherwise(
+                F.col("l_discount")
+            ),
+        )
+    )
+    return s1, s2
+
+
+_LINEITEM_PAIR_SQL = """
+WITH s1 AS (SELECT * FROM lineitem WHERE l_orderkey % 89 <> 0),
+s2 AS (SELECT l_orderkey, l_partkey,
+         CASE WHEN (l_orderkey * 7 + l_linenumber) % 19 = 0 THEN l_suppkey + 500 ELSE l_suppkey END AS l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice,
+         CASE WHEN (l_orderkey + l_linenumber) % 23 = 0 THEN l_discount + 0.01 ELSE l_discount END AS l_discount,
+         l_tax,
+         CASE WHEN (l_orderkey + l_linenumber) % 17 = 0 THEN 'Z' ELSE l_returnflag END AS l_returnflag,
+         l_linestatus, l_shipdate
+       FROM lineitem WHERE l_orderkey % 83 <> 0),
+j AS (SELECT s1.l_orderkey AS k1a, s1.l_linenumber AS k1b,
+             s2.l_orderkey AS k2a, s2.l_linenumber AS k2b,
+             s1.l_suppkey AS sk1, s2.l_suppkey AS sk2,
+             s1.l_returnflag AS rf1, s2.l_returnflag AS rf2,
+             s1.l_discount AS dc1, s2.l_discount AS dc2,
+             s1.l_partkey AS pk1, s2.l_partkey AS pk2,
+             s1.l_quantity AS q1, s2.l_quantity AS q2,
+             s1.l_extendedprice AS ep1, s2.l_extendedprice AS ep2,
+             s1.l_tax AS tx1, s2.l_tax AS tx2,
+             s1.l_linestatus AS ls1, s2.l_linestatus AS ls2,
+             s1.l_shipdate AS sd1, s2.l_shipdate AS sd2
+      FROM s1 FULL OUTER JOIN s2
+        ON s1.l_orderkey = s2.l_orderkey AND s1.l_linenumber = s2.l_linenumber)
+"""
+
+_LINEITEM_DIFF_PRED = (
+    "(sk1 IS DISTINCT FROM sk2) OR (coalesce(rf1,'') <> coalesce(rf2,'')) "
+    "OR (dc1 IS DISTINCT FROM dc2) OR (pk1 IS DISTINCT FROM pk2) "
+    "OR (q1 IS DISTINCT FROM q2) OR (ep1 IS DISTINCT FROM ep2) "
+    "OR (tx1 IS DISTINCT FROM tx2) OR (coalesce(ls1,'') <> coalesce(ls2,'')) "
+    "OR (sd1 IS DISTINCT FROM sd2)"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_diff_orders_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded per-column mismatches of the perturbed orders pair.
+    explode() drops unmatched rows' empty arrays for free."""
+    s1, s2 = _orders_pair(spark, sf_dir)
+    d = diff(s1, s2, ["o_orderkey"])
+    return d.select(
+        F.col("o_orderkey_s1").alias("o_orderkey"), F.explode("CompColArr").alias("e")
+    ).select(
+        "o_orderkey",
+        F.col("e.col_name").alias("col_name"),
+        F.col("e.s1_value").alias("s1_value"),
+        F.col("e.s2_value").alias("s2_value"),
+    )
+
+
+def _q_diff_orders_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1, s2 = _orders_pair(spark, sf_dir)
+    return flag_counts(diff(s1, s2, ["o_orderkey"]))
+
+
+def _q_diff_orders_col_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1, s2 = _orders_pair(spark, sf_dir)
+    return column_mismatch_counts(diff(s1, s2, ["o_orderkey"]))
+
+
+def _q_diff_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key diff at lineitem granularity (the sf0.1 bench diff)."""
+    s1, s2 = _lineitem_pair(spark, sf_dir)
+    return flag_counts(diff(s1, s2, ["l_orderkey", "l_linenumber"]))
+
+
+def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape; DECIMAL-exact aggregates emitted as BIGINTs."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q1_SQL)
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc_e4,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) * 1000000 AS BIGINT) AS sum_charge_e6,
+       CAST(FLOOR(SUM(l_quantity) * 100.0 / COUNT(*)) AS BIGINT) AS avg_qty_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi == EXISTS: customers holding at least one 'F' order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def _q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti == NOT EXISTS: customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def _q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — rank window, deterministic
+    tie-break on the key. o_totalprice passes through un-aggregated
+    (identical parquet bits both sides)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", "o_totalprice")
+    )
+
+
+def _q_agg_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + count / count-distinct / exact-decimal sum."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+
+
+def _q_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(_ROLLUP_SQL)
+
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name, count(*) AS cnt
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def _q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(_EXCEPT_SQL)
+
+
+_EXCEPT_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 3
+"""
+
+
+def _q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(_INTERSECT_SQL)
+
+
+_INTERSECT_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream table (batch
+    shape of the streaming operator; see streaming/windowed.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("value_e4"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("short_name"),
+        F.substring("c_name", 10, 8).alias("name_tail"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nat"
+        ),
+    )
+
+
+# --- extensions: dedup / text / similarity ---------------------------------
+
+def _q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return DD.exact_dup_groups(d, F.md5("text"), "doc_id", key_name="content_md5")
+
+
+def _q_dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup (2-token md5) — produces real multi-row
+    groups on the synthetic corpus, exercising representative election."""
+    d = _t(spark, sf_dir, "documents")
+    groups = DD.exact_dup_groups(
+        d, DD.content_fingerprint("text", num_tokens=2), "doc_id", key_name="fp"
+    )
+    return groups.filter(F.col("cnt") > 1)
+
+
+def _q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.char_count("text").alias("n_chars_calc"),
+        TX.punct_count("text").alias("n_punct"),
+        TX.stopword_hits("text").alias("stop_hits"),
+        TX.is_english_like("text").alias("en_like"),
+        TX.doc_fingerprint("text").alias("fp"),
+    )
+
+
+def _q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (the verify stage of near-dedup).
+    Integer evidence columns only; jaccard itself is a ratio of identical
+    ints (bit-identical across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1).select(
+        "id_a", "id_b", "inter_cnt", "size_a", "size_b"
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a deterministic query subset.
+    Rank/ids only — sim ordering is stable, its last-ulp value is not."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return SIM.cosine_topk(emb, q, 5).select("qid", "neighbor_id", "rank")
+
+
+def _q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH candidate pairs (hash seeds engine-internal -> no SQL
+    oracle; driver records rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, jaccard_threshold=0.3
+    ).select("id_a", "id_b")
+
+
+def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64-based -> no SQL oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_dups(d, "doc_id", "text", n=3, max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the core diff on the sf0.001 perturbed orders pair."""
+    s1, s2 = _orders_pair(spark, "/root/testdata/sf0.001")
+    return diff(s1, s2, ["o_orderkey"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "diff_orders_detail": _q_diff_orders_detail,
+        "diff_orders_flags": _q_diff_orders_flags,
+        "diff_orders_col_counts": _q_diff_orders_col_counts,
+        "diff_lineitem_flags": _q_diff_lineitem_flags,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "join_semi_customers": _q_join_semi,
+        "join_anti_customers": _q_join_anti,
+        "topk_orders_per_customer": _q_topk_orders_per_customer,
+        "agg_orders_by_segment": _q_agg_orders_by_segment,
+        "rollup_customers_by_region": _q_rollup_customers,
+        "setop_building_except_frequent": _q_setop_except,
+        "setop_automobile_with_orders": _q_setop_intersect,
+        "events_hourly": _q_events_hourly,
+        "string_funcs_customer": _q_string_funcs,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "dedup_fingerprint_docs": _q_dedup_fingerprint_docs,
+        "text_stats_docs": _q_text_stats_docs,
+        "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "ann_topk_cosine": _q_ann_topk,
+        "minhash_lsh_docs": _q_minhash_lsh_docs,
+        "simhash_docs": _q_simhash_docs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "diff_orders_detail": _ORDERS_PAIR_SQL
+        + """,
+m AS (SELECT * FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL)
+SELECT o_orderkey, col_name, s1_value, s2_value FROM (
+  SELECT k1 AS o_orderkey, 'o_custkey' AS col_name,
+         CAST(c1 AS VARCHAR) AS s1_value, CAST(c2 AS VARCHAR) AS s2_value
+  FROM m WHERE c1 IS DISTINCT FROM c2
+  UNION ALL
+  SELECT k1, 'o_orderstatus', st1, st2 FROM m WHERE coalesce(st1,'') <> coalesce(st2,'')
+  UNION ALL
+  SELECT k1, 'o_orderpriority', pr1, pr2 FROM m WHERE coalesce(pr1,'') <> coalesce(pr2,'')
+) t
+""",
+        "diff_orders_flags": _ORDERS_PAIR_SQL
+        + f"""
+SELECT {_ORDERS_FLAG_SQL} AS "Flag", count(*) AS cnt FROM j GROUP BY 1
+""",
+        "diff_orders_col_counts": _ORDERS_PAIR_SQL
+        + """,
+m AS (SELECT * FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL)
+SELECT "ColName", "Count" FROM (
+  SELECT 'o_custkey' AS "ColName", count(*) AS "Count" FROM m WHERE c1 IS DISTINCT FROM c2
+  UNION ALL
+  SELECT 'o_orderstatus', count(*) FROM m WHERE coalesce(st1,'') <> coalesce(st2,'')
+  UNION ALL
+  SELECT 'o_orderpriority', count(*) FROM m WHERE coalesce(pr1,'') <> coalesce(pr2,'')
+  UNION ALL
+  SELECT 'o_totalprice', count(*) FROM m WHERE tp1 IS DISTINCT FROM tp2
+  UNION ALL
+  SELECT 'o_orderdate', count(*) FROM m WHERE od1 IS DISTINCT FROM od2
+) t WHERE "Count" > 0
+""",
+        "diff_lineitem_flags": _LINEITEM_PAIR_SQL
+        + f"""
+SELECT CASE WHEN k2a IS NULL THEN 'S1_ONLY'
+            WHEN k1a IS NULL THEN 'S2_ONLY'
+            WHEN {_LINEITEM_DIFF_PRED} THEN ''
+            ELSE 'NODIFF' END AS "Flag", count(*) AS cnt
+FROM j GROUP BY 1
+""",
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "join_semi_customers": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+        "join_anti_customers": """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+        "topk_orders_per_customer": """
+SELECT o_custkey, o_orderkey, rn, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+""",
+        "agg_orders_by_segment": """
+SELECT c_mktsegment, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "rollup_customers_by_region": _ROLLUP_SQL,
+        "setop_building_except_frequent": _EXCEPT_SQL,
+        "setop_automobile_with_orders": _INTERSECT_SQL,
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS value_e4,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+        "string_funcs_customer": """
+SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
+       regexp_replace(c_name, 'Customer', 'Cust', 'g') AS short_name,
+       substring(c_name, 10, 8) AS name_tail,
+       concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
+FROM customer WHERE c_custkey % 3 = 0
+""",
+        "dedup_exact_docs": """
+SELECT md5(text) AS content_md5, min(doc_id) AS rep_id, count(*) AS cnt
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_fingerprint_docs": """
+SELECT md5(array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), 1, 2), ' ')) AS fp,
+       min(doc_id) AS rep_id, count(*) AS cnt
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+""",
+        "text_stats_docs": """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_calc,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+       (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% in %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% is %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% for %' THEN 1 ELSE 0 END) AS stop_hits,
+       CAST((CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% in %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% is %' THEN 1 ELSE 0 END
+      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% for %' THEN 1 ELSE 0 END) >= 2 AS INT) AS en_like,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+        "ngram_jaccard_docs": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM toks) u),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_cnt
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, inter_cnt, sa.sz AS size_a, sb.sz AS size_b
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) >= 0.1
+""",
+        "ann_topk_cosine": """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, neighbor_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 5
+""",
+        # minhash_lsh_docs / simhash_docs: engine-internal hash functions,
+        # deliberately no SQL oracle (driver rows-only check).
+    }

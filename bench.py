@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is fully materialized through the noop sink (no driver-side
+collect cost, no rows skipped — the whole plan executes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+# Headline set: the core diff at bench scale, relational breadth, and the
+# training-data-pipeline extensions.
+BENCH_QUERIES = [
+    "diff_orders_flags",
+    "diff_orders_detail",
+    "diff_lineitem_flags",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "topk_orders_per_customer",
+    "agg_orders_by_segment",
+    "events_hourly",
+    "dedup_exact_docs",
+    "text_stats_docs",
+    "ngram_jaccard_docs",
+    "ann_topk_cosine",
+    "minhash_lsh_docs",
+    "simhash_docs",
+]
+
+
+def main() -> None:
+    from pyspark_datacol_diff_spark import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

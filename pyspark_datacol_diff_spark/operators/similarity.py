@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; LSH-bucketed (random
+hyperplane) variant as the scale path. All vector math is built-in
+``zip_with``/``aggregate`` Column expressions evaluated in DOUBLE — no
+Python UDFs, so the whole scan stays JVM-side.
+
+Scale notes (100 TB): brute force is O(|queries| x |corpus|) — fine when
+the query set broadcasts (the corpus scan is embarrassingly parallel and
+shuffles only the per-query top-k, k rows per partition per query, via the
+window aggregate). For corpus-x-corpus near-dup use the LSH bucketing so
+the join key is the bucket, not a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, accumulated in double,
+    element order preserved (matches any sequential-sum oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Broadcast the (small) query set against the corpus scan, score with
+    codegen'd expressions, keep top-k per query with a rank window.
+    Returns ``(qid, neighbor_id, rank, sim)``.
+    """
+    pairs = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "sim")
+    )
+
+
+def random_hyperplane_buckets(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """LSH bucket id: sign pattern of dot products against fixed random
+    hyperplanes, packed into a BIGINT. Deterministic given ``planes``
+    (caller supplies seeded numpy-generated planes)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    num_tables: int = 4,
+    sim_threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-x-corpus near-duplicate pairs without the cross product.
+
+    ``num_tables`` independent random-hyperplane codes; pairs colliding in
+    ANY table are candidates (recall grows with tables), then verified
+    with exact cosine. Shuffle key = (table, bucket) — at 100 TB the
+    bucket histogram is the thing to watch; more planes -> smaller
+    buckets -> fewer false candidates.
+
+    Returns ``(id_a, id_b, sim)`` with sim >= threshold.
+    """
+    import numpy as np
+
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+
+    tables = []
+    for t in range(num_tables):
+        planes = rng.standard_normal((num_planes, dim)).tolist()
+        tables.append(
+            corpus.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.lit(t).alias("tbl"),
+                random_hyperplane_buckets(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    coded = tables[0]
+    for t in tables[1:]:
+        coded = coded.unionByName(t)
+
+    a = coded.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "tbl", "bucket"
+    )
+    b = coded.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "tbl", "bucket"
+    )
+    cands = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= sim_threshold)
+        .select("id_a", "id_b", "sim")
+    )

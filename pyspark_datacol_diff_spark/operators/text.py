@@ -1,0 +1,94 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language heuristics, fingerprinting.
+
+All pure Column expressions (codegen'd, no UDFs). Every function returns a
+Column so callers compose them into one projection — a 100 TB text-quality
+pass should be ONE parquet scan with all stats in a single select.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword list: enough for a deterministic English-ness
+# signal without external data files (language-ID proper would load
+# per-language frequency tables; this is the n-gram-heuristic variant).
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for"]
+
+_TOKEN_SPLIT = r"\s+"
+_PUNCT_CLASS = r"[^.,;:!?]"
+
+
+def tokens(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(t), _TOKEN_SPLIT)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (the cheap pre-BPE length signal)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-approximating token count: words + punctuation runs counted
+    separately (a word-boundary regex split, the common ~chars/4 proxy
+    is worse). Counts matches of word-or-punct chunks."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def char_count(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.length(t)
+
+
+def punct_count(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(t, _PUNCT_CLASS, ""))
+
+
+def stopword_hits(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """How many of the stopword list appear as whole words (0..len(list)).
+
+    Presence (not frequency) — LIKE on space-padded text keeps this a
+    pure string predicate identical across engines (the DuckDB oracle
+    uses the same construction).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    hits = [
+        F.when(padded.like(f"% {w} %"), 1).otherwise(0)
+        for w in (stopwords or EN_STOPWORDS)
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def is_english_like(text: Column | str, min_hits: int = 2) -> Column:
+    """Cheap language-ID heuristic: enough English stopwords present."""
+    return (stopword_hits(text) >= min_hits).cast("int")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in [0,1]: length band + punctuation
+    presence + stopword signal (the C4-style heuristic family)."""
+    n = char_count(text)
+    toks = token_count(text)
+    len_ok = F.when((n >= 50) & (n <= 10000), 0.4).otherwise(0.0)
+    punct_ok = F.when(punct_count(text) > 0, 0.2).otherwise(0.0)
+    stop_ok = F.when(stopword_hits(text) >= 2, 0.2).otherwise(0.0)
+    word_len_ok = F.when(
+        (toks > 0) & ((n / toks) >= 3) & ((n / toks) <= 12), 0.2
+    ).otherwise(0.0)
+    return len_ok + punct_ok + stop_ok + word_len_ok
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Normalized-content fingerprint: md5 over lowercased,
+    whitespace-collapsed text. Engine-portable (md5)."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return F.md5(norm)
