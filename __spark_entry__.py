@@ -406,9 +406,9 @@ def _q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer evidence columns only; jaccard itself is a ratio of identical
     ints (bit-identical across engines)."""
     d = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1).select(
-        "id_a", "id_b", "inter_cnt", "size_a", "size_b"
-    )
+    return DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.1, max_df=100
+    ).select("id_a", "id_b", "inter_cnt", "size_a", "size_b")
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,6 +419,15 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return SIM.cosine_topk(emb, q, 5).select("qid", "neighbor_id", "rank")
+
+
+def _q_minhash_native_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataFrame MinHash banding (the at-scale near-dedup path;
+    xxhash64-seeded -> rows-only oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_dup_pairs(
+        d, "doc_id", "text", n=3, bands=32, jaccard_threshold=0.3
+    ).select("id_a", "id_b")
 
 
 def _q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_docs": _q_text_stats_docs,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "ann_topk_cosine": _q_ann_topk,
+        "minhash_native_docs": _q_minhash_native_docs,
         "minhash_lsh_docs": _q_minhash_lsh_docs,
         "simhash_docs": _q_simhash_docs,
     }
@@ -599,10 +609,12 @@ grams AS (
   SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
   FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
         FROM toks) u),
-sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+kept AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 100),
+inv AS (SELECT doc_id, grams.g FROM grams JOIN kept USING (g)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_cnt
-  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b, inter_cnt, sa.sz AS size_a, sb.sz AS size_b
 FROM pairs

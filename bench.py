@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "text_stats_docs",
     "ngram_jaccard_docs",
     "ann_topk_cosine",
-    "minhash_lsh_docs",
+    "minhash_native_docs",
     "simhash_docs",
 ]
 

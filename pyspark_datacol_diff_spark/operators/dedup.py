@@ -120,15 +120,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with word-n-gram Jaccard >= threshold.
 
-    Pipeline: shingle -> explode (inverted index) -> self-join on shingle
-    -> count intersections -> join per-doc sizes -> Jaccard filter.
-    Shuffles: one on shingle (the join), one on the (a, b) pair key
-    (the count), one broadcast-able join back to sizes.
+    Posting-list pipeline: shingle -> explode -> group by shingle into a
+    posting list (ONE pass over the corpus, one shuffle) -> emit the
+    i<j doc pairs of each list with nested higher-order functions ->
+    count pair occurrences (= intersection size) -> join per-doc sizes
+    -> Jaccard filter. A naive inverted-index self-join re-scans and
+    re-shingles the corpus for both join sides (~2x the work, measured).
 
-    ``max_df`` prunes shingles appearing in more than ``max_df`` docs
-    before pairing — REQUIRED at scale to stop hot-shingle pair blowup
-    (it changes semantics to "Jaccard over rare shingles", which is the
-    standard approximation; leave None for exact small-data semantics).
+    ``max_df`` drops posting lists longer than ``max_df`` — REQUIRED at
+    scale: a shingle in d docs emits d(d-1)/2 pairs and max_df² bounds
+    the per-row pair-array allocation. Sizes are computed AFTER pruning,
+    so the result is exact Jaccard over the rare-shingle universe (None
+    = exact full semantics).
 
     Returns ``(id_a, id_b, inter_cnt, size_a, size_b, jaccard)``.
     """
@@ -136,22 +139,29 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         word_ngrams(text_col, n).alias("grams"),
     )
-    sizes = grams.select("doc_id", F.size("grams").alias("sz"))
     inv = grams.select("doc_id", F.explode("grams").alias("g"))
+    posting = inv.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
     if max_df is not None:
-        hot = (
-            inv.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("g")
-        )
-        inv = inv.join(F.broadcast(hot), "g", "left_anti")
+        posting = posting.filter(F.size("ids") <= max_df)
+    sizes = (
+        posting.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
 
-    a = inv.select(F.col("doc_id").alias("id_a"), "g")
-    b = inv.select(F.col("doc_id").alias("id_b"), "g")
+    ids_sorted = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids_sorted,
+            lambda x: F.transform(
+                F.filter(ids_sorted, lambda y: y > x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter_cnt"))
     )
@@ -170,7 +180,131 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# MinHash LSH (pyspark.ml) — approximate near-dup at scale
+# native MinHash + banding — the primary approximate near-dup path
+# ---------------------------------------------------------------------------
+
+_MH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """k-permutation MinHash signatures as an array<bigint> column.
+
+    Shingle -> xxhash64 -> 32-bit fold -> k universal hashes
+    ``(a_i * h + b_i) mod p`` -> ONE hash aggregate with k mins (same
+    single-shuffle shape as simhash_fingerprints). Coefficients are
+    seeded-deterministic; a_i < 2^30 and h < 2^32 keep the product
+    inside signed-64 range (no overflow).
+
+    Returns (doc_id, sig: array<bigint>). Docs with < n tokens drop out.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, 1 << 30), rnd.randrange(0, _MH_PRIME))
+        for _ in range(num_hashes)
+    ]
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("g"),
+    )
+    h32 = F.xxhash64("g").bitwiseAND(F.lit((1 << 32) - 1))
+    hashed = grams.select("doc_id", h32.alias("h"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding (Leskovec et al., MMDS ch.3),
+    pure DataFrame ops — the at-scale alternative to pyspark.ml's
+    MinHashLSH (no Vector/UDT overhead, whole-stage codegen throughout).
+
+    Pick ``bands`` so the banding S-curve threshold (1/bands)^(bands/
+    num_hashes) sits at or below ``jaccard_threshold``: 16 bands x 4 rows
+    targets ~0.5; use 32 x 2 for thresholds near 0.2-0.3.
+
+    Signature -> ``bands`` band keys (xxhash64 of each signature slice)
+    -> explode -> self-join on (band, key) -> distinct candidate pairs
+    -> verify with the signature-agreement Jaccard estimate. Signatures
+    ride along through the band explode (bands x sig copies) — cheaper
+    than two join-backs until signatures get long; switch to join-back
+    beyond ~256 hashes.
+
+    Returns (id_a, id_b, est_jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(F.slice("sig", j * rows_per_band + 1, rows_per_band)).alias(
+                    "bkey"
+                ),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "sig", F.explode(band_entries).alias("b")
+    ).select("doc_id", "sig", "b.band", "b.bkey")
+
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bkey"
+    )
+    cands = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.withColumn("est_jaccard", agree / F.lit(num_hashes))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH (pyspark.ml) — alternative implementation kept for parity
+# with the ml-pipeline idiom
 # ---------------------------------------------------------------------------
 
 def minhash_lsh_pairs(
@@ -198,10 +332,21 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    raw = word_ngrams(text_col, n)
+    # Docs shorter than n tokens get a UNIQUE sentinel shingle instead of
+    # an empty array: MinHashLSHModel.hashFunction requires >=1 non-zero
+    # entry, and Spark may evaluate that UDF before a size()>0 filter
+    # (observed with approxSimilarityJoin's internal transform). A unique
+    # shingle can never produce a candidate pair, so results are
+    # unchanged.
     grams = df.select(
         F.col(id_col).alias("doc_id"),
-        word_ngrams(text_col, n).alias("grams"),
-    ).filter(F.size("grams") > 0)
+        F.when(F.size(raw) > 0, raw)
+        .otherwise(
+            F.array(F.concat(F.lit("\x00doc:"), F.col(id_col).cast("string")))
+        )
+        .alias("grams"),
+    )
     tf = HashingTF(
         inputCol="grams", outputCol="features", numFeatures=num_features, binary=True
     )

@@ -1,0 +1,111 @@
+"""Dedup-operator tests on constructed corpora with known duplicate
+structure (exact groups, near-dups with hand-computable Jaccard)."""
+
+from pyspark.sql import functions as F
+
+from pyspark_datacol_diff_spark.operators import dedup as DD
+
+
+def corpus(spark):
+    """10 docs: 0/1 identical; 2/3 near-identical (one word changed);
+    4..9 distinct filler."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base.replace("dog", "cat")),
+        (3, base),
+        (4, "completely different text about spark engines and columnar scans"),
+        (5, "another unrelated document mentioning joins and shuffles only"),
+        (6, "data pipelines require deduplication at scale for training corpora"),
+        (7, "short text"),
+        (8, "yet more filler content with no overlap whatsoever here friends"),
+        (9, "final document in the tiny corpus used for dedup testing okay"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dup_groups(spark):
+    df = corpus(spark)
+    groups = DD.exact_dup_groups(df, F.md5("text"), "doc_id").collect()
+    by_cnt = sorted((r["cnt"], r["rep_id"]) for r in groups)
+    assert by_cnt[-1] == (3, 0)  # docs 0,1,3 identical, rep = min id
+    assert sum(c for c, _ in by_cnt) == 10
+
+
+def test_drop_exact_dups_deterministic_survivor(spark):
+    df = corpus(spark)
+    kept = DD.drop_exact_dups(df, F.md5("text"), "doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids and 3 not in ids
+    assert kept.count() == 8
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["id", "text"])
+    grams = df.select(DD.word_ngrams("text", 2).alias("g")).collect()[0]["g"]
+    assert sorted(grams) == ["a b", "b c", "c d"]
+    short = spark.createDataFrame([(1, "one")], ["id", "text"])
+    assert short.select(DD.word_ngrams("text", 2).alias("g")).collect()[0]["g"] == []
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = corpus(spark)
+    pairs = DD.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # identical docs pairwise jaccard 1.0
+    assert got[(0, 1)] == 1.0 and got[(0, 3)] == 1.0 and got[(1, 3)] == 1.0
+    # one-word-changed doc 2: high but < 1 vs 0/1/3
+    assert 0.5 <= got[(0, 2)] < 1.0
+    # no cross-filler pairs
+    assert all(a <= 3 and b <= 3 for a, b in got)
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    df = corpus(spark)
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in DD.minhash_near_dup_pairs(
+            df, "doc_id", "text", n=3, bands=32, jaccard_threshold=0.3
+        ).collect()
+    }
+    assert est[(0, 1)] == 1.0 and est[(0, 3)] == 1.0
+    assert (0, 2) in est and 0.3 <= est[(0, 2)] <= 1.0
+    assert all(a <= 3 and b <= 3 for a, b in est)
+
+
+def test_minhash_signatures_shape(spark):
+    df = corpus(spark)
+    sigs = DD.minhash_signatures(df, "doc_id", "text", n=3, num_hashes=16)
+    row = sigs.filter(F.col("doc_id") == 0).collect()[0]
+    assert len(row["sig"]) == 16
+    # identical docs -> identical signatures
+    other = sigs.filter(F.col("doc_id") == 1).collect()[0]
+    assert row["sig"] == other["sig"]
+
+
+def test_simhash_near_dups(spark):
+    df = corpus(spark)
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in DD.simhash_fingerprints(df, "doc_id", "text", n=3).collect()
+    }
+    assert fps[0] == fps[1] == fps[3]  # identical docs, identical fp
+    # near-dup doc 2 lands measurably closer than any filler doc
+    d02 = bin(fps[0] ^ fps[2]).count("1")
+    filler_min = min(
+        bin(fps[0] ^ fps[i]).count("1") for i in (4, 5, 6, 8, 9)
+    )
+    assert d02 < filler_min
+    # banding guarantees recall only for hamming <= bands-1; identical
+    # docs (hamming 0) must always be found
+    pairs = DD.simhash_near_dups(df, "doc_id", "text", n=3, max_hamming=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0 and got[(0, 3)] == 0 and got[(1, 3)] == 0
+
+
+def test_minhash_lsh_ml_variant(spark):
+    df = corpus(spark)
+    pairs = DD.minhash_lsh_pairs(df, "doc_id", "text", n=3, jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(0, 1), (0, 3), (1, 3)} <= got

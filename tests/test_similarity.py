@@ -1,0 +1,102 @@
+"""Similarity-search tests: exact cosine math against numpy, top-k
+correctness, LSH recall on clustered vectors."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_datacol_diff_spark.operators import similarity as SIM
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def make_vectors(spark, n=40, dim=16, clusters=4, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((clusters, dim)) * 3
+    rows, truth = [], {}
+    for i in range(n):
+        c = i % clusters
+        v = centers[c] + rng.standard_normal(dim) * 0.1
+        rows.append((i, [float(x) for x in v]))
+        truth[i] = c
+    return spark.createDataFrame(rows, SCHEMA), truth, rows
+
+
+def test_cosine_matches_numpy(spark):
+    df, _, rows = make_vectors(spark, n=6)
+    out = (
+        df.alias("a")
+        .crossJoin(df.alias("b"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            SIM.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        )
+        .collect()
+    )
+    # Spark stores ArrayType(FloatType) — round-trip the reference
+    # through float32 to match what the engine actually compares
+    vecs = {
+        i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows
+    }
+    for r in out:
+        a, b = vecs[r["ia"]], vecs[r["ib"]]
+        expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["sim"] == pytest.approx(expect, abs=1e-12)
+
+
+def test_cosine_topk_exact(spark):
+    df, truth, rows = make_vectors(spark)
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    res = SIM.cosine_topk(df, q, 5).collect()
+    vecs = {
+        i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows
+    }
+    for qid in range(4):
+        got = sorted(
+            [r for r in res if r["qid"] == qid], key=lambda r: r["rank"]
+        )
+        assert len(got) == 5
+        # brute-force numpy top-5
+        qv = vecs[qid]
+        sims = {
+            i: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+            for i, v in vecs.items()
+            if i != qid
+        }
+        expect = sorted(sims, key=lambda i: (-sims[i], i))[:5]
+        assert [r["neighbor_id"] for r in got] == expect
+        # same-cluster vectors dominate the top ranks
+        assert truth[got[0]["neighbor_id"]] == truth[qid]
+
+
+def test_lsh_near_dup_recall(spark):
+    df, truth, rows = make_vectors(spark, n=60, clusters=6)
+    pairs = SIM.lsh_near_dup_pairs(
+        df, num_planes=8, num_tables=6, sim_threshold=0.9
+    ).collect()
+    vecs = {
+        i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows
+    }
+    # ground truth: same-cluster pairs are >0.9 cosine by construction
+    gt = set()
+    for i in vecs:
+        for j in vecs:
+            if i < j:
+                s = vecs[i] @ vecs[j] / (
+                    np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j])
+                )
+                if s >= 0.9:
+                    gt.add((i, j))
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got <= gt  # no false positives (exact verify stage)
+    recall = len(got & gt) / len(gt)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"

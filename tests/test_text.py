@@ -1,0 +1,42 @@
+"""Text-analysis operator tests with hand-computed expectations."""
+
+from pyspark_datacol_diff_spark.operators import text as TX
+
+
+def one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], ["text"])
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_token_count(spark):
+    assert one(spark, "a b  c", TX.token_count("text")) == 3
+    assert one(spark, "  padded  out  ", TX.token_count("text")) == 2
+
+
+def test_bpe_ish_token_count(spark):
+    assert one(spark, "hello, world!", TX.bpe_ish_token_count("text")) == 4
+
+
+def test_punct_count(spark):
+    assert one(spark, "a, b. c! d", TX.punct_count("text")) == 3
+    assert one(spark, "no punct here", TX.punct_count("text")) == 0
+
+
+def test_stopword_hits_and_english(spark):
+    t = "the cat sat on a mat and looked for food"
+    assert one(spark, t, TX.stopword_hits("text")) == 4  # the, a, and, for
+    assert one(spark, t, TX.is_english_like("text")) == 1
+    assert one(spark, "xyzzy plugh quux", TX.is_english_like("text")) == 0
+
+
+def test_quality_score_range(spark):
+    good = "The quick brown fox jumps over the lazy dog, then rests for a while."
+    assert one(spark, good, TX.quality_score("text")) == 1.0
+    assert one(spark, "x", TX.quality_score("text")) <= 0.2
+
+
+def test_doc_fingerprint_normalizes(spark):
+    a = one(spark, "Hello   World", TX.doc_fingerprint("text"))
+    b = one(spark, "  hello world ", TX.doc_fingerprint("text"))
+    c = one(spark, "hello worlds", TX.doc_fingerprint("text"))
+    assert a == b and a != c
