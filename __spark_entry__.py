@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark_datacol_diff_spark import diff, flag_counts, column_mismatch_counts
 from pyspark_datacol_diff_spark.operators import dedup as DD
 from pyspark_datacol_diff_spark.operators import similarity as SIM
+from pyspark_datacol_diff_spark.operators import multimodal as MM
 from pyspark_datacol_diff_spark.operators import text as TX
 
 
@@ -445,6 +446,41 @@ def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dups(d, "doc_id", "text", n=3, max_hamming=16)
 
 
+# --- extensions: multimodal (binary payload) columns -----------------------
+
+def _q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level media ops on synthetic payloads (documents.text encoded
+    UTF-8 — the container has no real media): per-source length/digest
+    stats. Exercises encode -> octet_length/md5 -> hash aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    pay = d.select("doc_id", "source", F.encode("text", "UTF-8").alias("payload"))
+    return (
+        MM.payload_stats(pay)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("payload_len").cast("long").alias("total_bytes"),
+            F.countDistinct("payload_md5").alias("n_distinct"),
+            F.min("payload_md5").alias("min_md5"),
+        )
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out over binary payloads: 16-byte 'frames',
+    every 4th kept, frame bytes surfaced as base64. Oracle relies on the
+    corpus being pure ASCII (verified), so DuckDB's varchar substring
+    equals the byte slice."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pay = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    fr = MM.sample_frames(pay, frame_bytes=16, every_nth=4)
+    return fr.select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.base64("frame").alias("frame_b64"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -480,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_native_docs": _q_minhash_native_docs,
         "minhash_lsh_docs": _q_minhash_lsh_docs,
         "simhash_docs": _q_simhash_docs,
+        "multimodal_payload_stats": _q_multimodal_payload_stats,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -634,6 +672,22 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored)
 SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 5
+""",
+        "multimodal_payload_stats": """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       count(DISTINCT md5(text)) AS n_distinct,
+       min(md5(text)) AS min_md5
+FROM documents GROUP BY source
+""",
+        "multimodal_frames": """
+WITH pay AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+fr AS (SELECT doc_id, text,
+              unnest(range(0, CAST(floor(octet_length(encode(text)) / 16) AS BIGINT), 4)) AS frame_no
+       FROM pay)
+SELECT doc_id, frame_no,
+       to_base64(encode(substring(text, CAST(frame_no * 16 + 1 AS BIGINT), 16))) AS frame_b64
+FROM fr
 """,
         # minhash_lsh_docs / simhash_docs: engine-internal hash functions,
         # deliberately no SQL oracle (driver rows-only check).

@@ -1,0 +1,114 @@
+"""Multimodal column plumbing tests — deterministic fake payloads, real
+Spark-side schemas/batching (north-star extension; decode itself is
+stubbed per environment constraints)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_datacol_diff_spark.operators import multimodal as MM
+
+
+@pytest.fixture()
+def media_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc"), (3, "hello world"), (4, "")],
+        ["doc_id", "text"],
+    )
+    return MM.attach_fake_payload(docs, "doc_id", "text")
+
+
+def test_attach_fake_payload_schema_and_bytes(media_df):
+    assert [f.name for f in media_df.schema.fields] == ["doc_id", "payload", "meta"]
+    assert media_df.schema["payload"].dataType.typeName() == "binary"
+    assert (
+        media_df.schema["meta"].dataType.simpleString()
+        == MM.MEDIA_META_TYPE.simpleString()
+    )
+    row = media_df.filter(F.col("doc_id") == 1).collect()[0]
+    assert bytes(row["payload"]) == b"hello world"
+    assert row["meta"]["media_type"] == "image/fake"
+    assert row["meta"]["width"] == len("hello world") % 640 + 1
+
+
+def test_payload_stats_md5_matches_hashlib(media_df):
+    rows = {
+        r["doc_id"]: r
+        for r in MM.payload_stats(media_df).collect()
+    }
+    assert rows[1]["payload_len"] == 11
+    assert rows[1]["payload_md5"] == hashlib.md5(b"hello world").hexdigest()
+    assert rows[4]["payload_len"] == 0
+
+
+def test_dedup_payloads_exact(media_df):
+    kept = MM.dedup_payloads(media_df, "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # docs 1 and 3 share bytes; lowest id survives
+    assert ids == [1, 2, 4]
+
+
+def test_validate_payloads(spark):
+    df = spark.createDataFrame(
+        [
+            (1, b"ok", {"media_type": "image/png"}),
+            (2, None, {"media_type": "image/png"}),
+            (3, b"", {"media_type": "image/png"}),
+            (4, b"ok", None),
+        ],
+        "doc_id long, payload binary, meta struct<media_type:string>",
+    )
+    got = {
+        r["doc_id"]: (r["valid"], r["reject_reason"])
+        for r in MM.validate_payloads(df).collect()
+    }
+    assert got == {
+        1: (True, None),
+        2: (False, "null_payload"),
+        3: (False, "empty_payload"),
+        4: (False, "missing_media_type"),
+    }
+
+
+def test_extract_features_deterministic(media_df, spark):
+    out = MM.extract_features(media_df, dim=4).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 2 = b"abc" -> bytes 97,98,99 -> mod 4 = 1,2,3 -> hist [0,1/3,1/3,1/3]
+    feats = by_id[2]["features"]
+    assert by_id[2]["n_samples"] == 3
+    assert feats[0] == 0.0
+    assert abs(feats[1] - 1 / 3) < 1e-6
+    # identical payloads -> identical features
+    assert by_id[1]["features"] == by_id[3]["features"]
+    # empty payload -> zero vector, not NaN
+    assert by_id[4]["features"] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_unavailable_decode_raises(media_df):
+    with pytest.raises(Exception) as ei:
+        MM.extract_features(media_df, decode_fn=MM.unavailable_decode).collect()
+    assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
+
+
+def test_resize_stub_shapes(media_df):
+    out = MM.resize_stub(media_df, target_w=4, target_h=2).collect()
+    for r in out:
+        assert len(bytes(r["payload"])) == 8
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 2
+    long_doc = [r for r in out if r["doc_id"] == 1][0]
+    assert bytes(long_doc["payload"]) == b"hello wo"  # truncated
+    short_doc = [r for r in out if r["doc_id"] == 2][0]
+    assert bytes(short_doc["payload"]) == b"abc" + b"\x00" * 5  # padded
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([(1, bytes(range(40)))], "doc_id long, payload binary")
+    out = MM.sample_frames(df, frame_bytes=8, every_nth=2).collect()
+    # 5 full frames (0..4), keep 0,2,4
+    assert sorted(r["frame_no"] for r in out) == [0, 2, 4]
+    f2 = [r for r in out if r["frame_no"] == 2][0]
+    assert bytes(f2["frame"]) == bytes(range(16, 24))
+    # payload shorter than one frame -> no rows
+    tiny = spark.createDataFrame([(2, b"xy")], "doc_id long, payload binary")
+    assert MM.sample_frames(tiny, frame_bytes=8).count() == 0
