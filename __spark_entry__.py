@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark_datacol_diff_spark import diff, flag_counts, column_mismatch_counts
 from pyspark_datacol_diff_spark.operators import dedup as DD
 from pyspark_datacol_diff_spark.operators import similarity as SIM
+from pyspark_datacol_diff_spark import streaming as STR
 from pyspark_datacol_diff_spark.operators import multimodal as MM
 from pyspark_datacol_diff_spark.operators import text as TX
 
@@ -446,6 +447,27 @@ def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dups(d, "doc_id", "text", n=3, max_hamming=16)
 
 
+# --- extensions: structured streaming --------------------------------------
+
+def _q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly windowed aggregation executed as a REAL streaming query
+    (file source -> watermark -> window agg -> availableNow -> memory
+    sink), then compared to the batch SQL oracle — streaming==batch
+    equivalence is the correctness contract. countDistinct is unsupported
+    in streaming aggs, so the user column uses approx HLL and is dropped
+    from the oracle-checked projection."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = STR.stage_files(f"{sf_dir}/events.parquet")
+    sdf = STR.read_parquet_stream(spark, src, batch.schema).withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    out = STR.run_available_now(
+        STR.windowed_event_counts(sdf), query_name="q_stream_hourly_mem"
+    )
+    return out.select("hour", "event_type", "n_events", "value_e4")
+
+
 # --- extensions: multimodal (binary payload) columns -----------------------
 
 def _q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "multimodal_payload_stats": _q_multimodal_payload_stats,
         "multimodal_frames": _q_multimodal_frames,
+        "streaming_events_hourly": _q_streaming_events_hourly,
     }
 
 
@@ -688,6 +711,12 @@ fr AS (SELECT doc_id, text,
 SELECT doc_id, frame_no,
        to_base64(encode(substring(text, CAST(frame_no * 16 + 1 AS BIGINT), 16))) AS frame_b64
 FROM fr
+""",
+        "streaming_events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS value_e4
+FROM events GROUP BY 1, 2
 """,
         # minhash_lsh_docs / simhash_docs: engine-internal hash functions,
         # deliberately no SQL oracle (driver rows-only check).

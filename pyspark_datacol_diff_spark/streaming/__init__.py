@@ -1,2 +1,226 @@
-"""Structured Streaming operators (windowed aggregation, streaming diff
-counts)."""
+"""Structured Streaming operators (north-star extension surface).
+
+The reference library has no streaming at all (SURVEY.md §2.7); this
+module adds the streaming shapes a training-data pipeline needs:
+
+- file-source streams over the same parquet tables the batch engine reads
+  (``read_parquet_stream``) — at scale this is the S3/HDFS landing-zone
+  pattern: new files appear, ``maxFilesPerTrigger`` paces ingestion;
+- event-time tumbling-window aggregation with a watermark for late data
+  (``windowed_event_counts``);
+- custom stateful processing via ``applyInPandasWithState``
+  (``sessionize`` — gap-based user sessions, the canonical example the
+  built-in window operators cannot express);
+- a deterministic run-to-completion harness (``run_available_now``) so
+  tests and the driver can execute a stream synchronously and compare
+  its output to the batch equivalent — streaming==batch equivalence IS
+  the correctness contract for this module.
+
+Scale notes (100 TB/day): the windowed aggregate is a streaming hash
+aggregate keyed by (window, group); state size = active windows x groups,
+bounded by the watermark which expires old windows. Sessionization state
+is per-user and bounded by the gap timeout. Both shuffle once per
+micro-batch on the group key — identical shuffle shape to the batch agg.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stage_files(*paths: str, dir_suffix: str = "stream_src") -> str:
+    """Stage individual parquet FILES into a fresh temp directory and
+    return it — Spark's file streaming source requires a directory (it
+    monitors for new files), while batch testdata ships as single files.
+    Production streams read a real landing-zone directory and never need
+    this."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"dcd_{dir_suffix}_")
+    for p in paths:
+        shutil.copy(p, d)
+    return d
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet path. Schema must be supplied
+    (streaming sources don't infer). ``maxFilesPerTrigger`` paces
+    micro-batches when replaying a large landing zone."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts + exact-decimal value sum.
+
+    Works on BOTH a streaming and a batch DataFrame (same logical plan —
+    that equivalence is what the oracle checks). The watermark bounds
+    state: windows older than (max event time - watermark) are finalized
+    and their state dropped.
+
+    Returns ``(hour, <group_col>, n_events, value_e4, n_users)`` —
+    value_e4 is the exact DECIMAL sum scaled to int (see
+    __spark_entry__ determinism notes).
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("value_e4"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            group_col,
+            "n_events",
+            "value_e4",
+            "n_users_approx",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: gap-based sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_TYPE = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+_SESSION_STATE_TYPE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessions per user via ``applyInPandasWithState`` — the
+    custom stateful operator built-in windows can't express (session
+    boundaries depend on the data, not the clock).
+
+    Per micro-batch and user: sort new events by time, extend or split
+    sessions on the gap, keep the open session in ``GroupState``, emit
+    every session touched this batch (``closed`` marks finished ones).
+    Update output mode; state is one small tuple per active user.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        times: list[int] = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            times.extend(int(v.value // 1000) for v in ts)  # ns -> us
+        times.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+        out: list[tuple[int, int, int, int, bool]] = []
+        for t in times:
+            if start_us < 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us <= gap_us:
+                last_us, n = t, n + 1
+            else:
+                out.append((user, start_us, last_us, n, True))
+                start_us, last_us, n = t, t, 1
+        if start_us >= 0:
+            state.update((start_us, last_us, n))
+            out.append((user, start_us, last_us, n, False))
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                "n_events": [r[3] for r in out],
+                "closed": [r[4] for r in out],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_TYPE,
+        stateStructType=_SESSION_STATE_TYPE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic run-to-completion harness
+# ---------------------------------------------------------------------------
+
+def run_available_now(
+    result: DataFrame,
+    *,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (``availableNow``
+    trigger — process everything currently available, then stop) into an
+    in-memory sink, and return the materialized result as a batch
+    DataFrame.
+
+    ``complete`` mode emits the full aggregate regardless of watermark
+    progress — required for exact batch equivalence in a finite replay
+    (append mode holds back windows the watermark hasn't passed; in a
+    finite stream the last windows would never emit).
+    """
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(query_name)

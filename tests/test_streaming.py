@@ -1,0 +1,104 @@
+"""Structured Streaming tests: streaming==batch equivalence for the
+windowed aggregate, and hand-computed sessionization via
+applyInPandasWithState."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_datacol_diff_spark import streaming as ST
+
+
+def _events_stream(spark, sf_dir="/root/testdata/sf0.001"):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ST.stage_files(f"{sf_dir}/events.parquet")
+    sdf = ST.read_parquet_stream(spark, src, batch.schema)
+    conv = lambda df: df.withColumn(  # noqa: E731
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    return conv(sdf), conv(batch)
+
+
+def test_streaming_hourly_equals_batch(spark):
+    sdf, batch = _events_stream(spark)
+    got = ST.run_available_now(
+        ST.windowed_event_counts(sdf), query_name="t_hourly_mem"
+    ).drop("n_users_approx")
+    want = ST.windowed_event_counts(batch).drop("n_users_approx")
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert len(g) > 0
+    assert g == w
+
+
+def test_streaming_plan_has_watermark(spark):
+    sdf, _ = _events_stream(spark)
+    plan = ST.windowed_event_counts(sdf)._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+
+
+def _ts(h, m, s=0):
+    return dt.datetime(2026, 1, 1, h, m, s)
+
+
+def test_sessionize_gap_split(spark, tmp_path):
+    rows = [
+        # user 1: two sessions split by a > 30 min gap
+        (1, _ts(10, 0)), (1, _ts(10, 10)), (1, _ts(10, 25)),
+        (1, _ts(11, 30)), (1, _ts(11, 40)),
+        # user 2: one session, single event
+        (2, _ts(9, 0)),
+    ]
+    src = str(tmp_path / "sess_events")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+    batch = spark.read.parquet(src)
+    sdf = ST.read_parquet_stream(spark, src, batch.schema)
+    out = ST.run_available_now(
+        ST.sessionize(sdf, gap_seconds=1800),
+        query_name="t_sess_mem",
+        output_mode="update",
+    ).collect()
+    by_key = {
+        (r["user_id"], r["session_start"]): r for r in out
+    }
+    s1 = by_key[(1, _ts(10, 0))]
+    assert (s1["session_end"], s1["n_events"], s1["closed"]) == (_ts(10, 25), 3, True)
+    s2 = by_key[(1, _ts(11, 30))]
+    assert (s2["session_end"], s2["n_events"], s2["closed"]) == (_ts(11, 40), 2, False)
+    s3 = by_key[(2, _ts(9, 0))]
+    assert (s3["n_events"], s3["closed"]) == (1, False)
+
+
+def test_sessionize_state_carries_across_batches(spark, tmp_path):
+    """Two files + maxFilesPerTrigger=1 -> two micro-batches; the open
+    session from batch 1 must extend in batch 2 via GroupState."""
+    src = tmp_path / "sess2"
+    src.mkdir()
+    df1 = spark.createDataFrame(
+        [(1, _ts(10, 0)), (1, _ts(10, 5))], "user_id long, ts timestamp"
+    )
+    df2 = spark.createDataFrame(
+        [(1, _ts(10, 20))], "user_id long, ts timestamp"
+    )
+    df1.coalesce(1).write.parquet(str(src / "f1"))
+    df2.coalesce(1).write.parquet(str(src / "f2"))
+    batch = spark.read.parquet(str(src / "*"))
+    sdf = ST.read_parquet_stream(
+        spark, str(src / "*"), batch.schema, max_files_per_trigger=1
+    )
+    out = ST.run_available_now(
+        ST.sessionize(sdf, gap_seconds=1800),
+        query_name="t_sess2_mem",
+        output_mode="update",
+    ).collect()
+    # update mode re-emits the session each batch it changes; final state
+    # of the (1, 10:00) session must cover all 3 events
+    final = sorted(
+        (r for r in out if r["user_id"] == 1 and r["session_start"] == _ts(10, 0)),
+        key=lambda r: r["n_events"],
+    )[-1]
+    assert final["session_end"] == _ts(10, 20)
+    assert final["n_events"] == 3
+    assert not final["closed"]
