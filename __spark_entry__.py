@@ -27,21 +27,14 @@ from pyspark.sql import functions as F
 from pyspark_datacol_diff_spark import diff, flag_counts, column_mismatch_counts
 from pyspark_datacol_diff_spark.operators import dedup as DD
 from pyspark_datacol_diff_spark.operators import similarity as SIM
+from pyspark_datacol_diff_spark import sources as SRC
 from pyspark_datacol_diff_spark import streaming as STR
 from pyspark_datacol_diff_spark.operators import multimodal as MM
 from pyspark_datacol_diff_spark.operators import text as TX
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-        # rejects by default — read nanos as long, convert to micros.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return SRC.read_parquet_table(spark, sf_dir, name)
 
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -423,6 +416,19 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, q, 5).select("qid", "neighbor_id", "rank")
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means cells, nprobe probing) — the scale
+    path next to the exact ann_topk_cosine baseline. Cluster assignment
+    is engine-internal (ml KMeans) -> rows-only oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return SIM.ivf_topk(emb, q, 5, nlist=16, nprobe=4).select(
+        "qid", "neighbor_id", "rank"
+    )
+
+
 def _q_minhash_native_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native DataFrame MinHash banding (the at-scale near-dedup path;
     xxhash64-seeded -> rows-only oracle)."""
@@ -535,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_docs": _q_text_stats_docs,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "ann_topk_cosine": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_native_docs": _q_minhash_native_docs,
         "minhash_lsh_docs": _q_minhash_lsh_docs,
         "simhash_docs": _q_simhash_docs,

@@ -1,1 +1,97 @@
-"""Source/sink helpers (parquet/CSV/JSON readers, display sinks)."""
+"""Source/sink helpers.
+
+Reference-parity surface (SURVEY.md §2.1): header-only all-string CSV
+scan (S1 — `tests/test_find_datacol_diff.py:20-22` in the reference),
+console display of the diff's array column via to_json (S2 —
+`README.md:45`), stats sink (S3). Plus the parquet reading conventions
+the driver testdata needs and scale-aware write helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
+    """Header-only CSV read, every column StringType — the reference's
+    input convention (no inferSchema). Schema inference over a 100 TB
+    landing zone is a full extra scan; explicit or all-string schemas
+    keep ingestion single-pass."""
+    return spark.read.option("header", True).csv(path)
+
+
+def read_csv_with_schema(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """CSV with an explicit DDL schema (the at-scale path: typed columns
+    without an inference scan)."""
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table. ``events.parquet`` carries
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects by default —
+    read nanos as long and convert to micros precision."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def show_diff(diff_df: DataFrame, n: int = 20, truncate: bool = False) -> None:
+    """Console sink for diff results: the array-of-structs column is
+    rendered via to_json so nested values are readable (reference
+    README.md:45 display idiom)."""
+    out = diff_df
+    if "CompColArr" in out.columns:
+        out = out.withColumn("CompColArr", F.to_json("CompColArr"))
+    out.show(n, truncate=truncate)
+
+
+def summary_table(summary_df: DataFrame) -> str:
+    """Stats sink: the per-column mismatch summary as a printable table
+    (reference tabulate idiom, S3) without a hard tabulate dependency."""
+    pdf = summary_df.toPandas()
+    try:
+        from tabulate import tabulate  # type: ignore
+
+        return tabulate(pdf, headers="keys", tablefmt="psql")
+    except ImportError:
+        return pdf.to_string()
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """Parquet sink. ``partition_by`` low-cardinality columns for
+    partition-pruned downstream scans (date/source/lang — never a key);
+    at 100 TB aim for 128 MB-1 GB files per partition directory."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    *,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles once at write so later
+    equi-joins/aggs on ``bucket_cols`` skip their exchange entirely —
+    the classic way to amortize the diff engine's join shuffle when one
+    side is a stable reference snapshot diffed repeatedly."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)

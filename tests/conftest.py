@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 from pyspark.sql import SparkSession
 
@@ -7,6 +9,7 @@ def spark() -> SparkSession:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("pyspark_datacol_diff_spark-tests")
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="dcd_wh_"))
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

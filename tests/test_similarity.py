@@ -100,3 +100,37 @@ def test_lsh_near_dup_recall(spark):
     assert got <= gt  # no false positives (exact verify stage)
     recall = len(got & gt) / len(gt)
     assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_recall_and_shape(spark):
+    df, truth, _ = make_vectors(spark, n=80, dim=16, clusters=4)
+    q = df.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = SIM.cosine_topk(df, q, 5)
+    approx = SIM.ivf_topk(df, q, 5, nlist=4, nprobe=2)
+    e = {(r["qid"], r["neighbor_id"]) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r["qid"], r["neighbor_id"]) for r in a_rows}
+    # shape: every query answered with exactly k ranked neighbors
+    per_q = {}
+    for r in a_rows:
+        per_q.setdefault(r["qid"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    assert len(per_q) == q.count()
+    # recall: clusters are well separated, nprobe=2 of 4 cells must
+    # recover nearly all true neighbors (same-cluster vectors)
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
+
+
+def test_ivf_matches_exact_when_probing_all_cells(spark):
+    df, _, _ = make_vectors(spark, n=40, dim=16, clusters=4)
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {(r["qid"], r["neighbor_id"], r["rank"])
+             for r in SIM.cosine_topk(df, q, 3).collect()}
+    full_probe = {(r["qid"], r["neighbor_id"], r["rank"])
+                  for r in SIM.ivf_topk(df, q, 3, nlist=4, nprobe=4).collect()}
+    assert full_probe == exact

@@ -1,0 +1,79 @@
+"""Source/sink helper tests (reference S1-S3 parity + write conventions)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark_datacol_diff_spark import sources as SRC
+
+
+def test_read_csv_all_string(spark, tmp_path):
+    p = tmp_path / "emp.csv"
+    p.write_text("id,name,score\n1,alice,9.5\n2,bob,\n")
+    df = SRC.read_csv_all_string(spark, str(p))
+    assert [f.dataType.typeName() for f in df.schema.fields] == ["string"] * 3
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["1"]["score"] == "9.5"
+    assert rows["2"]["score"] is None  # empty CSV field -> null, as in Spark
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "emp.csv"
+    p.write_text("id,name,score\n1,alice,9.5\n")
+    df = SRC.read_csv_with_schema(spark, str(p), "id int, name string, score double")
+    r = df.collect()[0]
+    assert (r["id"], r["score"]) == (1, 9.5)
+
+
+def test_read_parquet_table_events_ts(spark):
+    df = SRC.read_parquet_table(spark, "/root/testdata/sf0.001", "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.count() > 0
+
+
+def test_show_diff_renders_json(spark, capsys):
+    df = spark.createDataFrame(
+        [(1, [{"col_name": "a", "s1_value": "x", "s2_value": "y"}], "")],
+        "id long, CompColArr array<struct<col_name:string,s1_value:string,s2_value:string>>, Flag string",
+    )
+    SRC.show_diff(df, 5)
+    out = capsys.readouterr().out
+    assert '"col_name":"a"' in out
+
+
+def test_summary_table(spark):
+    df = spark.createDataFrame([("a", 3), ("b", 1)], "ColName string, Count long")
+    s = SRC.summary_table(df.orderBy(F.desc("Count")))
+    assert "ColName" in s and "a" in s
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "fr"), (3, "en")], "id long, lang string"
+    )
+    out = str(tmp_path / "parts")
+    SRC.write_parquet(df, out, partition_by=["lang"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("lang=")
+    ) == ["lang=en", "lang=fr"]
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # partition pruning: only the en directory is scanned
+    plan = back.filter(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_write_bucketed_table_avoids_exchange(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    SRC.write_bucketed_table(
+        df, "t_bucketed_src", bucket_cols=["k"], num_buckets=4, mode="overwrite"
+    )
+    t = spark.table("t_bucketed_src")
+    agg_plan = (
+        t.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
+    )
+    # bucketed layout satisfies the agg's distribution: no shuffle exchange
+    assert "Exchange hashpartitioning" not in agg_plan
+    spark.sql("DROP TABLE t_bucketed_src")
