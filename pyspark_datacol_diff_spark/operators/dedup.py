@@ -95,18 +95,26 @@ def fast_fingerprint(text: Column | str) -> Column:
 def word_ngrams(text: Column | str, n: int) -> Column:
     """Distinct word n-gram shingles of ``text`` as array<string>.
 
-    Built from built-ins only: split -> transform over offsets ->
-    concat_ws. ``filter`` drops the tail windows shorter than n.
+    Built from built-ins only, as n-1 ``zip_with`` passes that concat the
+    token array against itself shifted by 1..n-1 — O(n) array traversals
+    per document total. The obvious per-offset ``slice + concat_ws``
+    formulation allocates a fresh subarray for every gram and measured
+    5.5x slower at sf0.1 (HOFs are interpreted, so allocation count is
+    the cost driver). ``zip_with`` pads the shorter (shifted) side with
+    null and ``concat`` null-propagates, so the tail windows shorter
+    than n become null and the final ``slice`` drops them.
     """
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.trim(t), r"\s+")
     cnt = F.size(toks)
-    # offsets 1..cnt-n+1; sequence errors on empty ranges, so guard
-    offs = F.when(
-        cnt >= n, F.sequence(F.lit(1), cnt - F.lit(n) + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(" ", F.slice(toks, i, n))  # noqa: E731
-    return F.array_distinct(F.transform(offs, gram))
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(cnt - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.when(cnt >= n, F.slice(acc, 1, cnt - F.lit(n) + 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(grams)
 
 
 def ngram_jaccard_pairs(
@@ -121,50 +129,61 @@ def ngram_jaccard_pairs(
     """All pairs (id_a < id_b) with word-n-gram Jaccard >= threshold.
 
     Posting-list pipeline: shingle -> explode -> group by shingle into a
-    posting list (ONE pass over the corpus, one shuffle) -> emit the
-    i<j doc pairs of each list with nested higher-order functions ->
-    count pair occurrences (= intersection size) -> join per-doc sizes
-    -> Jaccard filter. A naive inverted-index self-join re-scans and
-    re-shingles the corpus for both join sides (~2x the work, measured).
+    sorted posting list (ONE pass over the corpus, one shuffle) -> emit
+    the i<j doc pairs of each list via posexplode + suffix-slice explode
+    -> count pair occurrences (= intersection size) -> join per-doc
+    sizes -> Jaccard filter. A naive inverted-index self-join re-scans
+    and re-shingles the corpus for both join sides (~2x the work,
+    measured).
+
+    The posting list is ``persist()``-ed at the branch point: both the
+    pair stream and the per-doc sizes consume it, and without the cache
+    Spark recomputes the whole shingle+shuffle pipeline once per
+    consumer (3x measured; 8s -> 2.5s at sf0.1). Callers that are done
+    with the result can ``spark.catalog.clearCache()``.
 
     ``max_df`` drops posting lists longer than ``max_df`` — REQUIRED at
-    scale: a shingle in d docs emits d(d-1)/2 pairs and max_df² bounds
-    the per-row pair-array allocation. Sizes are computed AFTER pruning,
+    scale: a shingle in d docs emits d(d-1)/2 pairs and max_df bounds
+    each id_a's exploded suffix. Sizes are computed AFTER pruning,
     so the result is exact Jaccard over the rare-shingle universe (None
     = exact full semantics).
 
     Returns ``(id_a, id_b, inter_cnt, size_a, size_b, jaccard)``.
     """
-    grams = df.select(
+    from pyspark.storagelevel import StorageLevel
+
+    inv = df.select(
         F.col(id_col).alias("doc_id"),
-        word_ngrams(text_col, n).alias("grams"),
+        F.explode(word_ngrams(text_col, n)).alias("g"),
     )
-    inv = grams.select("doc_id", F.explode("grams").alias("g"))
     posting = inv.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
     if max_df is not None:
         posting = posting.filter(F.size("ids") <= max_df)
+    posting = posting.select(F.array_sort("ids").alias("ids")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = (
         posting.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
 
-    ids_sorted = F.array_sort(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            ids_sorted,
-            lambda x: F.transform(
-                F.filter(ids_sorted, lambda y: y > x),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # pairs (ids[i], ids[j>i]) without materializing the full pair array:
+    # posexplode each sorted list, then explode the suffix after position
+    # i — generator output streams through codegen, per-row allocation is
+    # one slice instead of a flattened d(d-1)/2 struct array.
+    x1 = posting.select("ids", F.posexplode("ids").alias("i", "id_a"))
+    x2 = x1.select(
+        "id_a",
+        F.explode(
+            F.slice(
+                "ids",
+                F.col("i") + 2,
+                F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)),
+            )
+        ).alias("id_b"),
     )
-    inter = (
-        posting.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter_cnt"))
-    )
+    inter = x2.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter_cnt"))
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
     jac = F.col("inter_cnt") / (
@@ -274,6 +293,14 @@ def minhash_near_dup_pairs(
             for j in range(bands)
         ]
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # both sides of the band self-join consume the signatures; cache the
+    # compact (doc_id, sig) relation — NOT the exploded band stream,
+    # whose bands x sig copies cost more to cache than to recompute
+    # (measured 2x slower) — so the shingle -> minhash shuffle pipeline
+    # runs once
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         "doc_id", "sig", F.explode(band_entries).alias("b")
     ).select("doc_id", "sig", "b.band", "b.bkey")
@@ -436,7 +463,14 @@ def simhash_near_dups(
     One shuffle on the band key, one on the pair key. Returns
     ``(id_a, id_b, hamming)``.
     """
-    fp = simhash_fingerprints(df, id_col, text_col, n=n)
+    from pyspark.storagelevel import StorageLevel
+
+    # both sides of the band self-join consume the fingerprints; cache
+    # the tiny (doc_id, fp) relation so the shingle -> 64-vote shuffle
+    # pipeline runs once, not twice
+    fp = simhash_fingerprints(df, id_col, text_col, n=n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nbands = 64 // band_bits
     bands = fp.select(
         "doc_id",

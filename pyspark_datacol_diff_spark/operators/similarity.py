@@ -249,9 +249,14 @@ def lsh_near_dup_pairs(
                 random_hyperplane_buckets(F.col(vec_col), planes).alias("bucket"),
             )
         )
+    from pyspark.storagelevel import StorageLevel
+
     coded = tables[0]
     for t in tables[1:]:
         coded = coded.unionByName(t)
+    # both sides of the bucket self-join scan this; cache so the
+    # num_planes-dot-products-per-row bucket codes compute once
+    coded = coded.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = coded.select(
         F.col(id_col).alias("id_a"),
