@@ -53,6 +53,19 @@ def main() -> None:
     )
 
     qs = entry.queries()
+
+    # untimed warmup: JIT the codegen/shuffle paths and load parquet
+    # footers so query 1 measures the query, not JVM cold-start — the
+    # steady-state a long-lived cluster actually runs at
+    from pyspark.sql import functions as F
+
+    warm = (
+        spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)))
+    )
+    warm.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
@@ -61,6 +74,9 @@ def main() -> None:
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators persist() at branch points; drop those blocks so one
+        # query's cache never squeezes the next query's execution memory
+        spark.catalog.clearCache()
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
     print(
