@@ -406,6 +406,24 @@ def _q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "inter_cnt", "size_a", "size_b")
 
 
+def _q_embed_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (ids only — membership is
+    float-safe at this threshold: nearest sim sits 1.3e-4 from 0.4,
+    nine orders above accumulation noise; the sim value itself is
+    last-ulp engine-specific, so it stays out of the hashed output)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_pairs(emb, sim_threshold=0.4).select("id_a", "id_b")
+
+
+def _q_fingerprint_rolling_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document polynomial rolling hash over the token stream
+    (engine-portable md5 token hashes -> exact DuckDB oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.rolling_hash_fingerprint("text").alias("rolling_fp")
+    )
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for a deterministic query subset.
     Rank/ids only — sim ordering is stable, its last-ulp value is not."""
@@ -540,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint_docs": _q_dedup_fingerprint_docs,
         "text_stats_docs": _q_text_stats_docs,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "embed_cosine_near_dup": _q_embed_cosine_near_dup,
+        "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "ann_topk_cosine": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_native_docs": _q_minhash_native_docs,
@@ -689,6 +709,20 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) >= 0.1
+""",
+        "embed_cosine_near_dup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+""",
+        "fingerprint_rolling_docs": """
+SELECT doc_id,
+  list_reduce(
+    [CAST(0 AS BIGINT)] || list_transform(regexp_split_to_array(trim(text), '\\s+'),
+      tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647),
+    (a, b) -> (a * 1000003 + b) % 2147483647) AS rolling_fp
+FROM documents
 """,
         "ann_topk_cosine": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

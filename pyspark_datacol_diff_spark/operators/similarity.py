@@ -184,6 +184,47 @@ def ivf_topk(
     )
 
 
+def cosine_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_threshold: float = 0.4,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: all (id_a < id_b) with
+    cosine >= threshold.
+
+    O(n^2) pair enumeration — this is the exact/verify formulation (and
+    the oracle-checkable one); at corpus scale use
+    ``lsh_near_dup_pairs``, which replaces the cross product with a
+    bucket join and uses this same exact cosine only on candidates.
+    Norms are precomputed per vector before the pair blow-up.
+
+    Returns ``(id_a, id_b, sim)``.
+    """
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n")
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("sim") >= sim_threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def random_hyperplane_buckets(
     vec: Column, planes: list[list[float]]
 ) -> Column:

@@ -92,3 +92,37 @@ def doc_fingerprint(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
     return F.md5(norm)
+
+
+_RH_BASE = 1000003
+_RH_MOD = 2147483647  # 2^31 - 1
+
+
+def rolling_hash_fingerprint(
+    text: Column | str, *, base: int = _RH_BASE, mod: int = _RH_MOD
+) -> Column:
+    """Polynomial rolling-hash fingerprint over the token stream:
+    ``fp = ((fp * base) + h(tok)) mod m`` folded left-to-right, where
+    ``h(tok)`` is the first 60 bits of md5 reduced mod m.
+
+    One ``aggregate`` fold per document — a single array traversal, no
+    shuffle, no UDF. md5-derived token hashes keep it engine-portable
+    (the DuckDB oracle reproduces it bit-for-bit); the fold stays inside
+    signed-64 range because fp < m < 2^31 and base < 2^21, so
+    fp*base + h < 2^52.
+
+    Unlike ``doc_fingerprint`` (order-insensitive to nothing — a full
+    content hash), the rolling form is the streaming-friendly shape: it
+    extends incrementally token-by-token, the property rolling hashes
+    exist for.
+    """
+    toks = tokens(text)
+    tok_h = (
+        lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        % F.lit(mod)
+    )
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, tok: (acc * F.lit(base) + tok_h(tok)) % F.lit(mod),
+    )

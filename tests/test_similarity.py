@@ -134,3 +134,24 @@ def test_ivf_matches_exact_when_probing_all_cells(spark):
     full_probe = {(r["qid"], r["neighbor_id"], r["rank"])
                   for r in SIM.ivf_topk(df, q, 3, nlist=4, nprobe=4).collect()}
     assert full_probe == exact
+
+
+def test_cosine_pairs_threshold_and_ordering(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.05]),
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_pairs(df, sim_threshold=0.9).collect()
+    }
+    assert got == {(1, 2)}
+    # threshold 0 keeps orthogonal out, antiparallel out, near-parallel in
+    got0 = {
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_pairs(df, sim_threshold=0.01).collect()
+    }
+    assert (1, 4) not in got0 and (1, 2) in got0 and all(a < b for a, b in got0)

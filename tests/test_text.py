@@ -40,3 +40,21 @@ def test_doc_fingerprint_normalizes(spark):
     b = one(spark, "  hello world ", TX.doc_fingerprint("text"))
     c = one(spark, "hello worlds", TX.doc_fingerprint("text"))
     assert a == b and a != c
+
+
+def test_rolling_hash_matches_hand_fold(spark):
+    import hashlib
+
+    text = "alpha beta gamma"
+    mod, base = 2147483647, 1000003
+    fp = 0
+    for tok in text.split():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % mod
+        fp = (fp * base + h) % mod
+    assert one(spark, text, TX.rolling_hash_fingerprint("text")) == fp
+
+
+def test_rolling_hash_is_order_sensitive(spark):
+    a = one(spark, "alpha beta", TX.rolling_hash_fingerprint("text"))
+    b = one(spark, "beta alpha", TX.rolling_hash_fingerprint("text"))
+    assert a != b
