@@ -368,6 +368,48 @@ def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- extensions: dedup / text / similarity ---------------------------------
 
+def _q_json_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parsing breadth: from_json (schema'd parse), get_json_object
+    (path extraction), and map functions (create_map/element_at) over the
+    events.props JSON column, reduced to one aggregate per event type.
+    The oracle extracts the same values with DuckDB's json functions."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k int").getField("k").alias("k_parsed"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+    ).select(
+        "event_type",
+        "k_parsed",
+        # map round-trip: build a map holding the parsed value, read it back
+        F.element_at(
+            F.create_map(F.lit("k"), F.col("k_parsed")), F.lit("k")
+        ).alias("k_map"),
+        "k_path",
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k_parsed").cast("long").alias("sum_k"),
+        F.sum("k_map").cast("long").alias("sum_k_map"),
+        F.min("k_path").alias("min_k"),
+        F.max("k_path").alias("max_k"),
+    )
+
+
+def _q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping-set levels plus
+    grouping_id to disambiguate subtotal rows from data nulls."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(20,2)")
+        .cast("string")
+        .alias("total_price"),
+    )
+
+
 def _q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return DD.exact_dup_groups(d, F.md5("text"), "doc_id", key_name="content_md5")
@@ -554,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_automobile_with_orders": _q_setop_intersect,
         "events_hourly": _q_events_hourly,
         "string_funcs_customer": _q_string_funcs,
+        "json_events_props": _q_json_events_props,
+        "cube_orders_status_priority": _q_cube_orders,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_fingerprint_docs": _q_dedup_fingerprint_docs,
         "text_stats_docs": _q_text_stats_docs,
@@ -655,6 +699,21 @@ SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
        substring(c_name, 10, 8) AS name_tail,
        concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
 FROM customer WHERE c_custkey % 3 = 0
+""",
+        "json_events_props": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k_map,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+""",
+        "cube_orders_status_priority": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
         "dedup_exact_docs": """
 SELECT md5(text) AS content_md5, min(doc_id) AS rep_id, count(*) AS cnt

@@ -1,0 +1,63 @@
+"""Skew mitigation: salted equi-join for hot keys.
+
+AQE's skew-join splitting (``spark.sql.adaptive.skewJoin.enabled``, on by
+default in :func:`~pyspark_datacol_diff_spark.session.get_spark`) handles
+skewed SORT-MERGE joins by splitting oversized partitions at runtime, and
+map-side partial aggregation already absorbs skew for algebraic
+aggregates. Manual salting remains the tool for the case AQE cannot fix:
+a shuffled hash/broadcast-ineligible join where one key holds so many
+rows that even a split partition's build side is a single hot key — e.g.,
+joining a 100 TB event log against per-key metadata when 1% of keys carry
+50% of events.
+
+``salted_join`` replicates the SMALL side ``num_salts`` times (salt 0..
+n-1) and routes each big-side row to one deterministic salt, so the hot
+key's rows spread over ``num_salts`` shuffle partitions instead of one.
+Cost: small side shuffles n times its size — choose n ~ (hot-key rows /
+target partition rows), not "as big as possible".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__dcd_salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big`` with ``small`` on ``on``, salting the join key
+    ``num_salts`` ways to spread hot keys.
+
+    The big side's salt is ``xxhash64(all columns) mod n`` —
+    deterministic in the data (re-runs and retried tasks route rows
+    identically), uniform even when the join key itself is constant.
+    The small side is replicated once per salt via ``explode`` (no
+    shuffle — the replication happens map-side before the join
+    exchange). Join semantics for inner/left are identical to the
+    unsalted join; right/full-outer would multiply unmatched small-side
+    rows per salt, so only inner/left are allowed.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: an "
+            "outer-preserved small side would emit its unmatched rows "
+            "once per salt"
+        )
+    big_salted = big.withColumn(
+        _SALT,
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts)).cast(
+            "int"
+        ),
+    )
+    small_salted = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return big_salted.join(small_salted, on + [_SALT], how).drop(_SALT)

@@ -199,6 +199,26 @@ def sessionize(
 # deterministic run-to-completion harness
 # ---------------------------------------------------------------------------
 
+def dedup_stream(
+    sdf: DataFrame,
+    id_cols: list[str],
+    *,
+    event_time_col: str = "ts",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until
+    the watermark passes its event time, so state size is (keys seen per
+    watermark window), not (keys seen ever) — plain ``dropDuplicates``
+    on a stream grows state forever, which a 100 TB/day ingest cannot
+    run. Duplicates arriving later than ``watermark_delay`` are NOT
+    caught (the batch-layer exact dedup is the backstop; this is the
+    standard lambda split for ingest dedup)."""
+    return sdf.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
 def run_available_now(
     result: DataFrame,
     *,

@@ -102,3 +102,30 @@ def test_sessionize_state_carries_across_batches(spark, tmp_path):
     assert final["session_end"] == _ts(10, 20)
     assert final["n_events"] == 3
     assert not final["closed"]
+
+
+def test_dedup_stream_drops_replayed_file(spark, tmp_path):
+    """Stage the same events file twice (an exactly-once-violating replay);
+    the watermarked streaming dedup must emit each event_id once and match
+    the batch distinct count."""
+    import shutil
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "replay"
+    d.mkdir()
+    shutil.copy(src, d / "a.parquet")
+    shutil.copy(src, d / "b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(str(d))
+    sdf = ST.read_parquet_stream(spark, str(d), batch.schema).withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    out = ST.run_available_now(
+        ST.dedup_stream(sdf, ["event_id"]),
+        query_name="q_dedup_stream",
+        output_mode="append",
+    )
+    n_unique = spark.read.parquet(src).select("event_id").distinct().count()
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
