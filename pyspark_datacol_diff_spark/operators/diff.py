@@ -215,15 +215,19 @@ def diff(
     s2_key_null = reduce(or_, [F.col(k).isNull() for k in s2_keys])
     matched = ~s1_key_null & ~s2_key_null
 
+    per_col_diff = {
+        c: _is_diff_expr(
+            F.col(c + S1_SUFFIX),
+            F.col(c + S2_SUFFIX),
+            dtypes[c.lower()],
+            null_equals_blank=null_equals_blank,
+            float_tol=float_tol,
+        )
+        for c in comp_cols
+    }
     per_col_entries = [
         F.when(
-            _is_diff_expr(
-                F.col(c + S1_SUFFIX),
-                F.col(c + S2_SUFFIX),
-                dtypes[c.lower()],
-                null_equals_blank=null_equals_blank,
-                float_tol=float_tol,
-            ),
+            per_col_diff[c],
             F.struct(
                 F.lit(c).alias("col_name"),
                 F.col(c + S1_SUFFIX).cast("string").alias("s1_value"),
@@ -244,16 +248,28 @@ def diff(
     else:
         comp_arr = empty_arr
 
+    # Flag from the per-column predicates, NOT from size(CompColArr):
+    # any_diff <=> the array is non-empty (entries are null iff the
+    # column didn't differ), but keeping Flag independent of the array
+    # lets Catalyst prune the whole struct/cast construction when a
+    # consumer selects only Flag — flag_counts() then never builds the
+    # array at all.
+    any_diff = (
+        reduce(or_, per_col_diff.values()) if per_col_diff else F.lit(False)
+    )
     flag = (
         F.when(s2_key_null, F.lit(FLAG_S1_ONLY))  # when-order preserved (:132)
         .when(s1_key_null, F.lit(FLAG_S2_ONLY))
-        .when(F.size(DIFF_ARRAY_COL) == 0, F.lit(FLAG_NODIFF))
+        .when(~any_diff, F.lit(FLAG_NODIFF))
         .otherwise(F.lit(FLAG_DIFF))
     )
 
     return joined.select(
-        *s1_keys, *s2_keys, comp_arr.alias(DIFF_ARRAY_COL)
-    ).withColumn(FLAG_COL, flag)
+        *s1_keys,
+        *s2_keys,
+        comp_arr.alias(DIFF_ARRAY_COL),
+        flag.alias(FLAG_COL),
+    )
 
 
 # ---------------------------------------------------------------------------
