@@ -526,12 +526,31 @@ def _q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = STR.stage_files(f"{sf_dir}/events.parquet")
     sdf = STR.read_parquet_stream(spark, src, batch.schema).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     out = STR.run_available_now(
         STR.windowed_event_counts(sdf), query_name="q_stream_hourly_mem"
     )
     return out.select("hour", "event_type", "n_events", "value_e4")
+
+
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via applyInPandasWithState — the custom
+    stateful streaming operator — run to completion and checked against
+    an ANSI-SQL sessionization oracle (lag + cumulative break-sum):
+    custom state logic must reproduce the declarative semantics."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = STR.stage_files(f"{sf_dir}/events.parquet")
+    sdf = STR.read_parquet_stream(spark, src, batch.schema).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    out = STR.run_available_now(
+        STR.sessionize(sdf, gap_seconds=1800),
+        query_name="q_stream_sessions_mem",
+        output_mode="update",
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")
 
 
 # --- extensions: multimodal (binary payload) columns -----------------------
@@ -612,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_payload_stats": _q_multimodal_payload_stats,
         "multimodal_frames": _q_multimodal_frames,
         "streaming_events_hourly": _q_streaming_events_hourly,
+        "streaming_sessions": _q_streaming_sessions,
     }
 
 
@@ -811,6 +831,24 @@ fr AS (SELECT doc_id, text,
 SELECT doc_id, frame_no,
        to_base64(encode(substring(text, CAST(frame_no * 16 + 1 AS BIGINT), 16))) AS frame_b64
 FROM fr
+""",
+        "streaming_sessions": """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
 """,
         "streaming_events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,

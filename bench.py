@@ -33,8 +33,11 @@ BENCH_QUERIES = [
     "topk_orders_per_customer",
     "agg_orders_by_segment",
     "events_hourly",
+    "json_events_props",
+    "cube_orders_status_priority",
     "dedup_exact_docs",
     "text_stats_docs",
+    "fingerprint_rolling_docs",
     "ngram_jaccard_docs",
     "ann_topk_cosine",
     "minhash_native_docs",

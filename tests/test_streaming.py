@@ -16,7 +16,7 @@ def _events_stream(spark, sf_dir="/root/testdata/sf0.001"):
     src = ST.stage_files(f"{sf_dir}/events.parquet")
     sdf = ST.read_parquet_stream(spark, src, batch.schema)
     conv = lambda df: df.withColumn(  # noqa: E731
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     return conv(sdf), conv(batch)
 
@@ -119,7 +119,7 @@ def test_dedup_stream_drops_replayed_file(spark, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(str(d))
     sdf = ST.read_parquet_stream(spark, str(d), batch.schema).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     out = ST.run_available_now(
         ST.dedup_stream(sdf, ["event_id"]),
