@@ -368,6 +368,36 @@ def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- extensions: dedup / text / similarity ---------------------------------
 
+def _q_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-table join (lineitem ⋈ orders ⋈ supplier ⋈
+    part ⋈ nation) with dim sides broadcast, PROMO-part filter pushed to
+    the part scan, profit in exact DECIMAL emitted e4-scaled. The big
+    fact side shuffles only for the final (nation, year) aggregate —
+    supplier/part/nation all broadcast at any scale factor."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.sum(amount) * 10000).cast("long").alias("profit_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def _q_json_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON parsing breadth: from_json (schema'd parse), get_json_object
     (path extraction), and map functions (create_map/element_at) over the
@@ -615,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_automobile_with_orders": _q_setop_intersect,
         "events_hourly": _q_events_hourly,
         "string_funcs_customer": _q_string_funcs,
+        "q9_profit_by_nation": _q_q9_profit_by_nation,
         "json_events_props": _q_json_events_props,
         "cube_orders_status_priority": _q_cube_orders,
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -719,6 +750,20 @@ SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
        substring(c_name, 10, 8) AS name_tail,
        concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
 FROM customer WHERE c_custkey % 3 = 0
+""",
+        "q9_profit_by_nation": """
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+            * 10000 AS BIGINT) AS profit_e4,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part     ON l_partkey = p_partkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1, 2
 """,
         "json_events_props": """
 SELECT event_type, count(*) AS n,

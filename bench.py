@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "diff_lineitem_flags",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q9_profit_by_nation",
     "topk_orders_per_customer",
     "agg_orders_by_segment",
     "events_hourly",
