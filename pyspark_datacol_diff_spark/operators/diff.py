@@ -45,6 +45,7 @@ to any column the caller excludes via ``compare_cols``/``exclude_cols``.
 
 from __future__ import annotations
 
+import logging
 from functools import reduce
 from operator import or_
 from typing import Iterable, Sequence
@@ -58,6 +59,10 @@ from pyspark.sql.types import (
 )
 
 from ..errors import InvalidArgumentError, PrimaryKeyError, SchemaMismatchError
+
+# Run-metadata log sink (reference utils.py:11-31). Logs only plan-side
+# facts — the reference's count-for-logging actions were extra Spark jobs.
+logger = logging.getLogger("pyspark_datacol_diff_spark.diff")
 
 S1_SUFFIX = "_s1"
 S2_SUFFIX = "_s2"
@@ -203,6 +208,10 @@ def diff(
     s1n = suffix_columns(s1.select(*keep), S1_SUFFIX)
     s2n = suffix_columns(s2.select(*keep), S2_SUFFIX)
 
+    logger.info(
+        "diff: pk=%s compare_cols=%s null_equals_blank=%s float_tol=%s",
+        list(pk), comp_cols, null_equals_blank, float_tol,
+    )
     cond = reduce(
         lambda x, y: x & y,
         [s1n[k1] == s2n[k2] for k1, k2 in zip(s1_keys, s2_keys)],
