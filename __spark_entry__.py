@@ -199,6 +199,27 @@ def _q_diff_orders_col_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_mismatch_counts(diff(s1, s2, ["o_orderkey"]))
 
 
+def _q_diff_drilldown_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's interactive drill-down (README.md:53):
+    filter diff rows where a SPECIFIC column mismatched via
+    array_contains over the nested col_name field, then surface that
+    column's s1/s2 values out of the struct array."""
+    s1, s2 = _orders_pair(spark, sf_dir)
+    d = diff(s1, s2, ["o_orderkey"])
+    hit = d.filter(
+        F.array_contains(F.col("CompColArr.col_name"), "o_orderstatus")
+    )
+    entry = F.element_at(
+        F.filter("CompColArr", lambda e: e["col_name"] == F.lit("o_orderstatus")),
+        1,
+    )
+    return hit.select(
+        F.col("o_orderkey_s1").alias("o_orderkey"),
+        entry["s1_value"].alias("s1_value"),
+        entry["s2_value"].alias("s2_value"),
+    )
+
+
 def _q_diff_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-key diff at lineitem granularity (the sf0.1 bench diff)."""
     s1, s2 = _lineitem_pair(spark, sf_dir)
@@ -633,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_orders_detail": _q_diff_orders_detail,
         "diff_orders_flags": _q_diff_orders_flags,
         "diff_orders_col_counts": _q_diff_orders_col_counts,
+        "diff_drilldown_status": _q_diff_drilldown_status,
         "diff_lineitem_flags": _q_diff_lineitem_flags,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_shipping_priority": _q_q3_shipping_priority,
@@ -699,6 +721,13 @@ SELECT "ColName", "Count" FROM (
   UNION ALL
   SELECT 'o_orderdate', count(*) FROM m WHERE od1 IS DISTINCT FROM od2
 ) t WHERE "Count" > 0
+""",
+        "diff_drilldown_status": _ORDERS_PAIR_SQL
+        + """
+SELECT k1 AS o_orderkey, st1 AS s1_value, st2 AS s2_value
+FROM j
+WHERE k1 IS NOT NULL AND k2 IS NOT NULL
+  AND coalesce(st1,'') <> coalesce(st2,'')
 """,
         "diff_lineitem_flags": _LINEITEM_PAIR_SQL
         + f"""
