@@ -527,6 +527,18 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, q, 5).select("qid", "neighbor_id", "rank")
 
 
+def _q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS brute-force top-k (the throughput path). Rank-matches
+    ann_topk_cosine (tested) but sims differ in the last ulp from any
+    sequential-fold oracle -> rows-only check here; the exact variant
+    carries the hash oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return SIM.cosine_topk_arrow(emb, q, 5).select("qid", "neighbor_id", "rank")
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (k-means cells, nprobe probing) — the scale
     path next to the exact ann_topk_cosine baseline. Cluster assignment
@@ -677,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_near_dup": _q_embed_cosine_near_dup,
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "ann_topk_cosine": _q_ann_topk,
+        "ann_topk_arrow": _q_ann_topk_arrow,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_native_docs": _q_minhash_native_docs,
         "minhash_lsh_docs": _q_minhash_lsh_docs,

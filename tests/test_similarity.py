@@ -155,3 +155,14 @@ def test_cosine_pairs_threshold_and_ordering(spark):
         for r in SIM.cosine_pairs(df, sim_threshold=0.01).collect()
     }
     assert (1, 4) not in got0 and (1, 2) in got0 and all(a < b for a, b in got0)
+
+
+def test_cosine_topk_arrow_matches_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = SIM.cosine_topk(emb, q, 5).select("qid", "neighbor_id", "rank")
+    arrow = SIM.cosine_topk_arrow(emb, q, 5).select("qid", "neighbor_id", "rank")
+    assert exact.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(exact).count() == 0
