@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: pin the 100 TB-relevant properties of
+the headline queries — join strategies, shuffle counts, pushdown,
+column pruning. A change that keeps answers right but loses (say) the
+broadcast or the pruning fails HERE, not on a cluster.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as ENTRY
+from pyspark_datacol_diff_spark import plans as P
+from pyspark_datacol_diff_spark.operators.diff import diff, flag_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return ENTRY.queries()
+
+
+def test_diff_is_one_sort_merge_join(qs, spark):
+    df = qs["diff_orders_detail"](spark, SF)
+    # full outer preserves both sides: must be SMJ, can never broadcast
+    P.assert_join_strategy(df, sort_merge=1, broadcast_hash=0)
+
+
+def test_diff_flags_prunes_comp_col_arr(qs, spark):
+    df = qs["diff_orders_flags"](spark, SF)
+    assert "CompColArr" not in P.physical_plan(df)
+
+
+def test_diff_flags_prunes_uncompared_columns(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    d = diff(o, o, ["o_orderkey"], compare_cols=["o_orderstatus"])
+    # only the key and the one compared column may be scanned
+    for rs in P.read_schemas(flag_counts(d)):
+        assert "o_totalprice" not in rs and "o_orderdate" not in rs
+
+
+def test_q9_broadcasts_dims_single_shuffle(qs, spark):
+    df = qs["q9_profit_by_nation"](spark, SF)
+    plan = P.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, part, nation
+    assert "CartesianProduct" not in plan
+    P.assert_max_shuffles(df, 1)  # only the final (nation, year) agg
+    P.assert_filter_pushed(df, "p_type")
+
+
+def test_q3_pushes_filters_and_broadcasts(qs, spark):
+    df = qs["q3_shipping_priority"](spark, SF)
+    P.assert_filter_pushed(df, "c_mktsegment")
+    assert P.count_op(df, "BroadcastHashJoin") == 2
+
+
+def test_semi_anti_are_broadcast(qs, spark):
+    for name in ("join_semi_customers", "join_anti_customers"):
+        assert P.count_op(qs[name](spark, SF), "BroadcastHashJoin") == 1
+
+
+def test_text_stats_is_scan_only(qs, spark):
+    # pure per-row projection: no shuffle at all
+    P.assert_max_shuffles(qs["text_stats_docs"](spark, SF), 0)
+
+
+def test_q1_is_single_aggregation_pass(qs, spark):
+    df = qs["q1_pricing_summary"](spark, SF)
+    P.assert_max_shuffles(df, 1)
+    P.assert_filter_pushed(df, "l_shipdate")
+
+
+def test_dedup_exact_is_single_shuffle(qs, spark):
+    P.assert_max_shuffles(qs["dedup_exact_docs"](spark, SF), 1)
