@@ -77,3 +77,31 @@ def test_write_bucketed_table_avoids_exchange(spark):
     # bucketed layout satisfies the agg's distribution: no shuffle exchange
     assert "Exchange hashpartitioning" not in agg_plan
     spark.sql("DROP TABLE t_bucketed_src")
+
+
+def test_bucketed_diff_shuffles_nothing(spark):
+    """The 100 TB repeated-diff pattern: land both snapshots bucketed by
+    the primary key and the full-outer SMJ reads bucket-local data — the
+    plan has ZERO shuffle exchanges, so diff cost is scan + merge."""
+    from pyspark_datacol_diff_spark import plans as P
+    from pyspark_datacol_diff_spark.operators.diff import diff
+
+    base = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 13).cast("string").alias("v"),
+    )
+    mutated = base.withColumn(
+        "v", F.when(F.col("k") % 17 == 0, F.lit("CHANGED")).otherwise(F.col("v"))
+    )
+    for name, df in (("t_diff_s1", base), ("t_diff_s2", mutated)):
+        SRC.write_bucketed_table(
+            df, name, bucket_cols=["k"], num_buckets=4, mode="overwrite"
+        )
+    try:
+        d = diff(spark.table("t_diff_s1"), spark.table("t_diff_s2"), ["k"])
+        assert P.shuffle_count(d) == 0
+        assert P.count_op(d, "SortMergeJoin") == 1
+        assert d.filter(F.col("Flag") == "").count() == 1000 // 17 + 1
+    finally:
+        spark.sql("DROP TABLE t_diff_s1")
+        spark.sql("DROP TABLE t_diff_s2")
