@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "fingerprint_rolling_docs",
     "ngram_jaccard_docs",
     "ann_topk_cosine",
+    "ann_topk_arrow",
     "minhash_native_docs",
     "simhash_docs",
 ]

@@ -138,3 +138,19 @@ def test_no_compare_columns_pk_only_table(spark):
     d = diff(s1, s2, ["id", "gender"])
     f = _flags(d)
     assert f == {"NODIFF": 1, "S1_ONLY": 1, "S2_ONLY": 1}
+
+
+def test_empty_s2_all_s1_only(spark):
+    s1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    s2 = spark.createDataFrame([], "id long, v string")
+    d = diff(s1, s2, ["id"])
+    flags = {r["Flag"]: r["cnt"] for r in flag_counts(d).collect()}
+    assert flags == {"S1_ONLY": 2}
+    # per-column counts: unmatched rows contribute nothing
+    assert column_mismatch_counts(d).count() == 0
+
+
+def test_both_empty(spark):
+    s1 = spark.createDataFrame([], "id long, v string")
+    d = diff(s1, s1, ["id"])
+    assert d.count() == 0
