@@ -152,7 +152,9 @@ def ngram_jaccard_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    inv = df.select(
+    from ..sources import balance_partitions
+
+    inv = balance_partitions(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, n)).alias("g"),
     )
@@ -231,6 +233,9 @@ def minhash_signatures(
         (rnd.randrange(1, 1 << 30), rnd.randrange(0, _MH_PRIME))
         for _ in range(num_hashes)
     ]
+    from ..sources import balance_partitions
+
+    df = balance_partitions(df)
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, n)).alias("g"),
@@ -366,7 +371,9 @@ def minhash_lsh_pairs(
     # (observed with approxSimilarityJoin's internal transform). A unique
     # shingle can never produce a candidate pair, so results are
     # unchanged.
-    grams = df.select(
+    from ..sources import balance_partitions
+
+    grams = balance_partitions(df).select(
         F.col(id_col).alias("doc_id"),
         F.when(F.size(raw) > 0, raw)
         .otherwise(
@@ -417,7 +424,9 @@ def simhash_fingerprints(
     Docs with fewer than ``n`` tokens have no shingles and produce no row.
     Spark-only hash (xxhash64) -> rows-only oracle. Returns (doc_id, fp).
     """
-    grams = df.select(
+    from ..sources import balance_partitions
+
+    grams = balance_partitions(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, n)).alias("g"),
     )

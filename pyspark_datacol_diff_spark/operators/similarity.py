@@ -64,7 +64,9 @@ def cosine_topk(
 
     Returns ``(qid, neighbor_id, rank, sim)``.
     """
-    c = corpus.withColumn("__na", norm(F.col(vec_col)))
+    from ..sources import balance_partitions
+
+    c = balance_partitions(corpus).withColumn("__na", norm(F.col(vec_col)))
     q = queries.withColumn("__nq", norm(F.col(query_vec_col)))
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
@@ -143,6 +145,10 @@ def cosine_topk_arrow(
             df = pd.DataFrame(rows)
             yield df[df["sim"] > -np.inf]
 
+    # No balance_partitions here: the BLAS matmul is fast enough that
+    # scan parallelism isn't the bottleneck, and fanning a small corpus
+    # into defaultParallelism Arrow batches costs more in Python-worker
+    # round-trips than the matmul saves (measured 3x slower).
     local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -214,8 +220,12 @@ def ivf_topk(
             .drop("csim", "crank")
         )
 
+    from ..sources import balance_partitions
+
     assigned = nearest_cells(
-        corpus.select(id_col, vec_col, norm(F.col(vec_col)).alias("__na")),
+        balance_partitions(corpus).select(
+            id_col, vec_col, norm(F.col(vec_col)).alias("__na")
+        ),
         id_col,
         vec_col,
         "__na",
@@ -267,7 +277,9 @@ def cosine_pairs(
 
     Returns ``(id_a, id_b, sim)``.
     """
-    base = corpus.select(
+    from ..sources import balance_partitions
+
+    base = balance_partitions(corpus).select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n")
     )
     a = base.select(
@@ -340,7 +352,9 @@ def lsh_near_dup_pairs(
     dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
 
-    base = corpus.select(
+    from ..sources import balance_partitions
+
+    base = balance_partitions(corpus).select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n")
     )
     tables = []

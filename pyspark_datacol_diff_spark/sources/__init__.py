@@ -13,6 +13,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def balance_partitions(df: DataFrame, *, min_ratio: float = 0.5) -> DataFrame:
+    """Rebalance under-partitioned scans before CPU-heavy per-row stages.
+
+    A parquet scan can never run more concurrent tasks than it has
+    row-group splits, whatever ``maxPartitionBytes`` says — a handful of
+    small single-row-group files caps an expensive projection (shingling,
+    per-pair scoring, regex stats) at a handful of cores. If the input
+    has fewer partitions than ``min_ratio x defaultParallelism``, round-
+    robin repartition up to defaultParallelism; otherwise no-op. At real
+    scale inputs carry many splits and this adds nothing; the rebalance
+    shuffle moves only the raw input once and unlocks full-cluster
+    parallelism for everything before the next keyed shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+        return df.repartition(target)
+    return df
+
+
 def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
     """Header-only CSV read, every column StringType — the reference's
     input convention (no inferSchema). Schema inference over a 100 TB
