@@ -489,6 +489,33 @@ def _q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID over documents: per-language marker
+    scores plus the argmax label (sorted-code tie-break, 'und' floor).
+    One codegen'd projection — no UDF, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    scores = TX.lang_scores("text")
+    return d.select(
+        "doc_id",
+        *[scores[l].alias(f"s_{l}") for l in sorted(scores)],
+        TX.lang_id("text").alias("detected"),
+    )
+
+
+def _q_text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality scoring + BPE-ish token counts. The composite
+    score is emitted as an integer decile (round(q*10)) so the oracle
+    hash can't drift on last-ulp float formatting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.bpe_ish_token_count("text").alias("n_bpe_ish"),
+        F.round(TX.quality_score("text") * 10)
+        .cast("long")
+        .alias("quality_decile"),
+    )
+
+
 def _q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs (the verify stage of near-dedup).
     Integer evidence columns only; jaccard itself is a ratio of identical
@@ -685,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_fingerprint_docs": _q_dedup_fingerprint_docs,
         "text_stats_docs": _q_text_stats_docs,
+        "lang_id_docs": _q_lang_id_docs,
+        "text_quality_docs": _q_text_quality_docs,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "embed_cosine_near_dup": _q_embed_cosine_near_dup,
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
@@ -699,6 +728,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessions": _q_streaming_sessions,
     }
+
+
+def _sql_stop_hits(words: list[str]) -> str:
+    """DuckDB rendering of TX.stopword_hits — identical space-padded
+    LIKE construction, kept in lockstep with the Spark side."""
+    return (
+        "("
+        + "\n      + ".join(
+            f"CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"
+            for w in words
+        )
+        + ")"
+    )
+
+
+def _sql_lang_id_docs() -> str:
+    """Oracle for lang_id_docs, generated from TX.LANG_PROFILES so the
+    two engines score from one profile table."""
+    from pyspark_datacol_diff_spark.operators import text as TXm
+
+    score_cols = {
+        lang: _sql_stop_hits(words) for lang, words in TXm.LANG_PROFILES.items()
+    }
+    score_cols["zh"] = (
+        "CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') "
+        "THEN 99 ELSE 0 END"
+    )
+    langs = sorted(score_cols)
+    sels = ",\n       ".join(f"{score_cols[l]} AS s_{l}" for l in langs)
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = (
+        f"CASE WHEN {mx} <= 0 THEN 'und'\n"
+        + "\n".join(f"            WHEN s_{l} = {mx} THEN '{l}'" for l in langs)
+        + "\n            ELSE 'und' END AS detected"
+    )
+    return (
+        f"WITH s AS (\n  SELECT doc_id,\n       {sels}\n  FROM documents)\n"
+        f"SELECT doc_id, "
+        + ", ".join(f"s_{l}" for l in langs)
+        + f",\n       {case}\nFROM s"
+    )
+
+
+def _sql_text_quality_docs() -> str:
+    en_hits = _sql_stop_hits(
+        __import__(
+            "pyspark_datacol_diff_spark.operators.text", fromlist=["EN_STOPWORDS"]
+        ).EN_STOPWORDS
+    )
+    toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_ish,
+       CAST(round(
+         (CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) > 0 THEN 0.2 ELSE 0.0 END
+        + CASE WHEN {en_hits} >= 2 THEN 0.2 ELSE 0.0 END
+        + CASE WHEN {toks} > 0
+               AND length(text) * 1.0 / {toks} >= 3
+               AND length(text) * 1.0 / {toks} <= 12 THEN 0.2 ELSE 0.0 END
+         ) * 10) AS BIGINT) AS quality_decile
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -856,6 +948,8 @@ SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
 """,
+        "lang_id_docs": _sql_lang_id_docs(),
+        "text_quality_docs": _sql_text_quality_docs(),
         "ngram_jaccard_docs": """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),

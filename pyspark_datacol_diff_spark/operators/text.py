@@ -72,6 +72,67 @@ def is_english_like(text: Column | str, min_hits: int = 2) -> Column:
     return (stopword_hits(text) >= min_hits).cast("int")
 
 
+# Per-language marker-word profiles for multi-language ID. Deliberately
+# tiny (fits in a codegen'd expression, no broadcast data); real
+# deployments swap in larger per-language frequency tables via the
+# ``profiles`` argument without touching the operator.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "for"],
+    "es": ["el", "los", "las", "y", "que", "es", "un", "por"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour"],
+}
+
+_CJK_RE = r"[\x{4e00}-\x{9fff}]"
+_CJK_SCORE = 99  # any CJK presence dominates the latin stopword scores
+
+
+def cjk_char_count(text: Column | str) -> Column:
+    """Count of CJK-unified-ideograph characters (script-based signal —
+    stopword lists can't work on unsegmented text)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.length(t) - F.length(F.regexp_replace(t, _CJK_RE, ""))
+
+
+def lang_scores(
+    text: Column | str,
+    profiles: dict[str, list[str]] | None = None,
+    cjk_lang: str | None = "zh",
+) -> dict[str, Column]:
+    """Per-language evidence scores: marker-word presence counts for the
+    latin-script profiles, plus a dominant script-class score for
+    ``cjk_lang``. All pure string predicates — one codegen'd projection,
+    no UDF, no shuffle."""
+    profiles = LANG_PROFILES if profiles is None else profiles
+    scores = {
+        lang: stopword_hits(text, words) for lang, words in profiles.items()
+    }
+    if cjk_lang:
+        scores[cjk_lang] = (
+            F.when(cjk_char_count(text) > 0, F.lit(_CJK_SCORE))
+            .otherwise(F.lit(0))
+        )
+    return scores
+
+
+def lang_id(
+    text: Column | str,
+    profiles: dict[str, list[str]] | None = None,
+    cjk_lang: str | None = "zh",
+    unknown: str = "und",
+) -> Column:
+    """n-gram-heuristic language ID: argmax over ``lang_scores``, ties
+    broken by sorted language code (deterministic across engines), and
+    ``unknown`` when no language scores at all."""
+    scores = lang_scores(text, profiles, cjk_lang)
+    langs = sorted(scores)
+    mx = F.greatest(*[scores[l] for l in langs]) if len(langs) > 1 else scores[langs[0]]
+    out = F.lit(unknown)
+    for lang in reversed(langs):
+        out = F.when((scores[lang] == mx) & (mx > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite quality score in [0,1]: length band + punctuation
     presence + stopword signal (the C4-style heuristic family)."""

@@ -58,3 +58,31 @@ def test_rolling_hash_is_order_sensitive(spark):
     a = one(spark, "alpha beta", TX.rolling_hash_fingerprint("text"))
     b = one(spark, "beta alpha", TX.rolling_hash_fingerprint("text"))
     assert a != b
+
+
+def test_lang_id_basic(spark):
+    cases = {
+        "the cat and the dog went to the market": "en",
+        "le chat est dans la maison et les enfants": "fr",
+        "der hund und die katze ist nicht mit": "de",
+        "el perro y los gatos es un animal por que si": "es",
+        "这是一个中文句子": "zh",
+        "zzz qqq xxx": "und",
+    }
+    for text, want in cases.items():
+        assert one(spark, text, TX.lang_id("text")) == want, text
+
+
+def test_lang_id_tie_breaks_sorted(spark):
+    # one de marker ("und") vs one fr marker ("la") -> tie -> sorted-first
+    assert one(spark, "und la", TX.lang_id("text")) == "de"
+
+
+def test_lang_id_cjk_dominates(spark):
+    # CJK presence outweighs latin stopword hits
+    assert one(spark, "the quick 汉字 fox", TX.lang_id("text")) == "zh"
+
+
+def test_cjk_char_count(spark):
+    assert one(spark, "ab汉字c", TX.cjk_char_count("text")) == 2
+    assert one(spark, "plain ascii", TX.cjk_char_count("text")) == 0
