@@ -29,6 +29,7 @@ from pyspark_datacol_diff_spark.operators import dedup as DD
 from pyspark_datacol_diff_spark.operators import similarity as SIM
 from pyspark_datacol_diff_spark import sources as SRC
 from pyspark_datacol_diff_spark import streaming as STR
+from pyspark_datacol_diff_spark.operators import asof as ASOF
 from pyspark_datacol_diff_spark.operators import multimodal as MM
 from pyspark_datacol_diff_spark.operators import text as TX
 
@@ -489,6 +490,45 @@ def _q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click joined to the user's most recent view at
+    or before it (null if none). Single shuffle + sort, no range-join
+    pair blow-up; oracle is DuckDB's native ASOF LEFT JOIN."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    j = ASOF.asof_join(
+        clicks, views, ["user_id"], "ts", "ts", ["ts"], suffix="_view"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("ts_view").alias("view_ts"),
+    )
+
+
+def _q_window_user_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: lag, running decimal sum (exact cents),
+    3-row rolling max, row_number — one shuffle on user_id serves all
+    four (same partitioning + ordering)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    dec = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.sum(dec).over(run) * 100).cast("long").alias("running_cents"),
+        F.max("value").over(last3).alias("max3_value"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
 def _q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-heuristic language ID over documents: per-language marker
     scores plus the argmax label (sorted-code tie-break, 'und' floor).
@@ -705,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_building_except_frequent": _q_setop_except,
         "setop_automobile_with_orders": _q_setop_intersect,
         "events_hourly": _q_events_hourly,
+        "asof_click_view": _q_asof_click_view,
+        "window_user_running": _q_window_user_running,
         "string_funcs_customer": _q_string_funcs,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
         "json_events_props": _q_json_events_props,
@@ -947,6 +989,25 @@ SELECT doc_id,
       + CASE WHEN ' ' || lower(text) || ' ' LIKE '% for %' THEN 1 ELSE 0 END) >= 2 AS INT) AS en_like,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
+""",
+        "asof_click_view": """
+SELECT c.event_id, c.user_id, c.ts AS click_ts, v.ts AS view_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+        "window_user_running": """
+SELECT event_id, user_id,
+       lag(event_type) OVER w AS prev_type,
+       CAST(sum(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+            AS BIGINT) AS running_cents,
+       max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3_value,
+       row_number() OVER w AS rn
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
         "lang_id_docs": _sql_lang_id_docs(),
         "text_quality_docs": _sql_text_quality_docs(),

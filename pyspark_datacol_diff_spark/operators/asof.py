@@ -1,0 +1,78 @@
+"""As-of (nearest-event) join — an operator Spark's join menu lacks.
+
+Reference scope note: the reference library has no join other than the
+full-outer diff join (`/root/reference/find_datacol_diff.py:96`); this is
+a north-star extension for time-series / training-data pipelines.
+
+The naive formulation — range join ``l.ts >= r.ts`` then ``groupBy max``
+— explodes quadratically per key (every left row pairs with its whole
+right-side history). This implementation is the scale shape instead:
+tag both sides, union, ONE shuffle on the join keys, ONE sort per
+partition, and a running ``last(ignorenulls)`` window carries each right
+row forward to the left rows it serves. Cost is O((|L|+|R|) log) per
+key with no pair blow-up, and the plan is a single Exchange + Sort —
+exactly what a merge-based as-of join does in engines that have one
+natively (DuckDB ASOF JOIN, pandas merge_asof).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    *,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the nearest right row per ``on`` key:
+    the latest ``right_ts <= left_ts`` (``direction='backward'``) or the
+    earliest ``right_ts >= left_ts`` (``'forward'``). Ties at equal
+    timestamps match (inclusive, like DuckDB ASOF). Left rows with no
+    candidate keep nulls (left-join semantics).
+
+    ``right_cols`` are the right-side columns to carry (emitted with
+    ``suffix``; ``right_ts`` itself is a natural choice). All left
+    columns pass through unchanged.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    carried = [c + suffix for c in right_cols]
+    l = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # Right rows sort before left rows at equal ts (side 0 < 1) so an
+    # exactly-simultaneous right row is visible to the left row.
+    if direction == "backward":
+        w = Window.partitionBy(*on).orderBy(F.asc(_TS), F.asc(_SIDE))
+    else:
+        w = Window.partitionBy(*on).orderBy(F.desc(_TS), F.asc(_SIDE))
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    matched = u.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(c + "__m") for c in carried]
+    )
+    return (
+        matched.filter(F.col(_SIDE) == 1)
+        .select(
+            *left.columns,
+            *[F.col(c + "__m").alias(c) for c in carried],
+        )
+    )
