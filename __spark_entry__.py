@@ -490,6 +490,24 @@ def _q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_agg_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + percentile aggregation breadth: exact count-distinct,
+    decimal-exact running money, and a median over integer cents (ints
+    below 2^53 interpolate identically in both engines' doubles)."""
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(cents).alias("sum_cents"),
+            F.median(cents).alias("median_cents"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
 def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click joined to the user's most recent view at
     or before it (null if none). Single shuffle + sort, no range-join
@@ -745,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_building_except_frequent": _q_setop_except,
         "setop_automobile_with_orders": _q_setop_intersect,
         "events_hourly": _q_events_hourly,
+        "agg_event_stats": _q_agg_event_stats,
         "asof_click_view": _q_asof_click_view,
         "window_user_running": _q_window_user_running,
         "string_funcs_customer": _q_string_funcs,
@@ -989,6 +1008,15 @@ SELECT doc_id,
       + CASE WHEN ' ' || lower(text) || ' ' LIKE '% for %' THEN 1 ELSE 0 END) >= 2 AS INT) AS en_like,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
+""",
+        "agg_event_stats": """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents,
+       median(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS median_cents,
+       max(value) AS max_value
+FROM events GROUP BY event_type
 """,
         "asof_click_view": """
 SELECT c.event_id, c.user_id, c.ts AS click_ts, v.ts AS view_ts

@@ -34,10 +34,14 @@ BENCH_QUERIES = [
     "topk_orders_per_customer",
     "agg_orders_by_segment",
     "events_hourly",
+    "asof_click_view",
+    "window_user_running",
+    "agg_event_stats",
     "json_events_props",
     "cube_orders_status_priority",
     "dedup_exact_docs",
     "text_stats_docs",
+    "lang_id_docs",
     "fingerprint_rolling_docs",
     "ngram_jaccard_docs",
     "ann_topk_cosine",
