@@ -30,6 +30,7 @@ from pyspark_datacol_diff_spark.operators import similarity as SIM
 from pyspark_datacol_diff_spark import sources as SRC
 from pyspark_datacol_diff_spark import streaming as STR
 from pyspark_datacol_diff_spark.operators import asof as ASOF
+from pyspark_datacol_diff_spark.operators import sampling as SAMP
 from pyspark_datacol_diff_spark.operators import multimodal as MM
 from pyspark_datacol_diff_spark.operators import text as TX
 
@@ -490,6 +491,47 @@ def _q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def _q_sample_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash of the
+    key — stable under repartitioning, retries, and engine choice
+    (unlike randomSplit). Zero extra shuffle: the label is a pure
+    projection; only the audit aggregation shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    s = SAMP.hash_split(d, "doc_id", _SPLITS)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.bpe_ish_token_count("text")).alias("n_tokens"),
+    )
+
+
+def _q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-corpus pipeline: quality filter ->
+    language filter -> exact near-dup removal (normalized-content
+    fingerprint, min-id survivor) -> deterministic split -> audit
+    counts. Everything before the dedup window is a single codegen'd
+    projection over one parquet scan; total cost is two shuffles
+    (fingerprint partition + final aggregation)."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.filter(
+        (F.round(TX.quality_score("text") * 10).cast("long") >= 6)
+        & (TX.lang_id("text") == "en")
+    ).select("doc_id", "text", TX.doc_fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    rep = (
+        q.withColumn("rep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .drop("rep_id", "fp")
+    )
+    s = SAMP.hash_split(rep, "doc_id", _SPLITS)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.bpe_ish_token_count("text")).alias("n_tokens"),
+    )
+
+
 def _q_agg_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct + percentile aggregation breadth: exact count-distinct,
     decimal-exact running money, and a median over integer cents (ints
@@ -775,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_docs": _q_text_stats_docs,
         "lang_id_docs": _q_lang_id_docs,
         "text_quality_docs": _q_text_quality_docs,
+        "sample_split_docs": _q_sample_split_docs,
+        "pipeline_training_corpus": _q_pipeline_training_corpus,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "embed_cosine_near_dup": _q_embed_cosine_near_dup,
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
@@ -804,9 +848,10 @@ def _sql_stop_hits(words: list[str]) -> str:
     )
 
 
-def _sql_lang_id_docs() -> str:
-    """Oracle for lang_id_docs, generated from TX.LANG_PROFILES so the
-    two engines score from one profile table."""
+def _sql_lang_parts() -> tuple[str, str, list[str]]:
+    """(score-select list, detect CASE over s_* columns, sorted langs) —
+    generated from TX.LANG_PROFILES so the two engines score from one
+    profile table. Shared by lang_id_docs and the pipeline oracle."""
     from pyspark_datacol_diff_spark.operators import text as TXm
 
     score_cols = {
@@ -822,35 +867,92 @@ def _sql_lang_id_docs() -> str:
     case = (
         f"CASE WHEN {mx} <= 0 THEN 'und'\n"
         + "\n".join(f"            WHEN s_{l} = {mx} THEN '{l}'" for l in langs)
-        + "\n            ELSE 'und' END AS detected"
+        + "\n            ELSE 'und' END"
     )
+    return sels, case, langs
+
+
+def _sql_lang_id_docs() -> str:
+    sels, case, langs = _sql_lang_parts()
     return (
         f"WITH s AS (\n  SELECT doc_id,\n       {sels}\n  FROM documents)\n"
         f"SELECT doc_id, "
         + ", ".join(f"s_{l}" for l in langs)
-        + f",\n       {case}\nFROM s"
+        + f",\n       {case} AS detected\nFROM s"
     )
 
 
-def _sql_text_quality_docs() -> str:
+def _sql_quality_decile_expr() -> str:
+    """DuckDB rendering of round(TX.quality_score(text)*10) as BIGINT."""
     en_hits = _sql_stop_hits(
         __import__(
             "pyspark_datacol_diff_spark.operators.text", fromlist=["EN_STOPWORDS"]
         ).EN_STOPWORDS
     )
     toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
-    return f"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_ish,
-       CAST(round(
+    return f"""CAST(round(
          (CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 0.4 ELSE 0.0 END
         + CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) > 0 THEN 0.2 ELSE 0.0 END
         + CASE WHEN {en_hits} >= 2 THEN 0.2 ELSE 0.0 END
         + CASE WHEN {toks} > 0
                AND length(text) * 1.0 / {toks} >= 3
                AND length(text) * 1.0 / {toks} <= 12 THEN 0.2 ELSE 0.0 END
-         ) * 10) AS BIGINT) AS quality_decile
+         ) * 10) AS BIGINT)"""
+
+
+def _sql_text_quality_docs() -> str:
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_ish,
+       {_sql_quality_decile_expr()} AS quality_decile
 FROM documents
+"""
+
+
+_SQL_BUCKET = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000"
+)
+_SQL_SPLIT_CASE = (
+    "CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val' "
+    "ELSE 'test' END"
+)
+_SQL_NTOK = "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))"
+
+
+def _sql_sample_split_docs() -> str:
+    return f"""
+WITH b AS (SELECT *, {_SQL_BUCKET} AS bk FROM documents)
+SELECT {_SQL_SPLIT_CASE} AS split,
+       count(*) AS n_docs,
+       CAST(sum({_SQL_NTOK}) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1
+"""
+
+
+def _sql_pipeline_training_corpus() -> str:
+    sels, case, _ = _sql_lang_parts()
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, {_sql_quality_decile_expr()} AS qd,
+       {sels}
+  FROM documents),
+filt AS (
+  SELECT doc_id, text FROM scored
+  WHERE qd >= 6 AND ({case}) = 'en'),
+fp AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM filt),
+rep AS (
+  SELECT doc_id, text
+  FROM (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS rep_id
+        FROM fp)
+  WHERE doc_id = rep_id),
+b AS (SELECT *, {_SQL_BUCKET} AS bk FROM rep)
+SELECT {_SQL_SPLIT_CASE} AS split,
+       count(*) AS n_docs,
+       CAST(sum({_SQL_NTOK}) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1
 """
 
 
@@ -1039,6 +1141,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
         "lang_id_docs": _sql_lang_id_docs(),
         "text_quality_docs": _sql_text_quality_docs(),
+        "sample_split_docs": _sql_sample_split_docs(),
+        "pipeline_training_corpus": _sql_pipeline_training_corpus(),
         "ngram_jaccard_docs": """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),

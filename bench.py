@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "text_stats_docs",
     "lang_id_docs",
+    "pipeline_training_corpus",
     "fingerprint_rolling_docs",
     "ngram_jaccard_docs",
     "ann_topk_cosine",

@@ -1,0 +1,80 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Reference scope note: the reference library has no sampling of any kind
+(SURVEY.md §2.7); this is a north-star extension. At 100 TB the property
+that matters is *stability*: `df.sample()`/`randomSplit()` draw from
+per-task RNG streams, so membership changes with partitioning, retries,
+and cluster size. Content-hash bucketing instead derives membership from
+the row's own key — reproducible across runs, engines, partitionings,
+and incremental reprocessing (a new day's data never reshuffles old
+rows' split assignment). It is also a pure Column expression: zero
+shuffle, zero RNG state, engine-portable (md5), and the exact scheme
+big training-corpus pipelines use for train/val/test hygiene.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, *, buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Stable bucket in [0, buckets) from the md5 of the key's string
+    form (first 8 hex chars -> int). Uniform for any key type; the same
+    expression is reproducible in any engine with md5."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % F.lit(buckets)
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    splits: list[tuple[str, float]],
+    *,
+    split_col: str = "split",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Add a deterministic split label (e.g. train/val/test) by content
+    hash of ``key``. ``splits`` is an ordered ``[(name, weight), ...]``
+    with weights summing to 1; each row lands in the first cumulative
+    bucket range covering its hash. Rounding residue (< 1/buckets) goes
+    to the last split."""
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(key, buckets=buckets)
+    cum = 0.0
+    expr = None
+    for name, w in splits[:-1]:
+        cum += w
+        cond = b < int(round(cum * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(splits[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    *,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls below ``fraction[stratum] * buckets``. Strata absent
+    from ``fractions`` are dropped (fraction 0). Same key -> same
+    verdict regardless of partitioning or cluster size, so resampled
+    pipelines stay consistent across incremental runs."""
+    b = hash_bucket(key, buckets=buckets)
+    keep = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(stratum_col) == stratum) & (b < int(round(frac * buckets)))
+        keep = cond if keep is None else keep | cond
+    if keep is None:
+        raise ValueError("fractions must be non-empty")
+    return df.filter(keep)
