@@ -688,6 +688,24 @@ def _q_minhash_native_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+_MH_PORTABLE_K = 16
+
+
+def _q_minhash_portable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with the engine-portable md5 gram hash, emitted
+    wide (one column per hash) so the DuckDB oracle replays the exact
+    k-permutation pipeline bit-for-bit — full value-hash verification of
+    the MinHash math, not just row counts."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(
+        d, "doc_id", "text", n=3, num_hashes=_MH_PORTABLE_K, hash_fn="md5"
+    )
+    return sigs.select(
+        "doc_id",
+        *[F.col("sig")[i].alias(f"mh{i:02d}") for i in range(_MH_PORTABLE_K)],
+    )
+
+
 def _q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHashLSH candidate pairs (hash seeds engine-internal -> no SQL
     oracle; driver records rows-only)."""
@@ -826,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_arrow": _q_ann_topk_arrow,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_native_docs": _q_minhash_native_docs,
+        "minhash_portable_docs": _q_minhash_portable_docs,
         "minhash_lsh_docs": _q_minhash_lsh_docs,
         "simhash_docs": _q_simhash_docs,
         "multimodal_payload_stats": _q_multimodal_payload_stats,
@@ -917,6 +936,34 @@ _SQL_SPLIT_CASE = (
     "ELSE 'test' END"
 )
 _SQL_NTOK = "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))"
+
+
+def _sql_minhash_portable_docs() -> str:
+    """Replay the full MinHash pipeline in DuckDB: 3-gram shingles ->
+    md5-derived 32-bit gram hash -> the SAME seeded (a_i, b_i) universal
+    hashes (imported from the operator, not copied) -> per-doc mins."""
+    from pyspark_datacol_diff_spark.operators.dedup import (
+        _MH_PRIME,
+        minhash_coefficients,
+    )
+
+    coeffs = minhash_coefficients(_MH_PORTABLE_K)
+    mins = ",\n       ".join(
+        f"min(({a} * h32 + {b}) % {_MH_PRIME}) AS mh{i:02d}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM toks) u),
+h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h32 FROM grams)
+SELECT doc_id,
+       {mins}
+FROM h GROUP BY doc_id
+"""
 
 
 def _sql_sample_split_docs() -> str:
@@ -1169,6 +1216,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """,
+        "minhash_portable_docs": _sql_minhash_portable_docs(),
         "fingerprint_rolling_docs": """
 SELECT doc_id,
   list_reduce(

@@ -207,6 +207,20 @@ def ngram_jaccard_pairs(
 _MH_PRIME = 4294967311  # smallest prime > 2^32
 
 
+def minhash_coefficients(
+    num_hashes: int, seed: int = 42
+) -> list[tuple[int, int]]:
+    """Seeded universal-hash coefficients (a_i, b_i) — exposed so an
+    external oracle can reproduce signatures bit-for-bit."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, 1 << 30), rnd.randrange(0, _MH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -215,24 +229,24 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """k-permutation MinHash signatures as an array<bigint> column.
 
-    Shingle -> xxhash64 -> 32-bit fold -> k universal hashes
+    Shingle -> 32-bit gram hash -> k universal hashes
     ``(a_i * h + b_i) mod p`` -> ONE hash aggregate with k mins (same
     single-shuffle shape as simhash_fingerprints). Coefficients are
     seeded-deterministic; a_i < 2^30 and h < 2^32 keep the product
     inside signed-64 range (no overflow).
 
+    ``hash_fn``: 'xxhash64' (default — fastest, JVM-internal) or 'md5'
+    (first 8 hex chars -> int; ~same cost class, engine-portable, so an
+    external SQL engine can replay the exact signatures for
+    verification).
+
     Returns (doc_id, sig: array<bigint>). Docs with < n tokens drop out.
     """
-    import random
-
-    rnd = random.Random(seed)
-    coeffs = [
-        (rnd.randrange(1, 1 << 30), rnd.randrange(0, _MH_PRIME))
-        for _ in range(num_hashes)
-    ]
+    coeffs = minhash_coefficients(num_hashes, seed)
     from ..sources import balance_partitions
 
     df = balance_partitions(df)
@@ -240,7 +254,12 @@ def minhash_signatures(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, n)).alias("g"),
     )
-    h32 = F.xxhash64("g").bitwiseAND(F.lit((1 << 32) - 1))
+    if hash_fn == "xxhash64":
+        h32 = F.xxhash64("g").bitwiseAND(F.lit((1 << 32) - 1))
+    elif hash_fn == "md5":
+        h32 = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
     hashed = grams.select("doc_id", h32.alias("h"))
     mins = hashed.groupBy("doc_id").agg(
         *[

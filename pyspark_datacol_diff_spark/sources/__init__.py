@@ -60,6 +60,41 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines source. Always pass ``schema`` at scale — inference
+    samples the data with an extra scan and can mistype sparse fields;
+    with an explicit DDL schema the read is single-pass and Spark prunes
+    unreferenced fields from the parse."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", True)
+    return r.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "error",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink (the interchange format of text-corpus tooling).
+    Compressed by default: JSONL is ~5-10x larger than parquet for the
+    same rows, so uncompressed interchange dominates egress cost at
+    scale. Keep parquet for anything re-read by this engine."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def show_diff(diff_df: DataFrame, n: int = 20, truncate: bool = False) -> None:
     """Console sink for diff results: the array-of-structs column is
     rendered via to_json so nested values are readable (reference

@@ -109,3 +109,25 @@ def test_minhash_lsh_ml_variant(spark):
     pairs = DD.minhash_lsh_pairs(df, "doc_id", "text", n=3, jaccard_threshold=0.5)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert {(0, 1), (0, 3), (1, 3)} <= got
+
+
+def test_minhash_hash_fn_portable_and_invalid(spark):
+    import hashlib
+
+    from pyspark_datacol_diff_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([(1, "alpha beta gamma delta")], ["doc_id", "text"])
+    sig = DD.minhash_signatures(
+        df, "doc_id", "text", n=3, num_hashes=4, hash_fn="md5"
+    ).collect()[0]["sig"]
+    # replay by hand: 2 shingles, md5-first-8-hex gram hash, seeded coeffs
+    coeffs = DD.minhash_coefficients(4)
+    grams = ["alpha beta gamma", "beta gamma delta"]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    want = [min((a * h + b) % DD._MH_PRIME for h in hs) for a, b in coeffs]
+    assert sig == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DD.minhash_signatures(df, "doc_id", "text", hash_fn="sha1")

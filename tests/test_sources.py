@@ -105,3 +105,27 @@ def test_bucketed_diff_shuffles_nothing(spark):
     finally:
         spark.sql("DROP TABLE t_diff_s1")
         spark.sql("DROP TABLE t_diff_s2")
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from pyspark_datacol_diff_spark import sources as SRC
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None)], ["id", "name", "score"]
+    )
+    path = str(tmp_path / "out_jsonl")
+    SRC.write_jsonl(df, path, compression=None)
+    back = SRC.read_jsonl(spark, path, "id BIGINT, name STRING, score DOUBLE")
+    got = {r["id"]: (r["name"], r["score"]) for r in back.collect()}
+    assert got == {1: ("alpha", 1.5), 2: ("beta", None)}
+
+
+def test_jsonl_schema_prunes_parse(spark, tmp_path):
+    from pyspark_datacol_diff_spark import sources as SRC
+
+    df = spark.createDataFrame([(1, "x", "drop-me")], ["id", "name", "extra"])
+    path = str(tmp_path / "pruned_jsonl")
+    SRC.write_jsonl(df, path, compression=None)
+    back = SRC.read_jsonl(spark, path, "id BIGINT, name STRING")
+    assert back.columns == ["id", "name"]
+    assert back.collect()[0]["name"] == "x"
