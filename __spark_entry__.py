@@ -763,6 +763,16 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- extensions: multimodal (binary payload) columns -----------------------
 
+def _q_simhash_portable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash with the engine-portable md5 gram hash — the
+    DuckDB oracle replays the per-bit majority vote exactly, verifying
+    the SimHash math end-to-end (not just row counts)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_fingerprints(
+        d, "doc_id", "text", n=3, bits=32, hash_fn="md5"
+    )
+
+
 def _q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level media ops on synthetic payloads (documents.text encoded
     UTF-8 — the container has no real media): per-source length/digest
@@ -847,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_portable_docs": _q_minhash_portable_docs,
         "minhash_lsh_docs": _q_minhash_lsh_docs,
         "simhash_docs": _q_simhash_docs,
+        "simhash_portable_docs": _q_simhash_portable_docs,
         "multimodal_payload_stats": _q_multimodal_payload_stats,
         "multimodal_frames": _q_multimodal_frames,
         "streaming_events_hourly": _q_streaming_events_hourly,
@@ -956,13 +967,41 @@ def _sql_minhash_portable_docs() -> str:
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
 grams AS (
-  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
   FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
         FROM toks) u),
 h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h32 FROM grams)
 SELECT doc_id,
        {mins}
 FROM h GROUP BY doc_id
+"""
+
+
+def _sql_simhash_portable_docs() -> str:
+    """Replay 32-bit md5 SimHash in DuckDB: same shingles, same gram
+    hash, per-bit majority vote, identical bit packing."""
+    bits = 32
+    sums = ",\n       ".join(
+        f"sum((h32 >> {i}) & 1) AS b{i}" for i in range(bits)
+    )
+    pack = "\n     + ".join(
+        f"CASE WHEN 2 * b{i} >= m THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM toks) u),
+h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h32 FROM grams),
+votes AS (
+  SELECT doc_id, count(*) AS m,
+       {sums}
+  FROM h GROUP BY doc_id)
+SELECT doc_id,
+       CAST({pack} AS BIGINT) AS fp
+FROM votes
 """
 
 
@@ -1217,6 +1256,7 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """,
         "minhash_portable_docs": _sql_minhash_portable_docs(),
+        "simhash_portable_docs": _sql_simhash_portable_docs(),
         "fingerprint_rolling_docs": """
 SELECT doc_id,
   list_reduce(

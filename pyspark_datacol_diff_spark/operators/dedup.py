@@ -430,9 +430,10 @@ def simhash_fingerprints(
     *,
     n: int = 3,
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document (Charikar 2002): per shingle xxhash64,
-    per-bit majority vote across shingles, sign -> fingerprint bit.
+    """``bits``-wide SimHash per document (Charikar 2002): per shingle
+    hash, per-bit majority vote across shingles, sign -> fingerprint bit.
 
     Shape: explode shingles -> ONE hash aggregate with ``bits`` conditional
     sums (map-side partial, one shuffle keyed by doc id) -> pack bits in a
@@ -440,8 +441,13 @@ def simhash_fingerprints(
     re-walks the shingle array 64x per row and is ~50x slower — measured,
     not guessed.
 
+    ``hash_fn``: 'xxhash64' (default, 64-bit, JVM-internal) or 'md5'
+    (first 8 hex chars -> 32-bit, engine-portable — pass ``bits=32`` so
+    every fingerprint bit carries hash entropy; an external SQL engine
+    can then replay fingerprints exactly).
+
     Docs with fewer than ``n`` tokens have no shingles and produce no row.
-    Spark-only hash (xxhash64) -> rows-only oracle. Returns (doc_id, fp).
+    Returns (doc_id, fp).
     """
     from ..sources import balance_partitions
 
@@ -449,7 +455,13 @@ def simhash_fingerprints(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, n)).alias("g"),
     )
-    h = grams.select("doc_id", F.xxhash64("g").alias("h"))
+    if hash_fn == "xxhash64":
+        gram_hash = F.xxhash64("g")
+    elif hash_fn == "md5":
+        gram_hash = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
+    h = grams.select("doc_id", gram_hash.alias("h"))
     # bit 63 via arithmetic shiftright still yields (h>>63)&1 == sign bit
     votes = h.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("m"),

@@ -131,3 +131,28 @@ def test_minhash_hash_fn_portable_and_invalid(spark):
 
     with _pytest.raises(ValueError):
         DD.minhash_signatures(df, "doc_id", "text", hash_fn="sha1")
+
+
+def test_simhash_md5_matches_hand_vote(spark):
+    import hashlib
+
+    from pyspark_datacol_diff_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    fp = DD.simhash_fingerprints(
+        df, "doc_id", "text", n=3, bits=32, hash_fn="md5"
+    ).collect()[0]["fp"]
+    grams = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    want = 0
+    for i in range(32):
+        if 2 * sum((h >> i) & 1 for h in hs) >= len(hs):
+            want |= 1 << i
+    assert fp == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DD.simhash_fingerprints(df, "doc_id", "text", hash_fn="crc32")
