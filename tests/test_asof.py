@@ -69,3 +69,55 @@ def test_single_shuffle_plan(spark, frames):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas_merge_asof(spark, direction):
+    """Randomized cross-validation against pandas.merge_asof, the
+    canonical as-of implementation (same inclusive tie semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "user": rng.integers(0, 5, 300),
+            "t": rng.integers(0, 500, 300),
+            "cid": np.arange(300),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "user": rng.integers(0, 5, 300),
+                "t": rng.integers(0, 500, 300),
+            }
+        )
+        .drop_duplicates(["user", "t"])  # unique (key, ts): match is unambiguous
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("t", kind="stable").assign(t_r=lambda d: d["t"]),
+        on="t",
+        by="user",
+        direction=direction,
+    ).set_index("cid")["t_r"]
+
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        ["user"],
+        "t",
+        "t",
+        ["t"],
+        direction=direction,
+    )
+    got = {r["cid"]: r["t_r"] for r in out.collect()}
+    assert len(got) == len(left)
+    for cid, w in want.items():
+        g = got[cid]
+        if pd.isna(w):
+            assert g is None, f"cid={cid}: expected no match, got {g}"
+        else:
+            assert g == int(w), f"cid={cid}: expected {w}, got {g}"
