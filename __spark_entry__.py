@@ -479,7 +479,7 @@ def _q_dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
@@ -499,7 +499,7 @@ def _q_sample_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — stable under repartitioning, retries, and engine choice
     (unlike randomSplit). Zero extra shuffle: the label is a pure
     projection; only the audit aggregation shuffles."""
-    d = _t(spark, sf_dir, "documents")
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
     s = SAMP.hash_split(d, "doc_id", _SPLITS)
     return s.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -514,10 +514,12 @@ def _q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. Everything before the dedup window is a single codegen'd
     projection over one parquet scan; total cost is two shuffles
     (fingerprint partition + final aggregation)."""
-    d = _t(spark, sf_dir, "documents")
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
     q = d.filter(
-        (F.round(TX.quality_score("text") * 10).cast("long") >= 6)
-        & (TX.lang_id("text") == "en")
+        SRC.no_pushdown(
+            (F.round(TX.quality_score("text") * 10).cast("long") >= 6)
+            & (TX.lang_id("text") == "en")
+        )
     ).select("doc_id", "text", TX.doc_fingerprint("text").alias("fp"))
     w = Window.partitionBy("fp")
     rep = (
@@ -593,7 +595,7 @@ def _q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-heuristic language ID over documents: per-language marker
     scores plus the argmax label (sorted-code tie-break, 'und' floor).
     One codegen'd projection — no UDF, no shuffle."""
-    d = _t(spark, sf_dir, "documents")
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
     scores = TX.lang_scores("text")
     return d.select(
         "doc_id",
@@ -606,7 +608,7 @@ def _q_text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style quality scoring + BPE-ish token counts. The composite
     score is emitted as an integer decile (round(q*10)) so the oracle
     hash can't drift on last-ulp float formatting."""
-    d = _t(spark, sf_dir, "documents")
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         TX.bpe_ish_token_count("text").alias("n_bpe_ish"),

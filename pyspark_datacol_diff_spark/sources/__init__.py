@@ -33,6 +33,22 @@ def balance_partitions(df: DataFrame, *, min_ratio: float = 0.5) -> DataFrame:
     return df
 
 
+def no_pushdown(cond) -> "F.Column":
+    """Pin a filter where it is written: AND the condition with an
+    always-true non-deterministic guard (``monotonically_increasing_id()
+    >= -1``), which Catalyst refuses to push through exchanges.
+
+    Use ONLY for compute-heavy predicates placed above
+    ``balance_partitions``: predicate pushdown normally helps (smaller
+    shuffles, parquet row-group skipping), but pushing an expensive
+    regex/scoring predicate below the rebalance exchange re-serializes
+    it onto the scan's few tasks — measured 3.5x slower on a
+    single-row-group input. The guard costs one long comparison per row
+    and changes no semantics.
+    """
+    return (F.monotonically_increasing_id() >= -1) & cond
+
+
 def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
     """Header-only CSV read, every column StringType — the reference's
     input convention (no inferSchema). Schema inference over a 100 TB

@@ -129,3 +129,26 @@ def test_jsonl_schema_prunes_parse(spark, tmp_path):
     back = SRC.read_jsonl(spark, path, "id BIGINT, name STRING")
     assert back.columns == ["id", "name"]
     assert back.collect()[0]["name"] == "x"
+
+
+def test_no_pushdown_keeps_filter_above_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_datacol_diff_spark import sources as SRC
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    cond = (F.col("k") % 7 == 0)
+    plain = df.repartition(8).filter(cond)
+    guarded = df.repartition(8).filter(SRC.no_pushdown(cond))
+    # same rows either way
+    assert plain.count() == guarded.count() == 143
+
+    def filter_above_exchange(q):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        fi = next(i for i, l in enumerate(lines) if "Filter" in l)
+        ei = next(i for i, l in enumerate(lines) if "Exchange RoundRobin" in l)
+        return fi < ei  # earlier line = higher in the plan = runs after
+
+    assert not filter_above_exchange(plain)  # Catalyst pushes it down
+    assert filter_above_exchange(guarded)  # guard pins it above
