@@ -507,6 +507,19 @@ def _q_sample_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRATA = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+
+
+def _q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling on the lang metadata
+    column: rebalance the corpus by halving the dominant language.
+    Membership is content-hash-derived, so the sample is reproducible
+    across engines and partitionings."""
+    d = _t(spark, sf_dir, "documents")
+    s = SAMP.stratified_sample(d, "doc_id", "lang", _STRATA)
+    return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def _q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end training-corpus pipeline: quality filter ->
     language filter -> exact near-dup removal (normalized-content
@@ -848,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": _q_lang_id_docs,
         "text_quality_docs": _q_text_quality_docs,
         "sample_split_docs": _q_sample_split_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
         "pipeline_training_corpus": _q_pipeline_training_corpus,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "embed_cosine_near_dup": _q_embed_cosine_near_dup,
@@ -1014,6 +1028,18 @@ SELECT {_SQL_SPLIT_CASE} AS split,
        count(*) AS n_docs,
        CAST(sum({_SQL_NTOK}) AS BIGINT) AS n_tokens
 FROM b GROUP BY 1
+"""
+
+
+def _sql_stratified_sample_docs() -> str:
+    keep = " OR ".join(
+        f"(lang = '{s}' AND bk < {int(round(f * 10000))})"
+        for s, f in _STRATA.items()
+    )
+    return f"""
+WITH b AS (SELECT *, {_SQL_BUCKET} AS bk FROM documents)
+SELECT lang, count(*) AS n_docs
+FROM b WHERE {keep} GROUP BY lang
 """
 
 
@@ -1230,6 +1256,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "lang_id_docs": _sql_lang_id_docs(),
         "text_quality_docs": _sql_text_quality_docs(),
         "sample_split_docs": _sql_sample_split_docs(),
+        "stratified_sample_docs": _sql_stratified_sample_docs(),
         "pipeline_training_corpus": _sql_pipeline_training_corpus(),
         "ngram_jaccard_docs": """
 WITH toks AS (
