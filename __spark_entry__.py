@@ -30,6 +30,7 @@ from pyspark_datacol_diff_spark.operators import similarity as SIM
 from pyspark_datacol_diff_spark import sources as SRC
 from pyspark_datacol_diff_spark import streaming as STR
 from pyspark_datacol_diff_spark.operators import asof as ASOF
+from pyspark_datacol_diff_spark.operators import range_join as RJ
 from pyspark_datacol_diff_spark.operators import sampling as SAMP
 from pyspark_datacol_diff_spark.operators import multimodal as MM
 from pyspark_datacol_diff_spark.operators import text as TX
@@ -585,6 +586,31 @@ def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_join_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: every (click, error) pair for the same user
+    where the error happened in the 10 minutes before the click. Binned
+    equi-join + exact filter — no nested-loop, one shuffle per side."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    j = RJ.bounded_range_join(
+        clicks,
+        errors,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["err_id"],
+        min_delta=-600,
+        max_delta=0,
+        suffix="",
+    )
+    return j.select("event_id", "user_id", "err_id")
+
+
 def _q_window_user_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function breadth: lag, running decimal sum (exact cents),
     3-row rolling max, row_number — one shuffle on user_id serves all
@@ -851,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_event_stats": _q_agg_event_stats,
         "asof_click_view": _q_asof_click_view,
         "window_user_running": _q_window_user_running,
+        "range_join_click_error": _q_range_join_click_error,
         "string_funcs_customer": _q_string_funcs,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
         "json_events_props": _q_json_events_props,
@@ -1239,6 +1266,14 @@ SELECT c.event_id, c.user_id, c.ts AS click_ts, v.ts AS view_ts
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+        "range_join_click_error": """
+SELECT c.event_id, c.user_id, e.event_id AS err_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts - INTERVAL 600 SECOND
+ AND e.ts <= c.ts
 """,
         "window_user_running": """
 SELECT event_id, user_id,
