@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "agg_orders_by_segment",
     "events_hourly",
     "asof_click_view",
+    "range_join_click_error",
     "window_user_running",
     "agg_event_stats",
     "json_events_props",
