@@ -550,8 +550,11 @@ def _q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_agg_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct + percentile aggregation breadth: exact count-distinct,
-    decimal-exact running money, and a median over integer cents (ints
-    below 2^53 interpolate identically in both engines' doubles)."""
+    decimal-exact running money, and a median over integer cents. Every
+    emitted column stays in integer space: the interpolated median of
+    ints is a half-integer, so 2*median is an exact BIGINT in both
+    engines, and the max is emitted as exact cents rather than a raw
+    double that round-trips through two serialization paths."""
     e = _t(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     return (
@@ -560,8 +563,8 @@ def _q_agg_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.sum(cents).alias("sum_cents"),
-            F.median(cents).alias("median_cents"),
-            F.max("value").alias("max_value"),
+            (F.median(cents) * 2).cast("long").alias("median_x2_cents"),
+            F.max(cents).alias("max_cents"),
         )
     )
 
@@ -1256,9 +1259,9 @@ FROM documents
 SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents,
-       median(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS median_cents,
-       max(value) AS max_value
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(2 * median(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS median_x2_cents,
+       max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents
 FROM events GROUP BY event_type
 """,
         "asof_click_view": """
