@@ -724,12 +724,22 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_native_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native DataFrame MinHash banding (the at-scale near-dedup path;
-    xxhash64-seeded -> rows-only oracle)."""
+    """Native DataFrame MinHash banding (the at-scale near-dedup path)
+    run through the engine-portable md5 gram/band hash so the DuckDB
+    oracle replays the ENTIRE pipeline — signatures, banding, candidate
+    join, agreement filter — and value-hash-verifies the emitted pairs.
+    The xxhash64 default of the same operator is the production path
+    (identical plan shape, cheaper hash) and stays pytest-covered."""
     d = _t(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(
-        d, "doc_id", "text", n=3, bands=32, jaccard_threshold=0.3
-    ).select("id_a", "id_b")
+        d, "doc_id", "text", n=3, bands=32, jaccard_threshold=0.3,
+        hash_fn="md5",
+    ).select(
+        "id_a",
+        "id_b",
+        # integer-exact agreement count instead of the double ratio
+        (F.col("est_jaccard") * 64).cast("long").alias("n_agree"),
+    )
 
 
 _MH_PORTABLE_K = 16
@@ -760,9 +770,15 @@ def _q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based -> no SQL oracle)."""
+    """SimHash near-dup pairs through the 32-bit md5-portable
+    fingerprint: the DuckDB oracle replays fingerprints, pigeonhole
+    banding, and the Hamming verify exactly. The 64-bit xxhash64 default
+    is the production path and stays pytest-covered."""
     d = _t(spark, sf_dir, "documents")
-    return DD.simhash_near_dups(d, "doc_id", "text", n=3, max_hamming=16)
+    return DD.simhash_near_dups(
+        d, "doc_id", "text", n=3, max_hamming=8, band_bits=8, bits=32,
+        hash_fn="md5",
+    )
 
 
 # --- extensions: structured streaming --------------------------------------
@@ -1051,6 +1067,109 @@ FROM votes
 """
 
 
+def _sql_minhash_pairs_docs() -> str:
+    """Replay the FULL MinHash banding pipeline in DuckDB: md5 gram
+    hashes -> 64 seeded universal-hash mins -> 32 two-row band keys
+    (md5 of the comma-joined slice, byte-identical to the Spark band
+    key so even key collisions coincide) -> candidate self-join ->
+    signature-agreement filter (est >= 0.3 <=> n_agree/64 >= 0.3)."""
+    from pyspark_datacol_diff_spark.operators.dedup import (
+        _MH_PRIME,
+        minhash_coefficients,
+    )
+
+    k, bands = 64, 32
+    rpb = k // bands
+    coeffs = minhash_coefficients(k)
+    mins = ",\n       ".join(
+        f"min(({a} * h32 + {b}) % {_MH_PRIME}) AS mh{i:02d}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, md5({key}) AS bkey FROM sigs".format(
+            j=j,
+            key=" || ',' || ".join(
+                f"mh{j * rpb + r:02d}::VARCHAR" for r in range(rpb)
+            ),
+        )
+        for j in range(bands)
+    )
+    agree = "\n     + ".join(
+        f"CASE WHEN sa.mh{i:02d} = sb.mh{i:02d} THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM toks) u),
+h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h32 FROM grams),
+sigs AS (
+  SELECT doc_id,
+       {mins}
+  FROM h GROUP BY doc_id),
+bands AS (
+  {band_selects}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+agree AS (
+  SELECT c.id_a, c.id_b,
+       CAST({agree} AS BIGINT) AS n_agree
+  FROM cands c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, n_agree FROM agree WHERE n_agree / 64.0 >= 0.3
+"""
+
+
+def _sql_simhash_pairs_docs() -> str:
+    """Replay SimHash near-dup in DuckDB: the 32-bit md5 fingerprints
+    (same per-bit majority vote as _sql_simhash_portable_docs), four
+    8-bit pigeonhole bands as decimal-string keys, candidate self-join,
+    exact Hamming verify via bit_count(xor)."""
+    bits, band_bits, max_hamming = 32, 8, 8
+    nbands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    sums = ",\n       ".join(
+        f"sum((h32 >> {i}) & 1) AS b{i}" for i in range(bits)
+    )
+    pack = "\n     + ".join(
+        f"CASE WHEN 2 * b{i} >= m THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, fp, '{i}' || ':' || (((fp >> {i * band_bits}) & {mask}))::VARCHAR AS band FROM fps"
+        for i in range(nbands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM toks) u),
+h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h32 FROM grams),
+votes AS (
+  SELECT doc_id, count(*) AS m,
+       {sums}
+  FROM h GROUP BY doc_id),
+fps AS (
+  SELECT doc_id, CAST({pack} AS BIGINT) AS fp FROM votes),
+bands AS (
+  {band_selects}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+"""
+
+
 def _sql_sample_split_docs() -> str:
     return f"""
 WITH b AS (SELECT *, {_SQL_BUCKET} AS bk FROM documents)
@@ -1324,6 +1443,8 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """,
         "minhash_portable_docs": _sql_minhash_portable_docs(),
         "simhash_portable_docs": _sql_simhash_portable_docs(),
+        "minhash_native_docs": _sql_minhash_pairs_docs(),
+        "simhash_docs": _sql_simhash_pairs_docs(),
         "fingerprint_rolling_docs": """
 SELECT doc_id,
   list_reduce(
@@ -1385,6 +1506,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS value_e4
 FROM events GROUP BY 1, 2
 """,
-        # minhash_lsh_docs / simhash_docs: engine-internal hash functions,
-        # deliberately no SQL oracle (driver rows-only check).
+        # minhash_lsh_docs: pyspark.ml-internal hash seeds, deliberately
+        # no SQL oracle (driver rows-only check + exact-Jaccard pytest
+        # cross-check).
     }

@@ -284,6 +284,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding (Leskovec et al., MMDS ch.3),
     pure DataFrame ops — the at-scale alternative to pyspark.ml's
@@ -293,24 +294,38 @@ def minhash_near_dup_pairs(
     num_hashes) sits at or below ``jaccard_threshold``: 16 bands x 4 rows
     targets ~0.5; use 32 x 2 for thresholds near 0.2-0.3.
 
-    Signature -> ``bands`` band keys (xxhash64 of each signature slice)
+    Signature -> ``bands`` band keys (hash of each signature slice)
     -> explode -> self-join on (band, key) -> distinct candidate pairs
     -> verify with the signature-agreement Jaccard estimate. Signatures
     ride along through the band explode (bands x sig copies) — cheaper
     than two join-backs until signatures get long; switch to join-back
     beyond ~256 hashes.
 
+    ``hash_fn`` selects BOTH the gram hash and the band key: 'xxhash64'
+    (default, 8-byte band shuffle key) or 'md5' (engine-portable — an
+    external SQL engine replaying md5 sees the identical candidate set,
+    since any band-key collision is byte-identical across engines).
+
     Returns (id_a, id_b, est_jaccard).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
+        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed,
+        hash_fn=hash_fn,
     )
+
+    def _bkey(sl: Column) -> Column:
+        if hash_fn == "md5":
+            return F.md5(
+                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+            )
+        return F.xxhash64(sl)
+
     band_entries = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                F.xxhash64(F.slice("sig", j * rows_per_band + 1, rows_per_band)).alias(
+                _bkey(F.slice("sig", j * rows_per_band + 1, rows_per_band)).alias(
                     "bkey"
                 ),
             )
@@ -495,10 +510,17 @@ def simhash_near_dups(
     n: int = 3,
     max_hamming: int = 8,
     band_bits: int = 16,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
-    64/band_bits chunks; pairs sharing any band are candidates (standard
+    """Near-dup pairs by SimHash: band the ``bits``-wide fingerprint into
+    bits/band_bits chunks; pairs sharing any band are candidates (standard
     pigeonhole blocking), verified by full Hamming distance.
+
+    The band key is a decimal string of the chunk — already
+    engine-portable; with ``hash_fn='md5'`` and ``bits=32`` the whole
+    pipeline (fingerprints included) replays bit-exactly in external SQL
+    engines.
 
     One shuffle on the band key, one on the pair key. Returns
     ``(id_a, id_b, hamming)``.
@@ -506,12 +528,12 @@ def simhash_near_dups(
     from pyspark.storagelevel import StorageLevel
 
     # both sides of the band self-join consume the fingerprints; cache
-    # the tiny (doc_id, fp) relation so the shingle -> 64-vote shuffle
-    # pipeline runs once, not twice
-    fp = simhash_fingerprints(df, id_col, text_col, n=n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    nbands = 64 // band_bits
+    # the tiny (doc_id, fp) relation so the shingle -> per-bit-vote
+    # shuffle pipeline runs once, not twice
+    fp = simhash_fingerprints(
+        df, id_col, text_col, n=n, bits=bits, hash_fn=hash_fn
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nbands = bits // band_bits
     bands = fp.select(
         "doc_id",
         "fp",
