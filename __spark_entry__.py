@@ -711,14 +711,18 @@ def _q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (k-means cells, nprobe probing) — the scale
-    path next to the exact ann_topk_cosine baseline. Cluster assignment
-    is engine-internal (ml KMeans) -> rows-only oracle."""
+    """IVF top-k (k-means cells, zero-shuffle assignment) run with
+    nprobe == nlist: probing every cell makes the result equal the exact
+    brute-force top-k WHATEVER centroids k-means produced, so the whole
+    IVF machinery — sampled fit, per-row cell argmax, probe join, local
+    top-k merge — is verified against the exact-cosine SQL oracle.
+    Approximate recall at nprobe < nlist stays pytest-gated
+    (tests/test_similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    return SIM.ivf_topk(emb, q, 5, nlist=16, nprobe=4).select(
+    return SIM.ivf_topk(emb, q, 5, nlist=16, nprobe=16).select(
         "qid", "neighbor_id", "rank"
     )
 
@@ -743,6 +747,20 @@ def _q_minhash_native_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MH_PORTABLE_K = 16
+
+_SQL_EXACT_TOPK = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, neighbor_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def _q_minhash_portable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1453,19 +1471,11 @@ SELECT doc_id,
     (a, b) -> (a * 1000003 + b) % 2147483647) AS rolling_fp
 FROM documents
 """,
-        "ann_topk_cosine": """
-WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id % 25 = 0),
-scored AS (
-  SELECT q.qid, e.vec_id AS neighbor_id,
-         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
-  FROM embeddings e, q WHERE e.vec_id <> q.qid),
-ranked AS (
-  SELECT qid, neighbor_id,
-         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
-  FROM scored)
-SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 5
-""",
+        "ann_topk_cosine": _SQL_EXACT_TOPK,
+        # full-probe IVF (nprobe == nlist) is exact by construction, so
+        # the brute-force top-k SQL is its oracle too — this verifies
+        # the IVF assignment/probe/merge machinery end-to-end
+        "ann_ivf_topk": _SQL_EXACT_TOPK,
         "multimodal_payload_stats": """
 SELECT source, count(*) AS n_docs,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -158,6 +158,52 @@ def cosine_topk_arrow(
     )
 
 
+def cell_ranks(
+    vec: Column, vnorm: Column, centroids: list[list[float]]
+) -> Column:
+    """Per-row centroid ranking as a SORTED array<struct<negsim,cid>>
+    (ascending negated cosine = descending similarity, ties by cid asc).
+
+    Pure Column expression over literal centroids — a zero-shuffle
+    projection. This replaces the crossJoin(broadcast(centroids)) +
+    per-id argmin window formulation, which shuffled corpus x nlist rows
+    keyed by vector id just to pick the nearest of ``nlist`` centroids —
+    at 100 TB that is a full-corpus x nlist exchange for a decision every
+    row can make locally.
+    """
+    import math
+
+    entries = []
+    for cid, cvec in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in cvec)) or float("nan")
+        csim = dot(vec, F.array(*[F.lit(float(x)) for x in cvec])) / (
+            vnorm * F.lit(cn)
+        )
+        entries.append(
+            F.struct((-csim).alias("negsim"), F.lit(cid).alias("cid"))
+        )
+    return F.array_sort(F.array(*entries))
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index build: nearest-centroid cell id per corpus vector,
+    computed as a per-row argmax projection (no Exchange in the plan —
+    pinned by tests/test_plans.py). Returns (id, vec, __na norm, cid)."""
+    from ..sources import balance_partitions
+
+    base = balance_partitions(corpus).select(
+        id_col, vec_col, norm(F.col(vec_col)).alias("__na")
+    )
+    best = F.element_at(cell_ranks(F.col(vec_col), F.col("__na"), centroids), 1)
+    return base.withColumn("cid", best["cid"])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -171,76 +217,60 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    fit_fraction: float = 0.25,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the scale path when the
     brute-force corpus scan per query is too expensive.
 
-    Train ``nlist`` k-means centroids (sampled fit, driver-side model —
-    centroids are tiny), assign every corpus vector to its nearest
-    centroid (ONE broadcast join + argmin window — this is the index
-    build, amortized across queries), then probe only the ``nprobe``
-    nearest cells per query: the candidate set shrinks ~nlist/nprobe-fold
-    versus brute force. Recall < 1 by construction; raise nprobe to trade
-    compute for recall.
+    Train ``nlist`` k-means centroids on a ``fit_fraction`` sample (the
+    fit is a driver-coordinated iterative job; centroids are stable under
+    sampling and the index only needs approximate cells), assign every
+    corpus vector to its nearest centroid with a ZERO-SHUFFLE per-row
+    argmax over the literal centroid array (see :func:`assign_cells`),
+    then probe only the ``nprobe`` nearest cells per query: the candidate
+    set shrinks ~nlist/nprobe-fold versus brute force. Recall < 1 by
+    construction; raise nprobe to trade compute for recall. With
+    ``nprobe == nlist`` every cell is probed and the result equals the
+    exact brute-force top-k — the oracle-verifiable configuration.
 
-    At 100 TB: the corpus-side assignment is a scan with a broadcast of
-    nlist×dim floats (KB) and the probe join's shuffle key is the cell id
-    — candidates co-locate by cell, never a cross product. Returns
+    At 100 TB: the corpus-side assignment is a pure projection (the
+    centroid table is nlist x dim literal floats, KB, folded into the
+    plan) and the probe join's shuffle key is the cell id — candidates
+    co-locate by cell, never a cross product. Returns
     ``(qid, neighbor_id, rank, sim)``.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    spark = corpus.sparkSession
-    feats = corpus.select(
+    fit_src = (
+        corpus.sample(fraction=fit_fraction, seed=seed)
+        if fit_fraction < 1.0
+        else corpus
+    )
+    feats = fit_src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     km = KMeans(k=nlist, seed=seed, maxIter=20).fit(feats)
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
-        f"cid int, cvec array<double>",
+    centroids = [[float(x) for x in c] for c in km.clusterCenters()]
+
+    assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+
+    q = queries.select(
+        query_id_col, query_vec_col, norm(F.col(query_vec_col)).alias("__nq")
     )
-
-    centroids = centroids.withColumn("__nc", norm(F.col("cvec")))
-
-    def nearest_cells(df, idc, vecc, normc, n):
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            idc,
-            vecc,
-            normc,
-            "cid",
-            (dot(F.col(vecc), F.col("cvec")) / (F.col(normc) * F.col("__nc"))).alias(
-                "csim"
-            ),
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("csim"), F.asc("cid"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .drop("csim", "crank")
-        )
-
-    from ..sources import balance_partitions
-
-    assigned = nearest_cells(
-        balance_partitions(corpus).select(
-            id_col, vec_col, norm(F.col(vec_col)).alias("__na")
-        ),
-        id_col,
-        vec_col,
-        "__na",
-        1,
-    )
-    probes = nearest_cells(
-        queries.select(
-            query_id_col, query_vec_col, norm(F.col(query_vec_col)).alias("__nq")
-        ),
+    probes = q.select(
         query_id_col,
         query_vec_col,
         "__nq",
-        nprobe,
-    )
-    cand = assigned.join(probes, "cid")
+        F.explode(
+            F.slice(
+                cell_ranks(F.col(query_vec_col), F.col("__nq"), centroids),
+                1,
+                nprobe,
+            )
+        ).alias("__cell"),
+    ).select(query_id_col, query_vec_col, "__nq", F.col("__cell")["cid"].alias("cid"))
+    cand = assigned.join(F.broadcast(probes), "cid")
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col(query_id_col))
     scored = cand.select(
@@ -336,6 +366,7 @@ def lsh_near_dup_pairs(
     num_tables: int = 4,
     sim_threshold: float = 0.8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Corpus-x-corpus near-duplicate pairs without the cross product.
 
@@ -345,11 +376,17 @@ def lsh_near_dup_pairs(
     bucket histogram is the thing to watch; more planes -> smaller
     buckets -> fewer false candidates.
 
+    ``dim`` is the embedding width; pass it explicitly (array schemas
+    don't carry length, and deriving it would cost a Spark job on the
+    driver before planning). ``None`` falls back to peeking at one row —
+    acceptable interactively, not in a production pipeline.
+
     Returns ``(id_a, id_b, sim)`` with sim >= threshold.
     """
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
 
     from ..sources import balance_partitions

@@ -76,3 +76,14 @@ def test_q1_is_single_aggregation_pass(qs, spark):
 
 def test_dedup_exact_is_single_shuffle(qs, spark):
     P.assert_max_shuffles(qs["dedup_exact_docs"](spark, SF), 1)
+
+
+def test_ivf_assignment_is_zero_shuffle(spark):
+    # the IVF index build must be a pure projection: nearest-centroid
+    # selection happens per row against literal centroids, never via a
+    # corpus x nlist join + window (which shuffles the whole corpus)
+    from pyspark_datacol_diff_spark.operators.similarity import assign_cells
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centroids = [[float(i == j) for j in range(8)] + [0.0] * 56 for i in range(4)]
+    P.assert_max_shuffles(assign_cells(emb, centroids), 0)
