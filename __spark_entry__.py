@@ -33,6 +33,7 @@ from pyspark_datacol_diff_spark.operators import asof as ASOF
 from pyspark_datacol_diff_spark.operators import range_join as RJ
 from pyspark_datacol_diff_spark.operators import sampling as SAMP
 from pyspark_datacol_diff_spark.operators import multimodal as MM
+from pyspark_datacol_diff_spark.operators import skew as SKEW
 from pyspark_datacol_diff_spark.operators import text as TX
 
 
@@ -727,6 +728,57 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the 100 TB embedding near-dup path:
+    random-hyperplane LSH pairs (operators/similarity.py) checked
+    Spark-side against the exact O(n^2) pair set. Emits one row
+    (n_exact, n_false_pos, recall_ok); the DuckDB oracle computes
+    n_exact from scratch and pins n_false_pos = 0 (the exact-cosine
+    verify stage makes LSH output a subset of the exact pairs) and
+    recall >= 0.8 (measured 1.0 at sf0.001/sf0.01 with these seeded
+    params — planes=3, tables=16)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = SIM.cosine_pairs(emb, sim_threshold=0.4).select("id_a", "id_b")
+    lsh = SIM.lsh_near_dup_pairs(
+        emb, num_planes=3, num_tables=16, sim_threshold=0.4, dim=64
+    ).select("id_a", "id_b")
+    m = exact.withColumn("in_e", F.lit(1)).join(
+        lsh.withColumn("in_l", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    return m.agg(
+        F.sum("in_e").cast("long").alias("n_exact"),
+        F.sum(F.when(F.col("in_e").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        (
+            F.sum(
+                F.when(F.col("in_e").isNotNull() & F.col("in_l").isNotNull(), 1)
+                .otherwise(0)
+            )
+            >= F.lit(0.8) * F.sum("in_e")
+        ).alias("recall_ok"),
+    )
+
+
+def _q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted big x small join: events routed to one of 8 salts,
+    customer metadata replicated per salt map-side (operators/skew.py).
+    Result-identical to the plain equi-join — which IS the oracle — so
+    the driver verifies the salting is semantics-preserving; the salt
+    spread and exchange shape are pinned in tests."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = SKEW.salted_join(e, c, ["c_custkey"], num_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("sum_cents"),
+    )
+
+
 def _q_minhash_native_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native DataFrame MinHash banding (the at-scale near-dedup path)
     run through the engine-portable md5 gram/band hash so the DuckDB
@@ -933,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _q_ann_topk,
         "ann_topk_arrow": _q_ann_topk_arrow,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "salted_join_events": _q_salted_join_events,
+        "lsh_near_dup_recall": _q_lsh_near_dup_recall,
         "minhash_native_docs": _q_minhash_native_docs,
         "minhash_portable_docs": _q_minhash_portable_docs,
         "minhash_lsh_docs": _q_minhash_lsh_docs,
@@ -1406,6 +1460,21 @@ SELECT c.event_id, c.user_id, c.ts AS click_ts, v.ts AS view_ts
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+        "lsh_near_dup_recall": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(0 AS BIGINT) AS n_false_pos,
+       true AS recall_ok
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+""",
+        "salted_join_events": """
+SELECT c.c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
 """,
         "range_join_click_error": """
 SELECT c.event_id, c.user_id, e.event_id AS err_id

@@ -87,3 +87,26 @@ def test_ivf_assignment_is_zero_shuffle(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     centroids = [[float(i == j) for j in range(8)] + [0.0] * 56 for i in range(4)]
     P.assert_max_shuffles(assign_cells(emb, centroids), 0)
+
+
+def test_salted_join_partitions_on_salt(spark):
+    # with broadcast off (forcing a shuffled join), the exchange must
+    # hash-partition on (key, salt) so a hot key spreads over num_salts
+    # shuffle partitions instead of one
+    import re
+
+    from pyspark_datacol_diff_spark.operators.skew import salted_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(1000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        )
+        small = spark.range(10).select(
+            F.col("id").alias("k"), F.lit("m").alias("meta")
+        )
+        plan = P.physical_plan(salted_join(big, small, ["k"], num_salts=8))
+        assert re.search(r"hashpartitioning\([^)]*__dcd_salt", plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
