@@ -48,8 +48,13 @@ BENCH_QUERIES = [
     "ngram_jaccard_docs",
     "ann_topk_cosine",
     "ann_topk_arrow",
+    "ann_ivf_topk",
     "minhash_native_docs",
     "simhash_docs",
+    "salted_join_events",
+    # lsh_near_dup_recall stays out: it deliberately runs the exact
+    # O(n^2) verify next to the LSH path (a correctness gate, not a
+    # throughput headline)
 ]
 
 
@@ -65,17 +70,15 @@ def main() -> None:
 
     qs = entry.queries()
 
-    # untimed warmup: JIT the codegen/shuffle paths and load parquet
-    # footers so query 1 measures the query, not JVM cold-start — the
-    # steady-state a long-lived cluster actually runs at
-    from pyspark.sql import functions as F
-
-    warm = (
-        spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)))
-    )
-    warm.write.format("noop").mode("overwrite").save()
+    # untimed warmup: run the first headline query end-to-end once so the
+    # timed loop measures queries, not JVM/codegen/shuffle cold-start
+    # (a plain scan+agg warmup left the first timed query absorbing ~2.5 s
+    # of sort-merge-join and wide-projection codegen JIT). This is the
+    # steady-state a long-lived cluster actually runs at.
+    qs[BENCH_QUERIES[0]](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -218,6 +218,7 @@ def ivf_topk(
     seed: int = 42,
     exclude_self: bool = True,
     fit_fraction: float = 0.25,
+    max_iter: int = 10,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the scale path when the
     brute-force corpus scan per query is too expensive.
@@ -250,7 +251,10 @@ def ivf_topk(
     feats = fit_src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    km = KMeans(k=nlist, seed=seed, maxIter=20).fit(feats)
+    # the index only needs approximately-balanced cells, not converged
+    # clusters: capped iterations halve the fit cost with no measurable
+    # recall change (pytest recall gate)
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
     centroids = [[float(x) for x in c] for c in km.clusterCenters()]
 
     assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
