@@ -20,14 +20,28 @@ class SchemaMismatchError(DataColDiffError):
     reference ``find_datacol_diff.py:34``), this reports BOTH directions.
     """
 
-    def __init__(self, only_in_s1: set[str], only_in_s2: set[str]):
+    def __init__(
+        self,
+        only_in_s1: set[str],
+        only_in_s2: set[str],
+        type_mismatches: dict | None = None,
+    ):
         self.only_in_s1 = only_in_s1
         self.only_in_s2 = only_in_s2
-        super().__init__(
-            "schema mismatch: "
-            f"columns only in s1={sorted(only_in_s1)}, "
-            f"only in s2={sorted(only_in_s2)}"
-        )
+        self.type_mismatches = type_mismatches or {}
+        parts = [
+            f"columns only in s1={sorted(only_in_s1)}",
+            f"only in s2={sorted(only_in_s2)}",
+        ]
+        if self.type_mismatches:
+            parts.append(
+                "dtype divergence="
+                + ", ".join(
+                    f"{c}(s1={a.simpleString()} s2={b.simpleString()})"
+                    for c, (a, b) in sorted(self.type_mismatches.items())
+                )
+            )
+        super().__init__("schema mismatch: " + ", ".join(parts))
 
 
 class PrimaryKeyError(DataColDiffError):

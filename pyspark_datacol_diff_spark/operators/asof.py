@@ -44,13 +44,20 @@ def asof_join(
     ``right_cols`` are the right-side columns to carry (emitted with
     ``suffix``; ``right_ts`` itself is a natural choice). All left
     columns pass through unchanged.
+
+    Null timestamps: a right row with null ``right_ts`` is never a
+    candidate (dropped before the union — otherwise default nulls-first
+    ordering would sort it before everything and its values would leak
+    into left rows with no real match); a left row with null
+    ``left_ts`` matches nothing and keeps nulls (nulls-first ordering
+    on both directions puts it before any right row).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     carried = [c + suffix for c in right_cols]
     l = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
-    r = right.select(
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
@@ -60,10 +67,13 @@ def asof_join(
 
     # Right rows sort before left rows at equal ts (side 0 < 1) so an
     # exactly-simultaneous right row is visible to the left row.
+    # Nulls first in BOTH directions: null-ts left rows see no carried
+    # values (desc's default nulls-last would instead hand them the
+    # entire history).
     if direction == "backward":
-        w = Window.partitionBy(*on).orderBy(F.asc(_TS), F.asc(_SIDE))
+        w = Window.partitionBy(*on).orderBy(F.asc_nulls_first(_TS), F.asc(_SIDE))
     else:
-        w = Window.partitionBy(*on).orderBy(F.desc(_TS), F.asc(_SIDE))
+        w = Window.partitionBy(*on).orderBy(F.desc_nulls_first(_TS), F.asc(_SIDE))
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     matched = u.select(

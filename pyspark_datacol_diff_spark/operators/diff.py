@@ -79,17 +79,38 @@ FLAG_DIFF = ""  # reference encodes "matched but differs" as empty string
 # validation / standardization
 # ---------------------------------------------------------------------------
 
-def validate_schemas(s1: DataFrame, s2: DataFrame) -> None:
+def validate_schemas(
+    s1: DataFrame, s2: DataFrame, *, strict_types: bool = False
+) -> None:
     """Check both inputs share one case-insensitive column-name set.
 
     The reference checks only ``s1 - s2`` (reference :34, asymmetric —
     documented as a latent bug in SURVEY.md §4.4); we check both
     directions and raise instead of returning ``None``.
+
+    Same-named columns with diverging data types are logged as a warning
+    (the comparison then runs through the implicit cast Spark picks for
+    s1's dtype, which can silently change semantics — e.g. the
+    null-equals-blank string path applied to one side only); pass
+    ``strict_types=True`` to raise ``SchemaMismatchError`` instead.
     """
     c1 = {c.lower() for c in s1.columns}
     c2 = {c.lower() for c in s2.columns}
     if c1 != c2:
         raise SchemaMismatchError(only_in_s1=c1 - c2, only_in_s2=c2 - c1)
+    t1 = {f.name.lower(): f.dataType for f in s1.schema.fields}
+    t2 = {f.name.lower(): f.dataType for f in s2.schema.fields}
+    diverged = {c: (t1[c], t2[c]) for c in t1 if t1[c] != t2[c]}
+    if diverged:
+        detail = ", ".join(
+            f"{c}: s1={a.simpleString()} s2={b.simpleString()}"
+            for c, (a, b) in sorted(diverged.items())
+        )
+        if strict_types:
+            raise SchemaMismatchError(
+                only_in_s1=set(), only_in_s2=set(), type_mismatches=diverged
+            )
+        logger.warning("validate_schemas: dtype divergence (%s)", detail)
 
 
 def suffix_columns(df: DataFrame, suffix: str) -> DataFrame:
@@ -153,9 +174,11 @@ def _is_diff_expr(
       exactly the reference's ``fillna('') + sentinel`` outcome (:39-40,
       :103-106) without mutating data or risking sentinel collision;
     - floats/doubles with ``float_tol``: differ when exactly one side is
-      null, or both non-null and ``abs(a-b) > tol`` (NaN-safe: NaN vs
-      number exceeds no tolerance check and is caught by the not-equal
-      arm);
+      null, or both non-null, not both NaN, and ``abs(a-b) > tol``.
+      NaN-vs-NaN is NOT a diff (matching the default ``<=>`` path, which
+      treats NaN as equal to itself); NaN vs number IS a diff
+      (``abs(NaN-x) <= tol`` is false, so the not-within-tolerance arm
+      catches it);
     - everything else: ``NOT (a <=> b)`` (IS DISTINCT FROM).
     """
     if isinstance(dtype, StringType) and null_equals_blank:
@@ -163,7 +186,8 @@ def _is_diff_expr(
     if float_tol is not None and isinstance(dtype, (FloatType, DoubleType)):
         one_null = a.isNull() != b.isNull()
         both = a.isNotNull() & b.isNotNull()
-        return one_null | (both & ~(F.abs(a - b) <= F.lit(float_tol)))
+        both_nan = F.isnan(a) & F.isnan(b)
+        return one_null | (both & ~both_nan & ~(F.abs(a - b) <= F.lit(float_tol)))
     return ~a.eqNullSafe(b)
 
 

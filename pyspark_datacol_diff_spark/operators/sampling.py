@@ -23,9 +23,16 @@ DEFAULT_BUCKETS = 10_000
 def hash_bucket(key: Column | str, *, buckets: int = DEFAULT_BUCKETS) -> Column:
     """Stable bucket in [0, buckets) from the md5 of the key's string
     form (first 8 hex chars -> int). Uniform for any key type; the same
-    expression is reproducible in any engine with md5."""
+    expression is reproducible in any engine with md5.
+
+    Null keys hash a fixed sentinel, so every null-key row lands in ONE
+    deterministic bucket (hence one split / one sampling verdict) rather
+    than silently falling through ``when`` chains to the last split or
+    being dropped by sampling filters. A real pipeline should not have
+    null split keys — this makes them visible instead of scattered."""
     k = F.col(key) if isinstance(key, str) else key
-    h = F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10).cast("long")
+    keyed = F.coalesce(k.cast("string"), F.lit("__null_key__"))
+    h = F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
     return h % F.lit(buckets)
 
 

@@ -122,9 +122,11 @@ def cosine_topk_arrow(
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
 
-    out_schema = (
-        f"{query_id_col} long, neighbor_id long, sim double"
-    )
+    # id types follow the inputs (string ids ride through numpy object
+    # arrays fine) — hardcoding long would break non-long id columns
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {qid_t}, neighbor_id {nid_t}, sim double"
 
     def score(batches):
         for pdf in batches:

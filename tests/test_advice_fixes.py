@@ -1,0 +1,177 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md):
+
+1. float_tol: NaN-vs-NaN is not a diff (matches the eqNullSafe default).
+2. asof_join: null timestamps never produce false matches.
+3. hash_bucket: null keys land in one deterministic bucket, not the
+   fallthrough split / silent drop.
+4. validate_schemas: dtype divergence warns (or raises with strict_types).
+5. cosine_topk_arrow: non-long id columns work (types come from schemas).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_datacol_diff_spark.errors import SchemaMismatchError
+from pyspark_datacol_diff_spark.operators import similarity as SIM
+from pyspark_datacol_diff_spark.operators.asof import asof_join
+from pyspark_datacol_diff_spark.operators.diff import diff, validate_schemas
+from pyspark_datacol_diff_spark.operators.sampling import (
+    hash_bucket,
+    hash_split,
+    stratified_sample,
+)
+
+NAN = float("nan")
+
+
+def _flags(df):
+    return {r["id_s1"] or r["id_s2"]: r["Flag"] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def float_pair(spark):
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("x", T.DoubleType())]
+    )
+    s1 = spark.createDataFrame(
+        [(1, NAN), (2, NAN), (3, 1.0), (4, 1.0)], schema
+    )
+    s2 = spark.createDataFrame(
+        [(1, NAN), (2, 2.0), (3, 1.0 + 1e-9), (4, 5.0)], schema
+    )
+    return s1, s2
+
+
+def test_float_tol_nan_vs_nan_is_equal(spark, float_pair):
+    s1, s2 = float_pair
+    got = _flags(diff(s1, s2, ["id"], float_tol=1e-6))
+    assert got[1] == "NODIFF"  # NaN vs NaN: equal, like the <=> default
+    assert got[2] == ""        # NaN vs number: a diff
+    assert got[3] == "NODIFF"  # within tolerance
+    assert got[4] == ""        # beyond tolerance
+
+
+def test_float_tol_matches_default_semantics_on_nan(spark, float_pair):
+    s1, s2 = float_pair
+    with_tol = _flags(diff(s1, s2, ["id"], float_tol=1e-12))
+    default = _flags(diff(s1, s2, ["id"]))
+    # a (tiny) tolerance must never be STRICTER than exact equality
+    for k, flag in default.items():
+        if flag == "NODIFF":
+            assert with_tol[k] == "NODIFF"
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame([("u1", 10, "c1")], ["user", "t", "cid"])
+    right = spark.createDataFrame(
+        [("u1", None, "vnull")],
+        T.StructType(
+            [
+                T.StructField("user", T.StringType()),
+                T.StructField("t", T.LongType()),
+                T.StructField("vid", T.StringType()),
+            ]
+        ),
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, ["user"], "t", "t", ["vid"], direction=direction
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["vid_r"] is None  # null-ts right row is no candidate
+
+
+def test_asof_null_left_ts_gets_nulls(spark):
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("t", T.LongType()),
+            T.StructField("cid", T.StringType()),
+        ]
+    )
+    left = spark.createDataFrame([("u1", None, "cnull"), ("u1", 20, "c1")], schema)
+    right = spark.createDataFrame([("u1", 10, "v1")], ["user", "t", "vid"])
+    for direction in ("backward", "forward"):
+        got = {
+            r["cid"]: r["vid_r"]
+            for r in asof_join(
+                left, right, ["user"], "t", "t", ["vid"], direction=direction
+            ).collect()
+        }
+        assert got["cnull"] is None, direction
+    # the non-null left row still matches normally
+    back = {
+        r["cid"]: r["vid_r"]
+        for r in asof_join(left, right, ["user"], "t", "t", ["vid"]).collect()
+    }
+    assert back["c1"] == "v1"
+
+
+def test_hash_bucket_null_key_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(None,), ("a",), (None,)], T.StructType([T.StructField("k", T.StringType())])
+    )
+    buckets = [r["b"] for r in df.select(hash_bucket("k").alias("b")).collect()]
+    assert all(b is not None for b in buckets)  # nulls bucket, not null out
+    null_buckets = {
+        r["b"]
+        for r in df.filter(F.col("k").isNull())
+        .select(hash_bucket("k").alias("b"))
+        .collect()
+    }
+    assert len(null_buckets) == 1  # one stable bucket for all null keys
+
+
+def test_hash_split_and_stratified_handle_null_keys(spark):
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("g", T.StringType())]
+    )
+    df = spark.createDataFrame([(None, "en"), ("a", "en")], schema)
+    labels = {
+        (r["k"],): r["split"]
+        for r in hash_split(df, "k", [("train", 0.5), ("test", 0.5)]).collect()
+    }
+    assert labels[(None,)] in ("train", "test")  # assigned, not fallthrough-only
+    # stratified keep-verdict for a null key is all-or-nothing (same bucket)
+    kept = stratified_sample(df, "k", "g", {"en": 1.0}).count()
+    assert kept == 2  # fraction 1.0 keeps null-key rows too
+
+
+def test_validate_schemas_dtype_divergence(spark, caplog):
+    s1 = spark.createDataFrame([(1, "x")], ["id", "v"])
+    s2 = spark.createDataFrame([(1, 2)], ["id", "v"])
+    with caplog.at_level("WARNING", logger="pyspark_datacol_diff_spark.diff"):
+        validate_schemas(s1, s2)  # default: warns, does not raise
+    assert any("dtype divergence" in m for m in caplog.messages)
+    with pytest.raises(SchemaMismatchError) as e:
+        validate_schemas(s1, s2, strict_types=True)
+    assert "v" in str(e.value)
+
+
+def test_cosine_topk_arrow_string_ids(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.9, 0.1]),
+        ("c", [0.0, 1.0]),
+        ("d", [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    q = df.filter(F.col("vec_id") == "a").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    got = SIM.cosine_topk_arrow(df, q, 2).collect()
+    assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        "b",
+        "d",
+    ]
+    assert all(isinstance(r["qid"], str) for r in got)
+    assert all(not math.isnan(r["sim"]) for r in got)
