@@ -35,6 +35,7 @@ from pyspark_datacol_diff_spark.operators import sampling as SAMP
 from pyspark_datacol_diff_spark.operators import multimodal as MM
 from pyspark_datacol_diff_spark.operators import skew as SKEW
 from pyspark_datacol_diff_spark.operators import text as TX
+from pyspark_datacol_diff_spark.operators import cluster as CC
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -661,6 +662,41 @@ def _q_text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ngram-pair graph + connected components, shared by the two cluster
+# oracles: same gram/pair pipeline as the ngram_jaccard_docs oracle,
+# then a recursive CTE that propagates reachable labels to a fixpoint —
+# min(label) per node IS the connected component representative, the
+# exact semantics of operators/cluster.py's min-label propagation.
+_SQL_CC_PREFIX = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM toks) u),
+kept AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 100),
+inv AS (SELECT doc_id, grams.g FROM grams JOIN kept USING (g)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
+rawpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_cnt
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM rawpairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) >= 0.1),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges) n
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
+"""
+
+
 def _q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs (the verify stage of near-dedup).
     Integer evidence columns only; jaccard itself is a ratio of identical
@@ -669,6 +705,41 @@ def _q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.1, max_df=100
     ).select("id_a", "id_b", "inter_cnt", "size_a", "size_b")
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared near-dup edge list: exact word-3-gram Jaccard pairs at
+    the same parameters as `ngram_jaccard_docs` (its oracle pins them)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1, max_df=100)
+
+
+def _q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair graph (operators/cluster.py — iterative min-label propagation,
+    lineage-truncated per round). (doc_id, comp) where comp is the min
+    doc id of the component; oracle is a DuckDB recursive CTE reaching
+    the same fixpoint."""
+    pairs = _ngram_pairs(spark, sf_dir)
+    return CC.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp")
+    )
+
+
+def _q_dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: drop every component member except the
+    min-id survivor, then per-source corpus counts — the operation a
+    training pipeline actually runs (pairs -> components -> survivors).
+    The victim set is ids-only and broadcast; the corpus never shuffles
+    until the final (tiny) per-source aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = _ngram_pairs(spark, sf_dir)
+    kept = CC.drop_near_dups(d, pairs, "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
 
 
 def _q_embed_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,9 +794,19 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    return SIM.ivf_topk(emb, q, 5, nlist=16, nprobe=16).select(
-        "qid", "neighbor_id", "rank"
-    )
+    return SIM.ivf_topk(
+        emb,
+        q,
+        5,
+        nlist=16,
+        nprobe=16,
+        # cheap coarse-quantizer fit: full probe is exact whatever the
+        # centroids, so spend the minimum on k-means (random init skips
+        # the k-means|| init jobs; 3 Lloyd rounds balance the cells)
+        fit_fraction=0.1,
+        max_iter=3,
+        init_mode="random",
+    ).select("qid", "neighbor_id", "rank")
 
 
 def _q_lsh_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -980,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "pipeline_training_corpus": _q_pipeline_training_corpus,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "dedup_cluster_docs": _q_dedup_cluster_docs,
+        "dedup_survivor_corpus": _q_dedup_survivor_corpus,
         "embed_cosine_near_dup": _q_embed_cosine_near_dup,
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "ann_topk_cosine": _q_ann_topk,
@@ -1521,6 +1604,16 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) >= 0.1
+""",
+        "dedup_cluster_docs": _SQL_CC_PREFIX
+        + "SELECT node AS doc_id, comp FROM comp",
+        "dedup_survivor_corpus": _SQL_CC_PREFIX
+        + """
+SELECT source, count(*) AS n_docs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != comp)
+GROUP BY source
 """,
         "embed_cosine_near_dup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "pipeline_training_corpus",
     "fingerprint_rolling_docs",
     "ngram_jaccard_docs",
+    "dedup_cluster_docs",
     "ann_topk_cosine",
     "ann_topk_arrow",
     "ann_ivf_topk",

@@ -221,6 +221,7 @@ def ivf_topk(
     exclude_self: bool = True,
     fit_fraction: float = 0.25,
     max_iter: int = 10,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the scale path when the
     brute-force corpus scan per query is too expensive.
@@ -255,8 +256,11 @@ def ivf_topk(
     )
     # the index only needs approximately-balanced cells, not converged
     # clusters: capped iterations halve the fit cost with no measurable
-    # recall change (pytest recall gate)
-    km = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    # recall change (pytest recall gate). init_mode='random' skips the
+    # k-means|| init passes (each one a full job over the sample) — the
+    # standard choice for IVF coarse quantizers, where a handful of
+    # Lloyd iterations from random seeds gives equivalent cell balance.
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, initMode=init_mode).fit(feats)
     centroids = [[float(x) for x in c] for c in km.clusterCenters()]
 
     assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,91 @@
+"""Connected-components tests: hand graphs, randomized union-find
+cross-check, and the end-to-end near-dup survivor drop."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_datacol_diff_spark.operators.cluster import (
+    connected_components,
+    drop_near_dups,
+    near_dup_victims,
+)
+
+
+def _comps(df):
+    return {r["node"]: r["comp"] for r in df.collect()}
+
+
+def test_two_components_and_chain(spark):
+    # component {1,2,3} as a path (diameter 2) + component {10, 11}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = _comps(connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    # path 0-1-2-...-9: worst-case diameter for propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    got = _comps(connected_components(edges))
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_max_iter_exceeded_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=2)
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per root
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(members) for r, members in roots.items() for n in members}
+
+
+def test_matches_union_find_on_random_graph(spark):
+    rng = random.Random(13)
+    edges = list(
+        {
+            tuple(sorted(rng.sample(range(60), 2)))
+            for _ in range(70)
+        }
+    )
+    nodes = sorted({n for e in edges for n in e})
+    expect = _union_find(edges, nodes)
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    assert _comps(connected_components(df)) == expect
+
+
+def test_drop_near_dups_keeps_min_survivor(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"] for r in drop_near_dups(docs, pairs, "doc_id").collect()
+    )
+    # component {1,3,5} -> survivor 1; 0,2,4 untouched
+    assert kept == [0, 1, 2, 4]
+    victims = sorted(r["node"] for r in near_dup_victims(pairs).collect())
+    assert victims == [3, 5]
