@@ -36,6 +36,7 @@ from pyspark_datacol_diff_spark.operators import multimodal as MM
 from pyspark_datacol_diff_spark.operators import skew as SKEW
 from pyspark_datacol_diff_spark.operators import text as TX
 from pyspark_datacol_diff_spark.operators import cluster as CC
+from pyspark_datacol_diff_spark.operators import corpus as CP
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -495,6 +496,56 @@ def _q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking (64-token windows, 8 overlap) — the
+    context-window-bounded training-sample splitter. Zero shuffle:
+    sequence/posexplode/slice evaluate inside the scan stage. Chunk text
+    is emitted as md5 so the hashed output stays compact."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    ch = CP.chunk_tokens(d, "doc_id", "text", chunk_size=64, overlap=8)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def _q_vocab_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary — explode + map-side-combined hash agg
+    (shuffle is vocabulary-sized, not corpus-sized), deterministic
+    (cnt desc, token asc) order."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    return CP.top_vocab(d, "text", 100)
+
+
+def _q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + audit counts over documents deterministically
+    augmented with synthetic email/URL/phone (the corpus itself is
+    clean synthetic text, so the fixture plants exactly one of each per
+    row — both engines build the identical augmented string). One
+    codegen'd projection; portable regexes (operators/corpus.py)."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did,
+        F.lit("@example.com via https://ex.org/u/"),
+        did,
+        F.lit(" or +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    counts = CP.pii_counts(aug)
+    return d.select(
+        "doc_id",
+        counts["n_urls"].cast("long").alias("n_urls"),
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        F.md5(CP.scrub_pii(aug)).alias("scrubbed_md5"),
+    )
 
 
 def _q_sample_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,6 +1023,43 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "session_start", "session_end", "n_events")
 
 
+def _q_streaming_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run as a REAL streaming query: clicks
+    attributed to same-user views within a 24 h lookback, both streams
+    watermarked (the interval bound is what makes join state finite —
+    streaming/__init__.py:interval_join). Inner join emits in append
+    mode as matches arrive; the batch SQL range join is the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = STR.stage_files(f"{sf_dir}/events.parquet")
+
+    def stream():
+        return STR.read_parquet_stream(spark, src, batch.schema).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+    )
+    views = (
+        stream()
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+    )
+    joined = STR.interval_join(
+        clicks, views, ["user_id"], "click_ts", "view_ts",
+        lookback="24 hours", watermark="48 hours",
+    )
+    out = STR.run_available_now(
+        joined.select("user_id", "click_id", "view_id"),
+        query_name="q_stream_attrib_mem",
+        output_mode="append",
+    )
+    return out
+
+
 # --- extensions: multimodal (binary payload) columns -----------------------
 
 def _q_simhash_portable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,6 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_docs": _q_text_stats_docs,
         "lang_id_docs": _q_lang_id_docs,
         "text_quality_docs": _q_text_quality_docs,
+        "chunk_docs": _q_chunk_docs,
+        "vocab_topk_docs": _q_vocab_topk_docs,
+        "pii_scrub_docs": _q_pii_scrub_docs,
         "sample_split_docs": _q_sample_split_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "pipeline_training_corpus": _q_pipeline_training_corpus,
@@ -1079,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_click_attrib": _q_streaming_click_attrib,
     }
 
 
@@ -1605,6 +1697,50 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) >= 0.1
 """,
+        "chunk_docs": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+st AS (
+  SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk), 1), 56)) AS s
+  FROM toks)
+SELECT doc_id,
+       CAST((s - 1) / 56 AS BIGINT) AS chunk_no,
+       CAST(len(tk[s:s+63]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(tk[s:s+63], ' ')) AS chunk_md5
+FROM st
+""",
+        "vocab_topk_docs": """
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents)
+SELECT token, count(*) AS cnt FROM t WHERE token != ''
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100
+""",
+        "pii_scrub_docs": """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://ex.org/u/' || CAST(doc_id AS VARCHAR)
+              || ' or +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+           AS t
+  FROM documents),
+nourl AS (
+  SELECT doc_id, t, regexp_replace(t, 'https?://[^\\s]+', ' ', 'g') AS tnu
+  FROM aug)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(tnu,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(tnu, '\\+?\\d[\\d -]{7,}\\d')) AS BIGINT) AS n_phones,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g')
+  ) AS scrubbed_md5
+FROM nourl
+""",
         "dedup_cluster_docs": _SQL_CC_PREFIX
         + "SELECT node AS doc_id, comp FROM comp",
         "dedup_survivor_corpus": _SQL_CC_PREFIX
@@ -1677,6 +1813,13 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS value_e4
 FROM events GROUP BY 1, 2
+""",
+        "streaming_click_attrib": """
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL 24 HOUR AND c.ts
+WHERE c.event_type = 'click' AND v.event_type = 'view'
 """,
         # minhash_lsh_docs: pyspark.ml-internal hash seeds, deliberately
         # no SQL oracle (driver rows-only check + exact-Jaccard pytest

@@ -1,0 +1,127 @@
+"""Corpus-level text operators for LLM training-data pipelines:
+fixed-token-window chunking, vocabulary building, PII scrubbing.
+
+Reference scope note: the reference library operates on tabular CSVs
+only (`/root/reference/find_datacol_diff.py`); these are north-star
+extensions for the text-corpus workload.
+
+All pure Column/DataFrame expressions — no Python UDFs:
+
+- chunking is a per-row ``sequence`` + ``posexplode`` + ``slice``; the
+  row expansion happens inside the scan stage (no shuffle at all unless
+  the caller aggregates afterwards);
+- vocabulary is the canonical explode -> hash-aggregate; map-side
+  partial aggregation means the shuffle carries one row per distinct
+  token per partition, not one per occurrence — at 100 TB the shuffle
+  volume is vocabulary-sized, not corpus-sized;
+- PII scrubbing is a chain of ``regexp_replace`` with engine-portable
+  patterns (no lookbehind, no backrefs — identical semantics in Java
+  regex and RE2, so the DuckDB oracle runs the same patterns verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# Portable PII patterns: kept to the regex subset with identical meaning
+# in Java (Spark) and RE2 (DuckDB) — character classes, +/*/{m,}, no
+# lookaround. Order matters: URLs may embed @, so scrub them first.
+PII_URL = r"https?://[^\s]+"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_size: int = 64,
+    overlap: int = 8,
+    chunk_col: str = "chunk_text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the standard pre-tokenization chunking for context-window-bounded
+    training samples. Deterministic: window w covers tokens
+    ``[1 + w*(chunk_size-overlap), +chunk_size)``; the last window may
+    be short; every document emits at least one chunk (empty text gives
+    one empty chunk).
+
+    Returns the id column plus ``(chunk_no, n_tokens, chunk_col)``.
+    Zero shuffle: sequence/posexplode/slice all evaluate inside the
+    scan's stage.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    step = chunk_size - overlap
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_no", "__start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start"), chunk_size)
+    return exploded.select(
+        id_col,
+        "chunk_no",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias(chunk_col),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, *, lowercase: bool = True) -> DataFrame:
+    """Global ``(token, cnt)`` over the corpus — one explode + one
+    hash aggregate with map-side combine (shuffle is vocabulary-sized)."""
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return (
+        df.select(F.explode(tokens(t)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def top_vocab(
+    df: DataFrame, text_col: str, k: int, *, lowercase: bool = True
+) -> DataFrame:
+    """Top-k vocabulary by frequency, fully deterministic order
+    (cnt desc, token asc — ties never make the cut ambiguous)."""
+    return (
+        token_counts(df, text_col, lowercase=lowercase)
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def pii_counts(text: Column | str) -> Column:
+    """struct(n_urls, n_emails, n_phones) found in ``text`` — the audit
+    signal next to the scrub (URLs counted before scrubbing strips the
+    emails they may embed)."""
+    t = F.col(text) if isinstance(text, str) else text
+    no_urls = F.regexp_replace(t, PII_URL, " ")
+    return F.struct(
+        F.size(F.regexp_extract_all(t, F.lit(PII_URL), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(no_urls, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_urls, F.lit(PII_PHONE), 0)).alias("n_phones"),
+    )
+
+
+def scrub_pii(
+    text: Column | str,
+    *,
+    url_token: str = "<URL>",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> Column:
+    """Replace URLs, then emails, then phone-like digit runs with
+    placeholder tokens. Pure ``regexp_replace`` chain — one codegen'd
+    projection per scan, portable patterns (module docstring)."""
+    t = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(t, PII_URL, url_token)
+    out = F.regexp_replace(out, PII_EMAIL, email_token)
+    out = F.regexp_replace(out, PII_PHONE, phone_token)
+    return out

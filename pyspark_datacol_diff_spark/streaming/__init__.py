@@ -219,11 +219,57 @@ def dedup_stream(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    lookback: str = "24 hours",
+    watermark: str = "48 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi+interval join: pair each left row with right
+    rows sharing ``key_cols`` whose ``right_ts`` falls in
+    ``[left_ts - lookback, left_ts]`` — the click-to-impression
+    attribution shape.
+
+    On streaming inputs both sides get a watermark, and the interval
+    condition is what BOUNDS THE STATE: Spark keeps a right row only
+    until the watermark passes ``right_ts + lookback`` (and vice versa),
+    so state is (rate x lookback) rows, not the whole history — an
+    unconstrained stream-stream join would buffer both streams forever.
+    Inner results emit as matches arrive (append mode); outer interval
+    joins additionally wait for the watermark before emitting nulls.
+
+    Works identically on batch DataFrames (same logical plan, minus
+    watermarks) — the batch run IS the oracle for the streaming run.
+    ``right_ts`` must be a distinct column name from ``left_ts``
+    (pre-alias the sides; they usually come from the same source).
+    """
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    for k in key_cols:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    cond = None
+    for k in key_cols:
+        c = l[k] == r[f"__r_{k}"]
+        cond = c if cond is None else cond & c
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {lookback}")
+    cond = cond & (F.col(right_ts) >= lo) & (F.col(right_ts) <= F.col(left_ts))
+    return l.join(r, cond, how).drop(*[f"__r_{k}" for k in key_cols])
+
+
 def run_available_now(
     result: DataFrame,
     *,
     query_name: str,
     output_mode: str = "complete",
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (``availableNow``
     trigger — process everything currently available, then stop) into an
@@ -234,13 +280,41 @@ def run_available_now(
     progress — required for exact batch equivalence in a finite replay
     (append mode holds back windows the watermark hasn't passed; in a
     finite stream the last windows would never emit).
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    query's lifetime (restored after): streaming state is one store per
+    shuffle partition per stateful operator, and store open/commit is
+    per-micro-batch FIXED cost — a replay of a small finite stream under
+    the batch engine's 32 shuffle partitions pays 32x store overhead for
+    no parallelism win. Pass ``None`` to keep the session setting (a
+    real always-on stream sizes this to its state volume, not its data
+    volume). The checkpoint goes to a fresh temp dir on /dev/shm when
+    available — this harness is a run-to-completion replay, so the
+    checkpoint is disposable; an always-on production stream MUST put it
+    on durable shared storage instead (S3/HDFS), or recovery is lost.
     """
-    q = (
+    import tempfile
+
+    spark = result.sparkSession
+    writer = (
         result.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
-    return result.sparkSession.table(query_name)
+    import os
+
+    if os.path.isdir("/dev/shm"):
+        writer = writer.option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"dcd_ckpt_{query_name}_", dir="/dev/shm"),
+        )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(query_name)

@@ -1,0 +1,84 @@
+"""Chunking / vocabulary / PII-scrub tests with hand-computed answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_datacol_diff_spark.operators.corpus import (
+    chunk_tokens,
+    pii_counts,
+    scrub_pii,
+    token_counts,
+    top_vocab,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),       # 10 tokens
+            (2, "x y z"),                     # shorter than one chunk
+            (3, ""),                          # empty
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_chunk_windows_and_overlap(spark, docs):
+    out = {
+        (r["doc_id"], r["chunk_no"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_tokens(docs, "doc_id", "text", chunk_size=4, overlap=1).collect()
+    }
+    # doc 1: starts 1,4,7,10 (step 3) over 10 tokens
+    assert out[(1, 0)] == (4, "a b c d")
+    assert out[(1, 1)] == (4, "d e f g")
+    assert out[(1, 2)] == (4, "g h i j")
+    assert out[(1, 3)] == (1, "j")  # short tail window
+    assert out[(2, 0)] == (3, "x y z")
+    assert (3, 0) in out  # empty text still emits one chunk
+    assert len(out) == 6
+
+
+def test_chunk_rejects_bad_overlap(spark, docs):
+    with pytest.raises(ValueError):
+        chunk_tokens(docs, "doc_id", "text", chunk_size=4, overlap=4)
+
+
+def test_chunk_is_zero_shuffle(spark, docs):
+    plan = chunk_tokens(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_token_counts_and_top_vocab(spark):
+    df = spark.createDataFrame(
+        [("b a a",), ("A c b",)], ["text"]
+    )
+    counts = {r["token"]: r["cnt"] for r in token_counts(df, "text").collect()}
+    assert counts == {"a": 3, "b": 2, "c": 1}
+    top = [(r["token"], r["cnt"]) for r in top_vocab(df, "text", 2).collect()]
+    assert top == [("a", 3), ("b", 2)]
+    # tie-break is token asc: b and c tied at 1 without lowercasing
+    nolower = {r["token"]: r["cnt"] for r in token_counts(df, "text", lowercase=False).collect()}
+    assert nolower == {"a": 2, "A": 1, "b": 2, "c": 1}
+
+
+def test_scrub_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at jo.doe+x@test-site.org or visit "
+             "https://ex.com/a?b=c#d call +1 555-0100 100 ok",),
+            ("clean text with no pii 42",),
+        ],
+        ["text"],
+    )
+    got = df.select(
+        scrub_pii("text").alias("s"), pii_counts("text").alias("c")
+    ).collect()
+    dirty, clean = got[0], got[1]
+    assert "<EMAIL>" in dirty["s"] and "<URL>" in dirty["s"] and "<PHONE>" in dirty["s"]
+    assert "jo.doe" not in dirty["s"] and "ex.com" not in dirty["s"]
+    assert dirty["c"]["n_emails"] == 1
+    assert dirty["c"]["n_urls"] == 1
+    assert dirty["c"]["n_phones"] == 1
+    assert clean["s"] == "clean text with no pii 42"
+    assert (clean["c"]["n_urls"], clean["c"]["n_emails"], clean["c"]["n_phones"]) == (0, 0, 0)

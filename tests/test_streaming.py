@@ -129,3 +129,66 @@ def test_dedup_stream_drops_replayed_file(spark, tmp_path):
     n_unique = spark.read.parquet(src).select("event_id").distinct().count()
     assert out.count() == n_unique
     assert out.select("event_id").distinct().count() == n_unique
+
+
+def _sides(df):
+    clicks = df.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    views = df.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return clicks, views
+
+
+def test_interval_join_batch_semantics(spark):
+    rows = [
+        (1, 100, "click", _ts(12, 0)),
+        (1, 200, "view", _ts(11, 30)),   # inside 1h lookback
+        (1, 201, "view", _ts(10, 30)),   # outside
+        (1, 202, "view", _ts(12, 0)),    # simultaneous: inclusive
+        (1, 203, "view", _ts(12, 5)),    # after the click: excluded
+        (2, 101, "click", _ts(12, 0)),   # user with no views
+        (3, 204, "view", _ts(12, 0)),    # view with no click
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type", "ts"])
+    clicks, views = _sides(df)
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in ST.interval_join(
+            clicks, views, ["user_id"], "click_ts", "view_ts", lookback="1 hour"
+        ).collect()
+    }
+    assert got == {(100, 200), (100, 202)}
+
+
+def test_interval_join_stream_equals_batch(spark):
+    sdf, batch = _events_stream(spark)
+    sc, sv = _sides(sdf)
+    bc, bv = _sides(batch)
+    got = ST.run_available_now(
+        ST.interval_join(sc, sv, ["user_id"], "click_ts", "view_ts").select(
+            "user_id", "click_id", "view_id"
+        ),
+        query_name="t_attrib_mem",
+        output_mode="append",
+    )
+    want = ST.interval_join(bc, bv, ["user_id"], "click_ts", "view_ts").select(
+        "user_id", "click_id", "view_id"
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert len(g) > 0
+    assert g == w
+
+
+def test_interval_join_stream_plan_is_stateful(spark):
+    sdf, _ = _events_stream(spark)
+    sc, sv = _sides(sdf)
+    j = ST.interval_join(sc, sv, ["user_id"], "click_ts", "view_ts")
+    plan = j._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2  # both sides bounded
