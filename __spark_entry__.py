@@ -802,6 +802,23 @@ def _q_embed_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_pairs(emb, sim_threshold=0.4).select("id_a", "id_b")
 
 
+def _q_embed_centroid_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroid sums (mean pooling — the seeding
+    step for semantic clustering / IVF coarse quantizers), in exact
+    integer space (floor(x*1e6) contributions, order-independent —
+    operators/similarity.py:dim_sums_exact). embeddings.vec_id aligns
+    with documents.doc_id; the documents side prunes to two columns and
+    broadcasts nothing — the join key is the embedding row's own id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    joined = emb.join(d, "vec_id")
+    return SIM.dim_sums_exact(joined, "lang", "embedding").select(
+        "lang", F.col("pos").cast("long").alias("pos"), "dim_sum_e6", "n_vecs"
+    )
+
+
 def _q_fingerprint_rolling_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document polynomial rolling hash over the token stream
     (engine-portable md5 token hashes -> exact DuckDB oracle)."""
@@ -1155,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_docs": _q_dedup_cluster_docs,
         "dedup_survivor_corpus": _q_dedup_survivor_corpus,
         "embed_cosine_near_dup": _q_embed_cosine_near_dup,
+        "embed_centroid_lang": _q_embed_centroid_lang,
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "ann_topk_cosine": _q_ann_topk,
         "ann_topk_arrow": _q_ann_topk_arrow,
@@ -1756,6 +1774,20 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+""",
+        "embed_centroid_lang": """
+WITH j AS (
+  SELECT d.lang, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+x AS (
+  SELECT lang, i - 1 AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS c
+  FROM (SELECT lang, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM j) u)
+SELECT lang, CAST(pos AS BIGINT) AS pos,
+       SUM(c) AS dim_sum_e6, count(*) AS n_vecs
+FROM x GROUP BY lang, pos
 """,
         "minhash_portable_docs": _sql_minhash_portable_docs(),
         "simhash_portable_docs": _sql_simhash_portable_docs(),

@@ -299,6 +299,68 @@ def ivf_topk(
     )
 
 
+def dim_sums_exact(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group per-dimension vector sums in EXACT integer space:
+    each element contributes ``floor(x * 10^scale)`` as a BIGINT, so the
+    aggregate is order-independent and bit-identical in any engine
+    (floor is tie-free, unlike round; float sums would drift by
+    partitioning). The group centroid is ``dim_sum / 10^scale / n_vecs``
+    to ``scale`` digits — plenty for centroid seeding/verification.
+
+    Returns ``(group_col, pos, dim_sum_e{scale}, n_vecs)`` in long form
+    (one row per group x dimension). Plan shape: posexplode multiplies
+    rows x dim BEFORE the aggregate, but map-side partial aggregation
+    compresses each partition to (groups x dim) rows pre-shuffle — at
+    100 TB the exchange carries group-count x dim x partitions rows,
+    never corpus x dim.
+    """
+    sum_col = f"dim_sum_e{scale}"
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "__x")
+    )
+    return exploded.groupBy(group_col, "pos").agg(
+        F.sum(
+            F.floor(F.col("__x").cast("double") * F.lit(float(10**scale))).cast("long")
+        ).alias(sum_col),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean vector via ``pyspark.ml.stat.Summarizer`` — the
+    JVM-side fast path (no explode: one pass accumulating a running
+    vector sum per group). Float summation order is partitioning-
+    dependent, so results are approximate to the last ulp; use
+    :func:`dim_sums_exact` when cross-engine determinism matters.
+
+    Returns ``(group_col, centroid array<double>, n_vecs)``.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    feats = df.select(
+        F.col(group_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
+    )
+    out = feats.groupBy(group_col).agg(
+        Summarizer.mean(F.col("__v")).alias("__mean"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    return out.select(
+        group_col, vector_to_array(F.col("__mean")).alias("centroid"), "n_vecs"
+    )
+
+
 def cosine_pairs(
     corpus: DataFrame,
     *,

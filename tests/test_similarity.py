@@ -166,3 +166,38 @@ def test_cosine_topk_arrow_matches_exact(spark):
     arrow = SIM.cosine_topk_arrow(emb, q, 5).select("qid", "neighbor_id", "rank")
     assert exact.exceptAll(arrow).count() == 0
     assert arrow.exceptAll(exact).count() == 0
+
+
+def test_dim_sums_exact_matches_numpy_int_space(spark):
+    df, _, rows = make_vectors(spark, n=20)
+    grouped = df.withColumn("g", (F.col("vec_id") % 2).cast("string"))
+    got = {
+        (r["g"], r["pos"]): (r["dim_sum_e6"], r["n_vecs"])
+        for r in SIM.dim_sums_exact(grouped, "g", "embedding").collect()
+    }
+    import math
+    expect = {}
+    for i, v in rows:
+        g = str(i % 2)
+        vec32 = np.array(v, dtype=np.float32).astype(np.float64)
+        for pos, x in enumerate(vec32):
+            s, n = expect.get((g, pos), (0, 0))
+            expect[(g, pos)] = (s + math.floor(x * 1e6), n + 1)
+    assert got == expect
+
+
+def test_group_centroids_close_to_exact(spark):
+    df, _, _ = make_vectors(spark, n=20)
+    grouped = df.withColumn("g", (F.col("vec_id") % 2).cast("string"))
+    fast = {
+        r["g"]: (r["centroid"], r["n_vecs"])
+        for r in SIM.group_centroids(grouped, "g", "embedding").collect()
+    }
+    exact = {
+        (r["g"], r["pos"]): r["dim_sum_e6"] / 1e6 / r["n_vecs"]
+        for r in SIM.dim_sums_exact(grouped, "g", "embedding").collect()
+    }
+    for g, (cent, n) in fast.items():
+        assert n == 10
+        for pos, x in enumerate(cent):
+            assert x == pytest.approx(exact[(g, pos)], abs=2e-6)
