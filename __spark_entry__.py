@@ -748,6 +748,21 @@ comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
 """
 
 
+def _q_diff_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip: ``apply_diff(s1, diff(s1, s2, carry_unmatched),
+    pk) == s2`` — proves the changeset diff carries ALL information
+    separating the snapshots (operators/diff.py:apply_diff). Restricted
+    to integer/string columns (CompColArr stringifies values; double
+    and date formatting is engine-specific). The oracle is simply the
+    s2 fixture itself, cast to string."""
+    from pyspark_datacol_diff_spark.operators.diff import apply_diff
+
+    s1, s2 = _orders_pair(spark, sf_dir)
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    d = diff(s1, s2, ["o_orderkey"], compare_cols=cols, carry_unmatched=True)
+    return apply_diff(s1, d, ["o_orderkey"], cols)
+
+
 def _q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs (the verify stage of near-dedup).
     Integer evidence columns only; jaccard itself is a ratio of identical
@@ -1169,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "pipeline_training_corpus": _q_pipeline_training_corpus,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "diff_apply_roundtrip": _q_diff_apply_roundtrip,
         "dedup_cluster_docs": _q_dedup_cluster_docs,
         "dedup_survivor_corpus": _q_dedup_survivor_corpus,
         "embed_cosine_near_dup": _q_embed_cosine_near_dup,
@@ -1714,6 +1730,17 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) >= 0.1
+""",
+        "diff_apply_roundtrip": """
+WITH s2 AS (SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority || '!' ELSE o_orderpriority END AS o_orderpriority
+       FROM orders WHERE o_orderkey % 97 <> 0)
+SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+       CAST(o_custkey AS VARCHAR) AS o_custkey,
+       o_orderstatus, o_orderpriority
+FROM s2
 """,
         "chunk_docs": """
 WITH toks AS (

@@ -204,6 +204,7 @@ def diff(
     exclude_cols: Iterable[str] | None = None,
     null_equals_blank: bool = True,
     float_tol: float | None = None,
+    carry_unmatched: bool = False,
 ) -> DataFrame:
     """Full diff of two same-schema DataFrames keyed by ``pk``.
 
@@ -211,6 +212,12 @@ def diff(
     mismatch array (reference: join :96-99, then a 2n-deep withColumn
     chain :101-115 — collapsed here into a single ``select`` with
     ``array_compact``).
+
+    ``carry_unmatched=False`` (reference parity, :124): S1_ONLY/S2_ONLY
+    rows get an EMPTY ``CompColArr``. ``carry_unmatched=True`` instead
+    fills the array with every compare column's surviving-side value
+    (other side null) — making the diff a COMPLETE changeset from which
+    :func:`apply_diff` can reconstruct s2 (CDC semantics).
     """
     validate_schemas(s1, s2)
     s1_keys, s2_keys, comp_cols = gen_comp_col(s1, pk)
@@ -275,9 +282,33 @@ def diff(
         "array<struct<col_name:string,s1_value:string,s2_value:string>>"
     )
     if per_col_entries:
-        comp_arr = F.when(
-            matched, F.array_compact(F.array(*per_col_entries))
-        ).otherwise(empty_arr)
+        comp_arr = F.when(matched, F.array_compact(F.array(*per_col_entries)))
+        if carry_unmatched:
+            side_entries = {
+                suffix: F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            (
+                                F.col(c + S1_SUFFIX).cast("string")
+                                if suffix == S1_SUFFIX
+                                else F.lit(None).cast("string")
+                            ).alias("s1_value"),
+                            (
+                                F.col(c + S2_SUFFIX).cast("string")
+                                if suffix == S2_SUFFIX
+                                else F.lit(None).cast("string")
+                            ).alias("s2_value"),
+                        )
+                        for c in comp_cols
+                    ]
+                )
+                for suffix in (S1_SUFFIX, S2_SUFFIX)
+            }
+            comp_arr = comp_arr.when(s2_key_null, side_entries[S1_SUFFIX]).when(
+                s1_key_null, side_entries[S2_SUFFIX]
+            )
+        comp_arr = comp_arr.otherwise(empty_arr)
     else:
         comp_arr = empty_arr
 
@@ -334,6 +365,77 @@ def column_mismatch_counts(diff_df: DataFrame) -> DataFrame:
 def diff_summary(diff_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Both summaries as (still-lazy) Spark DataFrames."""
     return flag_counts(diff_df), column_mismatch_counts(diff_df)
+
+
+def apply_diff(
+    s1: DataFrame,
+    diff_df: DataFrame,
+    pk: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Reconstruct s2 from s1 plus a diff — the inverse of :func:`diff`,
+    proving the diff output carries ALL information that separates the
+    two snapshots (the round-trip ``apply_diff(s1, diff(s1, s2)) == s2``
+    is pinned by the driver oracle).
+
+    Requires a diff produced with ``carry_unmatched=True`` (the default
+    reference-parity diff leaves S2_ONLY rows' values out of the array,
+    so inserts would reconstruct as nulls).
+
+    Semantics per flag: ``S2_ONLY`` rows materialize from the diff's
+    s2-side values; ``S1_ONLY`` rows are deleted; ``''`` (changed) rows
+    take each column's ``s2_value`` from ``CompColArr`` (falling back to
+    the s1 value for columns that didn't differ); ``NODIFF`` rows pass
+    through.
+
+    Values in ``CompColArr`` are stringified (diff output contract), so
+    the reconstruction is string-typed — exact for all-string frames
+    (the reference's CSV world); typed pipelines should re-cast against
+    their schema afterwards.
+
+    Plan shape: ONE left join of s1 against the matched diff rows on pk
+    (same shuffle key the diff itself used — on bucketed layouts it is
+    exchange-free) + a union with the S2_ONLY rows projected straight
+    out of the diff; the per-column patch is a broadcast-free
+    ``map_from_entries`` lookup, pure codegen.
+    """
+    overlay = F.map_from_entries(
+        F.transform(
+            F.col(DIFF_ARRAY_COL),
+            lambda e: F.struct(e["col_name"].alias("key"), e["s2_value"].alias("value")),
+        )
+    )
+    changed = diff_df.filter(F.col(FLAG_COL).isin(FLAG_DIFF, FLAG_NODIFF)).select(
+        *[F.col(k + S1_SUFFIX).alias(k) for k in pk],
+        overlay.alias("__patch"),
+    )
+    patched = s1.join(changed, list(pk), "inner").select(
+        *[F.col(k).cast("string").alias(k) for k in pk],
+        *[
+            F.coalesce(
+                F.element_at(F.col("__patch"), F.lit(c)), F.col(c).cast("string")
+            ).alias(c)
+            for c in compare_cols
+        ],
+    )
+    inserted = diff_df.filter(F.col(FLAG_COL) == FLAG_S2_ONLY).select(
+        *[F.col(k + S2_SUFFIX).cast("string").alias(k) for k in pk],
+        *[
+            F.element_at(
+                F.map_from_entries(
+                    F.transform(
+                        F.col(DIFF_ARRAY_COL),
+                        lambda e: F.struct(
+                            e["col_name"].alias("key"), e["s2_value"].alias("value")
+                        ),
+                    )
+                ),
+                F.lit(c),
+            ).alias(c)
+            for c in compare_cols
+        ],
+    )
+    return patched.unionByName(inserted)
 
 
 def compute_dataframe_diff(

@@ -149,6 +149,42 @@ def write_parquet(
     w.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same vectorized/pushdown behavior as parquet (ORC is
+    the other columnar format Spark reads natively; predicate pushdown
+    and column pruning both apply)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """ORC sink; same partitioning guidance as :func:`write_parquet`."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    header: bool = True,
+    mode: str = "error",
+) -> None:
+    """CSV sink (the reference's world is header CSVs — reference
+    ``tests/test_pysparkdatacoldiff.py`` reads them with
+    ``header=True``; this is the matching writer). CSV stringifies
+    everything — an export/debug format, not the 100 TB interchange
+    layout (use parquet/ORC)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

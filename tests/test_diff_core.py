@@ -127,3 +127,33 @@ def test_compare_and_exclude_cols(spark, employee_pair):
     no_email = col_map(diff(s1, s2, ["id"], exclude_cols=["email"]))
     assert "email" not in no_email
     assert no_email["first_name"] == exp["first_name"]
+
+
+def test_carry_unmatched_fills_only_rows(spark, employee_pair):
+    from pyspark_datacol_diff_spark.operators.diff import diff
+    import pyspark.sql.functions as F
+
+    s1, s2, exp = employee_pair
+    d = diff(s1, s2, ["id"], carry_unmatched=True)
+    only = d.filter(F.col("Flag") == "S1_ONLY").select("CompColArr").first()[0]
+    assert len(only) == 4  # every compare column carried
+    assert all(e["s2_value"] is None and e["s1_value"] is not None for e in only)
+    s2only = d.filter(F.col("Flag") == "S2_ONLY").select("CompColArr").first()[0]
+    assert all(e["s1_value"] is None and e["s2_value"] is not None for e in s2only)
+    # default stays reference-parity: empty arrays on unmatched rows
+    d0 = diff(s1, s2, ["id"])
+    assert d0.filter((F.col("Flag") == "S1_ONLY") & (F.size("CompColArr") > 0)).count() == 0
+
+
+def test_apply_diff_round_trip(spark, employee_pair):
+    from pyspark_datacol_diff_spark.operators.diff import apply_diff, diff
+    import pyspark.sql.functions as F
+
+    s1, s2, exp = employee_pair
+    cols = ["first_name", "email", "gender", "country"]
+    d = diff(s1, s2, ["id"], carry_unmatched=True)
+    rebuilt = apply_diff(s1, d, ["id"], cols)
+    want = s2.select(*[F.col(c).cast("string") for c in ["id"] + cols])
+    assert rebuilt.count() == want.count()
+    assert rebuilt.exceptAll(want).count() == 0
+    assert want.exceptAll(rebuilt).count() == 0

@@ -152,3 +152,21 @@ def test_no_pushdown_keeps_filter_above_exchange(spark):
 
     assert not filter_above_exchange(plain)  # Catalyst pushes it down
     assert filter_above_exchange(guarded)  # guard pins it above
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    df = spark.range(100).withColumn("k", F.col("id") % 10)
+    p = str(tmp_path / "orc_rt")
+    SRC.write_orc(df, p, partition_by=["k"])
+    back = SRC.read_orc(spark, p).filter(F.col("k") == 3)
+    assert back.count() == 10
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # partition pruning reaches the scan
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    p = str(tmp_path / "csv_out")
+    SRC.write_csv(df, p)
+    back = SRC.read_csv_all_string(spark, p)
+    assert {(r["id"], r["v"]) for r in back.collect()} == {("1", "a"), ("2", "b")}
