@@ -622,6 +622,44 @@ def _q_agg_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: discrete p50/p90/p99 over integer cents.
+    percentile_disc picks an actual element (no interpolation), so the
+    result is an exact BIGINT in both engines — the portable way to
+    emit tail-latency-style quantiles. One hash-agg pass; at 100 TB
+    discrete percentiles aggregate a per-group sorted sketch of the
+    group's values (use approx_percentile when groups are huge)."""
+    e = _t(spark, sf_dir, "events")
+    cents_sql = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return e.groupBy("event_type").agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {cents_sql})"
+            )
+            .cast("long")
+            .alias(f"p{int(p * 100)}_cents")
+            for p in (0.5, 0.9, 0.99)
+        ],
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_window_user_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset/rank window breadth: per-user event timeline with lag /
+    lead / ntile over one window spec — ONE shuffle on user_id serves
+    all four functions (they share the sort)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
 def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click joined to the user's most recent view at
     or before it (null if none). Single shuffle + sort, no range-join
@@ -1165,6 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_automobile_with_orders": _q_setop_intersect,
         "events_hourly": _q_events_hourly,
         "agg_event_stats": _q_agg_event_stats,
+        "quantiles_event_value": _q_quantiles_event_value,
+        "window_user_lag": _q_window_user_lag,
         "asof_click_view": _q_asof_click_view,
         "window_user_running": _q_window_user_running,
         "range_join_click_error": _q_range_join_click_error,
@@ -1663,6 +1703,23 @@ SELECT event_type,
        CAST(2 * median(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS median_x2_cents,
        max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents
 FROM events GROUP BY event_type
+""",
+        "quantiles_event_value": """
+SELECT event_type,
+  quantile_disc(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5) AS p50_cents,
+  quantile_disc(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.9) AS p90_cents,
+  quantile_disc(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.99) AS p99_cents,
+  count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+        "window_user_lag": """
+SELECT event_id, user_id,
+       lag(event_id) OVER w AS prev_event_id,
+       lead(event_id) OVER w AS next_event_id,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       CAST(row_number() OVER w AS INT) AS seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
         "asof_click_view": """
 SELECT c.event_id, c.user_id, c.ts AS click_ts, v.ts AS view_ts

@@ -18,6 +18,7 @@ from .errors import (
     SchemaMismatchError,
 )
 from .operators.diff import (
+    apply_diff,
     compute_dataframe_diff,
     column_mismatch_counts,
     diff,
@@ -35,6 +36,7 @@ __all__ = [
     "InvalidArgumentError",
     "PrimaryKeyError",
     "SchemaMismatchError",
+    "apply_diff",
     "compute_dataframe_diff",
     "column_mismatch_counts",
     "diff",

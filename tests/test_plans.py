@@ -110,3 +110,44 @@ def test_salted_join_partitions_on_salt(spark):
         assert re.search(r"hashpartitioning\([^)]*__dcd_salt", plan), plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_vocab_topk_uses_take_ordered(qs, spark):
+    # the limit must fuse into TakeOrderedAndProject (per-partition
+    # top-k then merge) — a global Sort + Limit would shuffle the whole
+    # vocabulary to one partition at 100 TB
+    plan = P.physical_plan(qs["vocab_topk_docs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert P.count_op(qs["vocab_topk_docs"](spark, SF), "Sort") == 0
+
+
+def test_chunking_is_zero_shuffle(qs, spark):
+    P.assert_max_shuffles(qs["chunk_docs"](spark, SF), 0)
+
+
+def test_survivor_corpus_broadcasts_victims(qs, spark):
+    # the victim id list must broadcast into a LeftAnti hash join — the
+    # corpus side never shuffles for the dedup itself
+    plan = P.physical_plan(qs["dedup_survivor_corpus"](spark, SF))
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti, BuildRight" in plan and "BroadcastExchange" in plan
+    ), plan
+
+
+def test_apply_diff_single_join_per_branch(spark):
+    from pyspark_datacol_diff_spark.operators.diff import apply_diff
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    cols = ["o_orderstatus"]
+    d = diff(o, o, ["o_orderkey"], compare_cols=cols, carry_unmatched=True)
+    out = apply_diff(o, d, ["o_orderkey"], cols)
+    plan = P.physical_plan(out)
+    # each union branch re-plans the (lazy) diff; Catalyst then narrows
+    # the full-outer join per branch via the Flag filter (left-outer for
+    # the patched branch — the S1_ONLY/NODIFF/'' flags imply s1 keys
+    # non-null). What must hold: a bounded number of equi-joins and no
+    # cross product. Callers reusing one diff for both apply branches
+    # persist it first, like any branching plan.
+    joins = P.count_op(out, "SortMergeJoin") + P.count_op(out, "BroadcastHashJoin")
+    assert joins <= 4, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
