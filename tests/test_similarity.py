@@ -201,3 +201,25 @@ def test_group_centroids_close_to_exact(spark):
         assert n == 10
         for pos, x in enumerate(cent):
             assert x == pytest.approx(exact[(g, pos)], abs=2e-6)
+
+
+def test_assign_cells_arrow_matches_expr(spark):
+    df, _, _ = make_vectors(spark, n=30)
+    centroids = [[float(i == j) * 2 for j in range(16)] for i in range(4)]
+    a = {
+        r["vec_id"]: r["cid"]
+        for r in SIM.assign_cells(df, centroids).collect()
+    }
+    b = {
+        r["vec_id"]: r["cid"]
+        for r in SIM.assign_cells_arrow(df, centroids).collect()
+    }
+    assert a == b
+    # arrow path stays exchange-free like the expr path
+    plan = (
+        SIM.assign_cells_arrow(df, centroids)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
