@@ -1132,6 +1132,33 @@ def _q_streaming_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events STREAM broadcast-joined to
+    the static customer dimension (re-resolved per micro-batch, no
+    watermark needed — static side holds no state), then a running
+    per-(segment, event_type) aggregate in complete mode. The third
+    canonical streaming join shape next to stream-stream
+    (streaming_click_attrib) and windowed aggs (streaming_events_hourly).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = STR.stage_files(f"{sf_dir}/events.parquet")
+    sdf = STR.read_parquet_stream(spark, src, batch.schema).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = sdf.join(F.broadcast(cust), "user_id")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+        .cast("long")
+        .alias("value_e4"),
+    )
+    return STR.run_available_now(agg, query_name="q_stream_enriched_mem")
+
+
 # --- extensions: multimodal (binary payload) columns -----------------------
 
 def _q_simhash_portable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessions": _q_streaming_sessions,
         "streaming_click_attrib": _q_streaming_click_attrib,
+        "streaming_enriched_segments": _q_streaming_enriched_segments,
     }
 
 
@@ -1941,6 +1969,13 @@ FROM events c JOIN events v
   ON c.user_id = v.user_id
  AND v.ts BETWEEN c.ts - INTERVAL 24 HOUR AND c.ts
 WHERE c.event_type = 'click' AND v.event_type = 'view'
+""",
+        "streaming_enriched_segments": """
+SELECT c.c_mktsegment, e.event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS value_e4
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
 """,
         # minhash_lsh_docs: pyspark.ml-internal hash seeds, deliberately
         # no SQL oracle (driver rows-only check + exact-Jaccard pytest
