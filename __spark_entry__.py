@@ -983,6 +983,26 @@ def _q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_two_stage_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation: per-(key, salt) partials, then
+    per-key combine (operators/skew.py:two_stage_agg). Result-identical
+    to the plain groupBy — which IS the oracle; the salted stage-1
+    exchange is pinned in tests/test_skew.py."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents")
+    )
+    return SKEW.two_stage_agg(
+        e,
+        ["event_type"],
+        {
+            "n_events": ("cents", "count"),
+            "sum_cents": ("cents", "sum"),
+            "min_cents": ("cents", "min"),
+            "max_cents": ("cents", "max"),
+        },
+    )
+
+
 def _q_minhash_native_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native DataFrame MinHash banding (the at-scale near-dedup path)
     run through the engine-portable md5 gram/band hash so the DuckDB
@@ -1263,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_arrow": _q_ann_topk_arrow,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "salted_join_events": _q_salted_join_events,
+        "two_stage_agg_events": _q_two_stage_agg_events,
         "lsh_near_dup_recall": _q_lsh_near_dup_recall,
         "minhash_native_docs": _q_minhash_native_docs,
         "minhash_portable_docs": _q_minhash_portable_docs,
@@ -1771,6 +1792,14 @@ SELECT c.c_mktsegment,
        CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
+""",
+        "two_stage_agg_events": """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents,
+       min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_cents,
+       max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents
+FROM events GROUP BY event_type
 """,
         "range_join_click_error": """
 SELECT c.event_id, c.user_id, e.event_id AS err_id

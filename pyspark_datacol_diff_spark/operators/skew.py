@@ -61,3 +61,55 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
     return big_salted.join(small_salted, on + [_SALT], how).drop(_SALT)
+
+
+def two_stage_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof groupBy: aggregate on ``(keys..., salt)`` first, then
+    combine the per-salt partials on ``keys`` — a hot group's rows
+    spread over ``num_salts`` reducers in stage 1, and stage 2 touches
+    only groups x num_salts rows.
+
+    Spark's map-side partial aggregation usually makes this unnecessary
+    (each map task pre-combines its rows before the shuffle); the case
+    it cannot fix is high per-task group cardinality with a hot key —
+    when the partial-agg hash map spills, a single reducer still
+    receives every spilled run of the hot group. This operator makes
+    the two-stage shape explicit and deterministic.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    ``count | sum | min | max`` (the algebraically decomposable set;
+    avg = sum/count by the caller, count-distinct is NOT decomposable
+    this way — use the exact groupBy or HLL). The salt is a content
+    hash (re-runs route rows identically). Results are bit-identical to
+    the plain groupBy for integer/decimal inputs; float sums can differ
+    in the last ulp (order changes), same caveat as any shuffle-order
+    change.
+    """
+    supported = {"count", "sum", "min", "max"}
+    bad = {fn for _, fn in aggs.values()} - supported
+    if bad:
+        raise ValueError(f"two_stage_agg supports {sorted(supported)}, got {sorted(bad)}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts)
+    ).cast("int")
+    stage1 = df.withColumn(_SALT, salt).groupBy(*keys, _SALT).agg(
+        *[
+            (
+                F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(F.col(src))
+            ).alias(f"__p_{out}")
+            for out, (src, fn) in aggs.items()
+        ]
+    )
+    recombine = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    return stage1.groupBy(*keys).agg(
+        *[
+            recombine[fn](F.col(f"__p_{out}")).alias(out)
+            for out, (src, fn) in aggs.items()
+        ]
+    )

@@ -58,3 +58,59 @@ def test_salt_spreads_hot_key(spark, skewed_pair):
 def test_outer_rejected():
     with pytest.raises(ValueError):
         salted_join(None, None, ["k"], how="full_outer")
+
+
+def test_two_stage_agg_matches_plain_groupby(spark):
+    import pyspark.sql.functions as F
+    from pyspark_datacol_diff_spark.operators.skew import two_stage_agg
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") % 100).alias("v"),
+    )
+    got = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in two_stage_agg(
+            df,
+            ["k"],
+            {"n": ("v", "count"), "total": ("v", "sum"),
+             "lo": ("v", "min"), "hi": ("v", "max")},
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_two_stage_agg_rejects_nondecomposable(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_datacol_diff_spark.operators.skew import two_stage_agg
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError):
+        two_stage_agg(df, ["k"], {"d": ("k", "count_distinct")})
+
+
+def test_two_stage_agg_salts_stage_one(spark):
+    import re
+
+    from pyspark_datacol_diff_spark.operators.skew import two_stage_agg
+
+    df = spark.range(100).selectExpr("0 AS k", "id AS v")
+    plan = (
+        two_stage_agg(df, ["k"], {"n": ("v", "count")})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # stage-1 exchange must partition on (k, salt), not k alone
+    assert re.search(r"hashpartitioning\([^)]*__dcd_salt", plan), plan

@@ -170,3 +170,19 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     SRC.write_csv(df, p)
     back = SRC.read_csv_all_string(spark, p)
     assert {(r["id"], r["v"]) for r in back.collect()} == {("1", "a"), ("2", "b")}
+
+
+def test_write_clustered_parquet_prunes_row_groups(spark, tmp_path):
+    df = spark.range(10000).select(
+        F.col("id").alias("ts_key"), (F.col("id") % 50).alias("payload")
+    )
+    p = str(tmp_path / "clustered")
+    SRC.write_clustered_parquet(df, p, ["ts_key"], num_files=8)
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(files) == 8  # one sorted key range per file
+    back = spark.read.parquet(p).filter(
+        (F.col("ts_key") >= 100) & (F.col("ts_key") < 200)
+    )
+    assert back.count() == 100
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts_key), GreaterThanOrEqual(ts_key,100)" in plan
