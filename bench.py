@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "fingerprint_rolling_docs",
     "ngram_jaccard_docs",
     "dedup_cluster_docs",
+    "chunk_docs",
+    "vocab_topk_docs",
+    "two_stage_agg_events",
     "ann_topk_cosine",
     "ann_topk_arrow",
     "ann_ivf_topk",

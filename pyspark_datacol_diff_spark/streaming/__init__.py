@@ -219,6 +219,41 @@ def dedup_stream(
     )
 
 
+def write_stream_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+    query_name: str = "dcd_parquet_sink",
+):
+    """Parquet file sink for a stream — the landing-zone writer. The
+    file sink is exactly-once BY CONSTRUCTION: each micro-batch's files
+    are recorded in the sink's transaction log (``path/_spark_metadata``)
+    keyed by batch id, so a restarted query never double-counts a batch
+    (readers that honor the log see only committed files). Checkpoint
+    and output must move together — a fresh checkpoint against an
+    existing output directory re-writes from scratch.
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops);
+    ``available_now=True`` drains what exists and stops — the batch
+    backfill mode of the same pipeline.
+    """
+    w = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

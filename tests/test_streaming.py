@@ -192,3 +192,40 @@ def test_interval_join_stream_plan_is_stateful(spark):
     j = ST.interval_join(sc, sv, ["user_id"], "click_ts", "view_ts")
     plan = j._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2  # both sides bounded
+
+
+def test_parquet_file_sink_exactly_once(spark, tmp_path):
+    sdf, batch = _events_stream(spark)
+    out = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    q = ST.write_stream_parquet(
+        sdf.select("event_id", "user_id", "event_type"), out, ckpt
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(out).count()
+    assert first == batch.count()
+    # restart against the same checkpoint: no new data -> no new files,
+    # and the sink log guarantees the count is unchanged (exactly-once)
+    q2 = ST.write_stream_parquet(
+        sdf.select("event_id", "user_id", "event_type"), out, ckpt
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == first
+
+
+def test_interval_join_left_outer_keeps_unmatched(spark):
+    rows = [
+        (1, 100, "click", _ts(12, 0)),
+        (1, 200, "view", _ts(11, 30)),
+        (2, 101, "click", _ts(12, 0)),  # no views for user 2
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type", "ts"])
+    clicks, views = _sides(df)
+    got = {
+        r["click_id"]: r["view_id"]
+        for r in ST.interval_join(
+            clicks, views, ["user_id"], "click_ts", "view_ts",
+            lookback="1 hour", how="left_outer",
+        ).collect()
+    }
+    assert got == {100: 200, 101: None}
