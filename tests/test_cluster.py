@@ -89,3 +89,44 @@ def test_drop_near_dups_keeps_min_survivor(spark):
     assert kept == [0, 1, 2, 4]
     victims = sorted(r["node"] for r in near_dup_victims(pairs).collect())
     assert victims == [3, 5]
+
+
+def test_star_matches_propagation_on_random_graph(spark):
+    from pyspark_datacol_diff_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    rng = random.Random(99)
+    edges = list({tuple(sorted(rng.sample(range(80), 2))) for _ in range(90)})
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    assert _comps(connected_components_star(df)) == _comps(
+        connected_components(df)
+    )
+
+
+def test_star_handles_high_diameter_paths(spark):
+    from pyspark_datacol_diff_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    # a 120-node path: diameter 119 — propagation would need 119 rounds
+    # (fails its max_iter=25 default); star converges in O(log n)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], ["id_a", "id_b"]
+    )
+    got = _comps(connected_components_star(edges))
+    assert got == {i: 0 for i in range(120)}
+    with pytest.raises(RuntimeError):
+        connected_components(edges)  # default max_iter can't reach 119
+
+
+def test_star_two_node_and_triangle(spark):
+    from pyspark_datacol_diff_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 9), (1, 2), (2, 3), (1, 3)], ["id_a", "id_b"]
+    )
+    got = _comps(connected_components_star(edges))
+    assert got == {5: 5, 9: 5, 1: 1, 2: 1, 3: 1}
