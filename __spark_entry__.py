@@ -983,6 +983,21 @@ def _q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup pipeline END-TO-END: MinHash banding candidate
+    pairs (bucket join, no cross product) -> connected components ->
+    (doc_id, component) — the composition a training pipeline actually
+    deploys, oracle-verified as one unit (signatures, banding, pair
+    filter, AND clustering replayed in DuckDB)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_dup_pairs(
+        d, "doc_id", "text", n=3, bands=32, jaccard_threshold=0.3, hash_fn="md5"
+    ).select("id_a", "id_b")
+    return CC.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "comp"
+    )
+
+
 def _q_two_stage_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof two-stage aggregation: per-(key, salt) partials, then
     per-key combine (operators/skew.py:two_stage_agg). Result-identical
@@ -1286,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_stage_agg_events": _q_two_stage_agg_events,
         "lsh_near_dup_recall": _q_lsh_near_dup_recall,
         "minhash_native_docs": _q_minhash_native_docs,
+        "minhash_cluster_docs": _q_minhash_cluster_docs,
         "minhash_portable_docs": _q_minhash_portable_docs,
         "minhash_lsh_docs": _q_minhash_lsh_docs,
         "simhash_docs": _q_simhash_docs,
@@ -1496,6 +1512,30 @@ agree AS (
   JOIN sigs sb ON sb.doc_id = c.id_b)
 SELECT id_a, id_b, n_agree FROM agree WHERE n_agree / 64.0 >= 0.3
 """
+
+
+def _sql_minhash_cc_docs() -> str:
+    """Scale-path dedup clustering oracle: the full MinHash banding
+    replay (_sql_minhash_pairs_docs) extended with the recursive
+    connected-components CTE — DuckDB re-derives the same clusters from
+    the same signatures."""
+    base = _sql_minhash_pairs_docs()
+    final = "SELECT id_a, id_b, n_agree FROM agree WHERE n_agree / 64.0 >= 0.3"
+    prefix = base.split(final)[0].replace("WITH toks", "WITH RECURSIVE toks", 1)
+    return (
+        prefix
+        + """,
+pairs AS (SELECT id_a, id_b FROM agree WHERE n_agree / 64.0 >= 0.3),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges) n
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node)
+SELECT node AS doc_id, min(lbl) AS comp FROM reach GROUP BY node
+"""
+    )
 
 
 def _sql_simhash_pairs_docs() -> str:
@@ -1935,6 +1975,7 @@ FROM x GROUP BY lang, pos
         "minhash_portable_docs": _sql_minhash_portable_docs(),
         "simhash_portable_docs": _sql_simhash_portable_docs(),
         "minhash_native_docs": _sql_minhash_pairs_docs(),
+        "minhash_cluster_docs": _sql_minhash_cc_docs(),
         "simhash_docs": _sql_simhash_pairs_docs(),
         "fingerprint_rolling_docs": """
 SELECT doc_id,
