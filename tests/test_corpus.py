@@ -82,3 +82,37 @@ def test_scrub_pii_and_counts(spark):
     assert dirty["c"]["n_phones"] == 1
     assert clean["s"] == "clean text with no pii 42"
     assert (clean["c"]["n_urls"], clean["c"]["n_emails"], clean["c"]["n_phones"]) == (0, 0, 0)
+
+
+def test_chunk_reconstruction_property(spark):
+    """Dropping each non-first chunk's overlap prefix and concatenating
+    must reproduce the original token stream exactly (gap-free,
+    duplication-free coverage) — for any text and any size/overlap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n_tokens=st.integers(min_value=0, max_value=50),
+        chunk_size=st.integers(min_value=2, max_value=12),
+        overlap=st.integers(min_value=0, max_value=6),
+    )
+    def check(n_tokens, chunk_size, overlap):
+        if overlap >= chunk_size:
+            overlap = chunk_size - 1
+        toks = [f"t{i}" for i in range(n_tokens)]
+        df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+        rows = sorted(
+            chunk_tokens(
+                df, "doc_id", "text", chunk_size=chunk_size, overlap=overlap
+            ).collect(),
+            key=lambda r: r["chunk_no"],
+        )
+        rebuilt = []
+        for r in rows:
+            piece = r["chunk_text"].split(" ") if r["chunk_text"] else [""]
+            rebuilt.extend(piece if r["chunk_no"] == 0 else piece[overlap:])
+        original = toks if toks else [""]  # empty text -> one empty token
+        assert rebuilt == original
+
+    check()
