@@ -12,10 +12,12 @@ and re-exported here:
   ``punct_count``, ``stopword_hits``, ``quality_score``, ``lang_id``,
   ``cjk_char_count`` (text)
 - deterministic bucketing: ``hash_bucket`` (sampling)
+- PII scrubbing: ``scrub_pii``, ``pii_counts`` (corpus)
 """
 
 from __future__ import annotations
 
+from ..operators.corpus import pii_counts, scrub_pii
 from ..operators.dedup import hamming64, word_ngrams
 from ..operators.sampling import hash_bucket
 from ..operators.similarity import cosine, dot, norm
@@ -43,8 +45,10 @@ __all__ = [
     "hash_bucket",
     "lang_id",
     "norm",
+    "pii_counts",
     "punct_count",
     "quality_score",
+    "scrub_pii",
     "rolling_hash_fingerprint",
     "stopword_hits",
     "token_count",
