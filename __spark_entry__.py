@@ -393,6 +393,32 @@ def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose lineitems sum past a quantity
+    threshold, joined back to customer. The HAVING side aggregates
+    lineitem FIRST (map-side partial sums shrink the shuffle to one row
+    per order), and the qualifying-order set — tiny after the filter —
+    broadcast-joins into orders/customer: the aggregate acts as a
+    semi-join reducer, never a fact x fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty"))
+        .filter(F.col("__qty") > 250)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            (F.col("__qty") * 100).cast("long").alias("sum_qty_e2"),
+        )
+    )
+    return (
+        o.join(F.broadcast(big), "o_orderkey")
+        .join(F.broadcast(c.select("c_custkey", "c_name")), o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "sum_qty_e2")
+    )
+
+
 # --- extensions: dedup / text / similarity ---------------------------------
 
 def _q_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1274,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_click_error": _q_range_join_click_error,
         "string_funcs_customer": _q_string_funcs,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
+        "q18_large_orders": _q_q18_large_orders,
         "json_events_props": _q_json_events_props,
         "cube_orders_status_priority": _q_cube_orders,
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -1722,6 +1749,16 @@ SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
        substring(c_name, 10, 8) AS name_tail,
        concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
 FROM customer WHERE c_custkey % 3 = 0
+""",
+        "q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_e2
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, big.sum_qty_e2
+FROM orders o JOIN big USING (o_orderkey)
+JOIN customer c ON o.o_custkey = c.c_custkey
 """,
         "q9_profit_by_nation": """
 SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
