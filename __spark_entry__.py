@@ -419,6 +419,164 @@ def _q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems with quantity below 20% of their part's
+    average, revenue rolled up per brand. The correlated scalar subquery
+    (avg qty per part) becomes an aggregate-then-join: lineitem reduces to
+    one (sum, count) row per part — map-side partials shrink the shuffle —
+    and joins back on l_partkey, the same key the fact would shuffle on
+    anyway. The threshold predicate is evaluated in integer space
+    (``5*qty*cnt < sum``) instead of ``qty < 0.2*avg``: quantities are
+    integral, so cross-multiplying removes the float divide and the
+    engine-dependent rounding that comes with it. Part is a broadcast dim.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty"),
+        "l_extendedprice",
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt_qty")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt_qty") < F.col("sum_qty"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+def _q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including zero-order customers. Orders aggregates FIRST (one row per
+    custkey after the priority exclusion), then LEFT joins customer — the
+    join input is the reduced aggregate, not the raw fact, and customers
+    with no orders surface as count 0 via coalesce. Second aggregation
+    groups the counts into the distribution. Two shuffles + one join,
+    both keyed by custkey; at 100 TB the orders pre-aggregation is the
+    only fact-sized exchange."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def _q_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balances
+    and no URGENT order, rolled up by nation (every customer in the
+    synthetic data has *some* order, so the anti-join side is the
+    priority-filtered set). The global-average scalar subquery is a
+    single-row aggregate cross-joined in (broadcast of one row); the NOT
+    EXISTS is a left-anti join on custkey against the distinct urgent
+    custkeys. The above-average predicate runs in exact
+    cents-integer space (``bal_cents * n > sum_cents``), so Spark and any
+    oracle agree on boundary rows regardless of float summation order."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    pos = c.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_cents"), F.count("*").alias("n_pos")
+    )
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .join(o_keys, c["c_custkey"] == o_keys["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+    )
+
+
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def _q_pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts and revenue spread across order-status columns,
+    one row per priority. The pivot values are passed EXPLICITLY — without
+    the list Spark runs an extra distinct-collect job just to learn the
+    column set, a hidden full scan at 100 TB. With values given, this is
+    one hash aggregation (pivot_first partials), a single shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+
+def _q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the four lineitem measures rotate into
+    (metric, value) rows, then aggregate per metric. Values are
+    integerized per-row BEFORE the unpivot (cents / basis points) so one
+    long-typed value column carries all four measures exactly. Unpivot is
+    a zero-shuffle Expand (each input row emits 4), and the per-metric
+    aggregate reduces 4×N rows to 4 — partial aggregation does all the
+    work map-side."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("discount_bp"),
+        F.round(F.col("l_tax") * 10000).cast("long").alias("tax_bp"),
+    )
+    return (
+        li.unpivot([], ["qty", "price_cents", "discount_bp", "tax_bp"],
+                   "metric", "val")
+        .groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("total"))
+    )
+
+
+def _q_groupingsets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id: day×type detail plus per-day,
+    per-type, and grand-total rows in ONE aggregation pass (Expand feeds
+    each input row to every set; partial aggregation still applies).
+    grouping_id disambiguates the null-vs-rolled-up cases exactly as the
+    SQL-standard GROUPING() bitmask does."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_type"),
+        F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
+    )
+    return (
+        e.groupingSets(
+            [["day", "event_type"], ["day"], ["event_type"], []],
+            "day", "event_type",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_e4").alias("value_e4"),
+        )
+    )
+
+
 # --- extensions: dedup / text / similarity ---------------------------------
 
 def _q_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,6 +933,79 @@ def _q_text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quality_decile"),
     )
+
+
+def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    emitted as exact integers (numerators/denominators, never floats, so
+    the oracle hash cannot drift on rounding): token counts, distinct
+    token counts, immediate-stutter count, bigram multiset size, distinct
+    bigram count, and the top-bigram occurrence count.
+
+    Shape: one projection computes the per-doc scalars and the bigram
+    array, one explode, then two hash aggregations. The per-doc scalars
+    ride along as grouping keys (functionally dependent on doc_id), so no
+    join-back is needed — two shuffles total, both keyed by doc_id(+gram),
+    which is the minimum for a "most frequent element per document" query
+    at any scale. Docs with <2 tokens have no bigrams and are excluded
+    (the oracle applies the same predicate).
+    """
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    lowered = F.lower(F.col("text"))
+    base = d.select(
+        "doc_id",
+        TX.token_count(lowered).alias("n_words"),
+        TX.distinct_token_count(lowered).alias("n_distinct_words"),
+        TX.consec_repeat_count(lowered).alias("n_consec_repeat"),
+        F.explode(TX.word_bigrams(lowered)).alias("gram"),
+    )
+    per_gram = base.groupBy(
+        "doc_id", "n_words", "n_distinct_words", "n_consec_repeat", "gram"
+    ).agg(F.count("*").alias("c"))
+    return per_gram.groupBy(
+        "doc_id", "n_words", "n_distinct_words", "n_consec_repeat"
+    ).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+    )
+
+
+def _sql_repetition_docs() -> str:
+    return r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct_words,
+         len(list_filter(range(1, len(ws)), i -> ws[i] = ws[i + 1]))
+           AS n_consec_repeat,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+           AS grams
+  FROM w
+  WHERE len(ws) >= 2
+), g AS (
+  SELECT doc_id, n_words, n_distinct_words, n_consec_repeat,
+         unnest(grams) AS gram
+  FROM s
+), c AS (
+  SELECT doc_id, n_words, n_distinct_words, n_consec_repeat, gram,
+         count(*) AS c
+  FROM g
+  GROUP BY ALL
+)
+SELECT doc_id,
+       n_words::BIGINT AS n_words,
+       n_distinct_words::BIGINT AS n_distinct_words,
+       n_consec_repeat::BIGINT AS n_consec_repeat,
+       sum(c)::BIGINT AS n_bigrams,
+       count(*)::BIGINT AS n_distinct_bigrams,
+       max(c)::BIGINT AS top_bigram_count
+FROM c
+GROUP BY doc_id, n_words, n_distinct_words, n_consec_repeat
+"""
 
 
 # ngram-pair graph + connected components, shared by the two cluster
@@ -1301,6 +1532,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs_customer": _q_string_funcs,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
         "q18_large_orders": _q_q18_large_orders,
+        "q17_small_quantity": _q_q17_small_quantity,
+        "q13_custdist": _q_q13_custdist,
+        "q22_idle_balances": _q_q22_idle_balances,
+        "pivot_orders_status": _q_pivot_orders_status,
+        "unpivot_lineitem": _q_unpivot_lineitem,
+        "groupingsets_events": _q_groupingsets_events,
         "json_events_props": _q_json_events_props,
         "cube_orders_status_priority": _q_cube_orders,
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -1308,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_docs": _q_text_stats_docs,
         "lang_id_docs": _q_lang_id_docs,
         "text_quality_docs": _q_text_quality_docs,
+        "repetition_docs": _q_repetition_docs,
         "chunk_docs": _q_chunk_docs,
         "vocab_topk_docs": _q_vocab_topk_docs,
         "pii_scrub_docs": _q_pii_scrub_docs,
@@ -1760,6 +1998,87 @@ SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, big.sum_qty_e2
 FROM orders o JOIN big USING (o_orderkey)
 JOIN customer c ON o.o_custkey = c.c_custkey
 """,
+        "q17_small_quantity": """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+  FROM lineitem),
+per_part AS (
+  SELECT l_partkey, sum(qty) AS sum_qty, count(*) AS cnt_qty
+  FROM li GROUP BY l_partkey)
+SELECT p_brand,
+       count(*) AS n_small,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM li
+JOIN per_part USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE 5 * qty * cnt_qty < sum_qty
+GROUP BY p_brand
+""",
+        "q13_custdist": """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders
+  FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY o_custkey)
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT coalesce(n_orders, 0) AS c_count
+  FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey)
+GROUP BY c_count
+""",
+        "q22_idle_balances": """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer),
+pos AS (
+  SELECT sum(bal_cents) AS sum_cents, count(*) AS n_pos
+  FROM c WHERE bal_cents > 0)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM c, pos
+WHERE bal_cents * n_pos > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""",
+        "pivot_orders_status": """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'F') * 100 AS BIGINT) AS "F_cents",
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O_n",
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'O') * 100 AS BIGINT) AS "O_cents",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P_n",
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'P') * 100 AS BIGINT) AS "P_cents"
+FROM orders GROUP BY o_orderpriority
+""",
+        "unpivot_lineitem": """
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_discount * 10000) AS BIGINT) AS discount_bp,
+         CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp
+  FROM lineitem),
+u AS (
+  SELECT 'qty' AS metric, qty AS val FROM li
+  UNION ALL SELECT 'price_cents', price_cents FROM li
+  UNION ALL SELECT 'discount_bp', discount_bp FROM li
+  UNION ALL SELECT 'tax_bp', tax_bp FROM li)
+SELECT metric, count(*) AS n, CAST(sum(val) AS BIGINT) AS total
+FROM u GROUP BY metric
+""",
+        "groupingsets_events": """
+SELECT day, event_type, GROUPING(day, event_type) AS gid,
+       count(*) AS n_events, CAST(sum(v_e4) AS BIGINT) AS value_e4
+FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             CAST(round(value * 10000) AS BIGINT) AS v_e4
+      FROM events)
+GROUP BY GROUPING SETS ((day, event_type), (day), (event_type), ())
+""",
         "q9_profit_by_nation": """
 SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -1901,6 +2220,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
         "lang_id_docs": _sql_lang_id_docs(),
         "text_quality_docs": _sql_text_quality_docs(),
+        "repetition_docs": _sql_repetition_docs(),
         "sample_split_docs": _sql_sample_split_docs(),
         "stratified_sample_docs": _sql_stratified_sample_docs(),
         "pipeline_training_corpus": _sql_pipeline_training_corpus(),

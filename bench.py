@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q9_profit_by_nation",
+    "q13_custdist",
+    "q17_small_quantity",
     "topk_orders_per_customer",
     "agg_orders_by_segment",
     "events_hourly",
@@ -43,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "text_stats_docs",
     "lang_id_docs",
+    "repetition_docs",
     "pipeline_training_corpus",
     "fingerprint_rolling_docs",
     "ngram_jaccard_docs",

@@ -147,6 +147,39 @@ def quality_score(text: Column | str) -> Column:
     return len_ok + punct_ok + stop_ok + word_len_ok
 
 
+def distinct_token_count(text: Column | str) -> Column:
+    """Distinct whitespace-token count — with ``token_count`` this gives
+    the word-repetition fraction (Gopher-style repetition filter,
+    Rae et al. 2021 §A1.1) without ever emitting a float."""
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """All word 2-grams (NOT deduplicated — repetition signals need the
+    multiset) as array<string>, via one zip-with pass against the
+    token array shifted by 1 (same allocation-count argument as
+    dedup.word_ngrams). Empty array for docs with <2 tokens."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    shifted = F.slice(toks, 2, F.greatest(cnt - 1, F.lit(0)))
+    grams = F.zip_with(toks, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(cnt >= 2, F.slice(grams, 1, cnt - 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def consec_repeat_count(text: Column | str) -> Column:
+    """Count of positions where a token immediately repeats
+    (``ws[i] == ws[i+1]``) — the stutter signal ("batch batch batch"
+    counts 2). zip_with pads the shifted side with null; ``null == x``
+    is null and the filter drops it, so the tail position never counts.
+    """
+    toks = tokens(text)
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    hits = F.zip_with(toks, shifted, lambda a, b: a == b)
+    return F.size(F.filter(hits, lambda x: x))
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Normalized-content fingerprint: md5 over lowercased,
     whitespace-collapsed text. Engine-portable (md5)."""

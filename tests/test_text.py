@@ -86,3 +86,22 @@ def test_lang_id_cjk_dominates(spark):
 def test_cjk_char_count(spark):
     assert one(spark, "ab汉字c", TX.cjk_char_count("text")) == 2
     assert one(spark, "plain ascii", TX.cjk_char_count("text")) == 0
+
+
+def test_repetition_signals(spark):
+    # "a b a b b" -> tokens 5, distinct 3 (a,b... wait: a,b -> 2)
+    t = "a b a b b"
+    assert one(spark, t, TX.token_count("text")) == 5
+    assert one(spark, t, TX.distinct_token_count("text")) == 2
+    # bigrams: "a b", "b a", "a b", "b b" (multiset, 4 entries)
+    grams = one(spark, t, TX.word_bigrams("text"))
+    assert grams == ["a b", "b a", "a b", "b b"]
+    # one immediate stutter: position 4 ("b b")
+    assert one(spark, t, TX.consec_repeat_count("text")) == 1
+
+
+def test_repetition_edge_cases(spark):
+    assert one(spark, "solo", TX.word_bigrams("text")) == []
+    assert one(spark, "solo", TX.consec_repeat_count("text")) == 0
+    assert one(spark, "x x x x", TX.consec_repeat_count("text")) == 3
+    assert one(spark, "x x x x", TX.distinct_token_count("text")) == 1
