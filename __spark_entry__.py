@@ -1008,6 +1008,33 @@ GROUP BY doc_id, n_words, n_distinct_words, n_consec_repeat
 """
 
 
+def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: docs whose
+    word 3-grams overlap a synthetic held-out benchmark (every 97th doc).
+    See corpus.contamination_counts for the broadcast-semi-join shape."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return CP.contamination_counts(corpus, bench, "doc_id", "text", n=3)
+
+
+def _sql_decontaminate_docs() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM toks) u),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT doc_id, count(*) AS n_contaminated
+FROM grams JOIN bench USING (g)
+WHERE doc_id % 97 != 0
+GROUP BY doc_id
+"""
+
+
 # ngram-pair graph + connected components, shared by the two cluster
 # oracles: same gram/pair pipeline as the ngram_jaccard_docs oracle,
 # then a recursive CTE that propagates reachable labels to a fixpoint —
@@ -1546,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": _q_lang_id_docs,
         "text_quality_docs": _q_text_quality_docs,
         "repetition_docs": _q_repetition_docs,
+        "decontaminate_docs": _q_decontaminate_docs,
         "chunk_docs": _q_chunk_docs,
         "vocab_topk_docs": _q_vocab_topk_docs,
         "pii_scrub_docs": _q_pii_scrub_docs,
@@ -2221,6 +2249,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "lang_id_docs": _sql_lang_id_docs(),
         "text_quality_docs": _sql_text_quality_docs(),
         "repetition_docs": _sql_repetition_docs(),
+        "decontaminate_docs": _sql_decontaminate_docs(),
         "sample_split_docs": _sql_sample_split_docs(),
         "stratified_sample_docs": _sql_stratified_sample_docs(),
         "pipeline_training_corpus": _sql_pipeline_training_corpus(),

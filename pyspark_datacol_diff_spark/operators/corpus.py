@@ -125,3 +125,40 @@ def scrub_pii(
     out = F.regexp_replace(out, PII_EMAIL, email_token)
     out = F.regexp_replace(out, PII_PHONE, phone_token)
     return out
+
+
+def contamination_counts(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many distinct
+    word ``n``-grams also appear anywhere in the benchmark set — the
+    standard train/test-leakage audit (n-gram overlap decontamination as
+    popularized by the GPT-3 appendix; public methodology).
+
+    Scale shape: the benchmark is tiny relative to the corpus (that is
+    the premise of decontamination), so its distinct-gram set BROADCASTS;
+    the corpus side explodes its grams and hash-joins locally — the only
+    exchange is the final count-per-doc aggregation, which carries
+    matched grams only (a few rows per contaminated doc, nothing for the
+    clean majority). No corpus-sized shuffle at any n.
+
+    Returns (id_col, n_contaminated) for docs with >= 1 overlapping gram.
+    """
+    from .dedup import word_ngrams
+
+    bench_grams = bench.select(
+        F.explode(word_ngrams(text_col, n)).alias("__g")
+    ).distinct()
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("__g")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )

@@ -116,3 +116,39 @@ def test_chunk_reconstruction_property(spark):
         assert rebuilt == original
 
     check()
+
+
+def test_contamination_counts_hand_computed(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import contamination_counts
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares "alpha beta gamma" and "beta gamma delta" (2 grams)
+            (1, "zz alpha beta gamma delta yy"),
+            # shares exactly one 3-gram
+            (2, "alpha beta gamma nothing else here"),
+            # clean
+            (3, "totally different words throughout this doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in contamination_counts(corpus, bench, "doc_id", "text", n=3).collect()
+    }
+    assert out == {1: 2, 2: 1}
+
+
+def test_contamination_broadcasts_bench(spark):
+    from pyspark_datacol_diff_spark import plans as P
+    from pyspark_datacol_diff_spark.operators.corpus import contamination_counts
+
+    bench = spark.createDataFrame([(9, "a b c d")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    df = contamination_counts(corpus, bench, "doc_id", "text")
+    # benchmark grams broadcast: no shuffle on the corpus side before the
+    # join; the only exchange is the final per-doc count aggregation.
+    P.assert_join_strategy(df, broadcast_hash=1, sort_merge=0)
