@@ -151,3 +151,58 @@ def test_apply_diff_single_join_per_branch(spark):
     joins = P.count_op(out, "SortMergeJoin") + P.count_op(out, "BroadcastHashJoin")
     assert joins <= 4, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_aggregates_before_join_no_nested_loop(qs, spark):
+    # the correlated scalar subquery must become aggregate-then-join:
+    # no BroadcastNestedLoop (the naive correlated rewrite), and the
+    # lineitem fact shuffles at most twice (per-part agg + final brand agg)
+    df = qs["q17_small_quantity"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    P.assert_max_shuffles(df, 3)
+
+
+def test_q13_aggregates_orders_before_customer_join(qs, spark):
+    # orders reduce to one row per custkey BEFORE joining customer: the
+    # Aggregate must appear below the join in the plan, and two
+    # exchanges suffice (orders agg + distribution agg)
+    df = qs["q13_custdist"](spark, SF)
+    P.assert_max_shuffles(df, 3)
+    plan = P.physical_plan(df)
+    assert plan.index("HashAggregate") < plan.index("Join")
+
+
+def test_q22_scalar_subquery_is_single_row_broadcast(qs, spark):
+    # the global-average cross join is a 1-row BroadcastNestedLoop (the
+    # correct physical form of a scalar subquery); the NOT EXISTS is a
+    # broadcast anti hash join — never a shuffled fact-x-fact join
+    df = qs["q22_idle_balances"](spark, SF)
+    plan = P.physical_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_pivot_unpivot_groupingsets_shuffle_budget(qs, spark):
+    # pivot: pair-agg exchange + tiny pivot_first exchange; unpivot and
+    # grouping sets: Expand is map-side, ONE exchange each
+    P.assert_max_shuffles(qs["pivot_orders_status"](spark, SF), 2)
+    for name in ("unpivot_lineitem", "groupingsets_events"):
+        df = qs[name](spark, SF)
+        P.assert_max_shuffles(df, 1)
+        assert "Expand" in P.physical_plan(df)
+
+
+def test_repetition_two_shuffles_no_join(qs, spark):
+    # per-doc scalars ride the grouping keys: no join-back, two
+    # doc-keyed exchanges exactly
+    df = qs["repetition_docs"](spark, SF)
+    P.assert_max_shuffles(df, 2)
+    assert "Join" not in P.physical_plan(df)
+
+
+def test_decontaminate_broadcasts_benchmark(qs, spark):
+    # benchmark gram set broadcasts; corpus side never shuffles before
+    # the join (only the per-doc count aggregation exchanges)
+    df = qs["decontaminate_docs"](spark, SF)
+    P.assert_join_strategy(df, broadcast_hash=1, sort_merge=0)
