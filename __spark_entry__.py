@@ -1523,6 +1523,42 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_sniff_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header round-trip: synthesize spec-exact PNG / WAV /
+    truncated-JPEG payloads (dims derived from n_chars), then sniff the
+    format from magic bytes and parse the fixed-offset header fields back
+    out — all pure Column byte expressions (substring/hex/conv), no codec,
+    no UDF, zero shuffle. The oracle recomputes the dims FORMULAICALLY
+    (never touching bytes), so any corruption in the binary construct or
+    the parse shows up as a hash mismatch."""
+    d = _t(spark, sf_dir, "documents")
+    nc = F.col("n_chars")
+    payload = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            MM.synth_png((nc % 640 + 1).cast("long"), (nc % 480 + 1).cast("long")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            MM.synth_wav((F.lit(8000) + (nc % 6) * 8000).cast("long"),
+                         (nc % 2 + 1).cast("long")),
+        )
+        .otherwise(F.concat(F.unhex(F.lit(MM.JPEG_MAGIC_HEX)),
+                            F.encode("text", "UTF-8")))
+    )
+    pay = d.select("doc_id", payload.alias("payload"))
+    dims = MM.png_dims("payload")
+    fmt = MM.wav_fmt("payload")
+    return pay.select(
+        "doc_id",
+        MM.sniff_media_type("payload").alias("media"),
+        dims["width"].alias("width"),
+        dims["height"].alias("height"),
+        fmt["n_channels"].alias("n_channels"),
+        fmt["sample_rate"].alias("sample_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1601,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable_docs": _q_simhash_portable_docs,
         "multimodal_payload_stats": _q_multimodal_payload_stats,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_sniff_parse": _q_multimodal_sniff_parse,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessions": _q_streaming_sessions,
         "streaming_click_attrib": _q_streaming_click_attrib,
@@ -2394,6 +2431,17 @@ fr AS (SELECT doc_id, text,
 SELECT doc_id, frame_no,
        to_base64(encode(substring(text, CAST(frame_no * 16 + 1 AS BIGINT), 16))) AS frame_b64
 FROM fr
+""",
+        "multimodal_sniff_parse": """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'image/jpeg' END AS media,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 640 + 1 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 480 + 1 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(n_chars % 2 + 1 AS INTEGER) END AS n_channels,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (n_chars % 6) * 8000 AS INTEGER) END AS sample_rate
+FROM documents
 """,
         "streaming_sessions": """
 WITH d AS (

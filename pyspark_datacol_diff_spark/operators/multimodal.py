@@ -302,3 +302,118 @@ def sample_frames(
             ).alias("frame"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# container-header parsing — native Column expressions (no codec, no UDF)
+# ---------------------------------------------------------------------------
+# Magic prefixes (public container formats). Byte-level header fields are
+# extractable with substring+hex+conv alone, so format sniffing and
+# fixed-offset metadata (PNG IHDR dims, WAV fmt-chunk rate/channels) run
+# fully codegen'd inside the scan stage. JPEG dimensions are NOT parsed:
+# SOF markers float at variable offsets (entropy-coded segments between),
+# which needs a scan loop — that belongs in the pluggable decode_fn, not
+# in a Column expression.
+
+PNG_MAGIC_HEX = "89504E470D0A1A0A"
+JPEG_MAGIC_HEX = "FFD8FF"
+GIF_MAGIC_HEX = "474946383961"  # GIF89a
+RIFF_MAGIC_HEX = "52494646"     # "RIFF"
+WAVE_TAG_HEX = "57415645"       # "WAVE" at offset 8
+
+
+def _be_uint(p: Column, pos: int, nbytes: int) -> Column:
+    """Big-endian unsigned int read at 1-based byte offset ``pos``."""
+    return F.conv(F.hex(F.substring(p, pos, nbytes)), 16, 10).cast("long")
+
+
+def _le_uint(p: Column, pos: int, nbytes: int) -> Column:
+    """Little-endian unsigned int at 1-based ``pos``: hex the slice, then
+    reassemble the byte pairs in reverse — stays a pure string expression."""
+    h = F.hex(F.substring(p, pos, nbytes))
+    rev = F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+    )
+    return F.conv(rev, 16, 10).cast("long")
+
+
+def sniff_media_type(payload: Column | str) -> Column:
+    """Container format from magic bytes: 'image/png', 'image/jpeg',
+    'image/gif', 'audio/wav', else NULL. Binary-prefix equality only —
+    one projection, no Python."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+    return (
+        F.when(F.substring(p, 1, 8) == F.unhex(F.lit(PNG_MAGIC_HEX)), "image/png")
+        .when(F.substring(p, 1, 3) == F.unhex(F.lit(JPEG_MAGIC_HEX)), "image/jpeg")
+        .when(F.substring(p, 1, 6) == F.unhex(F.lit(GIF_MAGIC_HEX)), "image/gif")
+        .when(
+            (F.substring(p, 1, 4) == F.unhex(F.lit(RIFF_MAGIC_HEX)))
+            & (F.substring(p, 9, 4) == F.unhex(F.lit(WAVE_TAG_HEX))),
+            "audio/wav",
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def png_dims(payload: Column | str) -> Column:
+    """struct(width, height) from the PNG IHDR chunk (big-endian uint32s
+    at fixed offsets 16/20 — IHDR is required to be first by the spec).
+    NULLs when the payload is not a PNG."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+    is_png = F.substring(p, 1, 8) == F.unhex(F.lit(PNG_MAGIC_HEX))
+    return F.struct(
+        F.when(is_png, _be_uint(p, 17, 4)).cast("int").alias("width"),
+        F.when(is_png, _be_uint(p, 21, 4)).cast("int").alias("height"),
+    )
+
+
+def wav_fmt(payload: Column | str) -> Column:
+    """struct(n_channels, sample_rate) from the canonical WAV fmt chunk
+    (little-endian, channels at offset 22, rate at 24; layout is fixed
+    when fmt directly follows RIFF/WAVE, the overwhelmingly common
+    encoding). NULLs for non-WAV payloads."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+    is_wav = (F.substring(p, 1, 4) == F.unhex(F.lit(RIFF_MAGIC_HEX))) & (
+        F.substring(p, 9, 4) == F.unhex(F.lit(WAVE_TAG_HEX))
+    )
+    return F.struct(
+        F.when(is_wav, _le_uint(p, 23, 2)).cast("int").alias("n_channels"),
+        F.when(is_wav, _le_uint(p, 25, 4)).cast("int").alias("sample_rate"),
+    )
+
+
+def synth_png(width: Column, height: Column) -> Column:
+    """Construct a minimal-but-valid PNG header (magic + IHDR length/tag +
+    dims) as binary — the deterministic test double for header parsing in
+    a codec-free container. Not a renderable image; the first 24 bytes
+    are spec-exact."""
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c.cast("long")), 8, "0"))
+    return F.concat(
+        F.unhex(F.lit(PNG_MAGIC_HEX)),
+        F.unhex(F.lit("0000000D")),  # IHDR length 13
+        F.unhex(F.lit("49484452")),  # "IHDR"
+        be32(width),
+        be32(height),
+    )
+
+
+def synth_wav(sample_rate: Column, n_channels: Column) -> Column:
+    """Minimal canonical WAV header (RIFF/WAVE/fmt , PCM) as binary."""
+    def le(c: Column, nbytes: int) -> Column:
+        h = F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+        return F.unhex(
+            F.concat(
+                *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+            )
+        )
+
+    return F.concat(
+        F.unhex(F.lit(RIFF_MAGIC_HEX)),
+        F.unhex(F.lit("24000000")),  # riff size (placeholder, LE 36)
+        F.unhex(F.lit(WAVE_TAG_HEX)),
+        F.unhex(F.lit("666D7420")),  # "fmt "
+        F.unhex(F.lit("10000000")),  # fmt chunk size 16
+        F.unhex(F.lit("0100")),      # PCM
+        le(n_channels, 2),
+        le(sample_rate, 4),
+    )

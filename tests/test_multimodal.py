@@ -112,3 +112,68 @@ def test_sample_frames(spark):
     # payload shorter than one frame -> no rows
     tiny = spark.createDataFrame([(2, b"xy")], "doc_id long, payload binary")
     assert MM.sample_frames(tiny, frame_bytes=8).count() == 0
+
+
+def test_sniff_and_parse_real_header_bytes(spark):
+    import struct
+
+    from pyspark_datacol_diff_spark.operators import multimodal as MM
+
+    # spec-exact PNG header for a 641x123 image, byte-for-byte
+    png = (
+        bytes.fromhex("89504E470D0A1A0A")
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 641, 123)
+    )
+    # canonical PCM WAV header, 22050 Hz stereo (asymmetric bytes so a
+    # wrong endianness cannot pass)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + struct.pack("<HH", 1, 2)
+        + struct.pack("<I", 22050)
+    )
+    jpeg = bytes.fromhex("FFD8FF") + b"rest"
+    gif = b"GIF89a" + b"x"
+    rows = [(1, png), (2, wav), (3, jpeg), (4, gif), (5, b"plain bytes")]
+    df = spark.createDataFrame(rows, ["id", "payload"])
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            MM.sniff_media_type("payload").alias("media"),
+            MM.png_dims("payload").alias("dims"),
+            MM.wav_fmt("payload").alias("fmt"),
+        ).collect()
+    }
+    assert out[1]["media"] == "image/png"
+    assert (out[1]["dims"]["width"], out[1]["dims"]["height"]) == (641, 123)
+    assert out[2]["media"] == "audio/wav"
+    assert (out[2]["fmt"]["n_channels"], out[2]["fmt"]["sample_rate"]) == (2, 22050)
+    assert out[3]["media"] == "image/jpeg"
+    assert out[4]["media"] == "image/gif"
+    assert out[5]["media"] is None
+    assert out[5]["dims"]["width"] is None and out[5]["fmt"]["sample_rate"] is None
+
+
+def test_synth_headers_match_struct_pack(spark):
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pyspark_datacol_diff_spark.operators import multimodal as MM
+
+    df = spark.range(1).select(
+        MM.synth_png(F.lit(641), F.lit(123)).alias("png"),
+        MM.synth_wav(F.lit(22050), F.lit(2)).alias("wav"),
+    )
+    r = df.collect()[0]
+    assert bytes(r["png"]) == (
+        bytes.fromhex("89504E470D0A1A0A")
+        + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 641, 123)
+    )
+    assert bytes(r["wav"]) == (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HH", 1, 2) + struct.pack("<I", 22050)
+    )
