@@ -509,6 +509,63 @@ def _q_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_map_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns end-to-end: per-user event profile built as a
+    map<event_type, count> (groupBy + map_from_entries), then consumed
+    via element_at / map_keys. The map is an intermediate the optimizer
+    sees as one struct-array build — output surfaces deterministic
+    scalars only (map iteration order never leaks into the result)."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    profiled = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "c"))
+        ).alias("profile")
+    )
+    return profiled.select(
+        "user_id",
+        F.size(F.map_keys(F.col("profile"))).alias("n_types"),
+        F.coalesce(F.element_at("profile", F.lit("click")), F.lit(0)).alias(
+            "n_click"
+        ),
+        F.coalesce(F.element_at("profile", F.lit("purchase")), F.lit(0)).alias(
+            "n_purchase"
+        ),
+    )
+
+
+def _q_window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows over orders per market segment: rank,
+    dense_rank, and the distribution functions re-scaled into exact
+    integer space — cume_dist*n = "rows at or below me" and
+    percent_rank*(n-1) = rank-1 are integers by definition, so emitting
+    the products instead of the float quotients keeps the oracle hash
+    exact. One window partition (segment), one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o["o_custkey"] == c["c_custkey"])
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("c_mktsegment").orderBy(cents)
+    wn = Window.partitionBy("c_mktsegment")
+    n = F.count(F.lit(1)).over(wn)
+    return (
+        j.select(
+            "o_orderkey",
+            "c_mktsegment",
+            cents.alias("price_cents"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.cume_dist().over(w) * n).cast("long").alias("n_at_or_below"),
+            F.round(F.percent_rank().over(w) * (n - 1)).cast("long").alias("rnk0"),
+        )
+        # sample AFTER the windows: ranks reflect the full partition
+        .filter(F.col("o_orderkey") % 53 == 0)
+    )
+
+
 _PIVOT_STATUSES = ["F", "O", "P"]
 
 
@@ -1599,6 +1656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_custdist": _q_q13_custdist,
         "q22_idle_balances": _q_q22_idle_balances,
         "pivot_orders_status": _q_pivot_orders_status,
+        "map_user_profile": _q_map_user_profile,
+        "window_rank_funcs": _q_window_rank_funcs,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "groupingsets_events": _q_groupingsets_events,
         "json_events_props": _q_json_events_props,
@@ -2107,6 +2166,37 @@ WHERE bal_cents * n_pos > sum_cents
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
+""",
+        "map_user_profile": """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       count(*) AS n_types,
+       CAST(coalesce(sum(c) FILTER (WHERE event_type = 'click'), 0) AS BIGINT)
+         AS n_click,
+       CAST(coalesce(sum(c) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+         AS n_purchase
+FROM per_type GROUP BY user_id
+""",
+        "window_rank_funcs": """
+WITH j AS (
+  SELECT o_orderkey, c_mktsegment,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+w AS (
+  SELECT o_orderkey, c_mktsegment, price_cents,
+         rank() OVER win AS rnk,
+         dense_rank() OVER win AS drnk,
+         CAST(round(cume_dist() OVER win
+                    * count(*) OVER (PARTITION BY c_mktsegment)) AS BIGINT)
+           AS n_at_or_below,
+         CAST(round(percent_rank() OVER win
+                    * (count(*) OVER (PARTITION BY c_mktsegment) - 1)) AS BIGINT)
+           AS rnk0
+  FROM j
+  WINDOW win AS (PARTITION BY c_mktsegment ORDER BY price_cents))
+SELECT * FROM w WHERE o_orderkey % 53 = 0
 """,
         "pivot_orders_status": """
 SELECT o_orderpriority,
