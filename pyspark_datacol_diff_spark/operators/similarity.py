@@ -274,6 +274,7 @@ def ivf_topk(
     max_iter: int = 10,
     init_mode: str = "k-means||",
     assign_method: str = "expr",
+    fit_method: str = "kmeans",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the scale path when the
     brute-force corpus scan per query is too expensive.
@@ -295,6 +296,28 @@ def ivf_topk(
     co-locate by cell, never a cross product. Returns
     ``(qid, neighbor_id, rank, sim)``.
     """
+    if fit_method == "sample":
+        # random coarse quantizer: nlist deterministic hash-ordered corpus
+        # vectors ARE the centroids — one TakeOrdered job, no ML fit at
+        # all. The standard cheap IVF seeding (faiss trains k-means for
+        # cell balance; random centroids trade some balance for zero fit
+        # cost) — exactly right when nprobe == nlist (result is exact
+        # regardless of centroids) or when the recall gate passes without
+        # the trained cells.
+        rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(nlist)
+            .collect()
+        )
+        centroids = [[float(x) for x in r[1]] for r in rows]
+        return _ivf_probe(
+            corpus, queries, k, centroids,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+            query_vec_col=query_vec_col, nprobe=nprobe,
+            exclude_self=exclude_self, assign_method=assign_method,
+        )
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -324,7 +347,30 @@ def ivf_topk(
     km = KMeans(k=nlist, seed=seed, maxIter=max_iter, initMode=init_mode).fit(feats)
     centroids = [[float(x) for x in c] for c in km.clusterCenters()]
     feats.unpersist()
+    return _ivf_probe(
+        corpus, queries, k, centroids,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, nprobe=nprobe,
+        exclude_self=exclude_self, assign_method=assign_method,
+    )
 
+
+def _ivf_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    nprobe: int,
+    exclude_self: bool,
+    assign_method: str,
+) -> DataFrame:
+    """Assignment + probe + local top-k shared by every coarse-quantizer
+    flavor (trained k-means or hash-sampled centroids)."""
     # 'expr' bakes the centroids into the plan as literals (pure
     # Column, WholeStageCodegen) — right for small nlist; 'arrow' keeps
     # the centroid matrix in a closure and does one BLAS matmul per

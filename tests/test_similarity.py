@@ -223,3 +223,29 @@ def test_assign_cells_arrow_matches_expr(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ivf_sample_fit_matches_exact_full_probe(spark):
+    import pyspark_datacol_diff_spark.operators.similarity as SIM
+    from pyspark.sql import functions as F
+
+    df = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") * (i + 1) % 17) + 1).cast("float") for i in range(8)]
+        ).alias("embedding"),
+    )
+    q = df.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r["qid"], r["rank"]): r["neighbor_id"]
+        for r in SIM.cosine_topk(df, q, 3).collect()
+    }
+    sampled = {
+        (r["qid"], r["rank"]): r["neighbor_id"]
+        for r in SIM.ivf_topk(
+            df, q, 3, nlist=4, nprobe=4, fit_method="sample"
+        ).collect()
+    }
+    assert sampled == exact
