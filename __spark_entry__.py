@@ -1445,9 +1445,7 @@ def _q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = STR.stage_files(f"{sf_dir}/events.parquet")
-    sdf = STR.read_parquet_stream(spark, src, batch.schema).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    sdf = STR.read_parquet_stream(spark, src, batch.schema).transform(SRC.normalize_event_ts)
     out = STR.run_available_now(
         STR.windowed_event_counts(sdf), query_name="q_stream_hourly_mem"
     )
@@ -1462,9 +1460,7 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = STR.stage_files(f"{sf_dir}/events.parquet")
-    sdf = STR.read_parquet_stream(spark, src, batch.schema).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    sdf = STR.read_parquet_stream(spark, src, batch.schema).transform(SRC.normalize_event_ts)
     out = STR.run_available_now(
         STR.sessionize(sdf, gap_seconds=1800),
         query_name="q_stream_sessions_mem",
@@ -1484,8 +1480,8 @@ def _q_streaming_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = STR.stage_files(f"{sf_dir}/events.parquet")
 
     def stream():
-        return STR.read_parquet_stream(spark, src, batch.schema).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        return STR.read_parquet_stream(spark, src, batch.schema).transform(
+            SRC.normalize_event_ts
         )
 
     clicks = (
@@ -1521,9 +1517,7 @@ def _q_streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFram
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = STR.stage_files(f"{sf_dir}/events.parquet")
-    sdf = STR.read_parquet_stream(spark, src, batch.schema).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    sdf = STR.read_parquet_stream(spark, src, batch.schema).transform(SRC.normalize_event_ts)
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )

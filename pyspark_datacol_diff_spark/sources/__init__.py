@@ -63,16 +63,30 @@ def read_csv_with_schema(spark: SparkSession, path: str, schema: str) -> DataFra
     return spark.read.option("header", True).schema(schema).csv(path)
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zone TIMESTAMP regardless
+    of the physical layout the producer chose. Three layouts appear in the
+    wild (and across driver testdata generations): TIMESTAMP(NANOS) read
+    as epoch-nanos BIGINT under ``nanosAsLong``, TIMESTAMP_NTZ, and plain
+    TIMESTAMP. Dispatching on the analyzed dtype keeps every downstream
+    plan (windows, watermarks, as-of joins) identical across layouts."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata table. ``events.parquet`` carries
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects by default —
-    read nanos as long and convert to micros precision."""
+    """Read one driver testdata table. ``events.parquet`` has carried
+    TIMESTAMP(NANOS) (rejected by the vectorized reader unless read as
+    long) in some generations and micros TIMESTAMP in others — enable the
+    nanos fallback and normalize whatever comes back."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -7,6 +7,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
+from pyspark_datacol_diff_spark import sources as SRC
 from pyspark_datacol_diff_spark import streaming as ST
 
 
@@ -15,10 +16,7 @@ def _events_stream(spark, sf_dir="/root/testdata/sf0.001"):
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = ST.stage_files(f"{sf_dir}/events.parquet")
     sdf = ST.read_parquet_stream(spark, src, batch.schema)
-    conv = lambda df: df.withColumn(  # noqa: E731
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
-    return conv(sdf), conv(batch)
+    return SRC.normalize_event_ts(sdf), SRC.normalize_event_ts(batch)
 
 
 def test_streaming_hourly_equals_batch(spark):
@@ -118,8 +116,8 @@ def test_dedup_stream_drops_replayed_file(spark, tmp_path):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(str(d))
-    sdf = ST.read_parquet_stream(spark, str(d), batch.schema).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    sdf = SRC.normalize_event_ts(
+        ST.read_parquet_stream(spark, str(d), batch.schema)
     )
     out = ST.run_available_now(
         ST.dedup_stream(sdf, ["event_id"]),
