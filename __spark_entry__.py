@@ -452,6 +452,51 @@ def _q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where the customer and the
+    line's supplier sit in the same ASIA nation, one order-year slice.
+    Six-table join with every dim broadcast (region->nation pre-reduced
+    on the driver-free broadcast side, supplier and customer broadcast
+    too at these SFs); the date predicate is pushed to the orders scan so
+    the fact x fact lineitem join starts from the pruned order set. The
+    same-nation constraint is an equi-condition (c_nationkey =
+    s_nationkey) evaluated inside the join, not a post-filter over a
+    wider product. Revenue in exact DECIMAL, emitted e4-scaled."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(amount) * 10000).cast("long").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def _q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of per-customer order counts,
     including zero-order customers. Orders aggregates FIRST (one row per
@@ -760,6 +805,38 @@ def _q_vocab_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cnt desc, token asc) order."""
     d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
     return CP.top_vocab(d, "text", 100)
+
+
+def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (concat-and-cut at 512 tokens) across 32
+    hash-bucketed independent packing streams — the training-sample
+    densification step between dedup/filter and tokenization. One
+    bucket-keyed shuffle; per-bucket sort + running sum; all-integer
+    output replayed exactly by the windowed SQL oracle."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    p = CP.pack_sequences(
+        d, "doc_id", "text", target_tokens=512, num_buckets=32
+    )
+    return p.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bucket",
+        "pack_no",
+        "pack_offset",
+    )
+
+
+def _q_tfidf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (ratio-idf
+    variant: tf/df ordering uses IEEE-exact division, so ranks replay
+    bit-identically in the oracle; the log-idf variant is the library
+    default). Shuffles carry token stats only — never document text."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    t = CP.tfidf_top_terms(d, "doc_id", "text", k=3, log_idf=False)
+    return t.select(
+        "doc_id", "token", "tf", "df_docs",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
 
 
 def _q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1650,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q_q18_large_orders,
         "q17_small_quantity": _q_q17_small_quantity,
         "q13_custdist": _q_q13_custdist,
+        "q5_local_supplier": _q_q5_local_supplier,
         "q22_idle_balances": _q_q22_idle_balances,
         "pivot_orders_status": _q_pivot_orders_status,
         "map_user_profile": _q_map_user_profile,
@@ -1668,6 +1746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "vocab_topk_docs": _q_vocab_topk_docs,
         "pii_scrub_docs": _q_pii_scrub_docs,
+        "pack_sequences_docs": _q_pack_sequences_docs,
+        "tfidf_top_docs": _q_tfidf_top_docs,
         "sample_split_docs": _q_sample_split_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "pipeline_training_corpus": _q_pipeline_training_corpus,
@@ -2146,6 +2226,22 @@ FROM (
   FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey)
 GROUP BY c_count
 """,
+        "q5_local_supplier": """
+SELECT n_name AS nation,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(5,4)))) * 10000 AS BIGINT)
+         AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+""",
         "q22_idle_balances": """
 WITH c AS (
   SELECT c_custkey, c_nationkey,
@@ -2425,6 +2521,39 @@ WITH t AS (
   FROM documents)
 SELECT token, count(*) AS cnt FROM t WHERE token != ''
 GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100
+""",
+        "pack_sequences_docs": """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, h % 32 AS bucket,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY h % 32 ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM s)
+SELECT doc_id, n_tokens, bucket,
+       bef // 512 AS pack_no,
+       bef % 512 AS pack_offset
+FROM c
+""",
+        "tfidf_top_docs": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
+  GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY token),
+r AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df_docs,
+         row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df_docs DESC, tf.token ASC)
+           AS rnk
+  FROM tf JOIN dfreq USING (token))
+SELECT doc_id, token, tf, df_docs, rnk FROM r WHERE rnk <= 3
 """,
         "pii_scrub_docs": """
 WITH aug AS (

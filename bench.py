@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q9_profit_by_nation",
     "q13_custdist",
+    "q5_local_supplier",
     "q17_small_quantity",
     "topk_orders_per_customer",
     "agg_orders_by_segment",
@@ -52,6 +53,8 @@ BENCH_QUERIES = [
     "dedup_cluster_docs",
     "chunk_docs",
     "vocab_topk_docs",
+    "pack_sequences_docs",
+    "tfidf_top_docs",
     "two_stage_agg_events",
     "ann_topk_cosine",
     "ann_topk_arrow",

@@ -21,10 +21,10 @@ All pure Column/DataFrame expressions — no Python UDFs:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import token_count, tokens
 
 # Portable PII patterns: kept to the regex subset with identical meaning
 # in Java (Spark) and RE2 (DuckDB) — character classes, +/*/{m,}, no
@@ -125,6 +125,116 @@ def scrub_pii(
     out = F.regexp_replace(out, PII_EMAIL, email_token)
     out = F.regexp_replace(out, PII_PHONE, phone_token)
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    target_tokens: int = 512,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Greedy sequential sequence packing: concatenate documents into
+    fixed-budget training sequences and report, per document, which pack
+    it lands in and at what token offset — the standard "concat and cut
+    every ``target_tokens``" packing used to build dense context windows
+    from short documents.
+
+    Determinism without a global order: each document is routed to one of
+    ``num_buckets`` independent packing streams by content hash of its id
+    (portable md5 bucketing, same scheme as :mod:`sampling`), ordered
+    within the stream by (hash, id), and assigned
+    ``pack_no = floor(tokens_before / target_tokens)``. Same corpus in →
+    same packs out, regardless of partitioning, retries, or cluster size.
+
+    Scale shape: ONE shuffle (hash-partition by bucket), then a per-bucket
+    sort + running sum — each bucket is an independent sequential stream,
+    so parallelism == ``num_buckets``. At 100 TB set ``num_buckets`` to a
+    few × total cores (each stream sorts ~corpus/num_buckets and spills
+    if needed); packing quality is unaffected because streams are
+    statistically identical under the uniform hash.
+
+    Emits ``(id_col, n_tokens, bucket, pack_no, pack_offset)`` — all
+    integers, engine-exact for cross-engine replay.
+    """
+    keyed = F.coalesce(F.col(id_col).cast("string"), F.lit("__null_key__"))
+    h = F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+    staged = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        (h % num_buckets).alias("bucket"),
+        h.alias("__h"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return staged.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        (before / target_tokens).cast("long").alias("pack_no"),
+        (before % target_tokens).alias("pack_offset"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    min_df: int = 1,
+    log_idf: bool = True,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    classic corpus keyword / topic-signal extraction.
+
+    ``log_idf=True`` (default) scores ``tf * ln((N+1)/(df+1))``.
+    ``log_idf=False`` scores ``tf / df`` — same tf-weighted
+    rare-term-boosting shape but using IEEE-exact integer division, so
+    the ranking is bit-reproducible across engines (``ln`` is not
+    required to be correctly rounded by IEEE 754; division is). Use the
+    ratio variant when replaying ranks against another engine.
+
+    Scale shape: tf is one hash-aggregate on (doc, token) with map-side
+    combine; document frequency is a vocabulary-sized aggregate DERIVED
+    from tf (no second corpus scan); N is a scalar broadcast. The join
+    back to tf shuffles vocabulary-keyed rows, and the final top-k window
+    shuffles (doc, token) rows once — all shuffles carry token stats,
+    never document text.
+
+    Emits ``(id_col, token, tf, df_docs, rnk)`` — integers only.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df_docs") >= min_df)
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n")
+    )
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
+    if log_idf:
+        score = F.col("tf") * F.log(
+            (F.col("__n") + 1) / (F.col("df_docs") + 1)
+        )
+    else:
+        score = F.col("tf").cast("double") / F.col("df_docs")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("__score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", "df_docs", "rnk")
+    )
 
 
 def contamination_counts(

@@ -152,3 +152,95 @@ def test_contamination_broadcasts_bench(spark):
     # benchmark grams broadcast: no shuffle on the corpus side before the
     # join; the only exchange is the final per-doc count aggregation.
     P.assert_join_strategy(df, broadcast_hash=1, sort_merge=0)
+
+
+def test_pack_sequences_matches_reference_model(spark):
+    """pack_sequences vs a pure-Python replay of the contract: md5-hash
+    order per bucket, cut every target_tokens."""
+    import hashlib
+
+    from pyspark_datacol_diff_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (3 + i % 7))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bucket"], r["pack_no"], r["pack_offset"])
+        for r in pack_sequences(
+            df, "doc_id", "text", target_tokens=10, num_buckets=4
+        ).collect()
+    }
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    expect = {}
+    for b in range(4):
+        stream = sorted((i for i, _ in rows if h(i) % 4 == b), key=lambda i: (h(i), i))
+        before = 0
+        for i in stream:
+            nt = 3 + i % 7
+            expect[i] = (nt, b, before // 10, before % 10)
+            before += nt
+    assert got == expect
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from pyspark_datacol_diff_spark import plans as P
+    from pyspark_datacol_diff_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame([(1, "a b"), (2, "c")], ["doc_id", "text"])
+    # one hash-partition on bucket feeds both window functions; nothing else
+    P.assert_max_shuffles(pack_sequences(df, "doc_id", "text"), 1)
+
+
+def test_tfidf_ratio_ranks_hand_computed(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["rnk"]): (r["token"], r["tf"], r["df_docs"])
+        for r in tfidf_top_terms(df, "doc_id", "text", k=2, log_idf=False).collect()
+    }
+    # doc 1: apple 2/1=2.0 > banana 1/2=0.5
+    assert out[(1, 1)] == ("apple", 2, 1)
+    assert out[(1, 2)] == ("banana", 1, 2)
+    # doc 3: cherry 3/2=1.5 > durian 1/1=1.0
+    assert out[(3, 1)] == ("cherry", 3, 2)
+    assert out[(3, 2)] == ("durian", 1, 1)
+    # doc 2: banana 0.5 == cherry 0.5 -> tie breaks token asc
+    assert out[(2, 1)][0] == "banana" and out[(2, 2)][0] == "cherry"
+
+
+def test_tfidf_log_idf_downweights_common_terms(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "the the the rare"), (2, "the x"), (3, "the y")],
+        ["doc_id", "text"],
+    )
+    top1 = {
+        r["doc_id"]: r["token"]
+        for r in tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    }
+    # 'the' appears in all docs: idf ln(4/4)=0 kills it even at tf=3
+    assert top1[1] == "rare"
+
+
+def test_tfidf_min_df_drops_rare_terms(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "solo shared"), (2, "shared other")], ["doc_id", "text"]
+    )
+    toks = {
+        r["token"]
+        for r in tfidf_top_terms(df, "doc_id", "text", k=5, min_df=2).collect()
+    }
+    assert toks == {"shared"}

@@ -206,3 +206,12 @@ def test_decontaminate_broadcasts_benchmark(qs, spark):
     # the join (only the per-doc count aggregation exchanges)
     df = qs["decontaminate_docs"](spark, SF)
     P.assert_join_strategy(df, broadcast_hash=1, sort_merge=0)
+
+
+def test_q5_broadcasts_dims_and_pushes_date(qs, spark):
+    df = qs["q5_local_supplier"](spark, SF)
+    plan = P.physical_plan(df)
+    # customer, supplier (carrying the same-nation equi-cond), nation
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    P.assert_filter_pushed(df, "o_orderdate")
