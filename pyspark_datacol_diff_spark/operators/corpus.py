@@ -200,12 +200,13 @@ def tfidf_top_terms(
     required to be correctly rounded by IEEE 754; division is). Use the
     ratio variant when replaying ranks against another engine.
 
-    Scale shape: tf is one hash-aggregate on (doc, token) with map-side
-    combine; document frequency is a vocabulary-sized aggregate DERIVED
-    from tf (no second corpus scan); N is a scalar broadcast. The join
-    back to tf shuffles vocabulary-keyed rows, and the final top-k window
-    shuffles (doc, token) rows once — all shuffles carry token stats,
-    never document text.
+    Scale shape: ONE corpus scan, three shuffles, no self-join. tf is a
+    hash-aggregate on (doc, token) with map-side combine; document
+    frequency is ``count(*) over (partition by token)`` layered on tf —
+    a window, not a join, so the tf subtree is never recomputed and the
+    exchange carries vocabulary-keyed token stats; the final top-k window
+    re-keys by document. N (log-idf only) is a scalar aggregate over a
+    column-pruned id scan, broadcast into the projection.
 
     Emits ``(id_col, token, tf, df_docs, rnk)`` — integers only.
     """
@@ -213,14 +214,14 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     ).filter(F.col("token") != "")
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
-    if min_df > 1:
-        dfreq = dfreq.filter(F.col("df_docs") >= min_df)
-    n_docs = df.select(
-        F.count_distinct(F.col(id_col)).alias("__n")
+    scored = tf.withColumn(
+        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("token"))
     )
-    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
+    if min_df > 1:
+        scored = scored.filter(F.col("df_docs") >= min_df)
     if log_idf:
+        n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+        scored = scored.crossJoin(F.broadcast(n_docs))
         score = F.col("tf") * F.log(
             (F.col("__n") + 1) / (F.col("df_docs") + 1)
         )

@@ -25,6 +25,11 @@ def balance_partitions(df: DataFrame, *, min_ratio: float = 0.5) -> DataFrame:
     scale inputs carry many splits and this adds nothing; the rebalance
     shuffle moves only the raw input once and unlocks full-cluster
     parallelism for everything before the next keyed shuffle.
+
+    Cost note: reading ``df.rdd.getNumPartitions()`` forces one
+    driver-side plan-to-RDD conversion (planning only — no job, no data
+    movement). Call this once per pipeline INPUT, right after the scan,
+    not per downstream operator.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism

@@ -215,3 +215,13 @@ def test_q5_broadcasts_dims_and_pushes_date(qs, spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     P.assert_filter_pushed(df, "o_orderdate")
+
+
+def test_tfidf_is_single_scan_no_join(qs, spark):
+    df = qs["tfidf_top_docs"](spark, SF)
+    # df_docs via window over tf, not a self-join: the corpus scans ONCE
+    # and the shuffles are tf agg + token window + doc window (+ at most
+    # one balance_partitions rebalance on under-split inputs)
+    assert len(P.read_schemas(df)) == 1
+    assert "Join" not in P.physical_plan(df)
+    P.assert_max_shuffles(df, 4)
