@@ -1352,6 +1352,23 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "neighbor_id", "rank")
 
 
+def _q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized maximum-inner-product top-5 — the
+    memory-bound ANN scale path (4x smaller codes than float32). The
+    integer code dot product is EXACT in both engines (no ulp caveat, no
+    summation-order dependence), and the quantization itself is a
+    floor over correctly-rounded IEEE divides — so unlike the float
+    paths, the similarity VALUES hash-verify, not just ids and ranks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    t = SIM.quantized_topk(emb, q, 5)
+    return t.select(
+        "qid", "neighbor_id", F.col("rank").cast("long").alias("rank"), "dot_q"
+    )
+
+
 def _q_lsh_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible gate for the 100 TB embedding near-dup path:
     random-hyperplane LSH pairs (operators/similarity.py) checked
@@ -1761,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _q_ann_topk,
         "ann_topk_arrow": _q_ann_topk_arrow,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_topk_quantized": _q_ann_topk_quantized,
         "salted_join_events": _q_salted_join_events,
         "two_stage_agg_events": _q_two_stage_agg_events,
         "lsh_near_dup_recall": _q_lsh_near_dup_recall,
@@ -2631,6 +2649,35 @@ FROM documents
         # the brute-force top-k SQL is its oracle too — this verifies
         # the IVF assignment/probe/merge machinery end-to-end
         "ann_ivf_topk": _SQL_EXACT_TOPK,
+        # int8 codes replayed exactly: scale is a max (no fold), codes
+        # are floors of correctly-rounded divides, the code dot is an
+        # integer sum (order-independent), and the rank key keeps the
+        # same (dot * s_corpus) * s_query multiply shape on both sides
+        "ann_topk_quantized": """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sc AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM base),
+qz AS (
+  SELECT vec_id, s,
+         CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(x / s * 127) AS BIGINT))
+         END AS q
+  FROM sc),
+qs AS (SELECT vec_id AS qid, s AS sb, q AS qb FROM qz WHERE vec_id % 25 = 0),
+pairs AS (
+  SELECT qs.qid, e.vec_id AS neighbor_id,
+         CAST(list_dot_product(e.q, qs.qb) AS BIGINT) AS dot_q,
+         (list_dot_product(e.q, qs.qb) * e.s) * qs.sb AS sim
+  FROM qz e, qs WHERE e.vec_id <> qs.qid),
+ranked AS (
+  SELECT qid, neighbor_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id)
+           AS rank,
+         dot_q
+  FROM pairs)
+SELECT qid, neighbor_id, rank, dot_q FROM ranked WHERE rank <= 5
+""",
         "multimodal_payload_stats": """
 SELECT source, count(*) AS n_docs,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ann_topk_cosine",
     "ann_topk_arrow",
     "ann_ivf_topk",
+    "ann_topk_quantized",
     "minhash_native_docs",
     "simhash_docs",
     "salted_join_events",

@@ -249,3 +249,99 @@ def test_ivf_sample_fit_matches_exact_full_probe(spark):
         ).collect()
     }
     assert sampled == exact
+
+
+def test_quantize_int8_reconstruction_bound(spark):
+    df, _, rows = make_vectors(spark, n=10)
+    sc = SIM.quantize_scale(F.col("embedding"))
+    out = df.select(
+        "vec_id",
+        sc.alias("s"),
+        SIM.quantize_int8(F.col("embedding"), sc).alias("q"),
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    for vid, vec in rows:
+        # the stored column is float32: compare against the rounded values
+        v32 = [float(np.float32(x)) for x in vec]
+        r = by_id[vid]
+        assert r["s"] == max(abs(x) for x in v32)
+        for x, qi in zip(v32, r["q"]):
+            assert -127 <= qi <= 127
+            # floor quantization: dequantized value within one step below x
+            assert qi * r["s"] / 127 <= x + 1e-12
+            assert x - qi * r["s"] / 127 <= r["s"] / 127 + 1e-12
+
+
+def test_quantize_zero_vector_all_zero_codes(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], SCHEMA)
+    sc = SIM.quantize_scale(F.col("embedding"))
+    r = df.select(SIM.quantize_int8(F.col("embedding"), sc).alias("q")).first()
+    assert r["q"] == [0, 0, 0]
+
+
+def test_int_dot_exact(spark):
+    df = spark.createDataFrame([(1, [1.0, -2.0, 3.0])], SCHEMA)
+    out = df.select(
+        SIM.int_dot(
+            F.array(F.lit(10), F.lit(20), F.lit(-3)),
+            F.array(F.lit(5), F.lit(4), F.lit(100)),
+        ).alias("d")
+    ).first()
+    assert out["d"] == 10 * 5 + 20 * 4 + (-3) * 100
+
+
+def _np_quantized_model(rows):
+    """Replicate quantize_int8 + the rank key in numpy (float32 storage,
+    double math, floor codes)."""
+    model = {}
+    for vid, vec in rows:
+        v = np.array(vec, dtype=np.float32).astype(np.float64)
+        s = float(np.max(np.abs(v)))
+        q = (
+            np.zeros(len(v), dtype=np.int64)
+            if s == 0
+            else np.floor(v / s * 127).astype(np.int64)
+        )
+        model[vid] = (s, q)
+    return model
+
+
+def test_quantized_topk_matches_numpy_replay(spark):
+    """The int8 MIPS ranking replays exactly against an independent numpy
+    implementation of the same quantization contract."""
+    df, truth, rows = make_vectors(spark, n=40)
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    got = {
+        (r["qid"], r["rank"]): (r["neighbor_id"], r["dot_q"])
+        for r in SIM.quantized_topk(df, q, 3).collect()
+    }
+    model = _np_quantized_model(rows)
+    for qid in range(4):
+        sb, qb = model[qid]
+        scored = sorted(
+            (
+                ((int(qa @ qb) * sa) * sb, -i, int(qa @ qb))
+                for i, (sa, qa) in model.items()
+                if i != qid
+            ),
+            reverse=True,
+        )
+        for rank, (_, negi, dq) in enumerate(scored[:3], start=1):
+            assert got[(qid, rank)] == (-negi, dq)
+
+
+def test_quantized_topk_top1_is_same_cluster(spark):
+    """Semantic sanity: 8x compression must not break coarse retrieval —
+    the nearest quantized neighbor stays in the query's cluster."""
+    df, truth, rows = make_vectors(spark, n=40)
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    top1 = {
+        r["qid"]: r["neighbor_id"]
+        for r in SIM.quantized_topk(df, q, 1).collect()
+    }
+    for qid, nb in top1.items():
+        assert truth[nb] == truth[qid]
