@@ -82,3 +82,90 @@ def assert_column_pruned(df: DataFrame, column: str) -> None:
     computed columns, nowhere in the plan)."""
     for rs in read_schemas(df):
         assert column not in rs, f"{column} not pruned from scan: {rs}"
+
+
+def scale_lint(df: DataFrame) -> list[dict[str, str]]:
+    """Audit a DataFrame's physical plan for the patterns that are
+    harmless at test scale and fatal at 100 TB. Returns one finding per
+    hit: ``{"code", "severity", "detail"}``, empty when clean.
+
+    This is the plan-assertion test harness turned user-facing: run it
+    on any pipeline before promoting it to a big cluster, or wire it
+    into CI next to the correctness tests. Codes:
+
+    - ``cartesian`` (error): CartesianProduct / BroadcastNestedLoopJoin —
+      a pair blow-up that scales O(n*m). Re-express as an equi-join on a
+      bucket/band key, or accept it only as a small-side verify stage.
+    - ``global_window`` (error): a window over ``SinglePartition`` — the
+      whole dataset funnels through ONE task. Partition the window by a
+      key (or hash-bucket streams, as pack_sequences does).
+    - ``global_sort`` (warn): a total-order rangepartitioning sort right
+      before the sink is legitimate (range-clustered write); anywhere
+      else it is usually an accidental ``orderBy`` that a ``sortWithinPartitions``
+      or a top-k window should replace.
+    - ``row_python_udf`` (error): row-at-a-time Python eval
+      (BatchEvalPython) — 10-100x slower than Arrow; use pandas_udf /
+      mapInPandas (ArrowEvalPython / MapInPandas nodes are fine).
+    - ``unpruned_wide_scan`` (warn): a scan reading 2x+ more columns
+      than any plan node references by name — projection is not reaching
+      the reader.
+    - ``no_pushdown_scan`` (info): a filtered plan whose scans push no
+      predicates — fine for compute-heavy predicates deliberately held
+      above a rebalance (see sources.no_pushdown), wrong for selective
+      key predicates.
+    """
+    plan = physical_plan(df)
+    findings: list[dict[str, str]] = []
+
+    def add(code: str, severity: str, detail: str) -> None:
+        findings.append({"code": code, "severity": severity, "detail": detail})
+
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        n = plan.count(op)
+        if n:
+            add("cartesian", "error", f"{n}x {op}: O(n*m) pair blow-up")
+    # a Window's single-partition requirement shows as an Exchange
+    # SinglePartition child (possibly under the window's Sort)
+    if re.search(
+        r"Window .*\n(?:[^\n]*\bSort\b[^\n]*\n)?[^\n]*Exchange SinglePartition",
+        plan,
+    ):
+        add(
+            "global_window",
+            "error",
+            "window over SinglePartition: whole input on one task",
+        )
+    if "Exchange rangepartitioning" in plan and "TakeOrdered" not in plan:
+        add(
+            "global_sort",
+            "warn",
+            "total-order sort (rangepartitioning exchange): intended only "
+            "for range-clustered sinks",
+        )
+    if "BatchEvalPython" in plan:
+        add(
+            "row_python_udf",
+            "error",
+            "row-at-a-time Python UDF (BatchEvalPython): use Arrow "
+            "(pandas_udf / mapInPandas)",
+        )
+    for rs in read_schemas(df):
+        cols = re.findall(r"(\w+):", rs)
+        referenced = [c for c in cols if plan.count(c) > 1]
+        if len(cols) >= 4 and len(referenced) * 2 <= len(cols):
+            add(
+                "unpruned_wide_scan",
+                "warn",
+                f"scan reads {len(cols)} columns, plan references "
+                f"~{len(referenced)}: projection not pushed",
+            )
+    has_filter_node = re.search(r"(?m)^[\s:+*-]*(?:\*\(\d+\) )?Filter ", plan)
+    if has_filter_node and not pushed_filters(df):
+        add(
+            "no_pushdown_scan",
+            "info",
+            "plan filters but no scan pushes predicates (deliberate for "
+            "compute-heavy predicates above a rebalance; wrong for "
+            "selective key predicates)",
+        )
+    return findings

@@ -39,9 +39,16 @@ def balance_partitions(df: DataFrame, *, min_ratio: float = 0.5) -> DataFrame:
 
 
 def no_pushdown(cond) -> "F.Column":
-    """Pin a filter where it is written: AND the condition with an
-    always-true non-deterministic guard (``monotonically_increasing_id()
-    >= -1``), which Catalyst refuses to push through exchanges.
+    """Pin a filter where it is written: OR the condition with an
+    always-false non-deterministic arm (``monotonically_increasing_id()
+    < -1``). A disjunction is a single unsplittable predicate, and a
+    predicate containing a non-deterministic expression cannot move
+    through exchanges — so the whole condition stays put.
+
+    (The AND-a-true-guard form is NOT sufficient: the optimizer splits
+    conjunctions and pushes the deterministic conjuncts on their own,
+    which silently re-sinks the expensive predicate below the rebalance.
+    ``tests/test_sources.py`` pins the blocked plan shape.)
 
     Use ONLY for compute-heavy predicates placed above
     ``balance_partitions``: predicate pushdown normally helps (smaller
@@ -49,9 +56,11 @@ def no_pushdown(cond) -> "F.Column":
     regex/scoring predicate below the rebalance exchange re-serializes
     it onto the scan's few tasks — measured 3.5x slower on a
     single-row-group input. The guard costs one long comparison per row
-    and changes no semantics.
+    and changes no semantics (``cond OR false == cond``, including for
+    null: ``null OR false`` is null, which filters the row exactly as a
+    bare null condition would).
     """
-    return (F.monotonically_increasing_id() >= -1) & cond
+    return cond | (F.monotonically_increasing_id() < -1)
 
 
 def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:

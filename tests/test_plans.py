@@ -225,3 +225,45 @@ def test_tfidf_is_single_scan_no_join(qs, spark):
     assert len(P.read_schemas(df)) == 1
     assert "Join" not in P.physical_plan(df)
     P.assert_max_shuffles(df, 4)
+
+
+def test_scale_lint_flags_antipatterns(spark):
+    from pyspark.sql import Window
+    from pyspark.sql.functions import udf
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+
+    codes = lambda q: {f["code"] for f in P.scale_lint(q)}  # noqa: E731
+    assert "global_window" in codes(
+        df.withColumn("r", F.row_number().over(Window.orderBy("o_orderkey")))
+    )
+    assert "cartesian" in codes(
+        df.crossJoin(df.select(F.col("o_orderkey").alias("k2")))
+    )
+    assert "global_sort" in codes(df.orderBy("o_totalprice"))
+    assert "row_python_udf" in codes(
+        df.select(udf(lambda s: s.upper())("o_orderstatus"))
+    )
+
+
+def test_scale_lint_clean_on_headline_queries(qs, spark):
+    # the plans we ship must pass our own linter (the brute-force ANN
+    # family and the O(n^2) verify baselines deliberately broadcast a
+    # pair blow-up, so they are not in this list; the global_sort warn
+    # on range-clustered sinks is the documented use)
+    for name in (
+        "q1_pricing_summary",
+        "q9_profit_by_nation",
+        "q5_local_supplier",
+        "pipeline_training_corpus",
+        "tfidf_top_docs",
+        "pack_sequences_docs",
+        "salted_join_events",
+        "dedup_exact_docs",
+    ):
+        findings = [
+            f
+            for f in P.scale_lint(qs[name](spark, SF))
+            if f["severity"] == "error"
+        ]
+        assert findings == [], f"{name}: {findings}"
