@@ -768,6 +768,23 @@ def _q_dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.filter(F.col("cnt") > 1)
 
 
+def _q_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: odd-id docs arrive as today's batch,
+    even-id docs' md5 fingerprints are the historical store; emit the
+    genuinely novel batch rows (unseen content, first-in-batch). The
+    in-batch survivor window and the left-anti store join share one hash
+    partitioning on the fingerprint — the store side moves digests,
+    never text."""
+    d = _t(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    store = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("fp"))
+    )
+    out = DD.incremental_new(incoming, store, "doc_id", F.md5("text"), key_name="fp")
+    return out.select("doc_id", "fp")
+
+
 def _q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
     return d.select(
@@ -1755,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders_status_priority": _q_cube_orders,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_fingerprint_docs": _q_dedup_fingerprint_docs,
+        "dedup_incremental_docs": _q_dedup_incremental_docs,
         "text_stats_docs": _q_text_stats_docs,
         "lang_id_docs": _q_lang_id_docs,
         "text_quality_docs": _q_text_quality_docs,
@@ -2382,6 +2400,20 @@ SELECT md5(array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), 1, 2)
        min(doc_id) AS rep_id, count(*) AS cnt
 FROM documents
 GROUP BY 1 HAVING count(*) > 1
+""",
+        "dedup_incremental_docs": """
+WITH inc AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1),
+first_in_batch AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM inc) WHERE rn = 1),
+store AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0)
+SELECT f.doc_id, f.fp
+FROM first_in_batch f
+WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = f.fp)
 """,
         "text_stats_docs": """
 SELECT doc_id,

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "json_events_props",
     "cube_orders_status_priority",
     "dedup_exact_docs",
+    "dedup_incremental_docs",
     "text_stats_docs",
     "lang_id_docs",
     "repetition_docs",

@@ -29,6 +29,7 @@ from .operators.diff import (
     suffix_columns,
     validate_schemas,
 )
+from .plans import scale_lint
 from .session import get_spark
 
 __all__ = [
@@ -44,6 +45,7 @@ __all__ = [
     "flag_counts",
     "gen_comp_col",
     "get_spark",
+    "scale_lint",
     "standardize",
     "suffix_columns",
     "validate_schemas",

@@ -568,3 +568,38 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_new(
+    incoming: DataFrame,
+    known: DataFrame,
+    id_col: str,
+    key: Column | str,
+    *,
+    key_name: str = "dup_key",
+    known_key_col: str | None = None,
+) -> DataFrame:
+    """Continuous-ingestion dedup: keep only the incoming rows whose
+    content key is (a) unseen in the historical ``known`` store and
+    (b) first-in-batch (lowest id per key inside the incoming batch) —
+    the day-N pattern of a perpetually growing training corpus, where
+    yesterday's corpus must never be rescanned and today's batch must
+    not introduce internal duplicates.
+
+    ``known`` needs only the key column (pass the fingerprint store, not
+    the stored documents), named ``known_key_col`` (default:
+    ``key_name``). Shape: one window for the in-batch survivor
+    (shuffle keyed on the content key, carrying incoming rows once) and
+    one LEFT ANTI join against the store on the same key — both
+    exchanges hash-partition on ``key_name``, so AQE plans them as one
+    co-partitioned pipeline; the store side shuffles fingerprints only,
+    never text. The deterministic survivor makes reruns idempotent:
+    replaying a batch yields byte-identical output.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    inc = incoming.withColumn(key_name, k)
+    fresh = drop_exact_dups(inc, F.col(key_name), id_col)
+    store = known.select(
+        F.col(known_key_col or key_name).alias(key_name)
+    ).distinct()
+    return fresh.join(store, key_name, "left_anti")

@@ -156,3 +156,34 @@ def test_simhash_md5_matches_hand_vote(spark):
 
     with _pytest.raises(ValueError):
         DD.simhash_fingerprints(df, "doc_id", "text", hash_fn="crc32")
+
+
+def test_incremental_new_filters_store_and_batch_dups(spark):
+    from pyspark_datacol_diff_spark.operators.dedup import incremental_new
+
+    incoming = spark.createDataFrame(
+        [(1, "aa"), (3, "bb"), (5, "aa"), (7, "cc")], ["doc_id", "text"]
+    )
+    store = spark.createDataFrame([("bb",), ("zz",)], ["t"]).select(
+        F.md5("t").alias("fp")
+    )
+    out = incremental_new(
+        incoming, store, "doc_id", F.md5("text"), key_name="fp"
+    )
+    got = sorted((r["doc_id"], r["text"]) for r in out.collect())
+    # 'bb' known in store; duplicate 'aa' keeps lowest id only
+    assert got == [(1, "aa"), (7, "cc")]
+
+
+def test_incremental_new_is_idempotent_on_replay(spark):
+    from pyspark_datacol_diff_spark.operators.dedup import incremental_new
+
+    incoming = spark.createDataFrame(
+        [(10, "x"), (11, "x"), (12, "y")], ["doc_id", "text"]
+    )
+    store = spark.createDataFrame([("none",)], ["t"]).select(
+        F.md5("t").alias("fp")
+    )
+    a = incremental_new(incoming, store, "doc_id", F.md5("text"), key_name="fp")
+    b = incremental_new(incoming, store, "doc_id", F.md5("text"), key_name="fp")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
