@@ -497,6 +497,126 @@ def _q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for orders with at least one
+    late-shipped line (EXISTS -> LEFT SEMI join with a non-equi residual;
+    this testdata has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate). The semi join deduplicates in the join
+    operator itself — no DISTINCT pass, no fan-out — and the date
+    predicate prunes the orders scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation over a fact-fact
+    join — per line status, how many 1996 lines belong to critical
+    (URGENT/HIGH) vs other orders. One equi-join on orderkey, one
+    aggregate; the CASE sums are map-side partials, and the ship-date
+    range prunes the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    conjunctions. The plan property under test: the common equi-key
+    (partkey) drives ONE broadcast hash join and the whole disjunction
+    evaluates as a residual filter — never a fallback to a nested-loop
+    over the disjuncts. Revenue in exact DECIMAL, e4-scaled."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & qty.between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & qty.between(20, 50))
+    )
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            (F.sum(amount) * 10000).cast("long").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier failed order — the canonical EXISTS + NOT EXISTS
+    double correlation, compiled to one left-semi and one left-anti join
+    on the same orderkey partitioning ("late" adapted to
+    l_shipdate > o_orderdate; no receipt/commit dates in this schema).
+    Supplier is a broadcast dim; every self-correlation is equi-keyed on
+    l_orderkey, so the fact shuffles once and reuses the partitioning
+    across the semi, the anti, and the final count."""
+    o_f = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = li.join(
+        o_f, F.col("l_orderkey") == F.col("o_orderkey")
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate"))
+    cand = late.select("l_orderkey", "l_suppkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    multi = cand.join(
+        other,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def _q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of per-customer order counts,
     including zero-order customers. Orders aggregates FIRST (one row per
@@ -1056,6 +1176,28 @@ def _q_window_user_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(dec).over(run) * 100).cast("long").alias("running_cents"),
         F.max("value").over(last3).alias("max3_value"),
         F.row_number().over(w).alias("rn"),
+    )
+
+
+def _q_window_user_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, how many events and how
+    many exact cents landed in the trailing hour (RANGE BETWEEN 3600s
+    PRECEDING over epoch-micros ordering — a true value-range frame, not
+    a row count; peer rows with equal timestamps are included on both
+    engines by definition of RANGE). One shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (F.sum(dec).over(w) * 100).cast("long").alias("cents_last_hour"),
     )
 
 
@@ -1755,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_user_lag": _q_window_user_lag,
         "asof_click_view": _q_asof_click_view,
         "window_user_running": _q_window_user_running,
+        "window_user_range_frame": _q_window_user_range_frame,
         "range_join_click_error": _q_range_join_click_error,
         "string_funcs_customer": _q_string_funcs,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -1762,6 +1905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": _q_q17_small_quantity,
         "q13_custdist": _q_q13_custdist,
         "q5_local_supplier": _q_q5_local_supplier,
+        "q4_order_priority": _q_q4_order_priority,
+        "q12_late_lines_by_status": _q_q12_late_lines_by_status,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q21_waiting_supplier": _q_q21_waiting_supplier,
         "q22_idle_balances": _q_q22_idle_balances,
         "pivot_orders_status": _q_pivot_orders_status,
         "map_user_profile": _q_map_user_profile,
@@ -2277,6 +2424,62 @@ JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
   AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
 GROUP BY n_name
+""",
+        "q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+        "q12_late_lines_by_status": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY l_linestatus
+""",
+        "q19_disjunctive_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(5,4)))) * 10000 AS BIGINT)
+         AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+        "q21_waiting_supplier": """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate)
+SELECT s_name, count(*) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+""",
+        "window_user_range_frame": """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_last_hour,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w * 100 AS BIGINT)
+         AS cents_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
         "q22_idle_balances": """
 WITH c AS (

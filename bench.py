@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "q9_profit_by_nation",
     "q13_custdist",
     "q5_local_supplier",
+    "q4_order_priority",
+    "q12_late_lines_by_status",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
     "q17_small_quantity",
     "topk_orders_per_customer",
     "agg_orders_by_segment",
@@ -40,6 +44,7 @@ BENCH_QUERIES = [
     "asof_click_view",
     "range_join_click_error",
     "window_user_running",
+    "window_user_range_frame",
     "agg_event_stats",
     "json_events_props",
     "cube_orders_status_priority",

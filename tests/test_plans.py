@@ -267,3 +267,25 @@ def test_scale_lint_clean_on_headline_queries(qs, spark):
             if f["severity"] == "error"
         ]
         assert findings == [], f"{name}: {findings}"
+
+
+def test_q19_disjunction_stays_hash_join(qs, spark):
+    df = qs["q19_disjunctive_revenue"](spark, SF)
+    plan = P.physical_plan(df)
+    # the OR of brand/size/qty conjunctions must stay a residual filter
+    # over ONE partkey equi-join, never a nested loop over disjuncts
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_pushes_date(qs, spark):
+    df = qs["q4_order_priority"](spark, SF)
+    P.assert_filter_pushed(df, "o_orderdate")
+    assert "LeftSemi" in P.physical_plan(df)
+
+
+def test_q21_correlations_are_equi_joins(qs, spark):
+    df = qs["q21_waiting_supplier"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
