@@ -73,3 +73,83 @@ def test_counts_match_construction(spark, plan):
     counts = dict(zip(stats["ColName"], stats["Count"]))
     assert counts.get("a", 0) == len(diff_a)
     assert counts.get("b", 0) == len(diff_b)
+
+
+@st.composite
+def corpus_plan(draw):
+    n = draw(st.integers(min_value=5, max_value=40))
+    texts = draw(
+        st.lists(
+            st.text(
+                alphabet="ab c", min_size=0, max_size=30
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return list(enumerate(texts))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpus_plan(), parts=st.integers(min_value=1, max_value=7))
+def test_pack_sequences_invariants(spark, rows, parts):
+    """Packing invariants on arbitrary corpora: every doc appears exactly
+    once; per (bucket, pack) stream the offsets chain gap-free
+    (offset' == (offset + n_tokens) % target with pack_no advancing by
+    the carry); output is independent of input partitioning."""
+    from pyspark_datacol_diff_spark.operators.corpus import pack_sequences
+
+    target = 7
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(parts)
+    out = pack_sequences(
+        df, "doc_id", "text", target_tokens=target, num_buckets=3
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+    by_stream = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["pack_no"], r["pack_offset"])):
+        by_stream.setdefault(r["bucket"], []).append(r)
+    for rs in by_stream.values():
+        pos = 0
+        for r in rs:
+            assert (r["pack_no"], r["pack_offset"]) == (pos // target, pos % target)
+            pos += r["n_tokens"]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpus_plan())
+def test_incremental_new_partitions_batch(spark, rows):
+    """Splitting any corpus into store/batch: surviving rows are exactly
+    the batch keys absent from the store, one per key (lowest id)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_datacol_diff_spark.operators.dedup import incremental_new
+
+    store_rows = [(i, t) for i, t in rows if i % 2 == 0]
+    batch_rows = [(i, t) for i, t in rows if i % 2 == 1]
+    if not batch_rows:
+        return
+    store = spark.createDataFrame(
+        store_rows or [(0, "<none>")], ["doc_id", "text"]
+    ).select(F.md5("text").alias("fp"))
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in incremental_new(
+            batch, store, "doc_id", F.md5("text"), key_name="fp"
+        ).collect()
+    }
+    store_texts = {t for _, t in store_rows} | ({"<none>"} if not store_rows else set())
+    # expected: the first (lowest-id) batch row per novel text
+    first_per_text = {}
+    for i, t in sorted(batch_rows):
+        if t not in store_texts and t not in first_per_text:
+            first_per_text[t] = i
+    assert got == {i: t for t, i in first_per_text.items()}
