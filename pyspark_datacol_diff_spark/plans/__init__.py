@@ -96,6 +96,10 @@ def scale_lint(df: DataFrame) -> list[dict[str, str]]:
     - ``cartesian`` (error): CartesianProduct / BroadcastNestedLoopJoin —
       a pair blow-up that scales O(n*m). Re-express as an equi-join on a
       bucket/band key, or accept it only as a small-side verify stage.
+      A BroadcastNestedLoopJoin whose broadcast subtree is a grouping-
+      free aggregate (``keys=[]`` — a scalar subquery, one-row build
+      side) is downgraded to info: that is the correct physical form of
+      "compare every row against a global statistic".
     - ``global_window`` (error): a window over ``SinglePartition`` — the
       whole dataset funnels through ONE task. Partition the window by a
       key (or hash-bucket streams, as pack_sequences does).
@@ -120,10 +124,65 @@ def scale_lint(df: DataFrame) -> list[dict[str, str]]:
     def add(code: str, severity: str, detail: str) -> None:
         findings.append({"code": code, "severity": severity, "detail": detail})
 
-    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-        n = plan.count(op)
-        if n:
-            add("cartesian", "error", f"{n}x {op}: O(n*m) pair blow-up")
+    lines = plan.splitlines()
+
+    def _name_pos(line: str) -> int:
+        """Column where the operator name starts (tree-drawing prefixes
+        are spaces, ':', '+', '-'); -1 for non-node lines."""
+        for i, ch in enumerate(line):
+            if ch not in " :+-":
+                return i
+        return -1
+
+    def _subtree(idx: int, *, include_root: bool = False) -> list[int]:
+        """Line indexes of the subtree rooted at lines[idx]: following
+        lines whose operator name sits deeper, up to the first line back
+        at or above the root's depth."""
+        root = _name_pos(lines[idx])
+        out = [idx] if include_root else []
+        for j in range(idx + 1, len(lines)):
+            p = _name_pos(lines[j])
+            if 0 <= p <= root:
+                break
+            out.append(j)
+        return out
+
+    n_cart = plan.count("CartesianProduct")
+    if n_cart:
+        add("cartesian", "error", f"{n_cart}x CartesianProduct: O(n*m) pair blow-up")
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        # scalar build side: the join's DIRECT BroadcastExchange child
+        # (depth exactly one level down) over a grouping-free aggregate
+        # (one row by construction)
+        jpos = _name_pos(line)
+        scalar = False
+        for j in _subtree(i):
+            p = _name_pos(lines[j])
+            direct_child = jpos < p <= jpos + 6
+            if direct_child and (
+                "BroadcastExchange" in lines[j]
+                or "BroadcastQueryStage" in lines[j]
+            ):
+                scalar = any(
+                    "Aggregate" in lines[b] and "keys=[]" in lines[b]
+                    for b in _subtree(j)
+                )
+        if scalar:
+            add(
+                "cartesian",
+                "info",
+                "BroadcastNestedLoopJoin over a scalar (1-row keys=[] "
+                "aggregate) build side: the correct form of a scalar "
+                "subquery",
+            )
+        else:
+            add(
+                "cartesian",
+                "error",
+                "BroadcastNestedLoopJoin: O(n*m) pair blow-up",
+            )
     # a Window's single-partition requirement shows as an Exchange
     # SinglePartition child (possibly under the window's Sort)
     if re.search(

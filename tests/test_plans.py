@@ -289,3 +289,18 @@ def test_q21_correlations_are_equi_joins(qs, spark):
     plan = P.physical_plan(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_scale_lint_downgrades_scalar_subquery_broadcast(qs, spark):
+    # q22's global-average comparison is a 1-row keys=[] aggregate
+    # broadcast into a nested loop — info, not error
+    findings = P.scale_lint(qs["q22_idle_balances"](spark, SF))
+    carts = [f for f in findings if f["code"] == "cartesian"]
+    assert carts and all(f["severity"] == "info" for f in carts)
+    # a genuine pair blow-up still errors
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    big = df.crossJoin(df.select(F.col("o_orderkey").alias("k2")))
+    assert any(
+        f["code"] == "cartesian" and f["severity"] == "error"
+        for f in P.scale_lint(big)
+    )
