@@ -393,6 +393,56 @@ def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_date_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function breadth over event timestamps: calendar parts,
+    ISO-adjusted day-of-week, week truncation, day arithmetic, month-end
+    — one codegen'd projection, no shuffle. (Spark's dayofweek is
+    1=Sunday..7; the oracle replays DuckDB's 0=Sunday..6 plus one.)"""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    d = F.col("ts").cast("date")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("dom"),
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.date_trunc("week", "ts").alias("week_start"),
+        F.datediff(d, F.lit("1996-01-01").cast("date")).alias("days_since"),
+        # DATE emitted as midnight TIMESTAMP: pandas serializes Spark
+        # dates as python objects but engine dates as datetime64, which
+        # breaks value comparison despite equal values
+        F.last_day(d).cast("timestamp").alias("month_end"),
+    )
+
+
+def _q_array_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function breadth: per line, build the
+    1..quantity integer sequence and reduce it with filter / transform /
+    aggregate / position / contains — all evaluated inside the scan
+    stage (arrays never shuffle; only integer scalars leave the
+    projection)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    qty = F.col("l_quantity").cast("int")
+    arr = F.sequence(F.lit(1), qty)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qty.alias("qty"),
+        F.size(F.filter(arr, lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.transform(arr, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.array_position(arr, 5).alias("pos_of_5"),
+        F.array_contains(arr, 7).alias("has_7"),
+        F.element_at(F.reverse(arr), 1).alias("last_rev"),
+    )
+
+
 def _q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose lineitems sum past a quantity
     threshold, joined back to customer. The HAVING side aggregates
@@ -1900,6 +1950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_user_range_frame": _q_window_user_range_frame,
         "range_join_click_error": _q_range_join_click_error,
         "string_funcs_customer": _q_string_funcs,
+        "date_funcs_events": _q_date_funcs_events,
+        "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
         "q18_large_orders": _q_q18_large_orders,
         "q17_small_quantity": _q_q17_small_quantity,
@@ -2370,6 +2422,34 @@ SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
        substring(c_name, 10, 8) AS name_tail,
        concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
 FROM customer WHERE c_custkey % 3 = 0
+""",
+        "date_funcs_events": """
+SELECT event_id,
+       CAST(year(ts) AS INTEGER) AS y,
+       CAST(quarter(ts) AS INTEGER) AS q,
+       CAST(month(ts) AS INTEGER) AS m,
+       CAST(day(ts) AS INTEGER) AS dom,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS h,
+       CAST(minute(ts) AS INTEGER) AS mi,
+       date_trunc('week', ts) AS week_start,
+       CAST(date_diff('day', DATE '1996-01-01', CAST(ts AS DATE)) AS INTEGER)
+         AS days_since,
+       CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS month_end
+FROM events WHERE event_id % 5 = 0
+""",
+        "array_funcs_lineitem": """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty,
+         range(1, CAST(l_quantity AS INTEGER) + 1) AS r
+  FROM lineitem WHERE l_orderkey % 7 = 0)
+SELECT l_orderkey, l_linenumber, qty,
+       CAST(len(list_filter(r, x -> x % 2 = 0)) AS INTEGER) AS n_even,
+       CAST(list_sum(list_transform(r, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(coalesce(list_position(r, 5), 0) AS BIGINT) AS pos_of_5,
+       list_contains(r, 7) AS has_7,
+       CAST(list_reverse(r)[1] AS INTEGER) AS last_rev
+FROM base
 """,
         "q18_large_orders": """
 WITH big AS (

@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "range_join_click_error",
     "window_user_running",
     "window_user_range_frame",
+    "date_funcs_events",
+    "array_funcs_lineitem",
     "agg_event_stats",
     "json_events_props",
     "cube_orders_status_priority",
