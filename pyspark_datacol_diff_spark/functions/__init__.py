@@ -5,7 +5,8 @@ every builder is a pure ``pyspark.sql.Column`` expression (JVM-side,
 codegen'd, no UDFs), defined next to the operator family that owns it
 and re-exported here:
 
-- vector math: ``dot``, ``norm``, ``cosine`` (similarity)
+- vector math: ``dot``, ``norm``, ``cosine``, ``int_dot``,
+  ``quantize_scale``, ``quantize_int8`` (similarity)
 - shingling / fingerprints: ``word_ngrams``, ``hamming64`` (dedup),
   ``doc_fingerprint``, ``rolling_hash_fingerprint`` (text)
 - text stats: ``token_count``, ``bpe_ish_token_count``, ``char_count``,
@@ -20,7 +21,14 @@ from __future__ import annotations
 from ..operators.corpus import pii_counts, scrub_pii
 from ..operators.dedup import hamming64, word_ngrams
 from ..operators.sampling import hash_bucket
-from ..operators.similarity import cosine, dot, norm
+from ..operators.similarity import (
+    cosine,
+    dot,
+    int_dot,
+    norm,
+    quantize_int8,
+    quantize_scale,
+)
 from ..operators.text import (
     bpe_ish_token_count,
     char_count,
@@ -43,11 +51,14 @@ __all__ = [
     "dot",
     "hamming64",
     "hash_bucket",
+    "int_dot",
     "lang_id",
     "norm",
     "pii_counts",
     "punct_count",
     "quality_score",
+    "quantize_int8",
+    "quantize_scale",
     "scrub_pii",
     "rolling_hash_fingerprint",
     "stopword_hits",
