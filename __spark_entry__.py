@@ -393,6 +393,25 @@ def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_digest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-column table digest over an engine-exact
+    projection of orders (keys/strings as-is, date and money projected
+    to exact string forms) — the pre-diff equality gate: digest both
+    snapshots nightly, run the full diff only on digest mismatch. One
+    scan, map-side unpivot, one column-keyed aggregate."""
+    from pyspark_datacol_diff_spark.operators.diff import table_digest
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").cast("string").alias("o_date_str"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    return table_digest(o)
+
+
 def _q_date_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time function breadth over event timestamps: calendar parts,
     ISO-adjusted day-of-week, week truncation, day arithmetic, month-end
@@ -1950,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_user_range_frame": _q_window_user_range_frame,
         "range_join_click_error": _q_range_join_click_error,
         "string_funcs_customer": _q_string_funcs,
+        "digest_orders": _q_digest_orders,
         "date_funcs_events": _q_date_funcs_events,
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -2422,6 +2442,27 @@ SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
        substring(c_name, 10, 8) AS name_tail,
        concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
 FROM customer WHERE c_custkey % 3 = 0
+""",
+        "digest_orders": """
+WITH src AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+         CAST(o_custkey AS VARCHAR) AS o_custkey,
+         o_orderstatus, o_orderpriority,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date_str,
+         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS o_cents
+  FROM orders),
+long AS (
+  SELECT 'o_orderkey' AS col_name, o_orderkey AS v FROM src
+  UNION ALL SELECT 'o_custkey', o_custkey FROM src
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM src
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM src
+  UNION ALL SELECT 'o_date_str', o_date_str FROM src
+  UNION ALL SELECT 'o_cents', o_cents FROM src)
+SELECT col_name, count(v) AS n_values,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(sum(('0x' || substr(md5(v), 1, 15))::BIGINT)
+            % 1000000000000000000 AS BIGINT) AS digest
+FROM long GROUP BY col_name
 """,
         "date_funcs_events": """
 SELECT event_id,

@@ -19,6 +19,8 @@ from .errors import (
 )
 from .operators.diff import (
     apply_diff,
+    digests_equal,
+    table_digest,
     compute_dataframe_diff,
     column_mismatch_counts,
     diff,
@@ -41,6 +43,7 @@ __all__ = [
     "compute_dataframe_diff",
     "column_mismatch_counts",
     "diff",
+    "digests_equal",
     "diff_summary",
     "flag_counts",
     "gen_comp_col",
@@ -48,6 +51,7 @@ __all__ = [
     "scale_lint",
     "standardize",
     "suffix_columns",
+    "table_digest",
     "validate_schemas",
 ]
 

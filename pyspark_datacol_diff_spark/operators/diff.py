@@ -455,3 +455,66 @@ def compute_dataframe_diff(
     d = diff(s1, s2, pk_lst, **options)
     stats = column_mismatch_counts(d).toPandas()
     return d, stats
+
+
+def table_digest(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    modulus: int = 10**18,
+) -> DataFrame:
+    """Order-independent per-column content digest — the cheap pre-diff
+    equality gate. Two snapshots with equal digests are (at checksum
+    confidence) identical column-by-column, so the full-outer diff join
+    can be skipped entirely; unequal digests name WHICH columns moved
+    before any join runs. At 100 TB that turns "diff every night" into
+    "digest every night, diff on digest mismatch".
+
+    Per column: ``n_values`` (non-null count), ``n_nulls``, and
+    ``digest`` = sum of a 60-bit md5 value hash, mod ``modulus`` —
+    commutative, so the result is partitioning- and order-independent,
+    and md5 keeps it engine-portable (replayable in any SQL engine for
+    cross-system migration checks). The sum accumulates in
+    DECIMAL(38,0): exact, overflow-free at any row count.
+
+    Shape: values are unpivoted to (col_name, value) INSIDE the scan
+    stage (the Expand operator is map-side) and reduced by one hash
+    aggregate keyed on column name — shuffle rows = n_columns x
+    n_partitions, output rows = n_columns. One scan, no joins.
+
+    Caller contract: pass columns whose STRING form is engine-exact
+    (keys, strings, exact decimals/cents). Raw doubles format
+    differently across engines — project them to decimal first, as the
+    diff itself does for money columns.
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    stacked = df.select(
+        *[F.col(c).cast("string").alias(c) for c in names]
+    ).unpivot([], names, "col_name", "v")
+    h = F.conv(F.substring(F.md5(F.col("v")), 1, 15), 16, 10).cast("long")
+    return (
+        stacked.groupBy("col_name")
+        .agg(
+            F.count("v").alias("n_values"),
+            F.sum(F.isnull("v").cast("long")).alias("n_nulls"),
+            F.pmod(
+                F.coalesce(
+                    F.sum(h.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+                ),
+                F.lit(modulus).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("digest"),
+        )
+    )
+
+
+def digests_equal(s1: DataFrame, s2: DataFrame, cols: Sequence[str]) -> bool:
+    """True when both snapshots' per-column digests match — the gate a
+    scheduled pipeline checks before paying for the full diff. Runs one
+    scan per side; output comparison is n_cols rows on the driver."""
+    a = {r["col_name"]: (r["n_values"], r["n_nulls"], r["digest"])
+         for r in table_digest(s1, cols).collect()}
+    b = {r["col_name"]: (r["n_values"], r["n_nulls"], r["digest"])
+         for r in table_digest(s2, cols).collect()}
+    return a == b

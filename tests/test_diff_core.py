@@ -157,3 +157,40 @@ def test_apply_diff_round_trip(spark, employee_pair):
     assert rebuilt.count() == want.count()
     assert rebuilt.exceptAll(want).count() == 0
     assert want.exceptAll(rebuilt).count() == 0
+
+
+def test_table_digest_detects_any_single_change(spark):
+    from pyspark_datacol_diff_spark.operators.diff import (
+        digests_equal,
+        table_digest,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30)], ["k", "s", "v"]
+    )
+    same_other_order = spark.createDataFrame(
+        [(3, "c", 30), (1, "a", 10), (2, "b", None)], ["k", "s", "v"]
+    ).repartition(5)
+    changed = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "X", 30)], ["k", "s", "v"]
+    )
+    cols = ["k", "s", "v"]
+    assert digests_equal(base, same_other_order, cols)  # order/partitioning-proof
+    assert not digests_equal(base, changed, cols)
+    d = {r["col_name"]: r for r in table_digest(base).collect()}
+    assert d["v"]["n_nulls"] == 1 and d["v"]["n_values"] == 2
+    dc = {r["col_name"]: r for r in table_digest(changed).collect()}
+    # only the changed column's digest moves
+    assert d["s"]["digest"] != dc["s"]["digest"]
+    assert d["k"]["digest"] == dc["k"]["digest"]
+    assert d["v"]["digest"] == dc["v"]["digest"]
+
+
+def test_table_digest_single_scan_single_shuffle(spark):
+    from pyspark_datacol_diff_spark import plans as P
+    from pyspark_datacol_diff_spark.operators.diff import table_digest
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = table_digest(df, ["o_orderkey", "o_orderstatus"])
+    assert len(P.read_schemas(out)) == 1
+    P.assert_max_shuffles(out, 1)
