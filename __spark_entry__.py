@@ -393,6 +393,39 @@ def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key over (user_id, exact cents) — the layout key
+    behind write_zordered_parquet: bit-interleaving makes one sorted
+    layout serve range predicates on EITHER dimension. Pure long bit
+    arithmetic; the oracle replays the identical shift/mask cascade."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        SRC.morton_key(F.col("user_id"), cents).alias("zkey"),
+    )
+
+
+def _sql_zorder_key_events() -> str:
+    from pyspark_datacol_diff_spark.sources import _MORTON_MASKS
+
+    stages = ["SELECT event_id, user_id & 2147483647 AS a, "
+              "CAST(round(value * 100) AS BIGINT) & 2147483647 AS b "
+              "FROM events WHERE event_id % 3 = 0"]
+    for shift, mask in _MORTON_MASKS:
+        stages.append(
+            f"SELECT event_id, (a | (a << {shift})) & {mask} AS a, "
+            f"(b | (b << {shift})) & {mask} AS b FROM s{len(stages) - 1}"
+        )
+    ctes = ",\n".join(
+        f"s{i} AS ({q})" for i, q in enumerate(stages)
+    )
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT event_id, a | (b << 1) AS zkey FROM s{len(stages) - 1}"
+    )
+
+
 def _q_digest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-column table digest over an engine-exact
     projection of orders (keys/strings as-is, date and money projected
@@ -1970,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_click_error": _q_range_join_click_error,
         "string_funcs_customer": _q_string_funcs,
         "digest_orders": _q_digest_orders,
+        "zorder_key_events": _q_zorder_key_events,
         "date_funcs_events": _q_date_funcs_events,
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -2443,6 +2477,7 @@ SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
        concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
 FROM customer WHERE c_custkey % 3 = 0
 """,
+        "zorder_key_events": _sql_zorder_key_events(),
         "digest_orders": """
 WITH src AS (
   SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,

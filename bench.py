@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "diff_orders_detail",
     "diff_lineitem_flags",
     "digest_orders",
+    "zorder_key_events",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q9_profit_by_nation",

@@ -203,6 +203,61 @@ def write_clustered_parquet(
     parts.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
 
 
+_MORTON_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits(x: "F.Column") -> "F.Column":
+    """Interleave-ready bit spread: moves the low 31 bits of ``x`` to
+    the even bit positions of a long (classic magic-mask doubling)."""
+    v = x.bitwiseAND(F.lit(0x7FFFFFFF))
+    for shift, mask in _MORTON_MASKS:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def morton_key(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Z-order (Morton) key of two non-negative integer dimensions: bit-
+    interleaves the low 31 bits of each, so rows close in EITHER
+    dimension land close in the combined sort order. Sorting the data
+    layout by this key gives tight parquet min/max statistics on BOTH
+    columns at once — range-cluster on one column and predicates on the
+    other skip nothing; Z-cluster and predicates on either column skip
+    most row groups. Pure long bit arithmetic (shifts, masks, or) —
+    codegen'd in Spark and replayable verbatim in any engine.
+    """
+    return _spread_bits(a.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_bits(b.cast("long")), 1)
+    )
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    dim_a: str,
+    dim_b: str,
+    *,
+    num_files: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Z-ordered parquet layout: range-partition + sort on the Morton
+    key of two filter dimensions, then drop the key — the multi-column
+    generalization of ``write_clustered_parquet`` for tables filtered
+    by either (or both) of two high-cardinality columns."""
+    z = df.withColumn("__z", morton_key(F.col(dim_a), F.col(dim_b)))
+    parts = (
+        z.repartitionByRange(num_files, "__z")
+        if num_files
+        else z.repartitionByRange("__z")
+    )
+    parts.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same vectorized/pushdown behavior as parquet (ORC is
     the other columnar format Spark reads natively; predicate pushdown

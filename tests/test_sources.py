@@ -188,3 +188,70 @@ def test_write_clustered_parquet_prunes_row_groups(spark, tmp_path):
     assert back.count() == 100
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(ts_key), GreaterThanOrEqual(ts_key,100)" in plan
+
+
+def _py_morton(a, b):
+    def spread(x):
+        x &= 0x7FFFFFFF
+        for shift, mask in SRC._MORTON_MASKS:
+            x = (x | (x << shift)) & mask
+        return x
+
+    return spread(a) | (spread(b) << 1)
+
+
+def test_morton_key_matches_reference_bits(spark):
+    rows = [(i, i * 37 % 1000, i * 91 % 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+    got = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i", SRC.morton_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    for i, a, b in rows:
+        assert got[i] == _py_morton(a, b)
+
+
+def test_zordered_layout_skips_files_on_both_dims(spark, tmp_path):
+    """The point of Z-ordering: one layout serves predicates on EITHER
+    dimension. Per-file min/max footers must localize dim_b even though
+    a one-dimensional cluster on dim_a would spread it everywhere."""
+    import pyarrow.parquet as pq
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    zpath = str(tmp_path / "zordered")
+    apath = str(tmp_path / "a_clustered")
+    SRC.write_zordered_parquet(df, zpath, "a", "b", num_files=8)
+    SRC.write_clustered_parquet(df, apath, ["a"], num_files=8)
+
+    def overlapping_files(path, col, value):
+        import glob
+
+        def col_stats(md, rg):
+            j = next(
+                j for j in range(md.num_columns)
+                if md.row_group(rg).column(j).path_in_schema == col
+            )
+            return md.row_group(rg).column(j).statistics
+
+        hits = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(col_stats(md, i).min for i in range(md.num_row_groups))
+            hi = max(col_stats(md, i).max for i in range(md.num_row_groups))
+            if lo <= value <= hi:
+                hits += 1
+        return hits
+
+    # a point predicate on b: the a-clustered layout cannot skip any
+    # file; the z-ordered layout must skip most
+    assert overlapping_files(apath, "b", 5) == 8
+    assert overlapping_files(zpath, "b", 5) <= 4
+    # and the z layout still skips on a too
+    assert overlapping_files(zpath, "a", 5) <= 4
+    # round-trip integrity
+    assert spark.read.parquet(zpath).count() == n
