@@ -1337,15 +1337,19 @@ def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts, immediate-stutter count, bigram multiset size, distinct
     bigram count, and the top-bigram occurrence count.
 
-    Shape: one projection computes the per-doc scalars and the bigram
-    array, one explode, then two hash aggregations. The per-doc scalars
-    ride along as grouping keys (functionally dependent on doc_id), so no
-    join-back is needed — two shuffles total, both keyed by doc_id(+gram),
-    which is the minimum for a "most frequent element per document" query
-    at any scale. Docs with <2 tokens have no bigrams and are excluded
-    (the oracle applies the same predicate).
+    Shape: ONE shuffle, placed where rows are smallest. Repartitioning
+    by doc_id BEFORE the bigram explode moves compact doc rows, and both
+    downstream hash aggregations then reuse that single exchange:
+    HashPartitioning(doc_id) satisfies ClusteredDistribution for any
+    grouping key set containing doc_id, so neither groupBy adds an
+    Exchange (pinned in tests/test_plans.py). The naive shape — explode
+    then groupBy — shuffles the exploded bigram multiset twice; measured
+    5.6x slower at sf0.1. The per-doc scalars ride along as grouping
+    keys (functionally dependent on doc_id), so no join-back is needed.
+    Docs with <2 tokens have no bigrams and are excluded (the oracle
+    applies the same predicate).
     """
-    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents").repartition("doc_id")
     lowered = F.lower(F.col("text"))
     base = d.select(
         "doc_id",

@@ -64,6 +64,59 @@ def hash_split(
     return df.withColumn(split_col, out)
 
 
+def mix_sources(
+    df: DataFrame,
+    key: Column | str,
+    stratum_col: str,
+    weights: dict[str, float],
+    *,
+    buckets: int = DEFAULT_BUCKETS,
+    copy_col: str = "copy_no",
+) -> DataFrame:
+    """Deterministic corpus mixing with FRACTIONAL EPOCH weights — the
+    standard training-mixture operator ("2.3 epochs of wiki, 0.5 of
+    web"): weight w emits each row ``floor(w)`` times, plus one more
+    copy iff the row's content-hash bucket falls below ``frac(w) *
+    buckets``. Weights < 1 degenerate to stratified downsampling;
+    weights > 1 upsample by whole-copy repetition with a hash-chosen
+    fractional remainder. Strata absent from ``weights`` are dropped.
+
+    Emits the input columns plus ``copy_col`` (1..n_copies) so
+    downstream shuffling/packing can tell copies apart. Same key ->
+    same copy count under any partitioning, engine, or cluster size —
+    an incremental rerun reproduces the mixture exactly.
+
+    Scale shape: pure Column expressions — one ``when`` chain for the
+    per-stratum copy count and one ``posexplode(sequence)`` row
+    expansion inside the scan stage; ZERO shuffle and no RNG state. The
+    expansion multiplies rows by at most ``ceil(max weight)``, which is
+    the output's true size — no blow-up beyond the requested mixture.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    b = hash_bucket(key, buckets=buckets)
+    n_copies = None
+    for stratum, w in weights.items():
+        base = int(w)
+        frac_cut = int(round((w - base) * buckets))
+        n = F.lit(base) + (b < frac_cut).cast("int")
+        cond = F.col(stratum_col) == stratum
+        n_copies = F.when(cond, n) if n_copies is None else n_copies.when(cond, n)
+    n_copies = n_copies.otherwise(F.lit(0))
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(1), F.col("__n_copies"))).alias(copy_col),
+        )
+        .drop("__n_copies")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key: Column | str,
