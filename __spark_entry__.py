@@ -1131,6 +1131,121 @@ def _q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+_MIX_WEIGHTS = {"en": 0.35, "de": 2.0, "fr": 2.5, "es": 1.0, "zh": 1.25}
+
+
+def _q_mix_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing with FRACTIONAL EPOCH weights per
+    language ("2.5 epochs of fr, 0.35 of en"): whole copies by floor of
+    the weight plus a content-hash-chosen fractional remainder copy.
+    Pure projection + row-expanding explode — zero shuffle, zero RNG
+    state; the mixture is reproducible across engines, partitionings,
+    and incremental reruns. See sampling.mix_sources."""
+    d = _t(spark, sf_dir, "documents")
+    m = SAMP.mix_sources(d, "doc_id", "lang", _MIX_WEIGHTS)
+    return m.select("doc_id", "lang", F.col("copy_no").cast("long").alias("copy_no"))
+
+
+def _sql_mix_sources_docs() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {int(w)} + "
+        f"(CASE WHEN bk < {int(round((w - int(w)) * 10000))} THEN 1 ELSE 0 END)"
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH b AS (SELECT doc_id, lang, {_SQL_BUCKET} AS bk FROM documents),
+n AS (SELECT doc_id, lang, CASE lang {arms} ELSE 0 END AS n_copies FROM b)
+SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_no
+FROM n WHERE n_copies > 0
+"""
+
+
+def _q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact span dedup audit (chunk-granularity
+    approximation of suffix-array substring dedup): per document, how
+    many of its 16-token spans are the corpus-wide survivor of their
+    content fingerprint vs duplicated elsewhere. Only digests and
+    integer ids ever shuffle. See corpus.span_dedup_stats."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.span_dedup_stats(d, "doc_id", "text", span_tokens=16)
+
+
+def _sql_span_dedup_docs() -> str:
+    return r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+st AS (SELECT doc_id, ws,
+              unnest(range(1, greatest(len(ws), 1) + 1, 16)) AS start
+       FROM w),
+sp AS (SELECT doc_id, CAST((start - 1) // 16 AS BIGINT) AS span_no,
+              md5(array_to_string(ws[start : start + 15], ' ')) AS fp
+       FROM st),
+r AS (SELECT doc_id, span_no, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, span_no)
+               AS rn
+      FROM sp)
+SELECT doc_id,
+       count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       (count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))::BIGINT AS n_dup
+FROM r GROUP BY doc_id
+"""
+
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def _q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval: top-10 documents for a bag-of-terms
+    query, exact-rational idf (no ln; +,*,/ are correctly rounded so the
+    ranking is engine-stable). The emitted surface is integer-exact —
+    rank plus (n_terms, sum_tf) match diagnostics; the raw double score
+    stays internal because FMA contraction differs across engines by
+    ~1 ulp. Non-matching docs contribute zero shuffle rows; per-term df
+    broadcasts back. See corpus.bm25_top_docs."""
+    d = _t(spark, sf_dir, "documents")
+    t = CP.bm25_top_docs(d, "doc_id", "text", _BM25_TERMS, k=10)
+    return t.select("doc_id", "n_terms", "sum_tf", "rnk")
+
+
+def _sql_bm25_docs() -> str:
+    # literals 2.2 / 1.2 / 0.25 / 0.75 are the shortest-repr round-trips
+    # of the operator's k1+1, k1, 1-b, b — identical doubles both engines
+    conds = " + ".join(
+        f"coalesce(sum(CASE WHEN term = '{t}' THEN s END), 0.0)"
+        for t in _BM25_TERMS
+    )
+    in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS dl,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list}) GROUP BY ALL),
+n AS (
+  SELECT count(*)::BIGINT AS nn,
+         CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+           AS total_dl
+  FROM documents),
+dfs AS (SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ((2 * nn - 2 * df_docs + 1) / (2 * df_docs + 1))
+         * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (total_dl / nn)))))
+           AS s
+  FROM tf JOIN dfs USING (term), n),
+agg AS (SELECT doc_id, {conds} AS score,
+               count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS sum_tf
+        FROM sc GROUP BY doc_id)
+SELECT doc_id, n_terms, sum_tf,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def _q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end training-corpus pipeline: quality filter ->
     language filter -> exact near-dup removal (normalized-content
@@ -2042,6 +2157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_docs": _q_tfidf_top_docs,
         "sample_split_docs": _q_sample_split_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
+        "mix_sources_docs": _q_mix_sources_docs,
+        "span_dedup_docs": _q_span_dedup_docs,
+        "bm25_docs": _q_bm25_docs,
         "pipeline_training_corpus": _q_pipeline_training_corpus,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "diff_apply_roundtrip": _q_diff_apply_roundtrip,
@@ -2884,6 +3002,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "decontaminate_docs": _sql_decontaminate_docs(),
         "sample_split_docs": _sql_sample_split_docs(),
         "stratified_sample_docs": _sql_stratified_sample_docs(),
+        "mix_sources_docs": _sql_mix_sources_docs(),
+        "span_dedup_docs": _sql_span_dedup_docs(),
+        "bm25_docs": _sql_bm25_docs(),
         "pipeline_training_corpus": _sql_pipeline_training_corpus(),
         "ngram_jaccard_docs": """
 WITH toks AS (

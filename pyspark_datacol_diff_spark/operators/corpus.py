@@ -238,6 +238,146 @@ def tfidf_top_terms(
     )
 
 
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    span_tokens: int = 32,
+) -> DataFrame:
+    """Sub-document EXACT span dedup audit (the chunk-granularity
+    approximation of suffix-array substring dedup, as used on big web
+    corpora where full suffix arrays don't fit): cut every document into
+    non-overlapping ``span_tokens``-token spans, fingerprint each span,
+    and keep one global survivor per distinct fingerprint — the
+    lexicographically smallest ``(doc_id, span_no)``. Reports, per
+    document, how many of its spans survive vs lose to a copy elsewhere
+    in the corpus — the signal a span-level rewriter would act on.
+
+    Scale shape: the span explode happens inside the scan stage; the
+    only exchanges are (1) the fingerprint-keyed aggregation that picks
+    each span's global survivor — shuffle carries one row per distinct
+    span digest with map-side combine, not one per occurrence — and
+    (2) the per-doc rollup. The span text itself never shuffles (only
+    the 128-bit digest and the integer ids do), so exchange volume at
+    100 TB is digest-sized regardless of document length.
+
+    Emits ``(id_col, n_spans, n_kept, n_dup)`` — integers only.
+    """
+    spans = chunk_tokens(
+        df, id_col, text_col, chunk_size=span_tokens, overlap=0, chunk_col="__span"
+    ).select(
+        F.col(id_col),
+        F.col("chunk_no").alias("__span_no"),
+        F.md5(F.col("__span")).alias("__fp"),
+    )
+    survivor = F.min(F.struct(F.col(id_col), F.col("__span_no"))).over(
+        Window.partitionBy("__fp")
+    )
+    audited = spans.select(
+        F.col(id_col),
+        (
+            (survivor[id_col] == F.col(id_col))
+            & (survivor["__span_no"] == F.col("__span_no"))
+        ).cast("int").alias("__kept"),
+    )
+    return audited.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("__kept").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("__kept")).alias("n_dup"),
+    )
+
+
+def bm25_top_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query by Okapi BM25 — the
+    standard lexical retrieval scorer (Robertson & Spärck Jones line of
+    work; public formula). Uses the exact-rational idf variant
+    ``(2N - 2df + 1) / (2df + 1)`` (the classic ``(N - df + 0.5) /
+    (df + 0.5)`` scaled by 2/2) instead of its logarithm: ``ln`` is not
+    required to be correctly rounded by IEEE 754 so engines may differ
+    well beyond the last ulp, while +,*,/ are correctly rounded — an
+    identically parenthesized evaluation agrees across engines to ~1
+    ulp (exact but for FMA contraction, which engines may apply to
+    a*b+c chains; measured 1-2 ulp Spark vs DuckDB). Rankings are
+    engine-stable unless two scores sit within an ulp of each other;
+    the ranks plus the integer (n_terms, sum_tf) diagnostics are the
+    cross-engine-exact surface, the raw double score is informational.
+    Rankings differ from log-idf BM25 only when idf spans decades
+    (rare-term domination), which small query sets tolerate.
+
+    Scale shape: the query-term set is tiny — it becomes an
+    array-literal filter against the exploded corpus tokens, so only
+    matching (doc, term) rows survive to the tf aggregation; the clean
+    majority of the corpus contributes ZERO shuffle rows. Document
+    lengths ride along as grouping keys (functionally dependent on
+    doc_id). df(term) is aggregated to one row per query term and
+    BROADCAST-joined back — deliberately NOT a term-partitioned window,
+    which with a handful of terms would funnel every occurrence of a
+    popular term into one partition (skew by construction). N and the
+    corpus token total are a scalar broadcast. One corpus scan for the
+    match side plus one column-pruned scan for the corpus stats.
+
+    Emits ``(id_col, score, n_terms, sum_tf, rnk)``; ties broken by
+    ascending id.
+    """
+    if not query_terms or len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be a non-empty list of unique terms")
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(
+        F.col(id_col),
+        token_count(F.lower(F.col(text_col))).alias("dl"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.array_contains(terms, F.col("term")))
+    # genuine branch point: tf feeds both the per-term df aggregation
+    # and the scoring join — persist so the corpus scan runs once
+    tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(token_count(F.lower(F.col(text_col)))).alias("__total_dl"),
+    )
+    df_by_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = tf.join(F.broadcast(df_by_term), "term").crossJoin(F.broadcast(n_docs))
+    # identically parenthesized in the DuckDB oracle; avgdl inlined as
+    # (__total_dl / __n) so both engines divide the same exact integers
+    idf = (2 * F.col("__n") - 2 * F.col("df_docs") + 1) / (2 * F.col("df_docs") + 1)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * ((1 - b) + b * (F.col("dl") / (F.col("__total_dl") / F.col("__n"))))
+    )
+    per_term = scored.select(
+        F.col(id_col), "term", "tf", (idf * tf_part).alias("__s")
+    )
+    # per-term conditional sums (each has at most ONE non-null input per
+    # doc, so no float-summation-order ambiguity), then added in the
+    # caller's term order — a fixed parenthesization both engines share
+    term_cols = [
+        F.sum(F.when(F.col("term") == t, F.col("__s"))).alias(f"__s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    score = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        score = score + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    scores = per_term.groupBy(id_col).agg(
+        *term_cols,
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("tf").alias("sum_tf"),
+    ).select(F.col(id_col), score.alias("score"), "n_terms", "sum_tf")
+    # TakeOrderedAndProject (scale-safe top-k), then rank the k survivors
+    # with a window that only ever sees k rows
+    topk = scores.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return topk.withColumn("rnk", F.row_number().over(w))
+
+
 def contamination_counts(
     corpus: DataFrame,
     bench: DataFrame,

@@ -244,3 +244,72 @@ def test_tfidf_min_df_drops_rare_terms(spark):
         for r in tfidf_top_terms(df, "doc_id", "text", k=5, min_df=2).collect()
     }
     assert toks == {"shared"}
+
+
+def test_span_dedup_hand_computed(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import span_dedup_stats
+
+    # span size 2: doc1 = [ab][cd], doc2 = [ab][ab], doc3 = [cd]
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b a b"), (3, "c d")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["n_dup"])
+        for r in span_dedup_stats(d, "doc_id", "text", span_tokens=2).collect()
+    }
+    # survivor of "a b" is (1,0); of "c d" is (1,1); doc2 loses both of
+    # its "a b" spans; doc3 loses its "c d" to doc1
+    assert out[1] == (2, 2, 0)
+    assert out[2] == (2, 0, 2)
+    assert out[3] == (1, 0, 1)
+
+
+def test_span_dedup_survivor_is_lexicographic_min(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import span_dedup_stats
+
+    # same span appears at (5,0) and (2,1): survivor is doc 2 (smaller
+    # doc_id wins even though its span_no is larger)
+    d = spark.createDataFrame(
+        [(5, "x y"), (2, "p q x y")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_kept"], r["n_dup"])
+        for r in span_dedup_stats(d, "doc_id", "text", span_tokens=2).collect()
+    }
+    assert out[2] == (2, 0)
+    assert out[5] == (0, 1)
+
+
+def test_bm25_ranking_and_diagnostics(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import bm25_top_docs
+
+    d = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),  # heavy on one term
+            (2, "spark join other words here"),      # two distinct terms
+            (3, "nothing relevant at all whatsoever"),
+            (4, "join"),                             # short doc boost
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_top_docs(d, "doc_id", "text", ["spark", "join"], k=10).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert 3 not in by_id  # no matching term -> never emitted
+    assert by_id[2]["n_terms"] == 2 and by_id[2]["sum_tf"] == 2
+    assert by_id[1]["n_terms"] == 1 and by_id[1]["sum_tf"] == 3
+    # ranks are 1..n and unique
+    assert sorted(r["rnk"] for r in rows) == [1, 2, 3]
+    # two-term match beats single-term tf-saturated match (tf saturates
+    # at k1+1 while a second term adds a whole idf block)
+    assert by_id[2]["rnk"] < by_id[1]["rnk"]
+
+
+def test_bm25_rejects_bad_terms(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import bm25_top_docs
+
+    d = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bm25_top_docs(d, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        bm25_top_docs(d, "doc_id", "text", ["a", "a"])

@@ -79,3 +79,45 @@ def test_split_is_pure_projection(spark, ids):
     out = SAMP.hash_split(ids, "key", [("train", 0.9), ("test", 0.1)])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mix_sources_copy_counts(spark):
+    from pyspark_datacol_diff_spark.operators.sampling import (
+        hash_bucket,
+        mix_sources,
+    )
+
+    d = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+        + [(1000, "unlisted")],
+        ["k", "src"],
+    )
+    out = mix_sources(d, "k", "src", {"a": 2.0, "b": 0.5}).collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r["k"], []).append(r["copy_no"])
+    # weight 2.0: exactly two copies each, numbered 1,2
+    for i in range(0, 200, 2):
+        assert sorted(per_key[i]) == [1, 2]
+    # weight 0.5: zero or one copy, decided by the hash bucket
+    buckets = {
+        r["k"]: r["bk"]
+        for r in d.select("k", hash_bucket("k").alias("bk")).collect()
+    }
+    for i in range(1, 200, 2):
+        expect = [1] if buckets[i] < 5000 else []
+        assert sorted(per_key.get(i, [])) == expect
+    # unlisted stratum dropped entirely
+    assert 1000 not in per_key
+
+
+def test_mix_sources_zero_shuffle_and_validation(spark):
+    from pyspark_datacol_diff_spark import plans as P
+    from pyspark_datacol_diff_spark.operators.sampling import mix_sources
+
+    d = spark.createDataFrame([(1, "a")], ["k", "src"])
+    P.assert_max_shuffles(mix_sources(d, "k", "src", {"a": 1.5}), 0)
+    with pytest.raises(ValueError):
+        mix_sources(d, "k", "src", {})
+    with pytest.raises(ValueError):
+        mix_sources(d, "k", "src", {"a": -0.1})
