@@ -1418,6 +1418,171 @@ def _q_window_user_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE session windows in batch: per-user sessions with a
+    30-minute inactivity gap via ``F.session_window`` — the built-in
+    operator (one shuffle on user_id, sessions merged JVM-side), in
+    contrast to streaming/'s applyInPandasWithState sessionizer which
+    exists for custom state logic. Emits exact integers plus the
+    session bounds (start = first event, end = last event + gap).
+    Oracle is the classic gaps-and-islands rewrite: a new-session flag
+    from lag(ts), a running sum to number sessions, then min/max/count
+    per (user, session)."""
+    e = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return e.groupBy("user_id", sw).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+    ).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "n_types",
+    )
+
+
+_SQL_SESSION_WINDOW_EVENTS = """
+WITH x AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM x
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT event_type)::BIGINT AS n_types
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel (view -> click -> purchase): how many
+    users reached each stage, where a stage counts only if it happens
+    STRICTLY AFTER the previous stage in the per-user event order
+    (ts, event_id — a deterministic total order). Running max flags
+    over one shared window spec chain the stages; all three windows
+    reuse a single user-keyed sort, so the whole funnel costs ONE
+    shuffle + two tiny aggregations. Integer-exact."""
+    e = _t(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    viewed = (F.col("event_type") == "view").cast("int")
+    staged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.coalesce(F.max(viewed).over(w_prev), F.lit(0)).alias("hv"),
+    ).select(
+        "user_id", "ts", "event_id", "event_type", "hv",
+        ((F.col("event_type") == "click") & (F.col("hv") == 1))
+        .cast("int").alias("qc"),
+    ).select(
+        "user_id", "event_type", "qc",
+        F.coalesce(F.max("qc").over(w_prev), F.lit(0)).alias("hqc"),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(viewed).alias("r1"),
+        F.max("qc").alias("r2"),
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("hqc") == 1)).cast("int")
+        ).alias("r3"),
+    )
+    return per_user.groupBy(
+        (F.col("r1") + F.col("r2") + F.col("r3")).alias("stage")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_SQL_FUNNEL_EVENTS = """
+WITH w1 AS (
+  SELECT user_id, ts, event_id, event_type,
+         coalesce(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS hv
+  FROM events
+), w2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND hv = 1 THEN 1 ELSE 0 END AS qc
+  FROM w1
+), w3 AS (
+  SELECT *, coalesce(max(qc)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS hqc
+  FROM w2
+), per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS r1,
+         max(qc) AS r2,
+         max(CASE WHEN event_type = 'purchase' AND hqc = 1 THEN 1 ELSE 0 END)
+           AS r3
+  FROM w3 GROUP BY user_id
+)
+SELECT (r1 + r2 + r3)::INT AS stage, count(*)::BIGINT AS n_users
+FROM per_user GROUP BY 1
+"""
+
+
+def _q_resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap filling): per user, one row per
+    HOUR between their first and last event, zero-filled where nothing
+    happened — the sparse-to-dense resample every per-entity time-series
+    model needs. The dense spine is generated FROM the per-user bounds
+    aggregate (sequence + explode on users-sized input, never a
+    calendar cross-join); the left join back to hourly counts is keyed
+    (user, hour) and both sides arrive hash-partitioned from their
+    aggregations. Zero rows survive as explicit zeros."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour_ts"),
+    )
+    counts = e.groupBy("user_id", hour.alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(counts, ["user_id", "hour_ts"], "left").select(
+        "user_id",
+        "hour_ts",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+    )
+
+
+_SQL_RESAMPLE_USER_HOURLY = """
+WITH b AS (
+  SELECT user_id,
+         date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+  FROM b
+), c AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+  FROM events GROUP BY ALL
+)
+SELECT s.user_id, s.hour_ts, coalesce(c.n, 0)::BIGINT AS n_events
+FROM spine s LEFT JOIN c USING (user_id, hour_ts)
+"""
+
+
 def _q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-heuristic language ID over documents: per-language marker
     scores plus the argmax label (sorted-code tie-break, 'und' floor).
@@ -2157,6 +2322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_docs": _q_tfidf_top_docs,
         "sample_split_docs": _q_sample_split_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
+        "session_window_events": _q_session_window_events,
+        "funnel_events": _q_funnel_events,
+        "resample_user_hourly": _q_resample_user_hourly,
         "mix_sources_docs": _q_mix_sources_docs,
         "span_dedup_docs": _q_span_dedup_docs,
         "bm25_docs": _q_bm25_docs,
@@ -3002,6 +3170,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "decontaminate_docs": _sql_decontaminate_docs(),
         "sample_split_docs": _sql_sample_split_docs(),
         "stratified_sample_docs": _sql_stratified_sample_docs(),
+        "session_window_events": _SQL_SESSION_WINDOW_EVENTS,
+        "funnel_events": _SQL_FUNNEL_EVENTS,
+        "resample_user_hourly": _SQL_RESAMPLE_USER_HOURLY,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

@@ -306,3 +306,23 @@ def test_scale_lint_downgrades_scalar_subquery_broadcast(qs, spark):
         f["code"] == "cartesian" and f["severity"] == "error"
         for f in P.scale_lint(big)
     )
+
+
+def test_funnel_single_user_sort_no_join(qs, spark):
+    # all three stage windows + the per-user agg reuse ONE user-keyed
+    # exchange; only the tiny stage-count agg adds a second. No join.
+    df = qs["funnel_events"](spark, SF)
+    P.assert_max_shuffles(df, 2)
+    assert "Join" not in P.physical_plan(df)
+
+
+def test_session_window_single_shuffle(qs, spark):
+    P.assert_max_shuffles(qs["session_window_events"](spark, SF), 1)
+
+
+def test_resample_joins_on_aggregated_sides(qs, spark):
+    # dense spine is generated from the per-user bounds AGGREGATE
+    # (users-sized), never a calendar cross-join
+    df = qs["resample_user_hourly"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
