@@ -1316,6 +1316,99 @@ def _q_quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR (Tukey-fence) outlier detection per event type, entirely in
+    integer space: fences at p25/p75 of exact cents with a 3x
+    multiplier — ``cents > p75 + 3*(p75-p25)`` (and the low-side
+    mirror) — so both engines compare identical BIGINTs; no float ever
+    exists. Two passes over the group: the percentile aggregation
+    produces a tiny per-type fence relation that BROADCASTS back onto
+    the scan — the standard two-pass shape for "aggregate-derived
+    per-group thresholds" (a windowed rewrite would shuffle the fact
+    table instead; thresholds-side broadcast wins at any scale)."""
+    e = _t(spark, sf_dir, "events")
+    cents_sql = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    cents = F.expr(cents_sql)
+    fences = e.groupBy("event_type").agg(
+        F.expr(f"percentile_disc(0.25) WITHIN GROUP (ORDER BY {cents_sql})")
+        .cast("long").alias("p25"),
+        F.expr(f"percentile_disc(0.75) WITHIN GROUP (ORDER BY {cents_sql})")
+        .cast("long").alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    flagged = e.select("event_type", cents.alias("cents")).join(
+        F.broadcast(fences), "event_type"
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("cents") > F.col("p75") + 3 * iqr).cast("long")
+        ).alias("n_high_outliers"),
+        F.sum(
+            (F.col("cents") < F.col("p25") - 3 * iqr).cast("long")
+        ).alias("n_low_outliers"),
+        F.max("p75").alias("p75_cents"),
+        F.max("p25").alias("p25_cents"),
+    )
+
+
+_SQL_OUTLIERS_EVENTS = """
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), f AS (
+  SELECT event_type,
+         CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25,
+         CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN cents > p75 + 3 * (p75 - p25) THEN 1 ELSE 0 END)::BIGINT
+         AS n_high_outliers,
+       sum(CASE WHEN cents < p25 - 3 * (p75 - p25) THEN 1 ELSE 0 END)::BIGINT
+         AS n_low_outliers,
+       max(p75)::BIGINT AS p75_cents,
+       max(p25)::BIGINT AS p25_cents
+FROM c JOIN f USING (event_type)
+GROUP BY c.event_type
+"""
+
+
+def _q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type, pinned
+    against the exact count IN the emitted row: the oracle cannot replay
+    Spark's sketch, so the query emits the exact count (engine-exact)
+    plus a boolean asserting the sketch landed within 5x the configured
+    2% relative standard deviation — the oracle emits literal TRUE, so a
+    broken sketch breaks the hash match. At 100 TB the approx path is
+    the one you run (fixed-size sketch per group, no exact distinct
+    shuffle); the exact column here is the audit."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.count_distinct("user_id")
+            )
+            <= F.greatest(
+                (F.count_distinct("user_id") * F.lit(0.10)).cast("long"),
+                F.lit(1),
+            )
+        ).alias("sketch_within_bound"),
+    )
+
+
+_SQL_APPROX_DISTINCT_EVENTS = """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_users_exact,
+       TRUE AS sketch_within_bound
+FROM events GROUP BY event_type
+"""
+
+
 def _q_window_user_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset/rank window breadth: per-user event timeline with lag /
     lead / ntile over one window spec — ONE shuffle on user_id serves
@@ -2322,6 +2415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_docs": _q_tfidf_top_docs,
         "sample_split_docs": _q_sample_split_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
+        "outliers_events": _q_outliers_events,
+        "approx_distinct_events": _q_approx_distinct_events,
         "session_window_events": _q_session_window_events,
         "funnel_events": _q_funnel_events,
         "resample_user_hourly": _q_resample_user_hourly,
@@ -3170,6 +3265,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "decontaminate_docs": _sql_decontaminate_docs(),
         "sample_split_docs": _sql_sample_split_docs(),
         "stratified_sample_docs": _sql_stratified_sample_docs(),
+        "outliers_events": _SQL_OUTLIERS_EVENTS,
+        "approx_distinct_events": _SQL_APPROX_DISTINCT_EVENTS,
         "session_window_events": _SQL_SESSION_WINDOW_EVENTS,
         "funnel_events": _SQL_FUNNEL_EVENTS,
         "resample_user_hourly": _SQL_RESAMPLE_USER_HOURLY,

@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "range_join_click_error",
     "window_user_running",
     "window_user_range_frame",
+    "session_window_events",
+    "funnel_events",
+    "outliers_events",
     "date_funcs_events",
     "array_funcs_lineitem",
     "agg_event_stats",
@@ -65,6 +68,8 @@ BENCH_QUERIES = [
     "vocab_topk_docs",
     "pack_sequences_docs",
     "tfidf_top_docs",
+    "bm25_docs",
+    "span_dedup_docs",
     "two_stage_agg_events",
     "ann_topk_cosine",
     "ann_topk_arrow",
