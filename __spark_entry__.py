@@ -2145,12 +2145,43 @@ def _q_minhash_portable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH candidate pairs (hash seeds engine-internal -> no SQL
-    oracle; driver records rows-only)."""
+    """Driver-visible gate for the pyspark.ml MinHashLSH path (hash
+    seeds are engine-internal, so the PAIRS can't be replayed in SQL —
+    but their quality can): LSH candidate pairs at threshold 0.3 are
+    checked Spark-side against the exact n-gram-Jaccard pair set. Emits
+    one row (n_strong, n_below_025, recall_ok); the oracle computes
+    n_strong (exact pairs with J >= 0.35) from scratch and pins
+    n_below_025 = 0 (approxSimilarityJoin filters candidates by the
+    TRUE feature-set Jaccard, so nothing below ~threshold survives; the
+    0.25 margin absorbs HashingTF index-collision noise vs shingle-set
+    Jaccard) and recall >= 0.8 over the strong pairs (measured 1.0 at
+    sf0.001/sf0.01 with seed=42, 8 tables; the 0.35 margin keeps the
+    gate off the threshold boundary)."""
     d = _t(spark, sf_dir, "documents")
-    return DD.minhash_lsh_pairs(
+    lsh = DD.minhash_lsh_pairs(
         d, "doc_id", "text", n=3, jaccard_threshold=0.3
     ).select("id_a", "id_b")
+    exact = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.25
+    ).select("id_a", "id_b", "jaccard")
+    m = exact.withColumn("in_e", F.lit(1)).join(
+        lsh.withColumn("in_l", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    strong = F.when(F.col("jaccard") >= 0.35, 1).otherwise(0)
+    return m.agg(
+        F.sum(strong).cast("long").alias("n_strong"),
+        F.sum(
+            F.when(F.col("in_e").isNull() & F.col("in_l").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_below_025"),
+        (
+            F.sum(
+                F.when((F.col("jaccard") >= 0.35) & F.col("in_l").isNotNull(), 1)
+                .otherwise(0)
+            )
+            >= F.lit(0.8) * F.sum(strong)
+        ).alias("recall_ok"),
+    )
 
 
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3415,6 +3446,28 @@ FROM x GROUP BY lang, pos
         "minhash_portable_docs": _sql_minhash_portable_docs(),
         "simhash_portable_docs": _sql_simhash_portable_docs(),
         "minhash_native_docs": _sql_minhash_pairs_docs(),
+        "minhash_lsh_docs": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM toks) u),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+rawpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_cnt
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+strong AS (
+  SELECT id_a, id_b FROM rawpairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) >= 0.35)
+SELECT count(*)::BIGINT AS n_strong,
+       0::BIGINT AS n_below_025,
+       TRUE AS recall_ok
+FROM strong
+""",
         "minhash_cluster_docs": _sql_minhash_cc_docs(),
         "simhash_docs": _sql_simhash_pairs_docs(),
         "fingerprint_rolling_docs": """
