@@ -672,6 +672,131 @@ def _q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape, deliberately phrased through the SQL FRONTEND
+    (temp view + ``spark.sql``) to pin that surface too: pure
+    scan-filter-aggregate with every predicate pushed to parquet.
+    Revenue in exact DECIMAL e4 — price cents x discount hundredths
+    stays integer-exact in both engines."""
+    _register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(5,4))) * 10000 AS BIGINT)
+                 AS revenue_e4,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+        """
+    )
+
+
+_SQL_Q6_FORECAST_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(5,4))) * 10000 AS BIGINT)
+         AS revenue_e4,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+"""
+
+
+def _q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter. Fact-fact equi-join (lineitem x orders) shuffles once
+    on orderkey; customer and nation are broadcast dims; the final
+    top-20 fuses into TakeOrderedAndProject (never a global sort).
+    Money exact-integer end to end."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+        .alias("acctbal_cents"),
+    ).agg((F.sum(amount) * 10000).cast("long").alias("revenue_e4"))
+    return agg.orderBy(F.desc("revenue_e4"), F.asc("c_custkey")).limit(20)
+
+
+_SQL_Q10_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+            * 10000 AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+GROUP BY c_custkey, c_name, n_name, acctbal_cents
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+"""
+
+
+def _q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-vs-total revenue for one ship month.
+    Emits the two sums as exact e4 integers instead of the spec's float
+    percentage (the division is the caller's one cheap scalar op; the
+    engine output stays engine-exact). Part is a broadcast dim; the
+    date range prunes the lineitem scan; the conditional sum is a
+    map-side partial."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.sum(F.when(promo, amount).otherwise(F.lit(0).cast("decimal(18,2)"))) * 10000)
+            .cast("long").alias("promo_revenue_e4"),
+            (F.sum(amount) * 10000).cast("long").alias("total_revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_Q14_PROMO_EFFECT = """
+SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(5,4))
+                             - CAST(l_discount AS DECIMAL(5,4)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT)
+         AS promo_revenue_e4,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+            * 10000 AS BIGINT) AS total_revenue_e4,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+"""
+
+
 def _q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
     multi-supplier failed order — the canonical EXISTS + NOT EXISTS
@@ -2422,6 +2547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q_q4_order_priority,
         "q12_late_lines_by_status": _q_q12_late_lines_by_status,
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q10_returned_items": _q_q10_returned_items,
+        "q14_promo_effect": _q_q14_promo_effect,
         "q21_waiting_supplier": _q_q21_waiting_supplier,
         "q22_idle_balances": _q_q22_idle_balances,
         "pivot_orders_status": _q_pivot_orders_status,
@@ -3029,6 +3157,9 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
        AND l_quantity BETWEEN 20 AND 50)
 """,
+        "q6_forecast_revenue": _SQL_Q6_FORECAST_REVENUE,
+        "q10_returned_items": _SQL_Q10_RETURNED_ITEMS,
+        "q14_promo_effect": _SQL_Q14_PROMO_EFFECT,
         "q21_waiting_supplier": """
 WITH late AS (
   SELECT l_orderkey, l_suppkey

@@ -326,3 +326,24 @@ def test_resample_joins_on_aggregated_sides(qs, spark):
     df = qs["resample_user_hourly"](spark, SF)
     plan = P.physical_plan(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_q6_pushes_all_predicates(qs, spark):
+    df = qs["q6_forecast_revenue"](spark, SF)
+    P.assert_max_shuffles(df, 1)
+    P.assert_filter_pushed(df, "l_shipdate")
+    P.assert_filter_pushed(df, "l_discount")
+
+
+def test_q10_take_ordered_and_broadcast_dims(qs, spark):
+    df = qs["q10_returned_items"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+    assert plan.count("BroadcastHashJoin") >= 2  # customer, nation
+    P.assert_filter_pushed(df, "l_returnflag")
+
+
+def test_q14_single_broadcast_no_shuffle_before_agg(qs, spark):
+    df = qs["q14_promo_effect"](spark, SF)
+    assert P.count_op(df, "BroadcastHashJoin") == 1
+    P.assert_max_shuffles(df, 1)
