@@ -34,10 +34,19 @@ def shuffle_count(df: DataFrame) -> int:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """Every non-empty PushedFilters entry across the plan's scans."""
+    """Every non-empty PushedFilters entry across the plan's scans.
+
+    Tolerates metadata truncation: Spark cuts scan metadata at
+    ``spark.sql.maxMetadataStringLength`` chars (``...`` with no closing
+    ``]``), so match up to ``]`` OR end-of-line. Sessions built by
+    ``session.get_spark`` / tests/conftest.py raise the limit to 10000,
+    but a caller-provided session may not have.
+    """
     return [
-        m.strip()
-        for m in re.findall(r"PushedFilters: \[([^\]]*)\]", physical_plan(df))
+        m.strip().rstrip(".")
+        for m in re.findall(
+            r"PushedFilters: \[([^\]\n]*)\]?", physical_plan(df)
+        )
         if m.strip()
     ]
 

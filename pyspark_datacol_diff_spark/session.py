@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep scan metadata (PushedFilters / ReadSchema) un-truncated so
+        # plans.pushed_filters / plans.scale_lint see whole entries; the
+        # 100-char default cuts wide scans mid-token
+        .config("spark.sql.maxMetadataStringLength", "10000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -16,6 +16,10 @@ def spark() -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # plan-assertion tests parse scan metadata (PushedFilters /
+        # ReadSchema) out of the plan string; the 100-char default
+        # truncates wide scans mid-token and breaks the regexes
+        .config("spark.sql.maxMetadataStringLength", "10000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
