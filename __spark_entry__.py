@@ -1835,36 +1835,33 @@ def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts, immediate-stutter count, bigram multiset size, distinct
     bigram count, and the top-bigram occurrence count.
 
-    Shape: ONE shuffle, placed where rows are smallest. Repartitioning
-    by doc_id BEFORE the bigram explode moves compact doc rows, and both
-    downstream hash aggregations then reuse that single exchange:
-    HashPartitioning(doc_id) satisfies ClusteredDistribution for any
-    grouping key set containing doc_id, so neither groupBy adds an
-    Exchange (pinned in tests/test_plans.py). The naive shape — explode
-    then groupBy — shuffles the exploded bigram multiset twice; measured
-    5.6x slower at sf0.1. The per-doc scalars ride along as grouping
-    keys (functionally dependent on doc_id), so no join-back is needed.
+    Shape: ZERO shuffles. Every signal is a per-row expression — the
+    bigram multiset stays an array, ``array_sort`` groups equal grams
+    adjacently, and one ``aggregate`` run-length fold
+    (text.max_equal_run) yields the top-bigram occurrence count in a
+    single traversal. No explode, no exchange, embarrassingly parallel:
+    the plan is scan → project (pinned in tests/test_plans.py). The
+    previous shape (repartition(doc_id) → explode → two reused-exchange
+    hash aggs) was the best *aggregation* plan but still moved the
+    corpus once and hashed the exploded multiset twice; at sf0.1 this
+    fold is ~5x faster, and at 100 TB it removes the only exchange.
     Docs with <2 tokens have no bigrams and are excluded (the oracle
     applies the same predicate).
     """
-    d = _t(spark, sf_dir, "documents").repartition("doc_id")
+    d = _t(spark, sf_dir, "documents")
     lowered = F.lower(F.col("text"))
-    base = d.select(
+    grams = TX.word_bigrams(lowered)
+    return d.filter(TX.token_count(lowered) >= 2).select(
         "doc_id",
-        TX.token_count(lowered).alias("n_words"),
-        TX.distinct_token_count(lowered).alias("n_distinct_words"),
-        TX.consec_repeat_count(lowered).alias("n_consec_repeat"),
-        F.explode(TX.word_bigrams(lowered)).alias("gram"),
-    )
-    per_gram = base.groupBy(
-        "doc_id", "n_words", "n_distinct_words", "n_consec_repeat", "gram"
-    ).agg(F.count("*").alias("c"))
-    return per_gram.groupBy(
-        "doc_id", "n_words", "n_distinct_words", "n_consec_repeat"
-    ).agg(
-        F.sum("c").alias("n_bigrams"),
-        F.count("*").alias("n_distinct_bigrams"),
-        F.max("c").alias("top_bigram_count"),
+        TX.token_count(lowered).cast("long").alias("n_words"),
+        TX.distinct_token_count(lowered).cast("long")
+        .alias("n_distinct_words"),
+        TX.consec_repeat_count(lowered).cast("long")
+        .alias("n_consec_repeat"),
+        F.size(grams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(grams)).cast("long")
+        .alias("n_distinct_bigrams"),
+        TX.max_equal_run(F.array_sort(grams)).alias("top_bigram_count"),
     )
 
 

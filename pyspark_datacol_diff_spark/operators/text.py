@@ -168,6 +168,39 @@ def word_bigrams(text: Column | str) -> Column:
     )
 
 
+def max_equal_run(arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in ``arr``
+    (0 for an empty array) — one ``aggregate`` fold, no explode, no
+    shuffle. On a SORTED array this is the max multiset multiplicity
+    (the top-n-gram occurrence count of the Gopher repetition filter,
+    Rae et al. 2021 §A1.1) computed embarrassingly parallel per row,
+    replacing an explode + two hash aggregations.
+
+    The accumulator is ``struct(prev, run, best)``; elements are
+    compared with ``<=>`` so null elements extend runs instead of
+    resetting them, and the seed's null ``prev`` can never equal a
+    (non-null) first element.
+    """
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(arr, acc0, step, lambda acc: acc["best"])
+
+
 def consec_repeat_count(text: Column | str) -> Column:
     """Count of positions where a token immediately repeats
     (``ws[i] == ws[i+1]``) — the stutter signal ("batch batch batch"

@@ -193,14 +193,15 @@ def test_pivot_unpivot_groupingsets_shuffle_budget(qs, spark):
         assert "Expand" in P.physical_plan(df)
 
 
-def test_repetition_one_shuffle_before_explode_no_join(qs, spark):
-    # ONE exchange, moving compact doc rows BEFORE the bigram explode;
-    # both downstream aggs reuse it (HashPartitioning(doc_id) satisfies
-    # ClusteredDistribution of any grouping set containing doc_id).
-    # Measured 5.6x over the explode-then-shuffle-twice shape at sf0.1.
+def test_repetition_zero_shuffle_fold(qs, spark):
+    # All six signals are per-row expressions (array_sort + one
+    # aggregate run-length fold for top_bigram_count): the plan is
+    # scan -> project with NO exchange, no explode, no join.
     df = qs["repetition_docs"](spark, SF)
-    P.assert_max_shuffles(df, 1)
-    assert "Join" not in P.physical_plan(df)
+    P.assert_max_shuffles(df, 0)
+    plan = P.physical_plan(df)
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode
 
 
 def test_decontaminate_broadcasts_benchmark(qs, spark):
