@@ -2146,18 +2146,25 @@ def _q_lsh_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = exact.withColumn("in_e", F.lit(1)).join(
         lsh.withColumn("in_l", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
+    # coalesce: on a corpus with NO exact pairs the full-outer join is
+    # empty and the global sums are NULL — the oracle's literal row is
+    # 0/0/TRUE. The 80% gate uses integer cross-multiplication
+    # (5*hits >= 4*n_exact, exact in BIGINT): 0.8*n in doubles can
+    # exceed the integer at the advertised boundary (0.8*5 > 4).
+    n_exact = F.coalesce(F.sum("in_e"), F.lit(0))
+    hits = F.coalesce(
+        F.sum(
+            F.when(F.col("in_e").isNotNull() & F.col("in_l").isNotNull(), 1)
+            .otherwise(0)
+        ),
+        F.lit(0),
+    )
     return m.agg(
-        F.sum("in_e").cast("long").alias("n_exact"),
-        F.sum(F.when(F.col("in_e").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_false_pos"),
-        (
-            F.sum(
-                F.when(F.col("in_e").isNotNull() & F.col("in_l").isNotNull(), 1)
-                .otherwise(0)
-            )
-            >= F.lit(0.8) * F.sum("in_e")
-        ).alias("recall_ok"),
+        n_exact.cast("long").alias("n_exact"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_e").isNull(), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_false_pos"),
+        (hits * 5 >= n_exact * 4).alias("recall_ok"),
     )
 
 
@@ -2289,20 +2296,29 @@ def _q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = exact.withColumn("in_e", F.lit(1)).join(
         lsh.withColumn("in_l", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
+    # same empty-universe + integer-gate hardening as
+    # _q_lsh_near_dup_recall: coalesce NULL global sums to the oracle's
+    # literal 0/0/TRUE, and gate on 5*hits >= 4*n_strong in BIGINT
+    # rather than 0.8*n in doubles (exact at the 80% boundary).
     strong = F.when(F.col("jaccard") >= 0.35, 1).otherwise(0)
-    return m.agg(
-        F.sum(strong).cast("long").alias("n_strong"),
+    n_strong = F.coalesce(F.sum(strong), F.lit(0))
+    hits = F.coalesce(
         F.sum(
-            F.when(F.col("in_e").isNull() & F.col("in_l").isNotNull(), 1)
+            F.when((F.col("jaccard") >= 0.35) & F.col("in_l").isNotNull(), 1)
             .otherwise(0)
-        ).cast("long").alias("n_below_025"),
-        (
+        ),
+        F.lit(0),
+    )
+    return m.agg(
+        n_strong.cast("long").alias("n_strong"),
+        F.coalesce(
             F.sum(
-                F.when((F.col("jaccard") >= 0.35) & F.col("in_l").isNotNull(), 1)
+                F.when(F.col("in_e").isNull() & F.col("in_l").isNotNull(), 1)
                 .otherwise(0)
-            )
-            >= F.lit(0.8) * F.sum(strong)
-        ).alias("recall_ok"),
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_below_025"),
+        (hits * 5 >= n_strong * 4).alias("recall_ok"),
     )
 
 

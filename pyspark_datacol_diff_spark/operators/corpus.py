@@ -254,13 +254,19 @@ def span_dedup_stats(
     document, how many of its spans survive vs lose to a copy elsewhere
     in the corpus — the signal a span-level rewriter would act on.
 
-    Scale shape: the span explode happens inside the scan stage; the
-    only exchanges are (1) the fingerprint-keyed aggregation that picks
-    each span's global survivor — shuffle carries one row per distinct
-    span digest with map-side combine, not one per occurrence — and
-    (2) the per-doc rollup. The span text itself never shuffles (only
-    the 128-bit digest and the integer ids do), so exchange volume at
-    100 TB is digest-sized regardless of document length.
+    Scale shape: the span explode happens inside the scan stage and is
+    immediately projected down to ``(id, span_no, md5)`` — the span text
+    itself never shuffles. The survivor election is a ``groupBy(__fp)``
+    min-struct aggregation, NOT a window: partial aggregation runs
+    map-side, so the fingerprint exchange carries one row per distinct
+    span digest *per input partition*, not one per occurrence, and
+    there is no per-partition sort. A doc keeps a span iff it owns the
+    winning ``(id, span_no)`` — and since each digest elects exactly one
+    winner, ``n_kept`` is just the winner count grouped by the winner's
+    id: no join back to the occurrence rows at all. The digest relation
+    feeds both the survivor election and the per-doc span count (a
+    genuine branch point), so it is persisted; callers that are done
+    with the result can ``spark.catalog.clearCache()``.
 
     Emits ``(id_col, n_spans, n_kept, n_dup)`` — integers only.
     """
@@ -270,21 +276,22 @@ def span_dedup_stats(
         F.col(id_col),
         F.col("chunk_no").alias("__span_no"),
         F.md5(F.col("__span")).alias("__fp"),
+    ).persist()
+    per_doc = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    winners = spans.groupBy("__fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("__span_no"))).alias("__w")
     )
-    survivor = F.min(F.struct(F.col(id_col), F.col("__span_no"))).over(
-        Window.partitionBy("__fp")
-    )
-    audited = spans.select(
+    kept = winners.groupBy(
+        F.col("__w")[id_col].alias(id_col)
+    ).agg(F.count(F.lit(1)).alias("__n_kept"))
+    return per_doc.join(kept, id_col, "left").select(
         F.col(id_col),
+        "n_spans",
+        F.coalesce(F.col("__n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         (
-            (survivor[id_col] == F.col(id_col))
-            & (survivor["__span_no"] == F.col("__span_no"))
-        ).cast("int").alias("__kept"),
-    )
-    return audited.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("__kept").alias("n_kept"),
-        (F.count(F.lit(1)) - F.sum("__kept")).alias("n_dup"),
+            F.col("n_spans")
+            - F.coalesce(F.col("__n_kept"), F.lit(0).cast("long"))
+        ).alias("n_dup"),
     )
 
 
@@ -338,7 +345,11 @@ def bm25_top_docs(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     ).filter(F.array_contains(terms, F.col("term")))
     # genuine branch point: tf feeds both the per-term df aggregation
-    # and the scoring join — persist so the corpus scan runs once
+    # and the scoring join — persist so the corpus scan runs once.
+    # The cache is deliberately left registered (the returned top-k is
+    # lazy, so unpersisting here would force the recompute the persist
+    # exists to avoid); callers that are done with the result can
+    # ``spark.catalog.clearCache()``, as with ngram_jaccard_pairs.
     tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     n_docs = df.select(
         F.count(F.lit(1)).alias("__n"),

@@ -175,3 +175,66 @@ def test_cosine_topk_arrow_string_ids(spark):
     ]
     assert all(isinstance(r["qid"], str) for r in got)
     assert all(not math.isnan(r["sim"]) for r in got)
+
+
+# --- round-2 advisor findings ---------------------------------------------
+
+
+def _write_empty_universe_tables(spark, tmpdir):
+    """documents with disjoint vocab (no 3-gram overlap) and one-hot
+    embeddings (pairwise cosine 0): both near-dup universes are empty."""
+    import pyspark.sql.types as T
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{i}x{j}" for j in range(8)), "en", "s", 40)
+            for i in range(1, 6)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(64)], 0) for i in range(5)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        ),
+    )
+    docs.write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    emb.write.mode("overwrite").parquet(f"{tmpdir}/embeddings.parquet")
+
+
+def test_recall_gates_empty_universe_match_oracle_literals(spark, tmp_path):
+    """ADVICE r2: with zero near-dup pairs the full-outer join is empty;
+    the global sums must coalesce to the oracle's literal 0/0/TRUE, not
+    NULL/NULL/NULL."""
+    import __spark_entry__ as E
+
+    _write_empty_universe_tables(spark, str(tmp_path))
+    row = E.queries()["minhash_lsh_docs"](spark, str(tmp_path)).collect()[0]
+    assert (row["n_strong"], row["n_below_025"], row["recall_ok"]) == (
+        0, 0, True,
+    )
+    row = E.queries()["lsh_near_dup_recall"](spark, str(tmp_path)).collect()[0]
+    assert (row["n_exact"], row["n_false_pos"], row["recall_ok"]) == (
+        0, 0, True,
+    )
+
+
+def test_recall_gate_exact_at_80_percent_boundary(spark):
+    """ADVICE r2: a float-product gate (hits >= 0.8*n) is exact only
+    when the rounding happens to land right (0.8*5 rounds to 4.0, but
+    the pattern is one ulp from flipping); the integer
+    cross-multiplied gate (5*hits >= 4*n) is exact in BIGINT at every
+    boundary. Pin it across n = 5..400."""
+    for n in (5, 25, 125, 400):
+        hits = (4 * n) // 5  # exactly 80%
+        df = spark.createDataFrame(
+            [(1, 1)] * hits + [(1, 0)] * (n - hits), "in_e int, in_l int"
+        )
+        h = F.coalesce(F.sum(F.when(F.col("in_l") == 1, 1)), F.lit(0))
+        tot = F.coalesce(F.sum("in_e"), F.lit(0))
+        row = df.agg((h * 5 >= tot * 4).alias("int_gate")).collect()[0]
+        assert row["int_gate"] is True, f"gate flipped at n={n}"

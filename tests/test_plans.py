@@ -204,6 +204,17 @@ def test_repetition_zero_shuffle_fold(qs, spark):
     assert "Generate" not in plan  # no explode
 
 
+def test_span_dedup_no_window_map_side_combine(qs, spark):
+    # survivor election is a groupBy(__fp) min-struct with map-side
+    # partial aggregation (digest-volume exchange), NOT a window over
+    # per-occurrence rows; n_kept comes from the winner rows directly,
+    # never a join back to occurrences.
+    df = qs["span_dedup_docs"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+
+
 def test_decontaminate_broadcasts_benchmark(qs, spark):
     # benchmark gram set broadcasts; corpus side never shuffles before
     # the join (only the per-doc count aggregation exchanges)
