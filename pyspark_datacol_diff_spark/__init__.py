@@ -25,8 +25,10 @@ from .operators.diff import (
     column_mismatch_counts,
     diff,
     diff_summary,
+    diff_summary_stats,
     flag_counts,
     gen_comp_col,
+    resolve_compare_cols,
     standardize,
     suffix_columns,
     validate_schemas,
@@ -45,8 +47,10 @@ __all__ = [
     "diff",
     "digests_equal",
     "diff_summary",
+    "diff_summary_stats",
     "flag_counts",
     "gen_comp_col",
+    "resolve_compare_cols",
     "get_spark",
     "scale_lint",
     "standardize",

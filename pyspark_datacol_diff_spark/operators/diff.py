@@ -195,6 +195,33 @@ def _is_diff_expr(
 # the diff operator
 # ---------------------------------------------------------------------------
 
+def resolve_compare_cols(
+    s1: DataFrame,
+    pk: Sequence[str],
+    *,
+    compare_cols: Iterable[str] | None = None,
+    exclude_cols: Iterable[str] | None = None,
+) -> list[str]:
+    """The exact compare-column list :func:`diff` will use for these
+    arguments (case-insensitive include/exclude over the non-key
+    columns). Exposed so summary consumers can enumerate the columns
+    WITHOUT reading them out of the diff's data — the precondition for
+    the explode-free single-pass summary."""
+    _, _, comp_cols = gen_comp_col(s1, pk)
+    if compare_cols is not None:
+        want = {c.lower() for c in compare_cols}
+        unknown = want - {c.lower() for c in comp_cols}
+        if unknown:
+            raise InvalidArgumentError(
+                f"compare_cols not in schema/non-key: {sorted(unknown)}"
+            )
+        comp_cols = [c for c in comp_cols if c.lower() in want]
+    if exclude_cols is not None:
+        drop = {c.lower() for c in exclude_cols}
+        comp_cols = [c for c in comp_cols if c.lower() not in drop]
+    return comp_cols
+
+
 def diff(
     s1: DataFrame,
     s2: DataFrame,
@@ -220,17 +247,10 @@ def diff(
     :func:`apply_diff` can reconstruct s2 (CDC semantics).
     """
     validate_schemas(s1, s2)
-    s1_keys, s2_keys, comp_cols = gen_comp_col(s1, pk)
-
-    if compare_cols is not None:
-        want = {c.lower() for c in compare_cols}
-        unknown = want - {c.lower() for c in comp_cols}
-        if unknown:
-            raise InvalidArgumentError(f"compare_cols not in schema/non-key: {sorted(unknown)}")
-        comp_cols = [c for c in comp_cols if c.lower() in want]
-    if exclude_cols is not None:
-        drop = {c.lower() for c in exclude_cols}
-        comp_cols = [c for c in comp_cols if c.lower() not in drop]
+    comp_cols = resolve_compare_cols(
+        s1, pk, compare_cols=compare_cols, exclude_cols=exclude_cols
+    )
+    s1_keys, s2_keys, _ = gen_comp_col(s1, pk)
 
     # Prune to only the columns we need BEFORE the join so the parquet
     # scan reads nothing extra (ReadSchema stays minimal at 100 TB).
@@ -362,9 +382,79 @@ def column_mismatch_counts(diff_df: DataFrame) -> DataFrame:
     )
 
 
-def diff_summary(diff_df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Both summaries as (still-lazy) Spark DataFrames."""
-    return flag_counts(diff_df), column_mismatch_counts(diff_df)
+_ALL_FLAGS = (FLAG_NODIFF, FLAG_S1_ONLY, FLAG_S2_ONLY, FLAG_DIFF)
+
+
+def diff_summary_stats(
+    diff_df: DataFrame, compare_cols: Sequence[str]
+) -> DataFrame:
+    """BOTH summaries — flag histogram AND per-column mismatch counts —
+    as ONE explode-free global aggregate: a single one-row DataFrame,
+    one job, one scan of the diff.
+
+    Each flag bucket and each column is a conditional sum; per-column
+    membership is ``array_contains`` over the array's ``col_name`` field
+    (each column appears at most once per row, so contains == count).
+    Everything partial-aggregates map-side and the exchange carries ONE
+    row per input partition — vs the lazy pair
+    (:func:`flag_counts` + :func:`column_mismatch_counts`), which scans
+    the diff twice when both are consumed and shuffles the exploded
+    mismatch entries. Columns: ``flag_0..3`` (NODIFF, S1_ONLY, S2_ONLY,
+    diff) and ``col_<i>`` in ``compare_cols`` order.
+    """
+    names = F.col(f"{DIFF_ARRAY_COL}.col_name")
+    return diff_df.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col(FLAG_COL) == f).cast("long")), F.lit(0)
+            ).alias(f"flag_{i}")
+            for i, f in enumerate(_ALL_FLAGS)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.array_contains(names, c).cast("long")), F.lit(0)
+            ).alias(f"col_{i}")
+            for i, c in enumerate(compare_cols)
+        ],
+    )
+
+
+def diff_summary(
+    diff_df: DataFrame, compare_cols: Sequence[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Both summaries ``(flag_counts, column_mismatch_counts)``.
+
+    With ``compare_cols`` (use :func:`resolve_compare_cols` to get the
+    list :func:`diff` used): computed via ONE single-pass aggregate
+    (:func:`diff_summary_stats`) — one job, one scan — and returned as
+    two small local DataFrames (n_flags + n_cols scalars cross the
+    driver, nothing data-sized). Without it, falls back to the two lazy
+    aggregates, which scan the diff once EACH when both are consumed —
+    persist the diff at that branch point if you take this path on a
+    big input.
+    """
+    if compare_cols is None:
+        return flag_counts(diff_df), column_mismatch_counts(diff_df)
+    row = diff_summary_stats(diff_df, compare_cols).collect()[0]
+    spark = diff_df.sparkSession
+    flag_rows = [
+        (f, row[f"flag_{i}"])
+        for i, f in enumerate(_ALL_FLAGS)
+        if row[f"flag_{i}"] > 0
+    ]
+    col_rows = sorted(
+        (
+            (c, row[f"col_{i}"])
+            for i, c in enumerate(compare_cols)
+            if row[f"col_{i}"] > 0
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    fdf = spark.createDataFrame(
+        flag_rows or [], schema=f"{FLAG_COL} string, cnt long"
+    )
+    cdf = spark.createDataFrame(col_rows or [], schema="ColName string, Count long")
+    return fdf, cdf
 
 
 def apply_diff(
@@ -450,10 +540,31 @@ def compute_dataframe_diff(
     ``['ColName', 'Count']`` sorted by count descending.
 
     The pandas conversion touches only n_cols rows — the distributed
-    result stays in Spark.
+    result stays in Spark. Stats come from the explode-free single-pass
+    aggregate (:func:`diff_summary_stats`): one job, one scan, no
+    exploded-entry shuffle.
     """
     d = diff(s1, s2, pk_lst, **options)
-    stats = column_mismatch_counts(d).toPandas()
+    comp_cols = resolve_compare_cols(
+        s1,
+        pk_lst,
+        compare_cols=options.get("compare_cols"),
+        exclude_cols=options.get("exclude_cols"),
+    )
+    row = diff_summary_stats(d, comp_cols).collect()[0]
+    import pandas as pd
+
+    stats = pd.DataFrame(
+        sorted(
+            (
+                (c, row[f"col_{i}"])
+                for i, c in enumerate(comp_cols)
+                if row[f"col_{i}"] > 0
+            ),
+            key=lambda t: (-t[1], t[0]),
+        ),
+        columns=["ColName", "Count"],
+    )
     return d, stats
 
 

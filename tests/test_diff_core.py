@@ -194,3 +194,63 @@ def test_table_digest_single_scan_single_shuffle(spark):
     out = table_digest(df, ["o_orderkey", "o_orderstatus"])
     assert len(P.read_schemas(out)) == 1
     P.assert_max_shuffles(out, 1)
+
+
+def test_diff_summary_single_pass_matches_lazy_pair(spark, employee_pair):
+    """The combined one-job summary must agree with the two lazy
+    aggregates on both outputs (zero-count flags/columns omitted)."""
+    from pyspark_datacol_diff_spark.operators.diff import (
+        diff,
+        diff_summary,
+        resolve_compare_cols,
+    )
+
+    s1, s2, _ = employee_pair
+    d = diff(s1, s2, ["id"])
+    cols = resolve_compare_cols(s1, ["id"])
+    f_lazy, c_lazy = diff_summary(d)
+    f_one, c_one = diff_summary(d, cols)
+    assert {(r["Flag"], r["cnt"]) for r in f_lazy.collect()} == {
+        (r["Flag"], r["cnt"]) for r in f_one.collect()
+    }
+    assert [(r["ColName"], r["Count"]) for r in c_lazy.collect()] == [
+        (r["ColName"], r["Count"]) for r in c_one.collect()
+    ]
+
+
+def test_diff_summary_stats_single_scan_no_explode(spark, employee_pair):
+    """One explode-free global aggregate: no Generate node, a keys=[]
+    aggregate, and exactly one scan of each diff input in the plan."""
+    from pyspark_datacol_diff_spark import plans as P
+    from pyspark_datacol_diff_spark.operators.diff import (
+        diff,
+        diff_summary_stats,
+        resolve_compare_cols,
+    )
+
+    s1, s2, _ = employee_pair
+    d = diff(s1, s2, ["id"])
+    stats = diff_summary_stats(d, resolve_compare_cols(s1, ["id"]))
+    plan = P.physical_plan(stats)
+    assert "Generate" not in plan  # no explode
+    assert "keys=[]" in plan  # single global aggregate
+    # the whole summary is ONE job over ONE pass of the diff: each
+    # input relation is scanned exactly once in this plan
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 2
+
+
+def test_compute_dataframe_diff_stats_order_and_values(spark, employee_pair):
+    """Facade stats (now from the single-pass aggregate) keep the
+    reference contract: ColName/Count, descending count, no zeros."""
+    from pyspark_datacol_diff_spark import compute_dataframe_diff
+
+    s1, s2, expected = employee_pair
+    _, stats = compute_dataframe_diff(s1, s2, ["id"])
+    got = dict(zip(stats["ColName"], stats["Count"]))
+    want = {
+        k: v
+        for k, v in expected.items()
+        if k in ("first_name", "email", "country") and v > 0
+    }
+    assert got == want
+    assert list(stats["Count"]) == sorted(stats["Count"], reverse=True)
