@@ -93,7 +93,9 @@ def assert_column_pruned(df: DataFrame, column: str) -> None:
         assert column not in rs, f"{column} not pruned from scan: {rs}"
 
 
-def scale_lint(df: DataFrame) -> list[dict[str, str]]:
+def scale_lint(
+    df: DataFrame, *, declared_exact_baseline: str | None = None
+) -> list[dict[str, str]]:
     """Audit a DataFrame's physical plan for the patterns that are
     harmless at test scale and fatal at 100 TB. Returns one finding per
     hit: ``{"code", "severity", "detail"}``, empty when clean.
@@ -126,6 +128,16 @@ def scale_lint(df: DataFrame) -> list[dict[str, str]]:
       predicates — fine for compute-heavy predicates deliberately held
       above a rebalance (see sources.no_pushdown), wrong for selective
       key predicates.
+
+    ``declared_exact_baseline``: pass a one-line justification when the
+    operator's CONTRACT is the exact O(n*m) computation — brute-force
+    top-k against a bounded query set, the exact-verify side of a recall
+    gate. Pair-blow-up findings then downgrade to info and carry the
+    justification, keeping the declaration visible in reports instead of
+    silently suppressed. Boundedness of a broadcast side is a caller
+    invariant the plan cannot prove (a selective filter looks the same
+    as an unbounded relation), so this is deliberately an explicit
+    opt-in, never an inference.
     """
     plan = physical_plan(df)
     findings: list[dict[str, str]] = []
@@ -156,9 +168,20 @@ def scale_lint(df: DataFrame) -> list[dict[str, str]]:
             out.append(j)
         return out
 
+    def add_pair_blowup(detail: str) -> None:
+        if declared_exact_baseline:
+            add(
+                "cartesian",
+                "info",
+                f"{detail} — declared exact baseline: "
+                f"{declared_exact_baseline}",
+            )
+        else:
+            add("cartesian", "error", detail)
+
     n_cart = plan.count("CartesianProduct")
     if n_cart:
-        add("cartesian", "error", f"{n_cart}x CartesianProduct: O(n*m) pair blow-up")
+        add_pair_blowup(f"{n_cart}x CartesianProduct: O(n*m) pair blow-up")
     for i, line in enumerate(lines):
         if "BroadcastNestedLoopJoin" not in line:
             continue
@@ -187,11 +210,7 @@ def scale_lint(df: DataFrame) -> list[dict[str, str]]:
                 "subquery",
             )
         else:
-            add(
-                "cartesian",
-                "error",
-                "BroadcastNestedLoopJoin: O(n*m) pair blow-up",
-            )
+            add_pair_blowup("BroadcastNestedLoopJoin: O(n*m) pair blow-up")
     # a Window's single-partition requirement shows as an Exchange
     # SinglePartition child (possibly under the window's Sort)
     if re.search(

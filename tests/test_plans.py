@@ -359,3 +359,20 @@ def test_q14_single_broadcast_no_shuffle_before_agg(qs, spark):
     df = qs["q14_promo_effect"](spark, SF)
     assert P.count_op(df, "BroadcastHashJoin") == 1
     P.assert_max_shuffles(df, 1)
+
+
+def test_scale_lint_declared_exact_baseline_downgrades_with_reason(spark):
+    # an undeclared pair blow-up is an error; a declared exact baseline
+    # is info AND carries the justification text (visible, not
+    # suppressed)
+    a = spark.range(10).withColumnRenamed("id", "x")
+    b = spark.range(10).withColumnRenamed("id", "y")
+    blowup = a.crossJoin(b).filter("x*y % 7 = 1")
+    errs = [f for f in P.scale_lint(blowup) if f["code"] == "cartesian"]
+    assert errs and all(f["severity"] == "error" for f in errs)
+    declared = P.scale_lint(
+        blowup, declared_exact_baseline="exact verify gate for tests"
+    )
+    cart = [f for f in declared if f["code"] == "cartesian"]
+    assert cart and all(f["severity"] == "info" for f in cart)
+    assert all("exact verify gate for tests" in f["detail"] for f in cart)
