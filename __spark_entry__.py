@@ -2513,6 +2513,58 @@ def _q_multimodal_sniff_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.cap_per_group): at
+    most 40 docs per source, deterministic survivors (lowest doc_id
+    first) — the per-domain cap of corpus curation. Rank-then-filter
+    window, one group-keyed exchange, no join."""
+    from pyspark_datacol_diff_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(d, "source", 40, order_by=[F.col("doc_id")])
+
+
+def _sql_cap_per_source_docs() -> str:
+    return """
+SELECT doc_id, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 40
+"""
+
+
+def _q_token_rarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact unigram-rarity signals per document
+    (operators/corpus.token_rarity_stats): corpus-frequency mass,
+    rarest-token count, hapax count — the no-logs replacement for a
+    unigram log-prob quality score (ln is not correctly rounded across
+    engines, so a float score could not be oracle-hashed)."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.token_rarity_stats(d, "doc_id", "text")
+
+
+def _sql_token_rarity_docs() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM toks WHERE tok <> ''
+  GROUP BY doc_id, tok),
+gc AS (
+  SELECT doc_id, tf, sum(tf) OVER (PARTITION BY tok) AS gc
+  FROM tf)
+SELECT doc_id,
+       sum(tf)::BIGINT AS n_tokens,
+       sum(tf * gc)::BIGINT AS freq_mass,
+       min(gc)::BIGINT AS min_tok_count,
+       sum(CASE WHEN gc = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+FROM gc
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2636,6 +2688,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_fingerprint_docs": _q_dedup_fingerprint_docs,
         "dedup_incremental_docs": _q_dedup_incremental_docs,
+        # --- new in round 3 (appended AFTER the driver-window backlog
+        # so they never displace a dark query from the window) ---
+        "cap_per_source_docs": _q_cap_per_source_docs,
+        "token_rarity_docs": _q_token_rarity_docs,
     }
 
 
@@ -3740,4 +3796,6 @@ GROUP BY 1, 2
         # minhash_lsh_docs: pyspark.ml-internal hash seeds, deliberately
         # no SQL oracle (driver rows-only check + exact-Jaccard pytest
         # cross-check).
+        "cap_per_source_docs": _sql_cap_per_source_docs(),
+        "token_rarity_docs": _sql_token_rarity_docs(),
     }

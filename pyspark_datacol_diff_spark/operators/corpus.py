@@ -424,3 +424,43 @@ def contamination_counts(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+
+
+def token_rarity_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Frequency-weighted token-rarity signals per document, INTEGER
+    exact (no logs — ``ln`` is not correctly-rounded across engines, so
+    a perplexity-style float score cannot be oracle-hashed; the integer
+    surface carries the same ordering information):
+
+    - ``n_tokens``: document length in whitespace tokens;
+    - ``freq_mass``: sum over token POSITIONS of that token's corpus-wide
+      occurrence count — high = stopword-heavy/common text, low = rare
+      vocabulary (the frequency-weighted complement of a mean log-prob
+      under a unigram model);
+    - ``min_tok_count``: the rarest token's corpus count (1 = contains a
+      corpus-hapax);
+    - ``n_hapax``: how many of the document's DISTINCT tokens are
+      corpus-hapaxes (typos, ids, junk — a strong quality signal).
+
+    Scale shape: mirrors tfidf_top_terms — ONE corpus scan, three
+    exchanges, no self-join. tf is a (doc, token) hash-aggregate with
+    map-side combine; the corpus-wide count layers on as
+    ``sum(tf) over (partition by token)`` — a window over the compact
+    tf relation, so hot tokens cost vocabulary-keyed rows, never a
+    joined copy of the corpus; the final rollup re-keys by document.
+    Empty documents (zero tokens) are absent from the output (no token
+    rows exist; the oracle applies the same semantics).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    gc = tf.withColumn(
+        "__gc", F.sum("__tf").over(Window.partitionBy("__tok"))
+    )
+    return gc.groupBy(id_col).agg(
+        F.sum("__tf").alias("n_tokens"),
+        F.sum(F.col("__tf") * F.col("__gc")).alias("freq_mass"),
+        F.min("__gc").alias("min_tok_count"),
+        F.sum((F.col("__gc") == 1).cast("long")).alias("n_hapax"),
+    )

@@ -138,3 +138,40 @@ def stratified_sample(
     if keep is None:
         raise ValueError("fractions must be non-empty")
     return df.filter(keep)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_by: list[str | Column] | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group with a DETERMINISTIC priority —
+    the per-domain/per-source cap of pretraining-corpus curation (no
+    single crawl domain may dominate the mixture; see the C4/Gopher
+    data-recipe line of work, public methodology).
+
+    ``order_by`` defines which rows win (first ``k`` in that order);
+    it must be a total order within each group (include a unique id as
+    the last key) or survivors are partition-order-dependent.
+
+    Scale shape: one group-keyed exchange + per-group sort feeding a
+    ``row_number`` window — rank-then-filter, no join, no second scan.
+    Skew note: a pathologically hot group sorts on one task; if one
+    group holds a double-digit share of all rows, pre-thin it with a
+    cheap deterministic filter (``hash_bucket(id) < t``) sized to a few
+    x ``k`` BEFORE the exact cap, which preserves determinism and
+    bounds the sorted volume.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not order_by:
+        raise ValueError("order_by is required (deterministic survivors)")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn("__dcd_rn", F.row_number().over(w))
+        .filter(F.col("__dcd_rn") <= k)
+        .drop("__dcd_rn")
+    )

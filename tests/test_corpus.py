@@ -313,3 +313,28 @@ def test_bm25_rejects_bad_terms(spark):
         bm25_top_docs(d, "doc_id", "text", [])
     with pytest.raises(ValueError):
         bm25_top_docs(d, "doc_id", "text", ["a", "a"])
+
+
+def test_token_rarity_hand_computed(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import token_rarity_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "the cat sat"),          # the:2(gc) cat:2 sat:1
+            (2, "the cat ran ran"),      # the:2 cat:2 ran:2(doc-local)
+            (3, ""),                     # zero tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_rarity_stats(d, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}
+    # corpus counts: the=2, cat=2, sat=1, ran=2
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["freq_mass"], r1["min_tok_count"], r1["n_hapax"]) == (
+        3, 2 + 2 + 1, 1, 1,
+    )
+    r2 = got[2]
+    # freq_mass: the 1*2 + cat 1*2 + ran 2*2 = 8; no hapax
+    assert (r2["n_tokens"], r2["freq_mass"], r2["min_tok_count"], r2["n_hapax"]) == (
+        4, 8, 2, 0,
+    )

@@ -121,3 +121,32 @@ def test_mix_sources_zero_shuffle_and_validation(spark):
         mix_sources(d, "k", "src", {})
     with pytest.raises(ValueError):
         mix_sources(d, "k", "src", {"a": -0.1})
+
+
+def test_cap_per_group_deterministic_survivors(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_datacol_diff_spark.operators.sampling import cap_per_group
+
+    rows = [(s, i) for s in ("a", "b") for i in range(10)] + [("c", 0)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    got = cap_per_group(df, "src", 3, order_by=[F.col("id")])
+    out = {(r["src"], r["id"]) for r in got.collect()}
+    assert out == {("a", 0), ("a", 1), ("a", 2),
+                   ("b", 0), ("b", 1), ("b", 2), ("c", 0)}
+    # repartitioned input -> identical survivors (determinism)
+    got2 = cap_per_group(df.repartition(7), "src", 3, order_by=[F.col("id")])
+    assert {(r["src"], r["id"]) for r in got2.collect()} == out
+
+
+def test_cap_per_group_validates_args(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_datacol_diff_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame([("a", 1)], "src string, id long")
+    with pytest.raises(ValueError):
+        cap_per_group(df, "src", 0, order_by=[F.col("id")])
+    with pytest.raises(ValueError):
+        cap_per_group(df, "src", 5, order_by=None)
