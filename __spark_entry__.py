@@ -2565,6 +2565,49 @@ GROUP BY doc_id
 """
 
 
+def _q_change_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style change history (operators/diff.change_intervals): each
+    user's event_type stream collapsed into validity intervals
+    (gaps-and-islands). One user-keyed exchange; the change-flag window,
+    island window, island aggregate, and valid_to lead window all reuse
+    the same HashPartitioning(user_id)."""
+    from pyspark_datacol_diff_spark.operators.diff import change_intervals
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return change_intervals(
+        e, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]
+    )
+
+
+def _sql_change_intervals_events() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), i AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+), g AS (
+  SELECT user_id, island, event_type,
+         min(ts) AS valid_from,
+         count(*)::BIGINT AS n_obs
+  FROM i GROUP BY user_id, island, event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_obs
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2692,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so they never displace a dark query from the window) ---
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
+        "change_intervals_events": _q_change_intervals_events,
     }
 
 
@@ -3798,4 +3842,5 @@ GROUP BY 1, 2
         # cross-check).
         "cap_per_source_docs": _sql_cap_per_source_docs(),
         "token_rarity_docs": _sql_token_rarity_docs(),
+        "change_intervals_events": _sql_change_intervals_events(),
     }

@@ -19,6 +19,7 @@ from .errors import (
 )
 from .operators.diff import (
     apply_diff,
+    change_intervals,
     digests_equal,
     table_digest,
     compute_dataframe_diff,
@@ -42,6 +43,7 @@ __all__ = [
     "PrimaryKeyError",
     "SchemaMismatchError",
     "apply_diff",
+    "change_intervals",
     "compute_dataframe_diff",
     "column_mismatch_counts",
     "diff",

@@ -629,3 +629,61 @@ def digests_equal(s1: DataFrame, s2: DataFrame, cols: Sequence[str]) -> bool:
     b = {r["col_name"]: (r["n_values"], r["n_nulls"], r["digest"])
          for r in table_digest(s2, cols).collect()}
     return a == b
+
+
+def change_intervals(
+    df: DataFrame,
+    key: Sequence[str],
+    ts_col: str,
+    state_cols: Sequence[str],
+    *,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Collapse a per-key stream of observations into SCD2-style
+    validity intervals: consecutive observations with an identical
+    ``state_cols`` tuple merge into one row with ``valid_from`` /
+    ``valid_to`` (null = still current) and ``n_obs``. The temporal
+    complement of :func:`diff`: diff compares two snapshots, this
+    reconstructs the full change history from a snapshot STREAM — the
+    gaps-and-islands build every slowly-changing-dimension pipeline
+    runs.
+
+    ``tiebreak`` extends the per-key ordering to a total order when
+    ``ts_col`` can repeat (pass a unique id); without a total order,
+    interval boundaries at tied timestamps are partition-order-
+    dependent.
+
+    Scale shape: ONE key-partitioned exchange; both windows (the lag
+    change-flag and the running island id) and the final island
+    aggregate all share the same ``HashPartitioning(key)``, so Spark
+    plans exactly one shuffle and two sorts over it — no join, no
+    second scan. State comparison is null-safe (``<=>``): a null state
+    equals itself, so null-runs merge rather than fragment.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(*key).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in state_cols])
+    changed = (
+        ~state.eqNullSafe(F.lag(state).over(w))
+    ).cast("long")
+    islands = df.select(
+        *key, ts_col, *state_cols, *tiebreak,
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__island"),
+    )
+    nxt = Window.partitionBy(*key).orderBy("valid_from")
+    return (
+        islands.groupBy(*key, "__island", *state_cols)
+        .agg(
+            F.min(ts_col).alias("valid_from"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            *key, *state_cols, "valid_from",
+            F.lead("valid_from").over(nxt).alias("valid_to"),
+            "n_obs",
+        )
+    )

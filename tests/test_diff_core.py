@@ -254,3 +254,43 @@ def test_compute_dataframe_diff_stats_order_and_values(spark, employee_pair):
     }
     assert got == want
     assert list(stats["Count"]) == sorted(stats["Count"], reverse=True)
+
+
+def test_change_intervals_hand_computed(spark):
+    from pyspark_datacol_diff_spark.operators.diff import change_intervals
+
+    rows = [
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"),
+        (2, 1, None), (2, 2, None), (2, 3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    got = sorted(
+        (
+            (r["k"], r["s"], r["valid_from"], r["valid_to"], r["n_obs"])
+            for r in change_intervals(df, ["k"], "t", ["s"]).collect()
+        ),
+        key=lambda t: (t[0], t[1] is not None, t[1] or "", t[2]),
+    )
+    assert got == [
+        (1, "a", 1, 3, 2),     # run a a
+        (1, "a", 4, None, 1),  # a returns: NEW interval, not merged
+        (1, "b", 3, 4, 1),
+        (2, None, 1, 3, 2),    # null state merges with itself
+        (2, "x", 3, None, 1),
+    ]
+
+
+def test_change_intervals_single_exchange(spark):
+    from pyspark_datacol_diff_spark import plans as P
+    from pyspark_datacol_diff_spark.operators.diff import change_intervals
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = change_intervals(
+        e, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]
+    )
+    # change-flag window, island window, island agg and lead window all
+    # reuse HashPartitioning(user_id): exactly ONE exchange, no join
+    P.assert_max_shuffles(out, 1)
+    assert "Join" not in P.physical_plan(out)
