@@ -2513,6 +2513,39 @@ def _q_multimodal_sniff_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming ingest dedup
+    (streaming/dedup_stream: dropDuplicatesWithinWatermark): the events
+    file is staged TWICE, with maxFilesPerTrigger=1 forcing the
+    duplicate copy into a LATER micro-batch, so every drop exercises
+    cross-batch keyed state — not within-batch distinct. Output must
+    equal the batch relation read once: streaming==batch equivalence,
+    the same contract as the other streaming queries. The generous
+    watermark keeps all state for the replay; production sets it to the
+    real late-arrival bound so state stays (keys per window), with the
+    batch-layer exact dedup as the late backstop."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = STR.stage_files(
+        f"{sf_dir}/events.parquet", f"{sf_dir}/events.parquet"
+    )
+    sdf = STR.read_parquet_stream(
+        spark, src, batch.schema, max_files_per_trigger=1
+    ).transform(SRC.normalize_event_ts)
+    out = STR.run_available_now(
+        STR.dedup_stream(sdf, ["event_id"], watermark_delay="3650 days"),
+        query_name="q_stream_dedup_mem",
+        output_mode="append",  # row-level stateful filter, not an agg
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+def _sql_streaming_dedup_events() -> str:
+    return """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
 def _q_cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (operators/sampling.cap_per_group): at
     most 40 docs per source, deterministic survivors (lowest doc_id
@@ -2736,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
+        "streaming_dedup_events": _q_streaming_dedup_events,
     }
 
 
@@ -3843,4 +3877,5 @@ GROUP BY 1, 2
         "cap_per_source_docs": _sql_cap_per_source_docs(),
         "token_rarity_docs": _sql_token_rarity_docs(),
         "change_intervals_events": _sql_change_intervals_events(),
+        "streaming_dedup_events": _sql_streaming_dedup_events(),
     }

@@ -39,14 +39,18 @@ def stage_files(*paths: str, dir_suffix: str = "stream_src") -> str:
     """Stage individual parquet FILES into a fresh temp directory and
     return it — Spark's file streaming source requires a directory (it
     monitors for new files), while batch testdata ships as single files.
-    Production streams read a real landing-zone directory and never need
-    this."""
+    Files are prefixed with their position so the SAME path may be
+    staged more than once (deliberate duplicate injection for dedup
+    tests); the source lists files in name order, so position order is
+    arrival order under ``maxFilesPerTrigger``. Production streams read
+    a real landing-zone directory and never need this."""
+    import os
     import shutil
     import tempfile
 
     d = tempfile.mkdtemp(prefix=f"dcd_{dir_suffix}_")
-    for p in paths:
-        shutil.copy(p, d)
+    for i, p in enumerate(paths):
+        shutil.copy(p, os.path.join(d, f"{i:03d}_{os.path.basename(p)}"))
     return d
 
 
