@@ -201,8 +201,11 @@ def _q_diff_orders_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_diff_orders_col_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sort=False: the driver compare is order-insensitive, so the
+    # facade's n_cols-row display sort would only add a total-order
+    # exchange (and a scale-lint warn) for nothing
     s1, s2 = _orders_pair(spark, sf_dir)
-    return column_mismatch_counts(diff(s1, s2, ["o_orderkey"]))
+    return column_mismatch_counts(diff(s1, s2, ["o_orderkey"]), sort=False)
 
 
 def _q_diff_drilldown_status(spark: SparkSession, sf_dir: str) -> DataFrame:

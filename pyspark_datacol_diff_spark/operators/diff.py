@@ -366,20 +366,24 @@ def flag_counts(diff_df: DataFrame) -> DataFrame:
     return diff_df.groupBy(FLAG_COL).agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def column_mismatch_counts(diff_df: DataFrame) -> DataFrame:
+def column_mismatch_counts(diff_df: DataFrame, *, sort: bool = True) -> DataFrame:
     """Per-column mismatch counts in ONE explode+aggregate (vs one
     filter+count job per column, reference :146-149).
 
     Columns: ``ColName``, ``Count`` (reference's pandas summary names,
     :153), ordered by descending count. Partial aggregation happens
-    map-side before the (tiny, n_cols-row) shuffle.
+    map-side before the (tiny, n_cols-row) shuffle. ``sort=False``
+    drops the display ordering — it is a presentation contract over an
+    n_cols-row frame, so consumers that re-sort or compare
+    order-insensitively can skip the range-partitioning exchange
+    entirely (and a plan linter then sees no total-order sort).
     """
-    return (
+    out = (
         diff_df.select(F.explode(F.col(f"{DIFF_ARRAY_COL}.col_name")).alias("ColName"))
         .groupBy("ColName")
         .agg(F.count(F.lit(1)).alias("Count"))
-        .orderBy(F.desc("Count"), "ColName")
     )
+    return out.orderBy(F.desc("Count"), "ColName") if sort else out
 
 
 _ALL_FLAGS = (FLAG_NODIFF, FLAG_S1_ONLY, FLAG_S2_ONLY, FLAG_DIFF)
