@@ -2549,6 +2549,46 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
+def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column data profile (operators/diff.profile_table)
+    over the same engine-exact orders projection the digest gate uses:
+    non-null/null/exact-distinct counts and string-space min/max per
+    column — the audit report beside the digest's change gate."""
+    from pyspark_datacol_diff_spark.operators.diff import profile_table
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").cast("string").alias("o_date_str"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    return profile_table(o)
+
+
+def _sql_profile_orders() -> str:
+    cols = {
+        "o_orderkey": "o_orderkey::VARCHAR",
+        "o_custkey": "o_custkey::VARCHAR",
+        "o_orderstatus": "o_orderstatus",
+        "o_orderpriority": "o_orderpriority",
+        "o_date_str": "o_orderdate::DATE::VARCHAR",
+        "o_cents": "round(o_totalprice * 100)::BIGINT::VARCHAR",
+    }
+    parts = [
+        f"""SELECT '{name}' AS col_name,
+       count({expr}) AS n_values,
+       sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {expr}) AS n_distinct,
+       min({expr}) AS min_str,
+       max({expr}) AS max_str
+FROM orders"""
+        for name, expr in cols.items()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def _q_cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (operators/sampling.cap_per_group): at
     most 40 docs per source, deterministic survivors (lowest doc_id
@@ -2716,10 +2756,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessions": _q_streaming_sessions,
-        # --- new in round 3 (4) ---
+        # --- new in round 3 (5) ---
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
+        "profile_orders": _q_profile_orders,
         "streaming_dedup_events": _q_streaming_dedup_events,
         # --- driver-green in CORRECTNESS_r02 (50) ---
         "diff_orders_detail": _q_diff_orders_detail,
@@ -3880,4 +3921,5 @@ GROUP BY 1, 2
         "token_rarity_docs": _sql_token_rarity_docs(),
         "change_intervals_events": _sql_change_intervals_events(),
         "streaming_dedup_events": _sql_streaming_dedup_events(),
+        "profile_orders": _sql_profile_orders(),
     }

@@ -21,6 +21,7 @@ from .operators.diff import (
     apply_diff,
     change_intervals,
     digests_equal,
+    profile_table,
     table_digest,
     compute_dataframe_diff,
     column_mismatch_counts,
@@ -54,6 +55,7 @@ __all__ = [
     "gen_comp_col",
     "resolve_compare_cols",
     "get_spark",
+    "profile_table",
     "scale_lint",
     "standardize",
     "suffix_columns",

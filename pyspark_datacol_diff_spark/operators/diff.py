@@ -572,6 +572,47 @@ def compute_dataframe_diff(
     return d, stats
 
 
+def profile_table(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Per-column data profile in ONE pass — the audit companion to
+    :func:`table_digest`: the digest answers "did anything change?",
+    the profile answers "what does each column look like?" (the
+    pre-migration / post-load sanity report every reconciliation
+    pipeline prints).
+
+    Emits one row per column: ``col_name``, ``n_values`` (non-null),
+    ``n_nulls``, ``n_distinct`` (exact), ``min_str`` / ``max_str``
+    (string-space bounds — portable across engines for the same reason
+    the digest stringifies: no float-formatting or collation surprises
+    for keys/strings/exact decimals; raw doubles should be projected to
+    exact forms first, as the diff does).
+
+    Shape: same map-side unpivot as the digest — values go long-form
+    ``(col_name, v)`` inside the scan stage, then ONE aggregation keyed
+    by column name. Exact distinct per column is safe HERE because each
+    group is one column's values (no multi-distinct Expand blow-up);
+    Spark plans it as the standard two-phase distinct aggregate, so the
+    exchange carries (col_name, value)-deduplicated rows — bounded by
+    the sum of per-column cardinalities, the same volume any exact
+    profiler must move. For columns where an estimate suffices at
+    100 TB, approx_count_distinct over the same unpivot halves the
+    shuffle; exact is the default because the profile's job is catching
+    off-by-small drift.
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    stacked = df.select(
+        *[F.col(c).cast("string").alias(c) for c in names]
+    ).unpivot([], names, "col_name", "v")
+    return stacked.groupBy("col_name").agg(
+        F.count("v").alias("n_values"),
+        F.sum(F.isnull("v").cast("long")).alias("n_nulls"),
+        F.count_distinct(F.col("v")).alias("n_distinct"),
+        F.min("v").alias("min_str"),
+        F.max("v").alias("max_str"),
+    )
+
+
 def table_digest(
     df: DataFrame,
     cols: Sequence[str] | None = None,

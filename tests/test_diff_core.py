@@ -294,3 +294,18 @@ def test_change_intervals_single_exchange(spark):
     # reuse HashPartitioning(user_id): exactly ONE exchange, no join
     P.assert_max_shuffles(out, 1)
     assert "Join" not in P.physical_plan(out)
+
+
+def test_profile_table_hand_computed(spark):
+    from pyspark_datacol_diff_spark import profile_table
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None), (None, 2)],
+        "s string, x int",
+    )
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    s, x = got["s"], got["x"]
+    assert (s["n_values"], s["n_nulls"], s["n_distinct"]) == (3, 1, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+    assert (x["n_values"], x["n_nulls"], x["n_distinct"]) == (3, 1, 2)
+    assert (x["min_str"], x["max_str"]) == ("1", "2")
