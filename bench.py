@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "minhash_native_docs",       # signature agg + band self-join
     "simhash_docs",              # 64-bit signature + pigeonhole bands
     "salted_join_events",        # skew-salted replicate/route join
+    # new shapes in round 3 (no BENCH_r02 counterpart):
+    "change_intervals_events",   # gaps-and-islands, one reused exchange
+    "profile_orders",            # unpivot + per-column distinct aggregate
     # lsh_near_dup_recall stays out: it deliberately runs the exact
     # O(n^2) verify next to the LSH path (a correctness gate, not a
     # throughput headline)

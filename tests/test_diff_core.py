@@ -309,3 +309,43 @@ def test_profile_table_hand_computed(spark):
     assert (s["min_str"], s["max_str"]) == ("a", "b")
     assert (x["n_values"], x["n_nulls"], x["n_distinct"]) == (3, 1, 2)
     assert (x["min_str"], x["max_str"]) == ("1", "2")
+
+
+def test_change_intervals_tile_the_timeline(spark):
+    """Invariants on real data: per key, interval n_obs sums to the row
+    count, valid_to chains to the next valid_from (gapless tiling),
+    exactly one open interval per key, and no two consecutive intervals
+    share a state."""
+    from pyspark_datacol_diff_spark.operators.diff import change_intervals
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    iv = change_intervals(
+        e, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]
+    ).cache()
+    try:
+        assert iv.agg(F.sum("n_obs")).first()[0] == e.count()
+        assert (
+            iv.filter(F.col("valid_to").isNull())
+            .groupBy("user_id").count().filter("count != 1").count() == 0
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("valid_from")
+        chained = iv.select(
+            "user_id", "event_type", "valid_from", "valid_to",
+            F.lead("valid_from").over(w).alias("nxt_from"),
+            F.lead("event_type").over(w).alias("nxt_state"),
+        )
+        # valid_to == next interval's valid_from (both null at the tail)
+        assert chained.filter(
+            ~F.col("valid_to").eqNullSafe(F.col("nxt_from"))
+        ).count() == 0
+        # consecutive intervals never share a state (else they'd merge)
+        assert chained.filter(
+            F.col("nxt_state").isNotNull()
+            & F.col("event_type").eqNullSafe(F.col("nxt_state"))
+        ).count() == 0
+    finally:
+        iv.unpersist()
