@@ -11,7 +11,7 @@ and re-exported here:
   ``doc_fingerprint``, ``rolling_hash_fingerprint`` (text)
 - text stats: ``token_count``, ``bpe_ish_token_count``, ``char_count``,
   ``punct_count``, ``stopword_hits``, ``quality_score``, ``lang_id``,
-  ``cjk_char_count`` (text)
+  ``cjk_char_count``, ``max_equal_run`` (text)
 - deterministic bucketing: ``hash_bucket`` (sampling)
 - PII scrubbing: ``scrub_pii``, ``pii_counts`` (corpus)
 """
@@ -37,6 +37,7 @@ from ..operators.text import (
     lang_id,
     punct_count,
     quality_score,
+    max_equal_run,
     rolling_hash_fingerprint,
     stopword_hits,
     token_count,
@@ -53,6 +54,7 @@ __all__ = [
     "hash_bucket",
     "int_dot",
     "lang_id",
+    "max_equal_run",
     "norm",
     "pii_counts",
     "punct_count",

@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""Empirical scaling smoke: run the heavy operators at 1x and 10x data
+volume and report the time ratio — the "would the plan survive a
+scale-up" claim measured instead of argued.
+
+Synthesizes the 10x set from sf0.1 with REPLICA-DISTINCT content:
+
+- documents: every token suffixed ``_r{k}`` per replica, so replicas
+  share no shingles — near-dup candidate volume grows linearly with
+  corpus size (duplicating text verbatim would instead grow the TRUE
+  near-dup pair set quadratically, which is correct behavior but tests
+  the data, not the plan);
+- embeddings: vectors rotated by ``k`` positions — norms and
+  within-replica geometry preserved, cross-replica similarity broken;
+- events / orders: key-offset copies (new users / orders, same time
+  range and value distributions).
+
+On fixed cores, a shuffle-linear plan should land near ratio 10 (CPU
+bound) and anything pair-quadratic or single-task-bottlenecked lands
+far above; ratios well under 10 just mean fixed per-job overhead still
+dominates at sf0.1. Writes ``SCALETEST.json`` (or argv[1]).
+
+Usage: python3 scripts/scale_smoke.py [out.json] [replicas=10]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "SCALETEST.json"
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+BASE = "/root/testdata/sf0.1"
+
+QUERIES = [
+    "repetition_docs",
+    "text_stats_docs",
+    "ngram_jaccard_docs",
+    "minhash_native_docs",
+    "simhash_docs",
+    "dedup_cluster_docs",
+    "ann_topk_cosine",
+    "session_window_events",
+    "two_stage_agg_events",
+    "diff_orders_detail",
+    "digest_orders",
+    "profile_orders",
+    "change_intervals_events",
+    "token_rarity_docs",
+]
+
+TABLES_NEEDED = ["documents", "embeddings", "events", "orders", "customer"]
+
+
+def synth(spark, k_replicas: int) -> str:
+    """K key-offset, content-distinct replicas of the needed tables."""
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix=f"dcd_scale_{k_replicas}x_")
+    for t in TABLES_NEEDED:
+        src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        parts = []
+        for k in range(k_replicas):
+            rep = src
+            if t == "documents":
+                off = F.lit(k * 10_000_000)
+                rep = rep.withColumn("doc_id", F.col("doc_id") + off)
+                if k > 0:
+                    suffixed = F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda x: F.concat(x, F.lit(f"_r{k}")),
+                        ),
+                    )
+                    rep = rep.withColumn("text", suffixed)
+            elif t == "embeddings":
+                rep = rep.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(k * 10_000_000)
+                )
+                if k > 0:
+                    n = F.size("embedding")
+                    rot = F.concat(
+                        F.slice(F.col("embedding"), k + 1, 4096),
+                        F.slice(F.col("embedding"), 1, k),
+                    )
+                    rep = rep.withColumn("embedding", rot)
+            elif t == "events":
+                rep = rep.withColumn(
+                    "event_id", F.col("event_id") + F.lit(k * 100_000_000)
+                ).withColumn("user_id", F.col("user_id") + F.lit(k * 10_000_000))
+            elif t == "orders":
+                rep = rep.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(k * 100_000_000)
+                ).withColumn(
+                    "o_custkey", F.col("o_custkey") + F.lit(k * 10_000_000)
+                )
+            elif t == "customer":
+                rep = rep.withColumn(
+                    "c_custkey", F.col("c_custkey") + F.lit(k * 10_000_000)
+                )
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    return d
+
+
+def run(spark, qs, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in QUERIES:
+        fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    return times
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from pyspark_datacol_diff_spark import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="scale-smoke", master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    qs = entry.queries()
+    d1 = synth(spark, 1)
+    dk = synth(spark, K)
+    try:
+        t1 = run(spark, qs, d1)
+        tk = run(spark, qs, dk)
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(dk, ignore_errors=True)
+    report = {
+        q: {
+            "t_1x_sec": t1[q],
+            f"t_{K}x_sec": tk[q],
+            "ratio": round(tk[q] / t1[q], 2) if t1[q] else None,
+        }
+        for q in QUERIES
+    }
+    report["__meta__"] = {
+        "replicas": K,
+        "base": BASE,
+        "cpus": cpus,
+        "notes": {
+            "ann_topk_cosine": (
+                "declared exact baseline, O(n*q): the query set is a "
+                "fixed FRACTION of the corpus (vec_id % 25 == 0), so "
+                f"{K}x data means {K}x queries x {K}x corpus = "
+                f"{K * K}x work — a ratio near {K * K}/parallel-slack "
+                "is the CONTRACT; the scale path (ann_ivf_topk) bounds "
+                "probed cells instead"
+            ),
+            "ratios_below_replicas": (
+                "ratios under the replica count mean fixed per-job "
+                "overhead still dominates at this volume — the plan is "
+                "shuffle-linear with headroom"
+            ),
+        },
+    }
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(json.dumps({q: report[q]["ratio"] for q in QUERIES}))
+
+
+if __name__ == "__main__":
+    main()
