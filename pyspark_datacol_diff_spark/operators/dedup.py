@@ -233,9 +233,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signatures as an array<bigint> column.
 
-    Shingle -> 32-bit gram hash -> k universal hashes
-    ``(a_i * h + b_i) mod p`` -> ONE hash aggregate with k mins (same
-    single-shuffle shape as simhash_fingerprints). Coefficients are
+    Shingle SET (``array_distinct`` — duplicate shingles cannot change
+    a min, so they are dropped before any per-gram work) -> 32-bit gram
+    hash -> k universal hashes ``(a_i * h + b_i) mod p`` -> ONE hash
+    aggregate with k mins (same single-exchange shape as
+    simhash_fingerprints). The exchange is doc-sized, not gram-sized:
+    partial aggregation folds each partition's grams into one
+    64-min row per document map-side, so only (doc_id, 64 longs) rows
+    move. Measured AGAINST the tempting zero-shuffle alternative
+    (k ``array_min(transform(hs, ...))`` folds per row): the per-row
+    version allocates k intermediate arrays per document and ran ~1.5x
+    SLOWER at sf0.1 — the exchange it removes was already negligible,
+    the allocation it adds is not. Coefficients are
     seeded-deterministic; a_i < 2^30 and h < 2^32 keep the product
     inside signed-64 range (no overflow).
 
@@ -252,7 +261,7 @@ def minhash_signatures(
     df = balance_partitions(df)
     grams = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(text_col, n)).alias("g"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
     )
     if hash_fn == "xxhash64":
         h32 = F.xxhash64("g").bitwiseAND(F.lit((1 << 32) - 1))
