@@ -153,3 +153,92 @@ def test_incremental_new_partitions_batch(spark, rows):
         if t not in store_texts and t not in first_per_text:
             first_per_text[t] = i
     assert got == {i: t for t, i in first_per_text.items()}
+
+
+@st.composite
+def interval_stream(draw):
+    """Random (key, t, state) stream with expected islands computable by
+    a trivial reference fold."""
+    n_keys = draw(st.integers(min_value=1, max_value=4))
+    rows = []
+    for k in range(n_keys):
+        n = draw(st.integers(min_value=1, max_value=12))
+        states = draw(
+            st.lists(
+                st.sampled_from(["a", "b", "c", None]),
+                min_size=n, max_size=n,
+            )
+        )
+        rows += [(k, t, s) for t, s in enumerate(states)]
+    return rows
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=interval_stream())
+def test_change_intervals_match_reference_fold(spark, rows):
+    from pyspark_datacol_diff_spark.operators.diff import change_intervals
+
+    # driver-side reference: fold each key's ordered stream into runs
+    expected = set()
+    by_key = {}
+    for k, t, s in rows:
+        by_key.setdefault(k, []).append((t, s))
+    for k, seq in by_key.items():
+        seq.sort()
+        runs = []  # [state, start, count]
+        for t, s in seq:
+            if runs and runs[-1][0] == s:
+                runs[-1][2] += 1
+            else:
+                runs.append([s, t, 1])
+        for i, (s, start, cnt) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected.add((k, s, start, nxt, cnt))
+
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    got = {
+        (r["k"], r["s"], r["valid_from"], r["valid_to"], r["n_obs"])
+        for r in change_intervals(df, ["k"], "t", ["s"]).collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    k=st.integers(min_value=1, max_value=5),
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        unique=True,
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_cap_per_group_matches_reference_selection(spark, k, rows):
+    import pyspark.sql.functions as F
+
+    from pyspark_datacol_diff_spark.operators.sampling import cap_per_group
+
+    expected = set()
+    by_g = {}
+    for g, i in rows:
+        by_g.setdefault(g, []).append(i)
+    for g, ids in by_g.items():
+        expected |= {(g, i) for i in sorted(ids)[:k]}
+
+    df = spark.createDataFrame(rows, "g string, id long").repartition(3)
+    got = {
+        (r["g"], r["id"])
+        for r in cap_per_group(df, "g", k, order_by=[F.col("id")]).collect()
+    }
+    assert got == expected
