@@ -118,6 +118,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # methodology marker: true = each query timed on its
+                # SECOND execution (caches cleared between runs; JIT
+                # warm, data cold). r01/r02 timed first executions after
+                # a single global warm-up query.
+                "warm_per_query": warm,
             }
         )
     )
