@@ -345,3 +345,93 @@ def test_quantized_topk_top1_is_same_cluster(spark):
     }
     for qid, nb in top1.items():
         assert truth[nb] == truth[qid]
+
+
+def test_pq_assign_hand_computed_codes(spark):
+    from pyspark_datacol_diff_spark.operators.similarity import pq_assign
+
+    # dim=4, m=2, sub=2; codebooks chosen so nearest centroids are obvious
+    cb = [
+        [[0.0, 0.0], [10.0, 10.0]],          # subspace 0: codes 0/1
+        [[0.0, 5.0], [5.0, 0.0], [9.0, 9.0]] # subspace 1: codes 0/1/2
+    ]
+    rows = [
+        (1, [0.1, 0.2, 0.1, 4.8]),   # sub0 -> 0, sub1 -> 0
+        (2, [9.0, 11.0, 8.8, 9.1]),  # sub0 -> 1, sub1 -> 2
+        (3, [10.0, 9.0, 4.9, 0.3]),  # sub0 -> 1, sub1 -> 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_assign(df, cb).collect()}
+    assert got == {1: [0, 0], 2: [1, 2], 3: [1, 1]}
+
+
+def test_pq_assign_is_zero_shuffle(spark):
+    from pyspark_datacol_diff_spark import plans as P
+    from pyspark_datacol_diff_spark.operators.similarity import pq_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = [[[float(i == j) for j in range(8)] for i in range(4)]
+          for _ in range(8)]
+    P.assert_max_shuffles(pq_assign(emb, cb), 0)
+
+
+def test_pq_adc_score_equals_lut_sum(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_datacol_diff_spark.operators.similarity import pq_topk
+
+    cb = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[0.0, 5.0], [5.0, 0.0], [9.0, 9.0]],
+    ]
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 5.0]), (2, [10.0, 10.0, 9.0, 9.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0, 5.0])], "qid long, qv array<float>"
+    )
+    got = {
+        r["neighbor_id"]: (r["adc_dist"], r["rank"])
+        for r in pq_topk(corpus, q, 2, cb, exclude_self=False).collect()
+    }
+    # doc1 codes [0,0]: LUT dist = |q_sub0 - (0,0)|^2 + |q_sub1 - (0,5)|^2 = 0
+    assert got[1] == (0.0, 1)
+    # doc2 codes [1,2]: |(0,0)-(10,10)|^2 + |(0,5)-(9,9)|^2 = 200 + 81+16
+    assert got[2] == (297.0, 2)
+
+
+def test_pq_refined_recall_beats_raw_pq(spark):
+    from pyspark.sql import functions as F, Window
+
+    from pyspark_datacol_diff_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+        pq_topk_refined,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cb = pq_codebooks(emb, dim=64, m=8, k=16, fit_method="kmeans",
+                      fit_fraction=1.0)
+    l2 = F.aggregate(
+        F.zip_with("embedding", "qv",
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda a, x: a + x)
+    j = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = (j.select("qid", F.col("vec_id").alias("neighbor_id"),
+                      l2.alias("d"))
+             .withColumn("r", F.row_number().over(w)).filter("r <= 10")
+             .select("qid", "neighbor_id"))
+    n = exact.count()
+    raw = pq_topk(emb, q, 10, cb).select("qid", "neighbor_id")
+    ref = pq_topk_refined(emb, q, 10, cb, n_candidates=100).select(
+        "qid", "neighbor_id")
+    raw_hits = exact.join(raw, ["qid", "neighbor_id"]).count()
+    ref_hits = exact.join(ref, ["qid", "neighbor_id"]).count()
+    assert ref_hits > raw_hits          # refine must add recall
+    assert ref_hits * 10 >= n * 7       # the driver gate's 70% bound
