@@ -45,6 +45,13 @@ DECLARED_EXACT = {
         "recall gate: deliberately computes the exact O(n^2) pair set "
         "next to the LSH candidates to measure recall"
     ),
+    "ann_pq_recall": (
+        "recall gate: the PQ ADC pass streams corpus codes against the "
+        "BROADCAST bounded query set (O(n*q), the PQ contract — m "
+        "lookups per row instead of dim multiplies), and the exact "
+        "ground-truth top-k it is measured against is the same "
+        "deliberate O(n*q) baseline as ann_topk_cosine"
+    ),
 }
 
 
