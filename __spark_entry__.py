@@ -2516,6 +2516,74 @@ def _q_multimodal_sniff_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot merge (operators/diff.merge_upsert): a deterministic
+    update batch against orders — every 7th order re-priced (update),
+    every 13th deleted, plus key-offset inserts — merged with the
+    broadcast-keys/no-base-shuffle shape. Emits the merged relation's
+    per-status rollup (exact integers) so the result hashes stably."""
+    from pyspark_datacol_diff_spark.operators.diff import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_cents") + 1000).alias("o_cents"),
+            (F.col("o_orderkey") % 13 == 0).alias("__del"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_cents"),
+                F.lit(False).alias("__del"),
+            )
+        )
+    )
+    merged = merge_upsert(
+        o, updates, ["o_orderkey"], delete_col="__del", broadcast_updates=True
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_cents").alias("sum_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def _sql_merge_upsert_orders() -> str:
+    return """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         round(o_totalprice * 100)::BIGINT AS o_cents
+  FROM orders),
+upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_cents + 1000 AS o_cents,
+         (o_orderkey % 13 = 0) AS del
+  FROM o WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 900000000, 'N', o_cents, FALSE
+  FROM o WHERE o_orderkey % 11 = 0),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, o_cents
+  FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_cents FROM upd WHERE NOT del)
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       sum(o_cents)::BIGINT AS sum_cents,
+       min(o_orderkey)::BIGINT AS min_key,
+       max(o_orderkey)::BIGINT AS max_key
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
 def _q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible gate for the product-quantization ANN path
     (operators/similarity.pq_*): per-subspace k-means codebooks, ADC
@@ -2813,12 +2881,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessions": _q_streaming_sessions,
-        # --- new in round 3 (6) ---
+        # --- new in round 3 (7) ---
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
         "profile_orders": _q_profile_orders,
         "ann_pq_recall": _q_ann_pq_recall,
+        "merge_upsert_orders": _q_merge_upsert_orders,
         "streaming_dedup_events": _q_streaming_dedup_events,
         # --- driver-green in CORRECTNESS_r02 (50) ---
         "diff_orders_detail": _q_diff_orders_detail,
@@ -3981,4 +4050,5 @@ GROUP BY 1, 2
         "streaming_dedup_events": _sql_streaming_dedup_events(),
         "profile_orders": _sql_profile_orders(),
         "ann_pq_recall": _sql_ann_pq_recall(),
+        "merge_upsert_orders": _sql_merge_upsert_orders(),
     }

@@ -30,6 +30,7 @@ from .operators.diff import (
     diff_summary_stats,
     flag_counts,
     gen_comp_col,
+    merge_upsert,
     resolve_compare_cols,
     standardize,
     suffix_columns,
@@ -53,6 +54,7 @@ __all__ = [
     "diff_summary_stats",
     "flag_counts",
     "gen_comp_col",
+    "merge_upsert",
     "resolve_compare_cols",
     "get_spark",
     "profile_table",

@@ -732,3 +732,50 @@ def change_intervals(
             "n_obs",
         )
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    pk: Sequence[str],
+    *,
+    delete_col: str | None = None,
+    broadcast_updates: bool = False,
+) -> DataFrame:
+    """Snapshot merge — the MERGE INTO of lakehouse tables as a pure
+    DataFrame composition, completing the CDC family (:func:`diff`
+    extracts a changeset, :func:`apply_diff` replays one, this ingests
+    one): every ``updates`` row wins over the ``base`` row with the
+    same key (update-or-insert); rows where ``delete_col`` is true are
+    dropped from the result and delete their base counterpart.
+
+    Plan: ONE left-anti join (base rows whose key is absent from
+    updates) unioned with the surviving update rows — no full-outer, no
+    per-column conditionals, because "updates win wholesale" makes the
+    value-level merge unnecessary. ``broadcast_updates=True`` is the
+    big-base/small-batch CDC shape: the anti join broadcasts the update
+    keys and the base NEVER shuffles — at 100 TB this is the difference
+    between a metadata-sized job and re-shuffling the table. Leave it
+    False when the batch is comparable to the base (both sides shuffle
+    on pk once).
+
+    Duplicate keys WITHIN ``updates`` are the caller's contract to
+    avoid (last-writer-wins needs an ordering column — take
+    ``change_intervals``-style max-struct per key first).
+    """
+    if not pk:
+        raise InvalidArgumentError("pk must not be empty")
+    missing = [k for k in pk if k not in updates.columns]
+    if missing:
+        raise PrimaryKeyError(f"pk columns missing from updates: {missing}")
+    keys = updates.select(*pk)
+    if delete_col is not None:
+        incoming = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        incoming = updates
+    if broadcast_updates:
+        keys = F.broadcast(keys)
+    survivors = base.join(keys, list(pk), "left_anti")
+    return survivors.unionByName(incoming)

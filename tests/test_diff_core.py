@@ -349,3 +349,46 @@ def test_change_intervals_tile_the_timeline(spark):
         ).count() == 0
     finally:
         iv.unpersist()
+
+
+def test_merge_upsert_semantics(spark):
+    from pyspark_datacol_diff_spark.operators.diff import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", False), (3, "x", True), (4, "d", False)],
+        "k long, v string, del boolean",
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in merge_upsert(base, updates, ["k"], delete_col="del").collect()
+    }
+    # 1 untouched, 2 updated, 3 deleted, 4 inserted
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    # without delete_col the delete flag is just ignored data
+    got2 = {
+        (r["k"], r["v"])
+        for r in merge_upsert(
+            base, updates.drop("del"), ["k"]
+        ).collect()
+    }
+    assert got2 == {(1, "a"), (2, "B"), (3, "x"), (4, "d")}
+
+
+def test_merge_upsert_broadcast_keys_no_base_shuffle(spark):
+    from pyspark_datacol_diff_spark import plans as P
+    from pyspark_datacol_diff_spark.operators.diff import merge_upsert
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    updates = base.filter(F.col("o_orderkey") % 97 == 0)
+    out = merge_upsert(
+        base, updates, ["o_orderkey"], broadcast_updates=True
+    )
+    plan = P.physical_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    P.assert_max_shuffles(out, 0)  # neither side shuffles
