@@ -2802,7 +2802,8 @@ WITH o AS (
   FROM i GROUP BY user_id, island, event_type
 )
 SELECT user_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, island)
          AS valid_to,
        n_obs
 FROM g

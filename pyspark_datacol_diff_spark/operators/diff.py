@@ -719,7 +719,11 @@ def change_intervals(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("__island"),
     )
-    nxt = Window.partitionBy(*key).orderBy("valid_from")
+    # valid_to chains islands by valid_from; __island breaks the tie
+    # when two consecutive islands share a timestamp (every row of both
+    # at the same ts) — island ids are monotone in stream order, so the
+    # chain stays deterministic where valid_from alone is ambiguous
+    nxt = Window.partitionBy(*key).orderBy("valid_from", "__island")
     return (
         islands.groupBy(*key, "__island", *state_cols)
         .agg(

@@ -392,3 +392,23 @@ def test_merge_upsert_broadcast_keys_no_base_shuffle(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     P.assert_max_shuffles(out, 0)  # neither side shuffles
+
+
+def test_change_intervals_tied_timestamp_islands_deterministic(spark):
+    """Two state changes at one timestamp: valid_to chaining must follow
+    island (stream) order, not an ambiguous valid_from-only sort."""
+    from pyspark_datacol_diff_spark.operators.diff import change_intervals
+
+    rows = [(1, 5, 1, "a"), (1, 5, 2, "b"), (1, 5, 3, "c"), (1, 9, 4, "c")]
+    df = spark.createDataFrame(rows, "k long, t long, seq long, s string")
+    got = {
+        (r["s"], r["valid_from"], r["valid_to"], r["n_obs"])
+        for r in change_intervals(
+            df, ["k"], "t", ["s"], tiebreak=["seq"]
+        ).collect()
+    }
+    assert got == {
+        ("a", 5, 5, 1),
+        ("b", 5, 5, 1),
+        ("c", 5, None, 2),
+    }
