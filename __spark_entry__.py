@@ -2516,6 +2516,32 @@ def _q_multimodal_sniff_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling
+    (operators/sampling.weighted_sample): each document kept with
+    probability equal to its own weight. The weight here is
+    (n_chars % 128) / 128 — a dyadic rational, exactly representable in
+    IEEE double, so ``weight * buckets`` is the same exact double in
+    both engines and the keep boundary can never disagree by an ulp
+    (arbitrary weights are fine in production; the QUERY pins the
+    cross-engine-exact surface). Zero shuffle: a pure filter."""
+    from pyspark_datacol_diff_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.col("n_chars") % 128).cast("double") / F.lit(128.0)
+    return weighted_sample(d, F.col("doc_id"), w).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _sql_weighted_sample_docs() -> str:
+    return f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {_SQL_BUCKET} < ((n_chars % 128)::DOUBLE / 128.0) * 10000.0
+"""
+
+
 def _q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC snapshot merge (operators/diff.merge_upsert): a deterministic
     update batch against orders — every 7th order re-priced (update),
@@ -2882,13 +2908,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessions": _q_streaming_sessions,
-        # --- new in round 3 (7) ---
+        # --- new in round 3 (8) ---
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
         "profile_orders": _q_profile_orders,
         "ann_pq_recall": _q_ann_pq_recall,
         "merge_upsert_orders": _q_merge_upsert_orders,
+        "weighted_sample_docs": _q_weighted_sample_docs,
         "streaming_dedup_events": _q_streaming_dedup_events,
         # --- driver-green in CORRECTNESS_r02 (50) ---
         "diff_orders_detail": _q_diff_orders_detail,
@@ -4052,4 +4079,5 @@ GROUP BY 1, 2
         "profile_orders": _sql_profile_orders(),
         "ann_pq_recall": _sql_ann_pq_recall(),
         "merge_upsert_orders": _sql_merge_upsert_orders(),
+        "weighted_sample_docs": _sql_weighted_sample_docs(),
     }

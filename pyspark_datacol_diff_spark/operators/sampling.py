@@ -175,3 +175,31 @@ def cap_per_group(
         .filter(F.col("__dcd_rn") <= k)
         .drop("__dcd_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    *,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic per-row importance sampling: keep each row with
+    probability equal to its own ``weight`` in [0, 1] — the
+    quality-weighted downsampling of data-mixing recipes (sample
+    high-quality documents at a higher rate than low-quality ones,
+    rather than hard-filtering), made reproducible: the keep decision
+    is ``hash_bucket(key) < weight * buckets``, so the same key and
+    weight give the same verdict on any partitioning, cluster size, or
+    rerun — incremental pipelines never flip-flop rows, and the same
+    expression replays in any engine with md5.
+
+    Weights outside [0, 1] behave as clamped (<= 0 never keeps,
+    >= 1 always keeps). Granularity is 1/buckets (default 1e-4).
+    Zero shuffle — a pure filter inside the scan stage.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    return df.filter(
+        hash_bucket(key, buckets=buckets)
+        < w.cast("double") * F.lit(float(buckets))
+    )

@@ -150,3 +150,29 @@ def test_cap_per_group_validates_args(spark):
         cap_per_group(df, "src", 0, order_by=[F.col("id")])
     with pytest.raises(ValueError):
         cap_per_group(df, "src", 5, order_by=None)
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_datacol_diff_spark.operators.sampling import weighted_sample
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        # thirds: weight 0.0 / 0.5 / 1.0
+        ((F.col("id") % 3) / F.lit(2.0)).alias("w"),
+    )
+    kept = weighted_sample(df, F.col("id"), "w")
+    counts = {
+        r["w"]: r["cnt"]
+        for r in kept.groupBy("w").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_w1 = sum(1 for i in range(n) if i % 3 == 2)
+    n_w05 = sum(1 for i in range(n) if i % 3 == 1)
+    assert 0.0 not in counts                     # weight 0 never keeps
+    assert counts[1.0] == n_w1                   # weight 1 keeps all
+    assert 0.45 < counts[0.5] / n_w05 < 0.55     # weight .5 keeps ~half
+    # determinism: same verdicts under different partitioning
+    again = weighted_sample(df.repartition(13), F.col("id"), "w")
+    assert {r["id"] for r in again.collect()} == {r["id"] for r in kept.collect()}
