@@ -442,22 +442,25 @@ def token_rarity_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     - ``n_hapax``: how many of the document's DISTINCT tokens are
       corpus-hapaxes (typos, ids, junk — a strong quality signal).
 
-    Scale shape: mirrors tfidf_top_terms — ONE corpus scan, three
-    exchanges, no self-join. tf is a (doc, token) hash-aggregate with
-    map-side combine; the corpus-wide count layers on as
-    ``sum(tf) over (partition by token)`` — a window over the compact
-    tf relation, so hot tokens cost vocabulary-keyed rows, never a
-    joined copy of the corpus; the final rollup re-keys by document.
-    Empty documents (zero tokens) are absent from the output (no token
-    rows exist; the oracle applies the same semantics).
+    Scale shape: ONE corpus scan, no self-join. tf is a (doc, token)
+    hash-aggregate with map-side combine; the corpus-wide count is a
+    ``groupBy(token)`` sum (map-side partials -> one row per token per
+    partition) joined back to tf on the token key — deliberately a
+    JOIN, not ``sum(tf) over (partition by token)``: a stopword like
+    "the" appears in nearly every document, and a token-partitioned
+    window must buffer all ~n_docs of its tf rows on ONE task (windows
+    are not skew-splittable), while the equivalent skewed join
+    partition is exactly what AQE's skew-join splitting handles. The
+    final rollup re-keys by document. Empty documents (zero tokens) are
+    absent from the output (no token rows exist; the oracle applies the
+    same semantics).
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok")
     ).filter(F.col("__tok") != "")
     tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__tf"))
-    gc = tf.withColumn(
-        "__gc", F.sum("__tf").over(Window.partitionBy("__tok"))
-    )
+    counts = tf.groupBy("__tok").agg(F.sum("__tf").alias("__gc"))
+    gc = tf.join(counts, "__tok")
     return gc.groupBy(id_col).agg(
         F.sum("__tf").alias("n_tokens"),
         F.sum(F.col("__tf") * F.col("__gc")).alias("freq_mass"),

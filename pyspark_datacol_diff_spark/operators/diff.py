@@ -250,7 +250,10 @@ def diff(
     comp_cols = resolve_compare_cols(
         s1, pk, compare_cols=compare_cols, exclude_cols=exclude_cols
     )
-    s1_keys, s2_keys, _ = gen_comp_col(s1, pk)
+    # pk already validated inside resolve_compare_cols (gen_comp_col);
+    # the suffixed key lists are pure string transforms
+    s1_keys = [k + S1_SUFFIX for k in pk]
+    s2_keys = [k + S2_SUFFIX for k in pk]
 
     # Prune to only the columns we need BEFORE the join so the parquet
     # scan reads nothing extra (ReadSchema stays minimal at 100 TB).
@@ -604,12 +607,28 @@ def profile_table(
     stacked = df.select(
         *[F.col(c).cast("string").alias(c) for c in names]
     ).unpivot([], names, "col_name", "v")
-    return stacked.groupBy("col_name").agg(
+    agg = stacked.groupBy("col_name").agg(
         F.count("v").alias("n_values"),
         F.sum(F.isnull("v").cast("long")).alias("n_nulls"),
         F.count_distinct(F.col("v")).alias("n_distinct"),
         F.min("v").alias("min_str"),
         F.max("v").alias("max_str"),
+    )
+    # an EMPTY input produces no groups, but a profile must still name
+    # every column (global-aggregate semantics: counts 0, sums/bounds
+    # NULL — exactly what per-column SELECT aggregates over an empty
+    # table return, which is what the paired SQL oracle does). The
+    # skeleton is an n_cols-row literal; the join is metadata-sized.
+    skeleton = df.sparkSession.createDataFrame(
+        [(c,) for c in names], schema="col_name string"
+    )
+    return agg.join(skeleton, "col_name", "right").select(
+        "col_name",
+        F.coalesce("n_values", F.lit(0).cast("long")).alias("n_values"),
+        F.col("n_nulls"),  # sum over empty is NULL, like the oracle
+        F.coalesce("n_distinct", F.lit(0).cast("long")).alias("n_distinct"),
+        "min_str",
+        "max_str",
     )
 
 
@@ -765,7 +784,10 @@ def merge_upsert(
 
     Duplicate keys WITHIN ``updates`` are the caller's contract to
     avoid (last-writer-wins needs an ordering column — take
-    ``change_intervals``-style max-struct per key first).
+    ``change_intervals``-style max-struct per key first). The updates
+    lineage is consumed TWICE (key set + surviving rows); callers whose
+    update batch is expensive to recompute should ``persist()`` it
+    before merging, per the repo's branch-point convention.
     """
     if not pk:
         raise InvalidArgumentError("pk must not be empty")

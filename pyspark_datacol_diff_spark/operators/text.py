@@ -168,7 +168,7 @@ def word_bigrams(text: Column | str) -> Column:
     )
 
 
-def max_equal_run(arr: Column) -> Column:
+def max_equal_run(arr: Column, *, elem_type: str = "string") -> Column:
     """Length of the longest run of equal adjacent elements in ``arr``
     (0 for an empty array) — one ``aggregate`` fold, no explode, no
     shuffle. On a SORTED array this is the max multiset multiplicity
@@ -176,13 +176,18 @@ def max_equal_run(arr: Column) -> Column:
     Rae et al. 2021 §A1.1) computed embarrassingly parallel per row,
     replacing an explode + two hash aggregations.
 
+    ``elem_type`` must name the array's element type (default string):
+    the fold accumulator carries a typed ``prev`` slot, and Spark
+    requires the step function's struct to match the seed struct
+    exactly — pass e.g. ``elem_type="bigint"`` for an array<bigint>.
+
     The accumulator is ``struct(prev, run, best)``; elements are
     compared with ``<=>`` so null elements extend runs instead of
     resetting them, and the seed's null ``prev`` can never equal a
     (non-null) first element.
     """
     acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
+        F.lit(None).cast(elem_type).alias("prev"),
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("best"),
     )

@@ -43,7 +43,11 @@ def pushed_filters(df: DataFrame) -> list[str]:
     but a caller-provided session may not have.
     """
     return [
-        m.strip().rstrip(".")
+        # strip only the literal truncation ellipsis — a bare rstrip(".")
+        # would corrupt filter values that genuinely end in a dot. A
+        # truncated entry may still end mid-token; callers match
+        # fragments, so prefer full-length sessions for exact asserts.
+        re.sub(r"\.\.\.$", "", m.strip())
         for m in re.findall(
             r"PushedFilters: \[([^\]\n]*)\]?", physical_plan(df)
         )

@@ -7,8 +7,11 @@ Usage:
 
 Writes ``{query: [findings...]}`` for queries with any finding, plus a
 ``__summary__`` entry with counts by severity. Exit code 1 if any
-error-severity finding exists. Linting inspects plans only (no job runs),
-so it is cheap at any scale factor.
+error-severity finding exists. Linting itself inspects plans, but
+BUILDING some queries executes work: the streaming queries run their
+micro-batch replay to produce the (batch) result whose plan is then
+linted, and the PQ/IVF gates run their k-means fits — run this at a
+small sf (default sf0.001), not against a production-sized directory.
 """
 
 from __future__ import annotations

@@ -62,9 +62,13 @@ def synth(spark, k_replicas: int) -> str:
     """K key-offset, content-distinct replicas of the needed tables."""
     from pyspark.sql import functions as F
 
+    from pyspark_datacol_diff_spark.sources import read_parquet_table
+
     d = tempfile.mkdtemp(prefix=f"dcd_scale_{k_replicas}x_")
     for t in TABLES_NEEDED:
-        src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        # read_parquet_table, not a bare spark.read: it carries the
+        # TIMESTAMP(NANOS) guard the events table may need
+        src = read_parquet_table(spark, BASE, t)
         parts = []
         for k in range(k_replicas):
             rep = src
@@ -85,7 +89,6 @@ def synth(spark, k_replicas: int) -> str:
                     "vec_id", F.col("vec_id") + F.lit(k * 10_000_000)
                 )
                 if k > 0:
-                    n = F.size("embedding")
                     rot = F.concat(
                         F.slice(F.col("embedding"), k + 1, 4096),
                         F.slice(F.col("embedding"), 1, k),

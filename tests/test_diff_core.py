@@ -412,3 +412,16 @@ def test_change_intervals_tied_timestamp_islands_deterministic(spark):
         ("b", 5, 5, 1),
         ("c", 5, None, 2),
     }
+
+
+def test_profile_table_empty_input_names_every_column(spark):
+    """Empty input: one row per column with count 0 / NULL bounds —
+    global-aggregate semantics, matching the SQL oracle's shape."""
+    from pyspark_datacol_diff_spark import profile_table
+
+    df = spark.createDataFrame([], "s string, x int").filter("1=0")
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"s", "x"}
+    for r in rows.values():
+        assert r["n_values"] == 0 and r["n_distinct"] == 0
+        assert r["min_str"] is None and r["max_str"] is None
