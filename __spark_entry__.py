@@ -2852,10 +2852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
     a window of entries from the FRONT (r2 covered exactly the first
     50), so entries are sequenced by how much driver-visible evidence
-    they still need — queries never driver-checked first (cheapest
-    first, hedging a time-budgeted window), then those last checked in
-    round 1, then the round-3 additions, then the 50 green in
-    CORRECTNESS_r02. Re-derive when CORRECTNESS_r{N} files change.
+    they still need — all 35 queries never driver-checked first (the 27
+    dark after r2, cheapest first, then the 8 round-3 additions), so a
+    50-count window covers every one of them; then those last checked
+    in round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
+    CORRECTNESS_r{N} files change.
     """
     return {
         # --- never driver-verified (27), cheapest first ---
@@ -2886,6 +2887,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
+        # --- new in round 3 (8), never driver-verified ---
+        "cap_per_source_docs": _q_cap_per_source_docs,
+        "token_rarity_docs": _q_token_rarity_docs,
+        "change_intervals_events": _q_change_intervals_events,
+        "profile_orders": _q_profile_orders,
+        "ann_pq_recall": _q_ann_pq_recall,
+        "merge_upsert_orders": _q_merge_upsert_orders,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "streaming_dedup_events": _q_streaming_dedup_events,
         # --- last driver-verified in round 1 (21), cheapest first ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -2908,15 +2918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessions": _q_streaming_sessions,
-        # --- new in round 3 (8) ---
-        "cap_per_source_docs": _q_cap_per_source_docs,
-        "token_rarity_docs": _q_token_rarity_docs,
-        "change_intervals_events": _q_change_intervals_events,
-        "profile_orders": _q_profile_orders,
-        "ann_pq_recall": _q_ann_pq_recall,
-        "merge_upsert_orders": _q_merge_upsert_orders,
-        "weighted_sample_docs": _q_weighted_sample_docs,
-        "streaming_dedup_events": _q_streaming_dedup_events,
         # --- driver-green in CORRECTNESS_r02 (50) ---
         "diff_orders_detail": _q_diff_orders_detail,
         "diff_orders_flags": _q_diff_orders_flags,
