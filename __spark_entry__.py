@@ -36,6 +36,7 @@ from pyspark_datacol_diff_spark.operators import multimodal as MM
 from pyspark_datacol_diff_spark.operators import skew as SKEW
 from pyspark_datacol_diff_spark.operators import text as TX
 from pyspark_datacol_diff_spark.operators import cluster as CC
+from pyspark_datacol_diff_spark.operators import incremental as INC
 from pyspark_datacol_diff_spark.operators import corpus as CP
 
 
@@ -1804,6 +1805,198 @@ FROM spine s LEFT JOIN c USING (user_id, hour_ts)
 """
 
 
+def _q_hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 1-hour windows every
+    15 minutes — the batch shape of the overlapping-window monitoring
+    query (`F.window` with a slide). Spark expands each row into its
+    size/slide = 4 owning windows BEFORE the aggregate, so the shuffle
+    carries partially-combined per-(window,type) rows, never the 4x
+    row blow-up; at 100 TB that map-side combine is what keeps
+    overlapping windows affordable. Windows are epoch-aligned in UTC,
+    matching DuckDB's time_bucket replay exactly."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("value_e4"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_e4",
+        )
+    )
+
+
+_SQL_HOPPING_WINDOW_EVENTS = """
+WITH k AS (SELECT unnest(range(4)) AS k),
+w AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - k.k * INTERVAL '15 minutes' AS window_start,
+         event_type, value
+  FROM events, k
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS value_e4
+FROM w GROUP BY 1, 2
+"""
+
+
+def _q_ohlc_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (open/high/low/close) per user per hour over exact
+    cents — the resample-to-bars shape behind any financial/telemetry
+    rollup. Open/close are selected by lexicographic struct MIN/MAX
+    over (ts, event_id, cents): event_id breaks timestamp ties, so the
+    election is deterministic in both engines (min_by/arg_min on ts
+    alone is not, under tied timestamps). Single-exchange aggregate
+    with full map-side combine (partial + final; struct min/max
+    buffers make Spark pick SortAggregate over HashAggregate, but the
+    partial combine — the thing that matters at 100 TB — is intact);
+    no window, no global sort, no second pass."""
+    e = _t(spark, sf_dir, "events")
+    cents = (
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    )
+    key = F.struct(
+        F.col("ts"), F.col("event_id"), cents.alias("cents")
+    )
+    return (
+        e.groupBy(
+            F.col("user_id"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            F.min(key).alias("o"),
+            F.max(key).alias("c"),
+            F.max(cents).alias("high_cents"),
+            F.min(cents).alias("low_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "hour",
+            F.col("o.cents").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("c.cents").alias("close_cents"),
+            "n_events",
+        )
+    )
+
+
+_SQL_OHLC_USER_HOURLY = """
+WITH c AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, hour,
+       (min(struct_pack(ts := ts, eid := event_id, c := cents))).c
+         AS open_cents,
+       max(cents) AS high_cents,
+       min(cents) AS low_cents,
+       (max(struct_pack(ts := ts, eid := event_id, c := cents))).c
+         AS close_cents,
+       count(*) AS n_events
+FROM c GROUP BY 1, 2
+"""
+
+
+def _q_incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py):
+    three disjoint event batches (event_id mod 3 — standing in for
+    day-partitions of an append-only log) are each aggregated to a
+    mergeable per-type state, and the states are MERGED instead of
+    reaggregating the union. The oracle aggregates the full table
+    directly, so the driver hash proves the decomposition invariant
+    merge(state(A), state(B), state(C)) == state(A|B|C) on real data.
+    At 100 TB only the newest batch is ever scanned; the merge shuffles
+    grain-sized state rows (|event types| x 3 here), not events."""
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    aggs = {
+        "n_events": ("event_id", "count"),
+        "sum_cents": ("cents", "sum"),
+        "min_cents": ("cents", "min"),
+        "max_cents": ("cents", "max"),
+    }
+    src = e.withColumn("cents", cents)
+    states = [
+        INC.agg_state(
+            src.filter(F.col("event_id") % 3 == i), ["event_type"], aggs
+        )
+        for i in range(3)
+    ]
+    return INC.merge_agg_states(states, ["event_type"], aggs)
+
+
+_SQL_INCREMENTAL_ROLLUP_EVENTS = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents,
+       min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_cents,
+       max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents
+FROM events GROUP BY 1
+"""
+
+
+def _q_event_paths_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: count event-type trigrams along each
+    user's (ts, event_id)-ordered stream and keep paths seen >= 5
+    times. One user-keyed shuffle builds the ordered sequence
+    (collect_list + array_sort on a (ts,event_id,type) struct — total
+    order, so deterministic); trigram extraction is a per-row
+    `transform` over the sorted array (no second shuffle), and the
+    final count is an ordinary hash aggregate on the gram. Per-user
+    sequences are bounded (a user's events fit one task); the gram
+    aggregate is map-side combined, so the path cardinality — not the
+    event count — sizes the second exchange."""
+    e = _t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("s")
+    )
+    grams = seq.select(
+        F.explode(
+            F.when(
+                F.size("s") >= 3,
+                F.expr(
+                    "transform(sequence(0, size(s) - 3), i -> "
+                    "concat_ws('>', s[i].event_type, "
+                    "s[i+1].event_type, s[i+2].event_type))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 5)
+    )
+
+
+_SQL_EVENT_PATHS_USERS = """
+WITH s AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT unnest([t[i+1] || '>' || t[i+2] || '>' || t[i+3]
+                 for i in range(greatest(len(t) - 2, 0))]) AS path
+  FROM s
+)
+SELECT path, count(*) AS n_occurrences
+FROM g GROUP BY 1 HAVING count(*) >= 5
+"""
+
+
 def _q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-heuristic language ID over documents: per-language marker
     scores plus the argmax label (sorted-code tie-break, 'und' floor).
@@ -2852,8 +3045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
     a window of entries from the FRONT (r2 covered exactly the first
     50), so entries are sequenced by how much driver-visible evidence
-    they still need — all 35 queries never driver-checked first (the 27
-    dark after r2, cheapest first, then the 8 round-3 additions), so a
+    they still need — all 39 queries never driver-checked first (the 27
+    dark after r2, cheapest first, then the 12 round-3 additions), so a
     50-count window covers every one of them; then those last checked
     in round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
     CORRECTNESS_r{N} files change.
@@ -2887,7 +3080,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
-        # --- new in round 3 (8), never driver-verified ---
+        # --- new in round 3 (12), never driver-verified ---
+        "hopping_window_events": _q_hopping_window_events,
+        "ohlc_user_hourly": _q_ohlc_user_hourly,
+        "event_paths_users": _q_event_paths_users,
+        "incremental_rollup_events": _q_incremental_rollup_events,
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
@@ -3791,6 +3988,10 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "session_window_events": _SQL_SESSION_WINDOW_EVENTS,
         "funnel_events": _SQL_FUNNEL_EVENTS,
         "resample_user_hourly": _SQL_RESAMPLE_USER_HOURLY,
+        "hopping_window_events": _SQL_HOPPING_WINDOW_EVENTS,
+        "ohlc_user_hourly": _SQL_OHLC_USER_HOURLY,
+        "event_paths_users": _SQL_EVENT_PATHS_USERS,
+        "incremental_rollup_events": _SQL_INCREMENTAL_ROLLUP_EVENTS,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

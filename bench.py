@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     # new shapes in round 3 (no BENCH_r02 counterpart):
     "change_intervals_events",   # gaps-and-islands, one reused exchange
     "profile_orders",            # unpivot + per-column distinct aggregate
+    "hopping_window_events",     # sliding windows: Expand + partial agg
+    "ohlc_user_hourly",          # struct-min/max OHLC bars (SortAggregate)
+    "event_paths_users",         # sequence build + trigram count
     # lsh_near_dup_recall stays out: it deliberately runs the exact
     # O(n^2) verify next to the LSH path (a correctness gate, not a
     # throughput headline)

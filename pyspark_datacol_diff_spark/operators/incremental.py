@@ -1,0 +1,95 @@
+"""Incremental aggregate maintenance: partial-aggregate states that
+merge.
+
+The 100 TB rollup problem: a daily report over an append-only event log
+should not reaggregate the full history every day. The algebraic
+aggregates (count / sum / min / max — and avg as sum/count) decompose:
+keep a per-key STATE table holding the partial aggregate of everything
+seen so far, aggregate only the new batch (map-side combined, batch-
+sized shuffle), and MERGE the two states with the same recombine
+functions a shuffle's partial aggregation uses internally. History is
+never rescanned; the merge shuffles ``groups_state + groups_batch``
+rows — grain-sized, not data-sized.
+
+Invariant (pinned in tests/test_incremental.py):
+
+    merge_agg_states([agg_state(A), agg_state(B)]) == agg_state(A | B)
+
+bit-for-bit for integer/decimal inputs (float sums can differ in the
+last ulp under reordering, the usual caveat).
+
+Non-decomposable aggregates (exact count-distinct, exact percentiles)
+are rejected: they need the raw data or a mergeable sketch
+(``approx_count_distinct``'s HLL — see ``approx_distinct_events``).
+
+``aggs`` uses the same spec as
+:func:`~pyspark_datacol_diff_spark.operators.skew.two_stage_agg`:
+output column -> (input column, fn) with fn in ``count|sum|min|max``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUPPORTED = {"count", "sum", "min", "max"}
+# how a partial column recombines when two states merge
+_RECOMBINE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _check(aggs: dict[str, tuple[str, str]]) -> None:
+    bad = {fn for _, fn in aggs.values()} - _SUPPORTED
+    if bad:
+        raise ValueError(
+            f"incremental aggregation supports {sorted(_SUPPORTED)} "
+            f"(the decomposable set), got {sorted(bad)}; count-distinct "
+            "and percentiles need the raw data or a mergeable sketch"
+        )
+
+
+def agg_state(
+    df: DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Aggregate ``df`` to a mergeable per-``keys`` state.
+
+    One hash aggregate with map-side combine — the state's rows number
+    ``|groups|`` whatever the input size. The result is a plain
+    DataFrame (write it to parquet keyed on ``keys`` for the stored
+    rollup).
+    """
+    _check(aggs)
+    return df.groupBy(*keys).agg(
+        *[
+            (
+                F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(F.col(src))
+            ).alias(out)
+            for out, (src, fn) in aggs.items()
+        ]
+    )
+
+
+def merge_agg_states(
+    states: list[DataFrame],
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Merge partial-aggregate states produced by :func:`agg_state`.
+
+    Union (no shuffle) + one grain-sized hash aggregate: counts and
+    sums add, mins/maxes fold. Keys present in only some states merge
+    correctly — the recombine functions all ignore the absent state
+    (there is no row to ignore, not a NULL to mishandle).
+    """
+    _check(aggs)
+    if not states:
+        raise ValueError("merge_agg_states needs at least one state")
+    cols = keys + list(aggs)
+    unioned = states[0].select(cols)
+    for s in states[1:]:
+        unioned = unioned.unionByName(s.select(cols))
+    return unioned.groupBy(*keys).agg(
+        *[
+            _RECOMBINE[fn](F.col(out)).alias(out)
+            for out, (_, fn) in aggs.items()
+        ]
+    )

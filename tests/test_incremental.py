@@ -1,0 +1,99 @@
+"""Incremental aggregate maintenance: the decomposition invariant
+merge(state(A), state(B)) == state(A | B), plus spec validation."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark_datacol_diff_spark.operators.incremental import (
+    agg_state,
+    merge_agg_states,
+)
+
+SF = "/root/testdata/sf0.001"
+
+AGGS = {
+    "n": ("event_id", "count"),
+    "total": ("cents", "sum"),
+    "lo": ("cents", "min"),
+    "hi": ("cents", "max"),
+}
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "cents", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merged_states_equal_direct_aggregate(spark):
+    e = _events(spark)
+    direct = agg_state(e, ["event_type"], AGGS)
+    parts = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    merged = merge_agg_states(
+        [agg_state(p, ["event_type"], AGGS) for p in parts],
+        ["event_type"],
+        AGGS,
+    )
+    assert _rows(merged) == _rows(direct)
+
+
+def test_merge_handles_keys_missing_from_some_states(spark):
+    e = _events(spark)
+    # one state sees only 'click', the other everything else: every key
+    # appears in exactly one state and must survive the merge unchanged
+    a = agg_state(e.filter(F.col("event_type") == "click"), ["event_type"], AGGS)
+    b = agg_state(e.filter(F.col("event_type") != "click"), ["event_type"], AGGS)
+    merged = merge_agg_states([a, b], ["event_type"], AGGS)
+    assert _rows(merged) == _rows(agg_state(e, ["event_type"], AGGS))
+
+
+def test_merge_is_reorderable_and_reassociable(spark):
+    e = _events(spark)
+    parts = [e.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    states = [agg_state(p, ["event_type"], AGGS) for p in parts]
+    one_shot = merge_agg_states(states, ["event_type"], AGGS)
+    # merge of merges, in a different order
+    staged = merge_agg_states(
+        [
+            merge_agg_states([states[3], states[1]], ["event_type"], AGGS),
+            merge_agg_states([states[0], states[2]], ["event_type"], AGGS),
+        ],
+        ["event_type"],
+        AGGS,
+    )
+    assert _rows(staged) == _rows(one_shot)
+
+
+def test_non_decomposable_aggregate_rejected(spark):
+    with pytest.raises(ValueError, match="decomposable"):
+        agg_state(_events(spark), ["event_type"], {"d": ("user_id", "count_distinct")})
+
+
+def test_empty_state_list_rejected():
+    with pytest.raises(ValueError, match="at least one"):
+        merge_agg_states([], ["k"], AGGS)
+
+
+def test_merge_shuffles_state_rows_not_data(spark):
+    # the merge plan must aggregate the UNION of grain-sized states:
+    # no join, no window, and the union itself adds no exchange
+    from pyspark_datacol_diff_spark import plans as P
+
+    e = _events(spark)
+    states = [
+        agg_state(e.filter(F.col("event_id") % 2 == i), ["event_type"], AGGS)
+        for i in range(2)
+    ]
+    merged = merge_agg_states(states, ["event_type"], AGGS)
+    plan = P.physical_plan(merged)
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Union") == 1

@@ -376,3 +376,34 @@ def test_scale_lint_declared_exact_baseline_downgrades_with_reason(spark):
     cart = [f for f in declared if f["code"] == "cartesian"]
     assert cart and all(f["severity"] == "info" for f in cart)
     assert all("exact verify gate for tests" in f["detail"] for f in cart)
+
+
+def test_hopping_window_expands_then_combines(qs, spark):
+    # sliding windows: the 4x per-row window expansion (Expand) must sit
+    # BELOW a partial aggregate, so the shuffle moves combined
+    # (window,type) rows, never the expanded event stream
+    df = qs["hopping_window_events"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "Expand" in plan
+    P.assert_max_shuffles(df, 1)
+    assert "partial" in plan.split("Exchange")[-1]  # partial agg pre-shuffle
+
+
+def test_ohlc_is_single_exchange_partial_agg(qs, spark):
+    # struct-keyed open/close election: one exchange, partial+final
+    # aggregate (SortAggregate — struct buffers aren't hash-agg
+    # compatible — but map-side combine is the 100 TB property)
+    df = qs["ohlc_user_hourly"](spark, SF)
+    plan = P.physical_plan(df)
+    P.assert_max_shuffles(df, 1)
+    assert plan.count("SortAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_event_paths_two_keyed_shuffles_no_window(qs, spark):
+    # sequence build (user-keyed) + gram count (path-keyed): exactly
+    # two hash exchanges, no global window/sort, no cartesian
+    df = qs["event_paths_users"](spark, SF)
+    plan = P.physical_plan(df)
+    P.assert_max_shuffles(df, 2)
+    assert "Window" not in plan and "CartesianProduct" not in plan
