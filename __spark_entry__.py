@@ -1947,6 +1947,52 @@ FROM events GROUP BY 1
 """
 
 
+def _q_hll_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-distinct incremental rollup: the aggregate plain
+    merge_agg_states rejects (count-distinct) done the 100 TB way —
+    each batch's state carries a Datasketches HLL sketch of its users
+    (hll_sketch_agg), merging max-folds the registers (hll_union_agg),
+    and the estimate is read at the edge. Sketch registers are
+    order/partition invariant, so the emitted gate is deterministic.
+    The oracle cannot replay the sketch; as with approx_distinct_events
+    the row carries the exact distinct count (engine-exact) plus a
+    boolean pinning the merged estimate within 10% of it — the oracle
+    emits literal TRUE, so a sketch/merge regression breaks the hash."""
+    e = _t(spark, sf_dir, "events")
+    aggs = {"n_events": ("event_id", "count"), "sk": ("user_id", "hll_distinct")}
+    states = [
+        INC.agg_state(
+            e.filter(F.col("event_id") % 3 == i), ["event_type"], aggs
+        )
+        for i in range(3)
+    ]
+    merged = INC.merge_agg_states(states, ["event_type"], aggs)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
+    est = F.hll_sketch_estimate(F.col("sk"))
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        (
+            F.abs(est - F.col("n_users_exact"))
+            <= F.greatest(
+                (F.col("n_users_exact") * F.lit(0.10)).cast("long"), F.lit(1)
+            )
+        ).alias("merged_sketch_within_bound"),
+    )
+
+
+_SQL_HLL_ROLLUP_EVENTS = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users_exact,
+       TRUE AS merged_sketch_within_bound
+FROM events GROUP BY 1
+"""
+
+
 def _q_event_paths_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern mining: count event-type trigrams along each
     user's (ts, event_id)-ordered stream and keep paths seen >= 5
@@ -3045,8 +3091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
     a window of entries from the FRONT (r2 covered exactly the first
     50), so entries are sequenced by how much driver-visible evidence
-    they still need — all 39 queries never driver-checked first (the 27
-    dark after r2, cheapest first, then the 12 round-3 additions), so a
+    they still need — all 40 queries never driver-checked first (the 27
+    dark after r2, cheapest first, then the 13 round-3 additions), so a
     50-count window covers every one of them; then those last checked
     in round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
     CORRECTNESS_r{N} files change.
@@ -3080,11 +3126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
-        # --- new in round 3 (12), never driver-verified ---
+        # --- new in round 3 (13), never driver-verified ---
         "hopping_window_events": _q_hopping_window_events,
         "ohlc_user_hourly": _q_ohlc_user_hourly,
         "event_paths_users": _q_event_paths_users,
         "incremental_rollup_events": _q_incremental_rollup_events,
+        "hll_rollup_events": _q_hll_rollup_events,
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
@@ -3992,6 +4039,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "ohlc_user_hourly": _SQL_OHLC_USER_HOURLY,
         "event_paths_users": _SQL_EVENT_PATHS_USERS,
         "incremental_rollup_events": _SQL_INCREMENTAL_ROLLUP_EVENTS,
+        "hll_rollup_events": _SQL_HLL_ROLLUP_EVENTS,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

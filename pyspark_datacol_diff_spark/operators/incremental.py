@@ -18,13 +18,16 @@ Invariant (pinned in tests/test_incremental.py):
 bit-for-bit for integer/decimal inputs (float sums can differ in the
 last ulp under reordering, the usual caveat).
 
-Non-decomposable aggregates (exact count-distinct, exact percentiles)
-are rejected: they need the raw data or a mergeable sketch
-(``approx_count_distinct``'s HLL — see ``approx_distinct_events``).
+Distinct counts are supported through the mergeable Datasketches HLL
+sketch (fn ``hll_distinct``): the state column holds the binary sketch
+(``hll_sketch_agg``), merging max-folds registers (``hll_union_agg``),
+and the caller estimates at the edge with ``hll_sketch_estimate``.
+EXACT count-distinct and exact percentiles are rejected — they need the
+raw data.
 
-``aggs`` uses the same spec as
-:func:`~pyspark_datacol_diff_spark.operators.skew.two_stage_agg`:
-output column -> (input column, fn) with fn in ``count|sum|min|max``.
+``aggs`` maps output column -> (input column, fn) with fn in
+``count|sum|min|max|hll_distinct`` (the first four share the spec of
+:func:`~pyspark_datacol_diff_spark.operators.skew.two_stage_agg`).
 """
 
 from __future__ import annotations
@@ -32,9 +35,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SUPPORTED = {"count", "sum", "min", "max"}
+_SUPPORTED = {"count", "sum", "min", "max", "hll_distinct"}
 # how a partial column recombines when two states merge
-_RECOMBINE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+_RECOMBINE = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "hll_distinct": F.hll_union_agg,
+}
 
 
 def _check(aggs: dict[str, tuple[str, str]]) -> None:
@@ -42,8 +51,9 @@ def _check(aggs: dict[str, tuple[str, str]]) -> None:
     if bad:
         raise ValueError(
             f"incremental aggregation supports {sorted(_SUPPORTED)} "
-            f"(the decomposable set), got {sorted(bad)}; count-distinct "
-            "and percentiles need the raw data or a mergeable sketch"
+            f"(the decomposable set), got {sorted(bad)}; exact "
+            "count-distinct and percentiles need the raw data — use "
+            "hll_distinct for a mergeable distinct sketch"
         )
 
 
@@ -58,13 +68,16 @@ def agg_state(
     rollup).
     """
     _check(aggs)
+
+    def _state_fn(src: str, fn: str):
+        if fn == "count":
+            return F.count(F.lit(1))
+        if fn == "hll_distinct":
+            return F.hll_sketch_agg(F.col(src))
+        return getattr(F, fn)(F.col(src))
+
     return df.groupBy(*keys).agg(
-        *[
-            (
-                F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(F.col(src))
-            ).alias(out)
-            for out, (src, fn) in aggs.items()
-        ]
+        *[_state_fn(src, fn).alias(out) for out, (src, fn) in aggs.items()]
     )
 
 

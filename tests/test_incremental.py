@@ -97,3 +97,53 @@ def test_merge_shuffles_state_rows_not_data(spark):
     plan = P.physical_plan(merged)
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Union") == 1
+
+
+def test_hll_distinct_state_merges_within_tolerance(spark):
+    e = _events(spark)
+    aggs = {"sk": ("user_id", "hll_distinct")}
+    parts = [e.filter(F.col("event_id") % 2 == i) for i in range(2)]
+    merged = merge_agg_states(
+        [agg_state(p, ["event_type"], aggs) for p in parts],
+        ["event_type"],
+        aggs,
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n")
+    )
+    rows = (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("est"),
+            "n",
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["est"] - r["n"]) <= max(0.10 * r["n"], 1), r
+
+
+def test_hll_merged_state_is_remergeable(spark):
+    # union output must itself be a valid sketch state (rollup of rollups)
+    e = _events(spark)
+    aggs = {"sk": ("user_id", "hll_distinct")}
+    quarters = [
+        agg_state(
+            e.filter(F.col("event_id") % 4 == i), ["event_type"], aggs
+        )
+        for i in range(4)
+    ]
+    halves = [
+        merge_agg_states(quarters[:2], ["event_type"], aggs),
+        merge_agg_states(quarters[2:], ["event_type"], aggs),
+    ]
+    final = merge_agg_states(halves, ["event_type"], aggs)
+    n = final.filter(F.hll_sketch_estimate("sk") > 0).count()
+    assert n == final.count()
+
+
+def test_exact_count_distinct_rejected_with_hll_hint(spark):
+    with pytest.raises(ValueError, match="hll_distinct"):
+        agg_state(_events(spark), ["event_type"], {"d": ("user_id", "count_distinct")})
