@@ -2939,6 +2939,69 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
+def _q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation as a REAL streaming query (1-hour
+    windows every 15 minutes — streaming face of
+    hopping_window_events): file source -> watermark -> F.window with a
+    slide -> availableNow -> memory sink, checked against the same
+    DuckDB hop replay. State holds window/slide = 4x the tumbling
+    window count, expired by the same watermark."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = STR.stage_files(f"{sf_dir}/events.parquet")
+    sdf = STR.read_parquet_stream(spark, src, batch.schema).transform(
+        SRC.normalize_event_ts
+    )
+    out = STR.run_available_now(
+        STR.windowed_event_counts(sdf, slide="15 minutes"),
+        query_name="q_stream_sliding_mem",
+    )
+    return out.select(
+        F.col("hour").alias("window_start"), "event_type", "n_events", "value_e4"
+    )
+
+
+def _q_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained rollup (streaming/continuous_rollup):
+    the event log is split into three disjoint parquet files replayed
+    one micro-batch each (maxFilesPerTrigger=1), and foreachBatch folds
+    every batch's grain-sized agg_state into a versioned parquet state
+    table via merge_agg_states — so the final state has seen three real
+    cross-batch merges, never a full-history rescan. The oracle
+    aggregates the full table directly: state-maintenance == one-shot
+    aggregation is the correctness contract."""
+    import glob
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split_root = tempfile.mkdtemp(prefix="dcd_rollup_splits_")
+    paths = []
+    for i in range(3):
+        d = f"{split_root}/part{i}"
+        batch.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(d)
+        paths.extend(sorted(glob.glob(f"{d}/part-*.parquet")))
+    src = STR.stage_files(*paths)
+    sdf = (
+        STR.read_parquet_stream(spark, src, batch.schema, max_files_per_trigger=1)
+        .transform(SRC.normalize_event_ts)
+        .withColumn(
+            "cents", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        )
+    )
+    return STR.continuous_rollup(
+        sdf,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "sum_cents": ("cents", "sum"),
+            "min_cents": ("cents", "min"),
+            "max_cents": ("cents", "max"),
+        },
+        query_name="q_stream_rollup",
+    )
+
+
 def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column data profile (operators/diff.profile_table)
     over the same engine-exact orders projection the digest gate uses:
@@ -3091,8 +3154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
     a window of entries from the FRONT (r2 covered exactly the first
     50), so entries are sequenced by how much driver-visible evidence
-    they still need — all 40 queries never driver-checked first (the 27
-    dark after r2, cheapest first, then the 13 round-3 additions), so a
+    they still need — all 42 queries never driver-checked first (the 27
+    dark after r2, cheapest first, then the 15 round-3 additions), so a
     50-count window covers every one of them; then those last checked
     in round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
     CORRECTNESS_r{N} files change.
@@ -3126,12 +3189,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
-        # --- new in round 3 (13), never driver-verified ---
+        # --- new in round 3 (15), never driver-verified ---
         "hopping_window_events": _q_hopping_window_events,
         "ohlc_user_hourly": _q_ohlc_user_hourly,
         "event_paths_users": _q_event_paths_users,
         "incremental_rollup_events": _q_incremental_rollup_events,
         "hll_rollup_events": _q_hll_rollup_events,
+        "streaming_sliding_windows": _q_streaming_sliding_windows,
+        "streaming_incremental_rollup": _q_streaming_incremental_rollup,
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
@@ -4040,6 +4105,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "event_paths_users": _SQL_EVENT_PATHS_USERS,
         "incremental_rollup_events": _SQL_INCREMENTAL_ROLLUP_EVENTS,
         "hll_rollup_events": _SQL_HLL_ROLLUP_EVENTS,
+        "streaming_sliding_windows": _SQL_HOPPING_WINDOW_EVENTS,
+        "streaming_incremental_rollup": _SQL_INCREMENTAL_ROLLUP_EVENTS,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

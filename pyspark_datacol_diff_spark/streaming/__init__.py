@@ -76,14 +76,21 @@ def windowed_event_counts(
     ts_col: str = "ts",
     group_col: str = "event_type",
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Event-time tumbling-window counts + exact-decimal value sum.
+    """Event-time windowed counts + exact-decimal value sum — tumbling
+    by default, sliding/hopping when ``slide`` < ``window`` (each event
+    then lands in window/slide overlapping windows; Spark expands the
+    row per owning window BELOW the partial aggregate, so the
+    micro-batch shuffle carries combined (window, group) rows, not the
+    expansion).
 
     Works on BOTH a streaming and a batch DataFrame (same logical plan —
     that equivalence is what the oracle checks). The watermark bounds
     state: windows older than (max event time - watermark) are finalized
-    and their state dropped.
+    and their state dropped; sliding windows hold window/slide times
+    more state rows, expired on the same schedule.
 
     Returns ``(hour, <group_col>, n_events, value_e4, n_users)`` —
     value_e4 is the exact DECIMAL sum scaled to int (see
@@ -93,7 +100,10 @@ def windowed_event_counts(
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
-        df.groupBy(F.window(ts_col, window).alias("w"), F.col(group_col))
+        df.groupBy(
+            F.window(ts_col, window, slide or window).alias("w"),
+            F.col(group_col),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
@@ -357,3 +367,69 @@ def run_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
+
+
+def continuous_rollup(
+    sdf: DataFrame,
+    keys: list,
+    aggs: dict,
+    *,
+    query_name: str,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Continuously-maintained rollup: ``foreachBatch`` folds each
+    micro-batch's grain-sized partial aggregate
+    (:func:`~pyspark_datacol_diff_spark.operators.incremental.agg_state`)
+    into a versioned parquet state table via
+    :func:`~...incremental.merge_agg_states` — the streaming face of
+    incremental aggregate maintenance. Per micro-batch the work is one
+    batch-sized aggregate (map-side combined) plus a merge that reads
+    and writes ``|groups|`` rows; the event history is never rescanned,
+    which is the whole point at 100 TB/day.
+
+    State versions are write-once directories (``v<batch_id>``) so a
+    batch never reads the path it is writing — the lazy-read-overwrite
+    self-clobber trap. Production would MERGE into a table format with
+    atomic commits (Delta/Iceberg); plain parquet versions carry the
+    identical dataflow. Runs to completion (availableNow) and returns
+    the final merged state as a batch DataFrame.
+    """
+    import os
+    import tempfile
+
+    from ..operators import incremental as INC
+
+    spark = sdf.sparkSession
+    state_root = tempfile.mkdtemp(prefix=f"dcd_rollup_{query_name}_")
+    latest: dict = {"path": None}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        state = INC.agg_state(batch_df, keys, aggs)
+        if latest["path"] is not None:
+            prev_state = batch_df.sparkSession.read.parquet(latest["path"])
+            state = INC.merge_agg_states([prev_state, state], keys, aggs)
+        out = os.path.join(state_root, f"v{batch_id}")
+        state.write.mode("error").parquet(out)
+        latest["path"] = out
+
+    writer = (
+        sdf.writeStream.foreachBatch(_merge)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if os.path.isdir("/dev/shm"):
+        writer = writer.option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"dcd_ckpt_{query_name}_", dir="/dev/shm"),
+        )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if latest["path"] is None:
+        raise RuntimeError(f"continuous_rollup {query_name!r}: no micro-batch ran")
+    return spark.read.parquet(latest["path"])

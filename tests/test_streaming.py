@@ -227,3 +227,62 @@ def test_interval_join_left_outer_keeps_unmatched(spark):
         ).collect()
     }
     assert got == {100: 200, 101: None}
+
+
+def test_sliding_windows_stream_equals_batch(spark):
+    sdf, batch = _events_stream(spark)
+    got = ST.run_available_now(
+        ST.windowed_event_counts(sdf, slide="15 minutes"),
+        query_name="t_sliding_mem",
+    ).drop("n_users_approx")
+    want = ST.windowed_event_counts(batch, slide="15 minutes").drop(
+        "n_users_approx"
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g and g == w
+    # every tumbling hour appears as 4 overlapping hop windows
+    assert len(g) > batch.select(
+        F.date_trunc("hour", "ts")
+    ).distinct().count()
+
+
+def test_continuous_rollup_merges_across_micro_batches(spark):
+    import glob
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    split_root = tempfile.mkdtemp(prefix="t_rollup_splits_")
+    paths = []
+    for i in range(3):
+        d = f"{split_root}/p{i}"
+        batch.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(d)
+        paths.extend(sorted(glob.glob(f"{d}/part-*.parquet")))
+    src = ST.stage_files(*paths)
+    sdf = ST.read_parquet_stream(
+        spark, src, batch.schema, max_files_per_trigger=1
+    )
+    sdf = SRC.normalize_event_ts(sdf).withColumn(
+        "cents", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    )
+    aggs = {
+        "n": ("event_id", "count"),
+        "total": ("cents", "sum"),
+        "hi": ("cents", "max"),
+    }
+    got = ST.continuous_rollup(
+        sdf, ["event_type"], aggs, query_name="t_rollup"
+    )
+    from pyspark_datacol_diff_spark.operators.incremental import agg_state
+
+    want = agg_state(
+        SRC.normalize_event_ts(batch).withColumn(
+            "cents", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        ),
+        ["event_type"],
+        aggs,
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
