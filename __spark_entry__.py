@@ -1090,6 +1090,94 @@ def _q_json_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_variant_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via Spark 4's VariantType: parse_json
+    once into a binary variant, then typed path reads (variant_get) —
+    the open-schema path that replaces string re-parsing per access;
+    a missing path reads as NULL through try_variant_get in both
+    engines. Per-row projection, no shuffle; at scale variant beats
+    get_json_object because the parse happens once and the binary
+    encoding is column-prunable/shreddable."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("k_missing"),
+    )
+
+
+_SQL_VARIANT_EVENTS_PROPS = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
+FROM events
+"""
+
+
+def _q_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact second-moment (Gram) aggregate over lineitem's four
+    numeric columns — the one-pass substrate of covariance /
+    correlation / PCA at scale: n, per-column sums, squares, and all
+    pairwise product sums, each an EXACT integer (values scaled to
+    cents/e4, products summed in DECIMAL(38,0) vs DuckDB HUGEINT,
+    emitted as digit strings so no float ever exists). Callers derive
+    corr(a,b) = (n*s_ab - s_a*s_b) / sqrt((n*s_aa - s_a^2)(n*s_bb -
+    s_b^2)) exactly. One grouping-free aggregate: map-side combined
+    partials, the only exchange gathers one row — the same plan at
+    100 TB."""
+    l = _t(spark, sf_dir, "lineitem")
+    cols = {
+        "q": (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long"),
+        "p": (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        "d": (F.col("l_discount").cast("decimal(18,4)") * 10000).cast("long"),
+        "t": (F.col("l_tax").cast("decimal(18,4)") * 10000).cast("long"),
+    }
+    base = l.select(*[e.alias(k) for k, e in cols.items()])
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in names:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(38,0)")).cast("string").alias(f"s_{c}")
+        )
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+                .cast("string")
+                .alias(f"s_{a}{b}")
+            )
+    return base.agg(*aggs)
+
+
+_SQL_MOMENTS_LINEITEM = """
+WITH c AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+         CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS d,
+         CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT) AS t
+  FROM lineitem
+)
+SELECT count(*) AS n_rows,
+       CAST(SUM(CAST(q AS HUGEINT)) AS VARCHAR) AS s_q,
+       CAST(SUM(CAST(p AS HUGEINT)) AS VARCHAR) AS s_p,
+       CAST(SUM(CAST(d AS HUGEINT)) AS VARCHAR) AS s_d,
+       CAST(SUM(CAST(t AS HUGEINT)) AS VARCHAR) AS s_t,
+       CAST(SUM(CAST(q*q AS HUGEINT)) AS VARCHAR) AS s_qq,
+       CAST(SUM(CAST(q*p AS HUGEINT)) AS VARCHAR) AS s_qp,
+       CAST(SUM(CAST(q*d AS HUGEINT)) AS VARCHAR) AS s_qd,
+       CAST(SUM(CAST(q*t AS HUGEINT)) AS VARCHAR) AS s_qt,
+       CAST(SUM(CAST(p*p AS HUGEINT)) AS VARCHAR) AS s_pp,
+       CAST(SUM(CAST(p*d AS HUGEINT)) AS VARCHAR) AS s_pd,
+       CAST(SUM(CAST(p*t AS HUGEINT)) AS VARCHAR) AS s_pt,
+       CAST(SUM(CAST(d*d AS HUGEINT)) AS VARCHAR) AS s_dd,
+       CAST(SUM(CAST(d*t AS HUGEINT)) AS VARCHAR) AS s_dt,
+       CAST(SUM(CAST(t*t AS HUGEINT)) AS VARCHAR) AS s_tt
+FROM c
+"""
+
+
 def _q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all four grouping-set levels plus
     grouping_id to disambiguate subtotal rows from data nulls."""
@@ -3154,8 +3242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
     a window of entries from the FRONT (r2 covered exactly the first
     50), so entries are sequenced by how much driver-visible evidence
-    they still need — all 42 queries never driver-checked first (the 27
-    dark after r2, cheapest first, then the 15 round-3 additions), so a
+    they still need — all 44 queries never driver-checked first (the 27
+    dark after r2, cheapest first, then the 17 round-3 additions), so a
     50-count window covers every one of them; then those last checked
     in round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
     CORRECTNESS_r{N} files change.
@@ -3189,7 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
-        # --- new in round 3 (15), never driver-verified ---
+        # --- new in round 3 (17), never driver-verified ---
         "hopping_window_events": _q_hopping_window_events,
         "ohlc_user_hourly": _q_ohlc_user_hourly,
         "event_paths_users": _q_event_paths_users,
@@ -3197,6 +3285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup_events": _q_hll_rollup_events,
         "streaming_sliding_windows": _q_streaming_sliding_windows,
         "streaming_incremental_rollup": _q_streaming_incremental_rollup,
+        "variant_events_props": _q_variant_events_props,
+        "moments_lineitem": _q_moments_lineitem,
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
@@ -4107,6 +4197,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "hll_rollup_events": _SQL_HLL_ROLLUP_EVENTS,
         "streaming_sliding_windows": _SQL_HOPPING_WINDOW_EVENTS,
         "streaming_incremental_rollup": _SQL_INCREMENTAL_ROLLUP_EVENTS,
+        "variant_events_props": _SQL_VARIANT_EVENTS_PROPS,
+        "moments_lineitem": _SQL_MOMENTS_LINEITEM,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

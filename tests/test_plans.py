@@ -407,3 +407,17 @@ def test_event_paths_two_keyed_shuffles_no_window(qs, spark):
     plan = P.physical_plan(df)
     P.assert_max_shuffles(df, 2)
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_moments_is_single_pass_map_combined(qs, spark):
+    # Gram aggregate: partial agg per input partition, one single-row
+    # gather — no hash exchange, no join, whatever the column count
+    df = qs["moments_lineitem"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "hashpartitioning" not in plan
+    assert "partial" in plan
+    assert "Join" not in plan
+
+
+def test_variant_read_is_scan_only(qs, spark):
+    P.assert_max_shuffles(qs["variant_events_props"](spark, SF), 0)
