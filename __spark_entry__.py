@@ -3058,18 +3058,9 @@ def _q_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     cross-batch merges, never a full-history rescan. The oracle
     aggregates the full table directly: state-maintenance == one-shot
     aggregation is the correctness contract."""
-    import glob
-    import tempfile
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    split_root = tempfile.mkdtemp(prefix="dcd_rollup_splits_")
-    paths = []
-    for i in range(3):
-        d = f"{split_root}/part{i}"
-        batch.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(d)
-        paths.extend(sorted(glob.glob(f"{d}/part-*.parquet")))
-    src = STR.stage_files(*paths)
+    src = STR.stage_disjoint_splits(batch, "event_id", 3)
     sdf = (
         STR.read_parquet_stream(spark, src, batch.schema, max_files_per_trigger=1)
         .transform(SRC.normalize_event_ts)

@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SUPPORTED = {"count", "sum", "min", "max", "hll_distinct"}
-# how a partial column recombines when two states merge
+# how a partial column recombines when two states merge; shared with
+# skew.two_stage_agg, whose stage-2 combine is the same operation
 _RECOMBINE = {
     "count": F.sum,
     "sum": F.sum,
@@ -44,6 +45,17 @@ _RECOMBINE = {
     "max": F.max,
     "hll_distinct": F.hll_union_agg,
 }
+
+
+def state_expr(src: str, fn: str):
+    """The aggregate expression producing a mergeable partial for
+    ``fn`` over ``src`` — the single source of truth for the
+    decomposable-aggregate spec (also used by skew.two_stage_agg)."""
+    if fn == "count":
+        return F.count(F.lit(1))
+    if fn == "hll_distinct":
+        return F.hll_sketch_agg(F.col(src))
+    return getattr(F, fn)(F.col(src))
 
 
 def _check(aggs: dict[str, tuple[str, str]]) -> None:
@@ -68,16 +80,8 @@ def agg_state(
     rollup).
     """
     _check(aggs)
-
-    def _state_fn(src: str, fn: str):
-        if fn == "count":
-            return F.count(F.lit(1))
-        if fn == "hll_distinct":
-            return F.hll_sketch_agg(F.col(src))
-        return getattr(F, fn)(F.col(src))
-
     return df.groupBy(*keys).agg(
-        *[_state_fn(src, fn).alias(out) for out, (src, fn) in aggs.items()]
+        *[state_expr(src, fn).alias(out) for out, (src, fn) in aggs.items()]
     )
 
 

@@ -91,6 +91,11 @@ def two_stage_agg(
     in the last ulp (order changes), same caveat as any shuffle-order
     change.
     """
+    # stage-1 partials and the stage-2 combine are exactly the
+    # mergeable-state machinery of operators/incremental.py — one spec,
+    # two shuffle shapes (salted here, batch-boundary there)
+    from .incremental import _RECOMBINE, state_expr
+
     supported = {"count", "sum", "min", "max"}
     bad = {fn for _, fn in aggs.values()} - supported
     if bad:
@@ -100,16 +105,13 @@ def two_stage_agg(
     ).cast("int")
     stage1 = df.withColumn(_SALT, salt).groupBy(*keys, _SALT).agg(
         *[
-            (
-                F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(F.col(src))
-            ).alias(f"__p_{out}")
+            state_expr(src, fn).alias(f"__p_{out}")
             for out, (src, fn) in aggs.items()
         ]
     )
-    recombine = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
     return stage1.groupBy(*keys).agg(
         *[
-            recombine[fn](F.col(f"__p_{out}")).alias(out)
+            _RECOMBINE[fn](F.col(f"__p_{out}")).alias(out)
             for out, (src, fn) in aggs.items()
         ]
     )

@@ -54,6 +54,27 @@ def stage_files(*paths: str, dir_suffix: str = "stream_src") -> str:
     return d
 
 
+def stage_disjoint_splits(
+    df: DataFrame, key_col: str, n: int, *, dir_suffix: str = "splits"
+) -> str:
+    """Write ``df`` as ``n`` disjoint single-file parquet splits
+    (``key_col % n``) and stage them as a streaming source directory —
+    under ``maxFilesPerTrigger=1`` each split then arrives as its own
+    micro-batch, which is how tests and the driver force REAL
+    cross-micro-batch behavior out of a finite replay. Fixture-side
+    only; production streams read a landing zone that arrives split."""
+    import glob
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=f"dcd_{dir_suffix}_")
+    paths: list[str] = []
+    for i in range(n):
+        d = f"{root}/part{i}"
+        df.filter(F.col(key_col) % n == i).coalesce(1).write.parquet(d)
+        paths.extend(sorted(glob.glob(f"{d}/part-*.parquet")))
+    return stage_files(*paths, dir_suffix=dir_suffix)
+
+
 def read_parquet_stream(
     spark: SparkSession,
     path: str,
@@ -92,9 +113,10 @@ def windowed_event_counts(
     and their state dropped; sliding windows hold window/slide times
     more state rows, expired on the same schedule.
 
-    Returns ``(hour, <group_col>, n_events, value_e4, n_users)`` —
-    value_e4 is the exact DECIMAL sum scaled to int (see
-    __spark_entry__ determinism notes).
+    Returns ``(hour, <group_col>, n_events, value_e4, n_users_approx)``
+    — value_e4 is the exact DECIMAL sum scaled to int (see
+    __spark_entry__ determinism notes); the user count is approximate
+    because exact countDistinct is unsupported in streaming aggregates.
     """
     df = events
     if df.isStreaming:
@@ -342,17 +364,23 @@ def run_available_now(
     checkpoint is disposable; an always-on production stream MUST put it
     on durable shared storage instead (S3/HDFS), or recovery is lost.
     """
-    import tempfile
-
-    spark = result.sparkSession
     writer = (
         result.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
-        .trigger(availableNow=True)
     )
-    import os
+    _run_to_completion(result.sparkSession, writer, query_name, state_partitions)
+    return result.sparkSession.table(query_name)
 
+
+def _run_to_completion(spark, writer, query_name: str, state_partitions):
+    """Shared finite-replay harness: availableNow trigger, disposable
+    /dev/shm checkpoint, shuffle-partition pin restored afterwards
+    (see :func:`run_available_now` for why each matters)."""
+    import os
+    import tempfile
+
+    writer = writer.trigger(availableNow=True)
     if os.path.isdir("/dev/shm"):
         writer = writer.option(
             "checkpointLocation",
@@ -366,7 +394,6 @@ def run_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(query_name)
 
 
 def continuous_rollup(
@@ -375,6 +402,7 @@ def continuous_rollup(
     aggs: dict,
     *,
     query_name: str,
+    state_root: str | None = None,
     state_partitions: int | None = 4,
 ) -> DataFrame:
     """Continuously-maintained rollup: ``foreachBatch`` folds each
@@ -387,12 +415,21 @@ def continuous_rollup(
     and writes ``|groups|`` rows; the event history is never rescanned,
     which is the whole point at 100 TB/day.
 
-    State versions are write-once directories (``v<batch_id>``) so a
-    batch never reads the path it is writing — the lazy-read-overwrite
-    self-clobber trap. Production would MERGE into a table format with
-    atomic commits (Delta/Iceberg); plain parquet versions carry the
-    identical dataflow. Runs to completion (availableNow) and returns
-    the final merged state as a batch DataFrame.
+    State versions are directories ``v<batch_id>`` under ``state_root``
+    (a fresh temp dir unless supplied), so a batch never reads the path
+    it is writing — the lazy-read-overwrite self-clobber trap. The
+    merge honors foreachBatch's at-least-once contract: the previous
+    state is ALWAYS the newest on-disk version with id < batch_id
+    (never this batch's own output), so a re-executed batch_id merges
+    from the same predecessor instead of double-counting itself, and
+    the version write is overwrite-mode so the retry replaces its own
+    partial output. Passing a durable ``state_root`` alongside a
+    durable checkpoint makes restart resume correct too: committed
+    batches are skipped by the checkpoint and their versions are found
+    on disk. Production would MERGE into a table format with atomic
+    commits (Delta/Iceberg); plain parquet versions carry the identical
+    dataflow. Runs to completion (availableNow) and returns the final
+    merged state as a batch DataFrame.
     """
     import os
     import tempfile
@@ -400,36 +437,27 @@ def continuous_rollup(
     from ..operators import incremental as INC
 
     spark = sdf.sparkSession
-    state_root = tempfile.mkdtemp(prefix=f"dcd_rollup_{query_name}_")
-    latest: dict = {"path": None}
+    root = state_root or tempfile.mkdtemp(prefix=f"dcd_rollup_{query_name}_")
+
+    def _versions() -> list:
+        return sorted(
+            (int(d[1:]), os.path.join(root, d))
+            for d in os.listdir(root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         state = INC.agg_state(batch_df, keys, aggs)
-        if latest["path"] is not None:
-            prev_state = batch_df.sparkSession.read.parquet(latest["path"])
+        prior = [p for i, p in _versions() if i < batch_id]
+        if prior:
+            prev_state = batch_df.sparkSession.read.parquet(prior[-1])
             state = INC.merge_agg_states([prev_state, state], keys, aggs)
-        out = os.path.join(state_root, f"v{batch_id}")
-        state.write.mode("error").parquet(out)
-        latest["path"] = out
+        out = os.path.join(root, f"v{batch_id}")
+        state.write.mode("overwrite").parquet(out)
 
-    writer = (
-        sdf.writeStream.foreachBatch(_merge)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-    )
-    if os.path.isdir("/dev/shm"):
-        writer = writer.option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix=f"dcd_ckpt_{query_name}_", dir="/dev/shm"),
-        )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = writer.start()
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    if latest["path"] is None:
+    writer = sdf.writeStream.foreachBatch(_merge).queryName(query_name)
+    _run_to_completion(spark, writer, query_name, state_partitions)
+    final = _versions()
+    if not final:
         raise RuntimeError(f"continuous_rollup {query_name!r}: no micro-batch ran")
-    return spark.read.parquet(latest["path"])
+    return spark.read.parquet(final[-1][1])

@@ -73,9 +73,11 @@ def test_merge_is_reorderable_and_reassociable(spark):
     assert _rows(staged) == _rows(one_shot)
 
 
-def test_non_decomposable_aggregate_rejected(spark):
-    with pytest.raises(ValueError, match="decomposable"):
+def test_non_decomposable_aggregate_rejected_with_hll_hint(spark):
+    # one error message carries both the contract name and the fix
+    with pytest.raises(ValueError, match="decomposable") as e:
         agg_state(_events(spark), ["event_type"], {"d": ("user_id", "count_distinct")})
+    assert "hll_distinct" in str(e.value)
 
 
 def test_empty_state_list_rejected():
@@ -142,8 +144,3 @@ def test_hll_merged_state_is_remergeable(spark):
     final = merge_agg_states(halves, ["event_type"], aggs)
     n = final.filter(F.hll_sketch_estimate("sk") > 0).count()
     assert n == final.count()
-
-
-def test_exact_count_distinct_rejected_with_hll_hint(spark):
-    with pytest.raises(ValueError, match="hll_distinct"):
-        agg_state(_events(spark), ["event_type"], {"d": ("user_id", "count_distinct")})

@@ -248,18 +248,9 @@ def test_sliding_windows_stream_equals_batch(spark):
 
 
 def test_continuous_rollup_merges_across_micro_batches(spark):
-    import glob
-    import tempfile
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    split_root = tempfile.mkdtemp(prefix="t_rollup_splits_")
-    paths = []
-    for i in range(3):
-        d = f"{split_root}/p{i}"
-        batch.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(d)
-        paths.extend(sorted(glob.glob(f"{d}/part-*.parquet")))
-    src = ST.stage_files(*paths)
+    src = ST.stage_disjoint_splits(batch, "event_id", 3)
     sdf = ST.read_parquet_stream(
         spark, src, batch.schema, max_files_per_trigger=1
     )
@@ -286,3 +277,33 @@ def test_continuous_rollup_merges_across_micro_batches(spark):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_continuous_rollup_reexecution_is_idempotent(spark):
+    # at-least-once contract: a re-executed batch merges from the newest
+    # version with id < batch_id (never its own prior output) and
+    # overwrites its version — so replaying the whole stream against the
+    # SAME state_root (fresh checkpoint, batch ids restart at 0) must
+    # converge to the identical final state, not double-count
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = ST.stage_disjoint_splits(batch, "event_id", 2)
+    root = tempfile.mkdtemp(prefix="t_rollup_state_")
+    aggs = {"n": ("event_id", "count"), "total": ("cents", "sum")}
+
+    def run(name):
+        sdf = ST.read_parquet_stream(
+            spark, src, batch.schema, max_files_per_trigger=1
+        )
+        sdf = SRC.normalize_event_ts(sdf).withColumn(
+            "cents", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        )
+        return ST.continuous_rollup(
+            sdf, ["event_type"], aggs, query_name=name, state_root=root
+        )
+
+    first = {tuple(r) for r in run("t_roll_a").collect()}
+    second = {tuple(r) for r in run("t_roll_b").collect()}
+    assert first and first == second
