@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_datacol_diff_spark import diff, flag_counts, column_mismatch_counts
+from pyspark_datacol_diff_spark.operators import diff as DIFF_OPS
 from pyspark_datacol_diff_spark.operators import dedup as DD
 from pyspark_datacol_diff_spark.operators import similarity as SIM
 from pyspark_datacol_diff_spark import sources as SRC
@@ -1088,6 +1089,48 @@ def _q_json_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k_path").alias("min_k"),
         F.max("k_path").alias("max_k"),
     )
+
+
+def _q_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two order snapshots
+    (operators/diff.py:distribution_drift) — the statistical complement
+    of the row diff: s2 rewrites every 7th order's priority to
+    1-URGENT, and the per-priority relative-frequency comparison flags
+    exactly the buckets that moved more than 2 percentage points. The
+    drift decision is exact integer cross-multiplication (no float), so
+    the oracle replays it bit-for-bit. Two map-combined aggregates +
+    a bin-grain join: data is scanned once per side, shuffled only as
+    per-bin partials."""
+    o = _t(spark, sf_dir, "orders")
+    s1 = o.filter(F.col("o_orderkey") % 101 != 0)
+    s2 = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("1-URGENT")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return DIFF_OPS.distribution_drift(
+        s1, s2, F.col("o_orderpriority"), threshold_pct=2
+    )
+
+
+_SQL_DRIFT_ORDERS = """
+WITH s1 AS (
+  SELECT o_orderpriority AS bin FROM orders WHERE o_orderkey % 101 <> 0
+), s2 AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN '1-URGENT'
+              ELSE o_orderpriority END AS bin
+  FROM orders WHERE o_orderkey % 97 <> 0
+), a AS (SELECT bin, count(*) AS n1 FROM s1 GROUP BY 1),
+   b AS (SELECT bin, count(*) AS n2 FROM s2 GROUP BY 1),
+   j AS (SELECT coalesce(a.bin, b.bin) AS bin,
+                coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+         FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+   t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM j)
+SELECT bin, n1, n2,
+       100 * abs(n1 * t2 - n2 * t1) > 2 * t1 * t2 AS drifted
+FROM j, t
+"""
 
 
 def _q_variant_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3233,8 +3276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
     a window of entries from the FRONT (r2 covered exactly the first
     50), so entries are sequenced by how much driver-visible evidence
-    they still need — all 44 queries never driver-checked first (the 27
-    dark after r2, cheapest first, then the 17 round-3 additions), so a
+    they still need — all 45 queries never driver-checked first (the 27
+    dark after r2, cheapest first, then the 18 round-3 additions), so a
     50-count window covers every one of them; then those last checked
     in round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
     CORRECTNESS_r{N} files change.
@@ -3268,7 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
-        # --- new in round 3 (17), never driver-verified ---
+        # --- new in round 3 (18), never driver-verified ---
         "hopping_window_events": _q_hopping_window_events,
         "ohlc_user_hourly": _q_ohlc_user_hourly,
         "event_paths_users": _q_event_paths_users,
@@ -3278,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_rollup": _q_streaming_incremental_rollup,
         "variant_events_props": _q_variant_events_props,
         "moments_lineitem": _q_moments_lineitem,
+        "drift_orders": _q_drift_orders,
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
@@ -4190,6 +4234,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "streaming_incremental_rollup": _SQL_INCREMENTAL_ROLLUP_EVENTS,
         "variant_events_props": _SQL_VARIANT_EVENTS_PROPS,
         "moments_lineitem": _SQL_MOMENTS_LINEITEM,
+        "drift_orders": _SQL_DRIFT_ORDERS,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

@@ -20,6 +20,7 @@ from .errors import (
 from .operators.diff import (
     apply_diff,
     change_intervals,
+    distribution_drift,
     digests_equal,
     profile_table,
     table_digest,
@@ -50,6 +51,7 @@ __all__ = [
     "column_mismatch_counts",
     "diff",
     "digests_equal",
+    "distribution_drift",
     "diff_summary",
     "diff_summary_stats",
     "flag_counts",

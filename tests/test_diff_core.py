@@ -425,3 +425,47 @@ def test_profile_table_empty_input_names_every_column(spark):
     for r in rows.values():
         assert r["n_values"] == 0 and r["n_distinct"] == 0
         assert r["min_str"] is None and r["max_str"] is None
+
+
+def test_distribution_drift_flags_moved_bins_and_zero_fills(spark):
+    from pyspark_datacol_diff_spark import distribution_drift
+
+    s1 = spark.createDataFrame(
+        [("a",)] * 80 + [("b",)] * 20, "bin_src string"
+    )
+    s2 = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 30, "bin_src string"
+    )
+    rows = {
+        r["bin"]: r
+        for r in distribution_drift(
+            s1, s2, F.col("bin_src"), threshold_pct=5
+        ).collect()
+    }
+    # a: 80% -> 50% (moved 30pp), c: 0% -> 30% (absent bin zero-filled)
+    assert rows["a"]["drifted"] and (rows["a"]["n1"], rows["a"]["n2"]) == (80, 50)
+    assert rows["c"]["drifted"] and rows["c"]["n1"] == 0
+    # b: 20% -> 20%, unchanged
+    assert not rows["b"]["drifted"]
+
+
+def test_distribution_drift_threshold_is_exact_and_exclusive(spark):
+    from pyspark_datacol_diff_spark import distribution_drift
+
+    # b moves exactly 5 percentage points (5% -> 10%); the integer
+    # cross-multiplied comparison is strict, so exactly-at-threshold
+    # must NOT flag — no float boundary wobble either way
+    s1 = spark.createDataFrame([("a",)] * 95 + [("b",)] * 5, "v string")
+    s2 = spark.createDataFrame([("a",)] * 90 + [("b",)] * 10, "v string")
+    rows = {
+        r["bin"]: r["drifted"]
+        for r in distribution_drift(s1, s2, F.col("v"), threshold_pct=5).collect()
+    }
+    assert rows == {"a": False, "b": False}
+    # one row more and it crosses
+    s2b = spark.createDataFrame([("a",)] * 89 + [("b",)] * 11, "v string")
+    rows = {
+        r["bin"]: r["drifted"]
+        for r in distribution_drift(s1, s2b, F.col("v"), threshold_pct=5).collect()
+    }
+    assert rows["b"] is True
