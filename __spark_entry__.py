@@ -38,6 +38,7 @@ from pyspark_datacol_diff_spark.operators import skew as SKEW
 from pyspark_datacol_diff_spark.operators import text as TX
 from pyspark_datacol_diff_spark.operators import cluster as CC
 from pyspark_datacol_diff_spark.operators import incremental as INC
+from pyspark_datacol_diff_spark.operators import fuzzy as FZ
 from pyspark_datacol_diff_spark.operators import corpus as CP
 
 
@@ -1089,6 +1090,53 @@ def _q_json_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k_path").alias("min_k"),
         F.max("k_path").alias("max_k"),
     )
+
+
+def _q_fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (operators/fuzzy.py): the part-name catalog
+    matched against a noisy variant of itself — widget names get a
+    1-edit typo (matched at max_dist=1), bolt names get 3 appended
+    characters (pruned by the length band before levenshtein ever
+    runs), everything else is unchanged (distance 0). Candidates exist
+    only inside 4-char-prefix blocks joined as an ordinary equi join —
+    no cross product; the oracle replays block + band + levenshtein
+    verbatim."""
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    noisy = names.select(
+        F.when(
+            F.col("p_name").endswith("widget"),
+            F.concat(
+                F.expr("substring(p_name, 1, length(p_name) - 1)"), F.lit("x")
+            ),
+        )
+        .when(F.col("p_name").endswith("bolt"), F.concat("p_name", F.lit("zzz")))
+        .otherwise(F.col("p_name"))
+        .alias("noisy_name")
+    )
+    return FZ.fuzzy_join(
+        names, noisy, "p_name", "noisy_name", max_dist=1, block_len=4
+    ).select("p_name", "noisy_name", "edit_dist")
+
+
+_SQL_FUZZY_JOIN_PART_NAMES = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+noisy AS (
+  SELECT CASE
+           WHEN p_name LIKE '%widget'
+             THEN substring(p_name, 1, length(p_name) - 1) || 'x'
+           WHEN p_name LIKE '%bolt' THEN p_name || 'zzz'
+           ELSE p_name
+         END AS noisy_name
+  FROM names
+)
+SELECT p_name, noisy_name,
+       levenshtein(p_name, noisy_name) AS edit_dist
+FROM names JOIN noisy
+  ON substring(p_name, 1, 4) = substring(noisy_name, 1, 4)
+WHERE abs(length(p_name) - length(noisy_name)) <= 1
+  AND levenshtein(p_name, noisy_name) <= 1
+"""
 
 
 def _q_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3276,8 +3324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
     a window of entries from the FRONT (r2 covered exactly the first
     50), so entries are sequenced by how much driver-visible evidence
-    they still need — all 45 queries never driver-checked first (the 27
-    dark after r2, cheapest first, then the 18 round-3 additions), so a
+    they still need — all 46 queries never driver-checked first (the 27
+    dark after r2, cheapest first, then the 19 round-3 additions), so a
     50-count window covers every one of them; then those last checked
     in round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
     CORRECTNESS_r{N} files change.
@@ -3311,7 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
-        # --- new in round 3 (18), never driver-verified ---
+        # --- new in round 3 (19), never driver-verified ---
         "hopping_window_events": _q_hopping_window_events,
         "ohlc_user_hourly": _q_ohlc_user_hourly,
         "event_paths_users": _q_event_paths_users,
@@ -3322,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_events_props": _q_variant_events_props,
         "moments_lineitem": _q_moments_lineitem,
         "drift_orders": _q_drift_orders,
+        "fuzzy_join_part_names": _q_fuzzy_join_part_names,
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
@@ -4235,6 +4284,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "variant_events_props": _SQL_VARIANT_EVENTS_PROPS,
         "moments_lineitem": _SQL_MOMENTS_LINEITEM,
         "drift_orders": _SQL_DRIFT_ORDERS,
+        "fuzzy_join_part_names": _SQL_FUZZY_JOIN_PART_NAMES,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

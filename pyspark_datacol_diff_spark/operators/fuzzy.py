@@ -1,0 +1,70 @@
+"""Blocked fuzzy join: approximate string matching at join scale.
+
+The entity-resolution primitive: match rows whose string keys differ by
+a bounded edit distance (typos, OCR noise, re-keyed vendor names). The
+naive form is an O(n*m) cross join with ``levenshtein`` — unrunnable at
+scale. This operator makes the standard scalable shape explicit:
+
+1. **Block** — both sides key on a cheap deterministic blocking key (a
+   character prefix here) and EQUI-join on it, so candidate pairs exist
+   only within a block. The join is an ordinary hash/sort-merge equi
+   join: shuffle on the block key, no cross product anywhere.
+2. **Length band** — inside a block, rows whose lengths differ by more
+   than ``max_dist`` cannot be within distance ``max_dist``; the band
+   predicate prunes before the expensive metric.
+3. **Verify** — ``levenshtein`` (JVM codegen, no UDF) on the surviving
+   pairs only.
+
+Recall caveat, stated rather than hidden: an edit inside the first
+``block_len`` characters moves the row to a different block and the
+pair is missed. Production systems run MULTIPLE blocking passes
+(prefix, suffix, phonetic key, sorted-token key) and union the
+candidates — each pass is this same operator with a different
+``block_col``; the default prefix block is one pass, not the whole
+recipe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    *,
+    max_dist: int = 2,
+    block_len: int = 4,
+    block: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Equi-blocked edit-distance join: all ``left`` x ``right`` pairs
+    with ``levenshtein(left_col, right_col) <= max_dist`` whose strings
+    share a blocking key — by default the first ``block_len``
+    characters; pass ``block`` (a Column -> Column function applied to
+    each side's own string) for a custom key such as a phonetic code
+    or sorted-token signature.
+
+    Returns left's columns + right's columns + ``edit_dist``. Name
+    collisions between the sides are the caller's to resolve (alias
+    before joining), same as a plain ``join``.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    bl = block if block is not None else (lambda c: F.substring(c, 1, block_len))
+    l = left.withColumn("__blk", bl(F.col(left_col)))
+    r = right.withColumn("__blk", bl(F.col(right_col)))
+    pairs = l.join(r, "__blk").where(
+        F.abs(F.length(left_col) - F.length(right_col)) <= max_dist
+    )
+    return (
+        pairs.withColumn(
+            "edit_dist", F.levenshtein(F.col(left_col), F.col(right_col))
+        )
+        .where(F.col("edit_dist") <= max_dist)
+        .drop("__blk")
+    )

@@ -1,0 +1,73 @@
+"""Blocked fuzzy join: match semantics, band pruning, blocking recall
+caveat, and the no-cross-product plan shape."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark_datacol_diff_spark.operators.fuzzy import fuzzy_join
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [("acme corp",), ("zenith ltd",), ("nadir inc",)], "name string"
+    )
+    right = spark.createDataFrame(
+        [
+            ("acme c0rp",),   # 1 substitution -> match at max_dist 1
+            ("acme corporat",),  # 4 longer -> band-pruned
+            ("zenith ltd",),  # exact -> dist 0
+            ("xenith ltd",),  # typo in the BLOCK prefix -> missed (documented)
+        ],
+        "cand string",
+    )
+    return left, right
+
+
+def test_matches_within_distance_and_band(spark):
+    left, right = _sides(spark)
+    got = {
+        (r["name"], r["cand"], r["edit_dist"])
+        for r in fuzzy_join(left, right, "name", "cand", max_dist=1).collect()
+    }
+    assert got == {
+        ("acme corp", "acme c0rp", 1),
+        ("zenith ltd", "zenith ltd", 0),
+    }
+
+
+def test_prefix_typo_escapes_block_the_documented_recall_caveat(spark):
+    left, right = _sides(spark)
+    # 'xenith ltd' is within distance 1 of 'zenith ltd' but its block
+    # key differs -> not matched by a single prefix pass; a custom
+    # block function that ignores the first character recovers it
+    got = fuzzy_join(left, right, "name", "cand", max_dist=1)
+    assert got.filter(F.col("cand") == "xenith ltd").count() == 0
+    recovered = fuzzy_join(
+        left,
+        right,
+        "name",
+        "cand",
+        max_dist=1,
+        block=lambda c: F.substring(c, 2, 4),
+    )
+    assert recovered.filter(F.col("cand") == "xenith ltd").count() == 1
+
+
+def test_no_cross_product_in_plan(spark):
+    from pyspark_datacol_diff_spark import plans as P
+
+    left, right = _sides(spark)
+    plan = P.physical_plan(fuzzy_join(left, right, "name", "cand"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_max_dist_rejected(spark):
+    left, right = _sides(spark)
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_join(left, right, "name", "cand", max_dist=-1)
