@@ -242,3 +242,45 @@ def test_cap_per_group_matches_reference_selection(spark, k, rows):
         for r in cap_per_group(df, "g", k, order_by=[F.col("id")]).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n1=st.lists(st.sampled_from("abcd"), min_size=1, max_size=40),
+    n2=st.lists(st.sampled_from("abcde"), min_size=1, max_size=40),
+    threshold=st.integers(min_value=1, max_value=50),
+)
+def test_distribution_drift_matches_reference_fractions(spark, n1, n2, threshold):
+    from collections import Counter
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from pyspark_datacol_diff_spark import distribution_drift
+
+    c1, c2 = Counter(n1), Counter(n2)
+    bins = sorted(set(c1) | set(c2))
+    want = {
+        b: (
+            c1[b],
+            c2[b],
+            abs(
+                Fraction(c1[b], len(n1)) - Fraction(c2[b], len(n2))
+            )
+            > Fraction(threshold, 100),
+        )
+        for b in bins
+    }
+    s1 = spark.createDataFrame([(x,) for x in n1], "v string")
+    s2 = spark.createDataFrame([(x,) for x in n2], "v string")
+    got = {
+        r["bin"]: (r["n1"], r["n2"], r["drifted"])
+        for r in distribution_drift(
+            s1, s2, F.col("v"), threshold_pct=threshold
+        ).collect()
+    }
+    assert got == want

@@ -71,3 +71,51 @@ def test_negative_max_dist_rejected(spark):
     left, right = _sides(spark)
     with pytest.raises(ValueError, match="max_dist"):
         fuzzy_join(left, right, "name", "cand", max_dist=-1)
+
+
+# --- property: blocked join == brute force within the block contract ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abcd", min_size=4, max_size=7)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(_WORD, min_size=1, max_size=8, unique=True),
+    rights=st.lists(_WORD, min_size=1, max_size=8, unique=True),
+    max_dist=st.integers(min_value=0, max_value=2),
+)
+def test_equals_brute_force_restricted_to_blocks(spark, lefts, rights, max_dist):
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.product(lefts, rights)
+        if a[:4] == b[:4] and lev(a, b) <= max_dist
+    }
+    l = spark.createDataFrame([(x,) for x in lefts], "name string")
+    r = spark.createDataFrame([(x,) for x in rights], "cand string")
+    got = {
+        (row["name"], row["cand"], row["edit_dist"])
+        for row in fuzzy_join(
+            l, r, "name", "cand", max_dist=max_dist, block_len=4
+        ).collect()
+    }
+    assert got == want

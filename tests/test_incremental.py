@@ -144,3 +144,46 @@ def test_hll_merged_state_is_remergeable(spark):
     final = merge_agg_states(halves, ["event_type"], aggs)
     n = final.filter(F.hll_sketch_estimate("sk") > 0).count()
     assert n == final.count()
+
+
+# --- property: ANY partition of the rows merges to the direct state ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from("xyz"),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    assignment=st.lists(st.integers(min_value=0, max_value=2), min_size=40, max_size=40),
+)
+def test_any_partition_merges_to_direct_state(spark, rows, assignment):
+    aggs = {
+        "n": ("val", "count"),
+        "total": ("val", "sum"),
+        "lo": ("val", "min"),
+        "hi": ("val", "max"),
+    }
+    df = spark.createDataFrame(rows, "key string, val long")
+    direct = agg_state(df, ["key"], aggs)
+    parts = [
+        [r for i, r in enumerate(rows) if assignment[i] == g] for g in range(3)
+    ]
+    states = [
+        agg_state(spark.createDataFrame(p, "key string, val long"), ["key"], aggs)
+        for p in parts
+        if p
+    ]
+    merged = merge_agg_states(states, ["key"], aggs)
+    assert _rows(merged) == _rows(direct)
