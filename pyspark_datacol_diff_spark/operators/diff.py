@@ -828,7 +828,11 @@ def distribution_drift(
     frequency moved by more than ``threshold_pct`` percentage points,
     evaluated in exact integer cross-multiplication
     (``100 * |n1*N2 - n2*N1| > threshold_pct * N1*N2``), so no float
-    ever exists and two engines agree bit-for-bit.
+    ever exists and two engines agree bit-for-bit. An EMPTY side is
+    treated as the all-zero distribution: every bin whose other-side
+    frequency exceeds the threshold flags (the naive cross-product
+    form would compare ``0 > 0`` and silently report an entirely new
+    distribution as drift-free).
 
     At 100 TB both inputs are scanned once and shuffled only as
     bin-grain partials; the join and comparison touch |bins| rows.
@@ -849,12 +853,18 @@ def distribution_drift(
     tot = joined.agg(
         F.sum("n1").alias("__t1"), F.sum("n2").alias("__t2")
     )
+    t1, t2 = F.col("__t1"), F.col("__t2")
+    drifted = (
+        F.when(
+            (t1 == 0) & (t2 == 0), F.lit(False)
+        )
+        .when(t1 == 0, 100 * F.col("n2") > F.lit(threshold_pct) * t2)
+        .when(t2 == 0, 100 * F.col("n1") > F.lit(threshold_pct) * t1)
+        .otherwise(
+            100 * F.abs(F.col("n1") * t2 - F.col("n2") * t1)
+            > F.lit(threshold_pct) * t1 * t2
+        )
+    )
     return joined.crossJoin(F.broadcast(tot)).select(
-        "bin",
-        "n1",
-        "n2",
-        (
-            100 * F.abs(F.col("n1") * F.col("__t2") - F.col("n2") * F.col("__t1"))
-            > F.lit(threshold_pct) * F.col("__t1") * F.col("__t2")
-        ).alias("drifted"),
+        "bin", "n1", "n2", drifted.alias("drifted")
     )

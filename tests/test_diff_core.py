@@ -469,3 +469,27 @@ def test_distribution_drift_threshold_is_exact_and_exclusive(spark):
         for r in distribution_drift(s1, s2b, F.col("v"), threshold_pct=5).collect()
     }
     assert rows["b"] is True
+
+
+def test_distribution_drift_empty_side_flags_new_distribution(spark):
+    from pyspark_datacol_diff_spark import distribution_drift
+
+    empty = spark.createDataFrame([], "v string")
+    s2 = spark.createDataFrame([("a",)] * 90 + [("b",)] * 3, "v string")
+    rows = {
+        r["bin"]: r["drifted"]
+        for r in distribution_drift(
+            empty, s2, F.col("v"), threshold_pct=5
+        ).collect()
+    }
+    # vs the all-zero distribution: a (97%) far exceeds 5pp, b (3%) not
+    assert rows == {"a": True, "b": False}
+    # symmetric, and both-empty yields no rows at all
+    rows = {
+        r["bin"]: r["drifted"]
+        for r in distribution_drift(
+            s2, empty, F.col("v"), threshold_pct=5
+        ).collect()
+    }
+    assert rows == {"a": True, "b": False}
+    assert distribution_drift(empty, empty, F.col("v")).count() == 0
