@@ -845,25 +845,33 @@ def distribution_drift(
         )
 
     a, b = side(s1, "n1"), side(s2, "n2")
-    joined = a.join(b, "bin", "full_outer").select(
-        "bin",
-        F.coalesce("n1", F.lit(0)).alias("n1"),
-        F.coalesce("n2", F.lit(0)).alias("n2"),
+    # null-safe join key: a NULL bin is one bucket, not a never-matching
+    # key that would split into two spurious all-drifted rows
+    joined = a.join(
+        b, a["bin"].eqNullSafe(b["bin"]), "full_outer"
+    ).select(
+        F.coalesce(a["bin"], b["bin"]).alias("bin"),
+        F.coalesce(a["n1"], F.lit(0)).alias("n1"),
+        F.coalesce(b["n2"], F.lit(0)).alias("n2"),
     )
     tot = joined.agg(
         F.sum("n1").alias("__t1"), F.sum("n2").alias("__t2")
     )
-    t1, t2 = F.col("__t1"), F.col("__t2")
+    # cross-multiply in decimal(38,0): long products overflow around
+    # 3e9-row snapshots (threshold * t1 * t2); decimal38 keeps the
+    # triple product exact past 1e17 rows a side — and DuckDB's HUGEINT
+    # replay agrees digit-for-digit
+    dec = "decimal(38,0)"
+    n1, n2 = F.col("n1").cast(dec), F.col("n2").cast(dec)
+    t1, t2 = F.col("__t1").cast(dec), F.col("__t2").cast(dec)
+    thr = F.lit(threshold_pct).cast(dec)
     drifted = (
         F.when(
             (t1 == 0) & (t2 == 0), F.lit(False)
         )
-        .when(t1 == 0, 100 * F.col("n2") > F.lit(threshold_pct) * t2)
-        .when(t2 == 0, 100 * F.col("n1") > F.lit(threshold_pct) * t1)
-        .otherwise(
-            100 * F.abs(F.col("n1") * t2 - F.col("n2") * t1)
-            > F.lit(threshold_pct) * t1 * t2
-        )
+        .when(t1 == 0, 100 * n2 > thr * t2)
+        .when(t2 == 0, 100 * n1 > thr * t1)
+        .otherwise(100 * F.abs(n1 * t2 - n2 * t1) > thr * t1 * t2)
     )
     return joined.crossJoin(F.broadcast(tot)).select(
         "bin", "n1", "n2", drifted.alias("drifted")

@@ -51,14 +51,23 @@ def fuzzy_join(
 
     Returns left's columns + right's columns + ``edit_dist``. Name
     collisions between the sides are the caller's to resolve (alias
-    before joining), same as a plain ``join``.
+    before joining), same as a plain ``join``; an input already
+    carrying the internal blocking column name is rejected rather than
+    silently clobbered and dropped.
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    blk = "__dcd_fuzzy_blk"
+    for side_name, df in (("left", left), ("right", right)):
+        if blk in df.columns:
+            raise ValueError(
+                f"{side_name} input already has a column named {blk!r}; "
+                "rename it before fuzzy_join"
+            )
     bl = block if block is not None else (lambda c: F.substring(c, 1, block_len))
-    l = left.withColumn("__blk", bl(F.col(left_col)))
-    r = right.withColumn("__blk", bl(F.col(right_col)))
-    pairs = l.join(r, "__blk").where(
+    l = left.withColumn(blk, bl(F.col(left_col)))
+    r = right.withColumn(blk, bl(F.col(right_col)))
+    pairs = l.join(r, blk).where(
         F.abs(F.length(left_col) - F.length(right_col)) <= max_dist
     )
     return (
@@ -66,5 +75,5 @@ def fuzzy_join(
             "edit_dist", F.levenshtein(F.col(left_col), F.col(right_col))
         )
         .where(F.col("edit_dist") <= max_dist)
-        .drop("__blk")
+        .drop(blk)
     )

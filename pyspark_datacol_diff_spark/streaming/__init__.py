@@ -61,16 +61,20 @@ def stage_disjoint_splits(
     (``key_col % n``) and stage them as a streaming source directory —
     under ``maxFilesPerTrigger=1`` each split then arrives as its own
     micro-batch, which is how tests and the driver force REAL
-    cross-micro-batch behavior out of a finite replay. Fixture-side
-    only; production streams read a landing zone that arrives split."""
+    cross-micro-batch behavior out of a finite replay. The splits are
+    a true partition of ``df``: bucketing uses ``pmod`` (negative keys
+    land in 0..n-1, unlike ``%`` which keeps sign) and NULL keys route
+    to split 0 instead of vanishing. Fixture-side only; production
+    streams read a landing zone that arrives split."""
     import glob
     import tempfile
 
     root = tempfile.mkdtemp(prefix=f"dcd_{dir_suffix}_")
+    bucket = F.coalesce(F.pmod(F.col(key_col), F.lit(n)), F.lit(0))
     paths: list[str] = []
     for i in range(n):
         d = f"{root}/part{i}"
-        df.filter(F.col(key_col) % n == i).coalesce(1).write.parquet(d)
+        df.filter(bucket == i).coalesce(1).write.parquet(d)
         paths.extend(sorted(glob.glob(f"{d}/part-*.parquet")))
     return stage_files(*paths, dir_suffix=dir_suffix)
 
@@ -426,10 +430,13 @@ def continuous_rollup(
     partial output. Passing a durable ``state_root`` alongside a
     durable checkpoint makes restart resume correct too: committed
     batches are skipped by the checkpoint and their versions are found
-    on disk. Production would MERGE into a table format with atomic
-    commits (Delta/Iceberg); plain parquet versions carry the identical
-    dataflow. Runs to completion (availableNow) and returns the final
-    merged state as a batch DataFrame.
+    on disk. A ``state_root`` belongs to exactly ONE rollup query —
+    versions are overwrite-mode for retry safety, so two queries
+    sharing a root would clobber each other. Production would MERGE
+    into a table format with atomic commits (Delta/Iceberg); plain
+    parquet versions carry the identical dataflow. Runs to completion
+    (availableNow) and returns the final merged state as a batch
+    DataFrame.
     """
     import os
     import tempfile
@@ -438,6 +445,7 @@ def continuous_rollup(
 
     spark = sdf.sparkSession
     root = state_root or tempfile.mkdtemp(prefix=f"dcd_rollup_{query_name}_")
+    ran: list = []
 
     def _versions() -> list:
         return sorted(
@@ -454,9 +462,18 @@ def continuous_rollup(
             state = INC.merge_agg_states([prev_state, state], keys, aggs)
         out = os.path.join(root, f"v{batch_id}")
         state.write.mode("overwrite").parquet(out)
+        ran.append(batch_id)
 
     writer = sdf.writeStream.foreachBatch(_merge).queryName(query_name)
     _run_to_completion(spark, writer, query_name, state_partitions)
+    # the answer is THIS run's newest batch when anything ran: with a
+    # fresh checkpoint batch ids restart at 0, and a reused state_root
+    # may hold higher-numbered versions from an earlier, longer run —
+    # returning the on-disk max would resurrect that stale state. The
+    # on-disk max is correct only for the pure-resume case (durable
+    # checkpoint skipped every batch, nothing ran here).
+    if ran:
+        return spark.read.parquet(os.path.join(root, f"v{max(ran)}"))
     final = _versions()
     if not final:
         raise RuntimeError(f"continuous_rollup {query_name!r}: no micro-batch ran")

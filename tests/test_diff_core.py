@@ -493,3 +493,15 @@ def test_distribution_drift_empty_side_flags_new_distribution(spark):
     }
     assert rows == {"a": True, "b": False}
     assert distribution_drift(empty, empty, F.col("v")).count() == 0
+
+
+def test_distribution_drift_null_bin_is_one_bucket(spark):
+    from pyspark_datacol_diff_spark import distribution_drift
+
+    # identical distributions with 50% NULL bins -> one matched null
+    # bucket, zero drift (a non-null-safe join would split it into two
+    # all-drifted rows)
+    s = spark.createDataFrame([("a",)] * 5 + [(None,)] * 5, "v string")
+    rows = distribution_drift(s, s, F.col("v"), threshold_pct=5).collect()
+    assert len(rows) == 2
+    assert all(not r["drifted"] and r["n1"] == r["n2"] == 5 for r in rows)

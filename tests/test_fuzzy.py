@@ -119,3 +119,14 @@ def test_equals_brute_force_restricted_to_blocks(spark, lefts, rights, max_dist)
         ).collect()
     }
     assert got == want
+
+
+def test_reserved_blocking_column_rejected(spark):
+    left, right = _sides(spark)
+    with pytest.raises(ValueError, match="__dcd_fuzzy_blk"):
+        fuzzy_join(
+            left.withColumn("__dcd_fuzzy_blk", F.lit(1)),
+            right,
+            "name",
+            "cand",
+        )

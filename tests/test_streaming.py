@@ -307,3 +307,40 @@ def test_continuous_rollup_reexecution_is_idempotent(spark):
     first = {tuple(r) for r in run("t_roll_a").collect()}
     second = {tuple(r) for r in run("t_roll_b").collect()}
     assert first and first == second
+
+
+def test_stage_disjoint_splits_is_a_true_partition(spark, tmp_path):
+    # negative and NULL keys must land in some split, not vanish
+    df = spark.createDataFrame(
+        [(-5, "a"), (-1, "b"), (0, "c"), (7, "d"), (None, "e")],
+        "k long, v string",
+    )
+    src = ST.stage_disjoint_splits(df, "k", 3)
+    got = spark.read.schema(df.schema).parquet(src)
+    assert got.count() == 5
+    assert {r["v"] for r in got.collect()} == {"a", "b", "c", "d", "e"}
+
+
+def test_continuous_rollup_returns_this_runs_state_not_stale_versions(spark):
+    # a reused state_root holding a HIGHER version from an earlier,
+    # longer run must not be returned when the current (shorter) replay
+    # ran real batches
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    root = tempfile.mkdtemp(prefix="t_rollup_stale_")
+    aggs = {"n": ("event_id", "count")}
+    # plant a stale v9 with wrong numbers
+    spark.createDataFrame(
+        [("click", 999999)], "event_type string, n long"
+    ).write.parquet(f"{root}/v9")
+    src = ST.stage_disjoint_splits(batch, "event_id", 2)
+    sdf = SRC.normalize_event_ts(
+        ST.read_parquet_stream(spark, src, batch.schema, max_files_per_trigger=1)
+    )
+    got = ST.continuous_rollup(
+        sdf, ["event_type"], aggs, query_name="t_roll_stale", state_root=root
+    )
+    want = batch.groupBy("event_type").count().withColumnRenamed("count", "n")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
