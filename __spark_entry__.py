@@ -1092,6 +1092,47 @@ def _q_json_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted per week-offset they return — the warehouse staple behind
+    every retention curve. Plan: distinct (user, week) pairs first (the
+    only data-sized aggregate), then the cohort week via a user-keyed
+    window MIN over the already-tiny weekly relation — no join back to
+    the event log, and the window partition is per-user-weeks (bounded),
+    not a global sort. Week offsets are exact integers (both weeks are
+    Monday-truncated, so datediff/7 is integral); cohort weeks emit as
+    ISO date strings so both engines hash identically."""
+    e = _t(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    w_user = Window.partitionBy("user_id")
+    act = weekly.withColumn("cw", F.min("w").over(w_user))
+    return (
+        act.select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_SQL_RETENTION_COHORTS_EVENTS = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+), act AS (
+  SELECT user_id, w, min(w) OVER (PARTITION BY user_id) AS cw FROM weekly
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cw, w) / 7 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM act GROUP BY 1, 2
+"""
+
+
 def _q_fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy join (operators/fuzzy.py): the part-name catalog
     matched against a noisy variant of itself — widget names get a
@@ -3324,8 +3365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
     a window of entries from the FRONT (r2 covered exactly the first
     50), so entries are sequenced by how much driver-visible evidence
-    they still need — all 46 queries never driver-checked first (the 27
-    dark after r2, cheapest first, then the 19 round-3 additions), so a
+    they still need — all 47 queries never driver-checked first (the 27
+    dark after r2, cheapest first, then the 20 round-3 additions), so a
     50-count window covers every one of them; then those last checked
     in round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
     CORRECTNESS_r{N} files change.
@@ -3359,7 +3400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
-        # --- new in round 3 (19), never driver-verified ---
+        # --- new in round 3 (20), never driver-verified ---
         "hopping_window_events": _q_hopping_window_events,
         "ohlc_user_hourly": _q_ohlc_user_hourly,
         "event_paths_users": _q_event_paths_users,
@@ -3371,6 +3412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moments_lineitem": _q_moments_lineitem,
         "drift_orders": _q_drift_orders,
         "fuzzy_join_part_names": _q_fuzzy_join_part_names,
+        "retention_cohorts_events": _q_retention_cohorts_events,
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
@@ -4285,6 +4327,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "moments_lineitem": _SQL_MOMENTS_LINEITEM,
         "drift_orders": _SQL_DRIFT_ORDERS,
         "fuzzy_join_part_names": _SQL_FUZZY_JOIN_PART_NAMES,
+        "retention_cohorts_events": _SQL_RETENTION_COHORTS_EVENTS,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

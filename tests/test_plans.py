@@ -421,3 +421,12 @@ def test_moments_is_single_pass_map_combined(qs, spark):
 
 def test_variant_read_is_scan_only(qs, spark):
     P.assert_max_shuffles(qs["variant_events_props"](spark, SF), 0)
+
+
+def test_retention_cohorts_no_join_back_to_events(qs, spark):
+    # cohort week comes from a window over the distinct weekly relation,
+    # never a join back to the event log
+    df = qs["retention_cohorts_events"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "Join" not in plan
+    P.assert_max_shuffles(df, 3)  # distinct, user window, final agg
