@@ -1092,6 +1092,85 @@ def _q_json_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rfm_segments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — global
+    quantile bucketing done the scale-honest way: per-user aggregates
+    (one user-keyed shuffle), then the three quartile fences come from
+    ONE grouping-free percentile_disc aggregate that BROADCASTS back
+    (the ntile/window rewrite would global-sort every user through one
+    partition). All metrics are exact integers (epoch seconds, counts,
+    cents) and percentile_disc picks actual elements, so bucket edges
+    are identical BIGINTs in both engines; users sitting exactly on a
+    fence bucket deterministically (<= goes low). Emits the 4x4x4 cell
+    counts — segment-grain, whatever the user count."""
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))).alias("last_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("cents"),
+    )
+    fences = per_user.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {m})")
+            .cast("long")
+            .alias(f"{m}_q{int(q * 100)}")
+            for m in ("last_s", "n_events", "cents")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def bucket(m: str) -> Column:
+        return (
+            F.when(F.col(m) <= F.col(f"{m}_q25"), 1)
+            .when(F.col(m) <= F.col(f"{m}_q50"), 2)
+            .when(F.col(m) <= F.col(f"{m}_q75"), 3)
+            .otherwise(4)
+        )
+
+    return (
+        per_user.crossJoin(F.broadcast(fences))
+        .select(
+            bucket("last_s").alias("r_bucket"),
+            bucket("n_events").alias("f_bucket"),
+            bucket("cents").alias("m_bucket"),
+        )
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_SQL_RFM_SEGMENTS_EVENTS = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s,
+         count(*) AS n_events,
+         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+), f AS (
+  SELECT CAST(quantile_disc(last_s, 0.25) AS BIGINT) AS r25,
+         CAST(quantile_disc(last_s, 0.50) AS BIGINT) AS r50,
+         CAST(quantile_disc(last_s, 0.75) AS BIGINT) AS r75,
+         CAST(quantile_disc(n_events, 0.25) AS BIGINT) AS f25,
+         CAST(quantile_disc(n_events, 0.50) AS BIGINT) AS f50,
+         CAST(quantile_disc(n_events, 0.75) AS BIGINT) AS f75,
+         CAST(quantile_disc(cents, 0.25) AS BIGINT) AS m25,
+         CAST(quantile_disc(cents, 0.50) AS BIGINT) AS m50,
+         CAST(quantile_disc(cents, 0.75) AS BIGINT) AS m75
+  FROM per_user
+)
+SELECT CASE WHEN last_s <= r25 THEN 1 WHEN last_s <= r50 THEN 2
+            WHEN last_s <= r75 THEN 3 ELSE 4 END AS r_bucket,
+       CASE WHEN n_events <= f25 THEN 1 WHEN n_events <= f50 THEN 2
+            WHEN n_events <= f75 THEN 3 ELSE 4 END AS f_bucket,
+       CASE WHEN cents <= m25 THEN 1 WHEN cents <= m50 THEN 2
+            WHEN cents <= m75 THEN 3 ELSE 4 END AS m_bucket,
+       count(*) AS n_users
+FROM per_user, f
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-activity week,
     counted per week-offset they return — the warehouse staple behind
@@ -3365,8 +3444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
     a window of entries from the FRONT (r2 covered exactly the first
     50), so entries are sequenced by how much driver-visible evidence
-    they still need — all 47 queries never driver-checked first (the 27
-    dark after r2, cheapest first, then the 20 round-3 additions), so a
+    they still need — all 48 queries never driver-checked first (the 27
+    dark after r2, cheapest first, then the 21 round-3 additions), so a
     50-count window covers every one of them; then those last checked
     in round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
     CORRECTNESS_r{N} files change.
@@ -3400,7 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
-        # --- new in round 3 (20), never driver-verified ---
+        # --- new in round 3 (21), never driver-verified ---
         "hopping_window_events": _q_hopping_window_events,
         "ohlc_user_hourly": _q_ohlc_user_hourly,
         "event_paths_users": _q_event_paths_users,
@@ -3413,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_orders": _q_drift_orders,
         "fuzzy_join_part_names": _q_fuzzy_join_part_names,
         "retention_cohorts_events": _q_retention_cohorts_events,
+        "rfm_segments_events": _q_rfm_segments_events,
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
@@ -4328,6 +4408,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "drift_orders": _SQL_DRIFT_ORDERS,
         "fuzzy_join_part_names": _SQL_FUZZY_JOIN_PART_NAMES,
         "retention_cohorts_events": _SQL_RETENTION_COHORTS_EVENTS,
+        "rfm_segments_events": _SQL_RFM_SEGMENTS_EVENTS,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

@@ -430,3 +430,13 @@ def test_retention_cohorts_no_join_back_to_events(qs, spark):
     plan = P.physical_plan(df)
     assert "Join" not in plan
     P.assert_max_shuffles(df, 3)  # distinct, user window, final agg
+
+
+def test_rfm_fences_broadcast_never_global_sort(qs, spark):
+    # quartile fences come from a grouping-free aggregate broadcast back;
+    # an ntile/window rewrite would funnel every user through one
+    # partition (a global sort) — pin its absence
+    df = qs["rfm_segments_events"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row fences join
