@@ -1093,16 +1093,20 @@ def _q_json_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rfm_segments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation (recency / frequency / monetary) — global
-    quantile bucketing done the scale-honest way: per-user aggregates
-    (one user-keyed shuffle), then the three quartile fences come from
-    ONE grouping-free percentile_disc aggregate that BROADCASTS back
-    (the ntile/window rewrite would global-sort every user through one
-    partition). All metrics are exact integers (epoch seconds, counts,
-    cents) and percentile_disc picks actual elements, so bucket edges
-    are identical BIGINTs in both engines; users sitting exactly on a
-    fence bucket deterministically (<= goes low). Emits the 4x4x4 cell
-    counts — segment-grain, whatever the user count."""
+    """RFM segmentation (recency / frequency / monetary): per-user
+    aggregates (one user-keyed shuffle), then the quartile fences come
+    from ONE grouping-free aggregate that BROADCASTS back — the
+    fences-side-broadcast shape, vs the ntile/window rewrite that
+    global-sorts every user through one partition. Fence computation
+    here is exact percentile_disc so both engines agree on edge
+    BIGINTs bit-for-bit (ties bucket deterministically, <= goes low);
+    note percentile_disc's own final merge holds an
+    O(distinct metric values) count map in one task — exact is right
+    for the oracle and fine to ~1e8 users, and the production swap at
+    nearly-distinct billion-user scale is approx_percentile for the
+    fences (same broadcast shape, sketch-sized state; bucket EDGES
+    rarely need exactness). Emits the 4x4x4 cell counts —
+    segment-grain, whatever the user count."""
     e = _t(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     per_user = e.groupBy("user_id").agg(

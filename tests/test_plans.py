@@ -433,9 +433,11 @@ def test_retention_cohorts_no_join_back_to_events(qs, spark):
 
 
 def test_rfm_fences_broadcast_never_global_sort(qs, spark):
-    # quartile fences come from a grouping-free aggregate broadcast back;
-    # an ntile/window rewrite would funnel every user through one
-    # partition (a global sort) — pin its absence
+    # quartile fences come from a grouping-free aggregate broadcast back
+    # — never an ntile/window global sort of the users (pinned absent).
+    # The exact-percentile final merge itself carries an
+    # O(distinct values) map in one task; the query docstring documents
+    # approx_percentile as the same-shape swap when that outgrows a task
     df = qs["rfm_segments_events"](spark, SF)
     plan = P.physical_plan(df)
     assert "Window" not in plan
