@@ -77,3 +77,43 @@ def fuzzy_join(
         .where(F.col("edit_dist") <= max_dist)
         .drop(blk)
     )
+
+
+def fuzzy_join_multi(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    *,
+    max_dist: int = 2,
+    blocks: list | None = None,
+) -> DataFrame:
+    """Multi-pass blocked fuzzy join — the full recipe the single-pass
+    recall caveat points at: run :func:`fuzzy_join` once per blocking
+    key in ``blocks`` (Column -> Column functions) and union-distinct
+    the passes. Each pass is an independent equi-blocked join — still
+    no cross product; total cost is passes x the single-pass cost, and
+    recall grows as the keys' blind spots stop overlapping. The default
+    prefix + suffix pair catches every single edit on strings longer
+    than 8 chars (one edit cannot change both the first and last 4);
+    shorter strings with middle edits need a third pass whose key
+    stays selective — a phonetic code or sorted-token signature, NOT a
+    length bucket (length buckets collapse to a handful of giant
+    blocks at scale, re-creating the cross product blocking exists to
+    avoid). Distinct is on the full output row, so a pair found by
+    several passes emits once.
+    """
+    if blocks is None:
+        blocks = [
+            lambda c: F.substring(c, 1, 4),
+            lambda c: F.substring(c, -4, 4),
+        ]
+    if not blocks:
+        raise ValueError("blocks must name at least one blocking key")
+    out = None
+    for bl in blocks:
+        p = fuzzy_join(
+            left, right, left_col, right_col, max_dist=max_dist, block=bl
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()

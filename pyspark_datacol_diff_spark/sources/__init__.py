@@ -311,3 +311,27 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table_name)
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_schema=None,
+) -> DataFrame:
+    """Landing-zone read across schema generations. Without a
+    ``target_schema``, ``mergeSchema`` unions the footer schemas of
+    every file (a file written before a column existed yields NULL for
+    it — Spark's per-file projection handles that for free). With one,
+    the contract schema is passed straight to the reader — the catalog
+    pattern: no footer sweep, missing columns materialize as typed
+    NULLs, extra file columns are dropped; the target's types must be
+    parquet-compatible with the files' physical types (widen AFTER the
+    read with casts — the vectorized reader does not convert). Scale
+    note: mergeSchema reads every file FOOTER up front, fine daily,
+    wrong per-query on millions of files — which is why the
+    target-schema form exists.
+    """
+    if target_schema is None:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    return spark.read.schema(target_schema).parquet(path)

@@ -130,3 +130,27 @@ def test_reserved_blocking_column_rejected(spark):
             "name",
             "cand",
         )
+
+
+def test_multi_pass_recovers_prefix_typo(spark):
+    from pyspark_datacol_diff_spark.operators.fuzzy import fuzzy_join_multi
+
+    left, right = _sides(spark)
+    # single-pass prefix blocking misses 'xenith ltd'; the default
+    # prefix+suffix multi-pass recovers it via the suffix key
+    got = {
+        (r["name"], r["cand"])
+        for r in fuzzy_join_multi(left, right, "name", "cand", max_dist=1).collect()
+    }
+    assert ("zenith ltd", "xenith ltd") in got
+    # and pairs found by BOTH passes emit exactly once
+    rows = fuzzy_join_multi(left, right, "name", "cand", max_dist=0).collect()
+    assert len(rows) == len({tuple(r) for r in rows}) == 1  # zenith exact
+
+
+def test_multi_pass_empty_blocks_rejected(spark):
+    from pyspark_datacol_diff_spark.operators.fuzzy import fuzzy_join_multi
+
+    left, right = _sides(spark)
+    with pytest.raises(ValueError, match="blocks"):
+        fuzzy_join_multi(left, right, "name", "cand", blocks=[])

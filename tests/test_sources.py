@@ -255,3 +255,34 @@ def test_zordered_layout_skips_files_on_both_dims(spark, tmp_path):
     assert overlapping_files(zpath, "a", 5) <= 4
     # round-trip integrity
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_read_parquet_evolving_unions_and_conforms(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from pyspark_datacol_diff_spark.sources import read_parquet_evolving
+
+    d = str(tmp_path / "land")
+    # generation 1: (id, a) — generation 2 adds column b
+    spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(
+        f"{d}/g1"
+    )
+    spark.createDataFrame(
+        [(2, "y", 10)], "id long, a string, b long"
+    ).write.parquet(f"{d}/g2")
+    merged = read_parquet_evolving(spark, f"{d}/*")
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r["id"]: r["b"] for r in merged.collect()}
+    assert rows == {1: None, 2: 10}
+    # catalog form: contract pins (id, b, c) — a dropped, c typed-NULL
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("c", T.StringType()),
+        ]
+    )
+    pinned = read_parquet_evolving(spark, f"{d}/*", target_schema=contract)
+    assert pinned.columns == ["id", "b", "c"]
+    rows = {r["id"]: (r["b"], r["c"]) for r in pinned.collect()}
+    assert rows == {1: (None, None), 2: (10, None)}
