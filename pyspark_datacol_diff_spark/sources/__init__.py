@@ -335,3 +335,44 @@ def read_parquet_evolving(
     if target_schema is None:
         return spark.read.option("mergeSchema", "true").parquet(path)
     return spark.read.schema(target_schema).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_mb: int = 128,
+    mode: str = "error",
+) -> int:
+    """Small-file compaction — the landing-zone hygiene job: streaming
+    sinks and incremental loads leave thousands of KB-sized files, and
+    every downstream scan then pays per-file open/footer cost (and the
+    driver pays per-file listing). Rewrites ``src`` into
+    ``ceil(total_bytes / target_mb)`` files at ``dst`` and returns the
+    file count written.
+
+    The rewrite routes through ``repartition(n)`` — a round-robin
+    shuffle, deliberately: ``coalesce(n)`` would avoid the shuffle but
+    chains the narrow dependency upstream (n tasks READ too, killing
+    read parallelism) and inherits input skew into output files. Sizing
+    uses the INPUT bytes as the estimate for output bytes; same codec
+    in and out makes that close. At scale run per partition-directory
+    (compact yesterday's partition, not the whole table) — this
+    function is that single-directory step.
+    """
+    df = spark.read.parquet(src)
+    import math
+    import os
+
+    files = df.inputFiles()
+    local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
+    if len(local) == len(files) and local:
+        total = sum(os.path.getsize(f) for f in local)
+    else:  # non-local filesystem: fall back to Spark's relation estimate
+        total = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n = max(1, math.ceil(total / (target_mb << 20)))
+    df.repartition(n).write.mode(mode).parquet(dst)
+    return len(
+        [f for f in spark.read.parquet(dst).inputFiles()]
+    )

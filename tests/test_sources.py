@@ -286,3 +286,18 @@ def test_read_parquet_evolving_unions_and_conforms(spark, tmp_path):
     assert pinned.columns == ["id", "b", "c"]
     rows = {r["id"]: (r["b"], r["c"]) for r in pinned.collect()}
     assert rows == {1: (None, None), 2: (10, None)}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from pyspark_datacol_diff_spark.sources import compact_parquet
+
+    src = str(tmp_path / "frag")
+    # 20 tiny files
+    spark.range(2000).repartition(20).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 20
+    dst = str(tmp_path / "compact")
+    n_files = compact_parquet(spark, src, dst, target_mb=128)
+    assert n_files == 1
+    got = spark.read.parquet(dst)
+    assert got.count() == 2000
+    assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(2000))
