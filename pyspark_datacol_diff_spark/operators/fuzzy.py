@@ -100,8 +100,10 @@ def fuzzy_join_multi(
     stays selective — a phonetic code or sorted-token signature, NOT a
     length bucket (length buckets collapse to a handful of giant
     blocks at scale, re-creating the cross product blocking exists to
-    avoid). Distinct is on the full output row, so a pair found by
-    several passes emits once.
+    avoid). A pair found by several passes emits once: dedup keys on
+    every non-map output column (Spark set operations reject MapType;
+    two rows identical in all non-map columns are the same source
+    pair, so map attribute columns ride along untouched).
     """
     if blocks is None:
         blocks = [
@@ -116,4 +118,11 @@ def fuzzy_join_multi(
             left, right, left_col, right_col, max_dist=max_dist, block=bl
         )
         out = p if out is None else out.unionByName(p)
-    return out.distinct()
+    from pyspark.sql import types as T
+
+    dedup_cols = [
+        f.name
+        for f in out.schema.fields
+        if not isinstance(f.dataType, T.MapType)
+    ]
+    return out.dropDuplicates(dedup_cols)

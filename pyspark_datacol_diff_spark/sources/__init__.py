@@ -350,7 +350,8 @@ def compact_parquet(
     every downstream scan then pays per-file open/footer cost (and the
     driver pays per-file listing). Rewrites ``src`` into
     ``ceil(total_bytes / target_mb)`` files at ``dst`` and returns the
-    file count written.
+    file count present at ``dst`` after the write (== files written
+    for error/overwrite modes; append accumulates).
 
     The rewrite routes through ``repartition(n)`` — a round-robin
     shuffle, deliberately: ``coalesce(n)`` would avoid the shuffle but
@@ -361,18 +362,21 @@ def compact_parquet(
     (compact yesterday's partition, not the whole table) — this
     function is that single-directory step.
     """
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be positive, got {target_mb}")
     df = spark.read.parquet(src)
     import math
     import os
+    from urllib.parse import unquote, urlparse
 
     files = df.inputFiles()
-    local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
+    local = [
+        unquote(urlparse(f).path) for f in files if f.startswith("file:")
+    ]
     if len(local) == len(files) and local:
         total = sum(os.path.getsize(f) for f in local)
     else:  # non-local filesystem: fall back to Spark's relation estimate
         total = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n = max(1, math.ceil(total / (target_mb << 20)))
     df.repartition(n).write.mode(mode).parquet(dst)
-    return len(
-        [f for f in spark.read.parquet(dst).inputFiles()]
-    )
+    return len(spark.read.parquet(dst).inputFiles())

@@ -154,3 +154,15 @@ def test_multi_pass_empty_blocks_rejected(spark):
     left, right = _sides(spark)
     with pytest.raises(ValueError, match="blocks"):
         fuzzy_join_multi(left, right, "name", "cand", blocks=[])
+
+
+def test_multi_pass_handles_map_columns(spark):
+    from pyspark_datacol_diff_spark.operators.fuzzy import fuzzy_join_multi
+
+    left = spark.createDataFrame(
+        [("acme corp", {"tier": "gold"})], "name string, attrs map<string,string>"
+    )
+    right = spark.createDataFrame([("acme c0rp",)], "cand string")
+    rows = fuzzy_join_multi(left, right, "name", "cand", max_dist=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["attrs"] == {"tier": "gold"}

@@ -301,3 +301,17 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(dst)
     assert got.count() == 2000
     assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(2000))
+
+
+def test_compact_parquet_handles_spaces_and_rejects_bad_target(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark_datacol_diff_spark.sources import compact_parquet
+
+    src = str(tmp_path / "fr ag%dir")
+    spark.range(100).repartition(4).write.parquet(src)
+    dst = str(tmp_path / "out")
+    assert compact_parquet(spark, src, dst) == 1
+    assert spark.read.parquet(dst).count() == 100
+    with _pytest.raises(ValueError, match="target_mb"):
+        compact_parquet(spark, src, str(tmp_path / "out2"), target_mb=0)
