@@ -37,10 +37,16 @@ from .operators.diff import (
     suffix_columns,
     validate_schemas,
 )
+from .operators.fuzzy import fuzzy_join, fuzzy_join_multi
+from .operators.incremental import agg_state, merge_agg_states
 from .plans import scale_lint
 from .session import get_spark
 
 __all__ = [
+    "agg_state",
+    "fuzzy_join",
+    "fuzzy_join_multi",
+    "merge_agg_states",
     "DataColDiffError",
     "InvalidArgumentError",
     "PrimaryKeyError",
