@@ -3483,20 +3483,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
-        # --- new in round 3 (21), never driver-verified ---
-        "hopping_window_events": _q_hopping_window_events,
-        "ohlc_user_hourly": _q_ohlc_user_hourly,
-        "event_paths_users": _q_event_paths_users,
-        "incremental_rollup_events": _q_incremental_rollup_events,
-        "hll_rollup_events": _q_hll_rollup_events,
-        "streaming_sliding_windows": _q_streaming_sliding_windows,
-        "streaming_incremental_rollup": _q_streaming_incremental_rollup,
-        "variant_events_props": _q_variant_events_props,
+        # --- new in round 3 (21), never driver-verified; cheapest
+        # first, streaming replays last (hedging a time-budgeted
+        # window, same rationale as the block above) ---
         "moments_lineitem": _q_moments_lineitem,
         "drift_orders": _q_drift_orders,
         "fuzzy_join_part_names": _q_fuzzy_join_part_names,
+        "ohlc_user_hourly": _q_ohlc_user_hourly,
+        "hopping_window_events": _q_hopping_window_events,
+        "event_paths_users": _q_event_paths_users,
         "retention_cohorts_events": _q_retention_cohorts_events,
         "rfm_segments_events": _q_rfm_segments_events,
+        "incremental_rollup_events": _q_incremental_rollup_events,
+        "hll_rollup_events": _q_hll_rollup_events,
+        "variant_events_props": _q_variant_events_props,
         "cap_per_source_docs": _q_cap_per_source_docs,
         "token_rarity_docs": _q_token_rarity_docs,
         "change_intervals_events": _q_change_intervals_events,
@@ -3505,6 +3505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_orders": _q_merge_upsert_orders,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "streaming_dedup_events": _q_streaming_dedup_events,
+        "streaming_sliding_windows": _q_streaming_sliding_windows,
+        "streaming_incremental_rollup": _q_streaming_incremental_rollup,
         # --- last driver-verified in round 1 (21), cheapest first ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
