@@ -236,3 +236,69 @@ def drop_near_dups(
         df[id_col] == victims["node"],
         "left_anti",
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    authority score for link graphs (document citation/link dedup
+    prioritization, crawl frontier ordering). Deterministic by
+    construction: a fixed iteration count (no float-tolerance
+    convergence test) and per-node aggregation make the result stable
+    across partitionings up to float summation order.
+
+    Each round is the canonical two-shuffle dataflow: ranks join edges
+    on src (contribution = rank/out_degree routed to dst), then a
+    dst-keyed sum. Dangling nodes (no out-edges) keep receiving mass
+    but redistribute theirs uniformly via the standard
+    damping-complement term — total mass is NOT conserved under this
+    simplified treatment, which ranks identically but is cheaper than
+    the dangling-sum broadcast each round (documented trade: use the
+    full variant when absolute probabilities matter, not just order).
+    Lineage is truncated per round (localCheckpoint) like the
+    components loop — same iterative-Spark pitfall, same fix.
+
+    Returns ``(node, rank)`` — one row per node appearing anywhere in
+    the edge list.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges annotated once with out-degree; reused every round
+    ew = e.join(out_deg, "src").persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = ew.join(
+            ranks, ew["src"] == ranks["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ew.unpersist()
+    return ranks

@@ -130,3 +130,45 @@ def test_star_two_node_and_triangle(spark):
     )
     got = _comps(connected_components_star(edges))
     assert got == {5: 5, 9: 5, 1: 1, 2: 1, 3: 1}
+
+
+def test_pagerank_hand_computed_chain(spark):
+    from pyspark_datacol_diff_spark.operators.cluster import pagerank
+
+    # a -> b -> c, one iteration from uniform 1.0:
+    # rank(x) = 0.15 + 0.85 * sum(in-contribs); deg(a)=deg(b)=1
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    r = {x["node"]: x["rank"] for x in pagerank(e, iterations=1).collect()}
+    assert abs(r["a"] - 0.15) < 1e-12          # no in-edges
+    assert abs(r["b"] - (0.15 + 0.85 * 1.0)) < 1e-12
+    assert abs(r["c"] - (0.15 + 0.85 * 1.0)) < 1e-12
+
+
+def test_pagerank_authority_ordering_and_determinism(spark):
+    from pyspark_datacol_diff_spark.operators.cluster import pagerank
+
+    # star: everyone links to 'hub'; hub must outrank all, and two runs
+    # (different partitioning) agree. 30 rounds: the hub<->n0 cycle
+    # oscillates with period 2 and the amplitude decays as 0.85^2 per
+    # round, so the fixpoint ordering (hub ~4.2 > n0 ~3.7) needs the
+    # transient gone, not just a few rounds
+    edges = [(f"n{i}", "hub") for i in range(8)] + [("hub", "n0")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    r1 = {x["node"]: x["rank"] for x in pagerank(e, iterations=30).collect()}
+    r2 = {
+        x["node"]: x["rank"]
+        for x in pagerank(e.repartition(7), iterations=30).collect()
+    }
+    assert max(r1, key=r1.get) == "hub"
+    assert r1["hub"] > r1["n0"] > r1["n1"]  # n0 gets hub's mass too
+    assert set(r1) == set(r2)
+    for k in r1:
+        assert abs(r1[k] - r2[k]) < 1e-9
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    from pyspark_datacol_diff_spark.operators.cluster import pagerank
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(e, iterations=0)
