@@ -560,6 +560,130 @@ def _q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: suppliers whose quarterly revenue equals the
+    global maximum — the max-of-an-aggregate scalar subquery. The
+    revenue aggregate reduces lineitem to supplier grain (map-side
+    combined); the max is then an aggregate OVER that aggregate — a
+    1-row relation broadcast back as the filter (never a window over
+    all suppliers, which would single-partition the comparison). Ties
+    all surface, as in the spec. Revenue in exact DECIMAL e4 so the
+    equality join is integer-exact cross-engine. Supplier names attach
+    by broadcast at the very end, winners-only."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        (F.sum(amount) * 10000).cast("long").alias("total_revenue_e4")
+    )
+    mx = rev.agg(F.max("total_revenue_e4").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_e4") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+    )
+
+
+_SQL_Q15_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(5,4)))) * 10000 AS BIGINT)
+           AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+"""
+
+
+def _q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of AMERICA's ECONOMY-part
+    order volume per year — the conditional-aggregation ratio. Both the
+    CASE-gated numerator and the denominator come out of ONE aggregate
+    pass over the joined slice (never two scans or a self-join); dims
+    broadcast; the share itself is left to the caller as exact e4
+    integer numerator/denominator, because emitting the float division
+    would hash-drift cross-engine. Year extraction groups the pruned
+    order slice, pushed predicates on date/type/region."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_cust = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    sliced = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cust_nk"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("supp_nk"))
+    )
+    return sliced.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", amount).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            ))
+            * 10000
+        )
+        .cast("long")
+        .alias("nation3_volume_e4"),
+        (F.sum(amount) * 10000).cast("long").alias("total_volume_e4"),
+    )
+
+
+_SQL_Q8_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(5,4)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT)
+         AS nation3_volume_e4,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(5,4)))) * 10000 AS BIGINT)
+         AS total_volume_e4
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+GROUP BY 1
+"""
+
+
 def _q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue from orders where the customer and the
     line's supplier sit in the same ASIA nation, one order-year slice.
@@ -3448,8 +3572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
     a window of entries from the FRONT (r2 covered exactly the first
     50), so entries are sequenced by how much driver-visible evidence
-    they still need — all 48 queries never driver-checked first (the 27
-    dark after r2, cheapest first, then the 21 round-3 additions), so a
+    they still need — all 50 queries never driver-checked first (the 27
+    dark after r2, cheapest first, then the 23 round-3 additions), so a
     50-count window covers every one of them; then those last checked
     in round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
     CORRECTNESS_r{N} files change.
@@ -3483,9 +3607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
-        # --- new in round 3 (21), never driver-verified; cheapest
+        # --- new in round 3 (23), never driver-verified; cheapest
         # first, streaming replays last (hedging a time-budgeted
         # window, same rationale as the block above) ---
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q8_market_share": _q_q8_market_share,
         "moments_lineitem": _q_moments_lineitem,
         "drift_orders": _q_drift_orders,
         "fuzzy_join_part_names": _q_fuzzy_join_part_names,
@@ -4415,6 +4541,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "fuzzy_join_part_names": _SQL_FUZZY_JOIN_PART_NAMES,
         "retention_cohorts_events": _SQL_RETENTION_COHORTS_EVENTS,
         "rfm_segments_events": _SQL_RFM_SEGMENTS_EVENTS,
+        "q15_top_supplier": _SQL_Q15_TOP_SUPPLIER,
+        "q8_market_share": _SQL_Q8_MARKET_SHARE,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

@@ -442,3 +442,21 @@ def test_rfm_fences_broadcast_never_global_sort(qs, spark):
     plan = P.physical_plan(df)
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row fences join
+
+
+def test_q15_max_is_broadcast_scalar_not_window(qs, spark):
+    df = qs["q15_top_supplier"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "Window" not in plan  # max-of-agg via 1-row broadcast, not rank
+    # Catalyst turns the crossJoin+equality into a broadcast HASH join
+    # keyed on the revenue value — 1-row build side, no nested loop
+    assert plan.count("BroadcastExchange") >= 2  # max row + supplier dim
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_single_aggregate_pass_all_dims_broadcast(qs, spark):
+    df = qs["q8_market_share"](spark, SF)
+    plan = P.physical_plan(df)
+    # numerator and denominator come from ONE aggregate over the slice
+    assert plan.count("BroadcastHashJoin") >= 5
+    P.assert_filter_pushed(df, "p_type")
