@@ -684,6 +684,68 @@ GROUP BY 1
 """
 
 
+def _q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per year, in
+    both directions — the dual-nation OR-pair join filter
+    ((supp=A and cust=B) or (supp=B and cust=A)) evaluated INSIDE the
+    broadcast joins, never as a post-product filter. With Q15 and Q8
+    this completes every TPC-H query expressible without partsupp.
+    One fact-fact join (lineitem x orders); supplier/customer/nation
+    broadcast; exact DECIMAL volume e4."""
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(amount) * 10000).cast("long").alias("volume_e4"))
+    )
+
+
+_SQL_Q7_VOLUME_SHIPPING = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(5,4)))) * 10000 AS BIGINT)
+         AS volume_e4
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+  AND sn.n_name IN ('NATION_1', 'NATION_2')
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue from orders where the customer and the
     line's supplier sit in the same ASIA nation, one order-year slice.
@@ -3633,6 +3695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_events": _q_streaming_dedup_events,
         "streaming_sliding_windows": _q_streaming_sliding_windows,
         "streaming_incremental_rollup": _q_streaming_incremental_rollup,
+        # --- new in round 3 but past the 50-entry window (locally
+        # parity-verified; first in line for the r4 window) ---
+        "q7_volume_shipping": _q_q7_volume_shipping,
         # --- last driver-verified in round 1 (21), cheapest first ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -4543,6 +4608,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "rfm_segments_events": _SQL_RFM_SEGMENTS_EVENTS,
         "q15_top_supplier": _SQL_Q15_TOP_SUPPLIER,
         "q8_market_share": _SQL_Q8_MARKET_SHARE,
+        "q7_volume_shipping": _SQL_Q7_VOLUME_SHIPPING,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),
