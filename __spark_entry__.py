@@ -684,6 +684,53 @@ GROUP BY 1
 """
 
 
+def _q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: part pairs co-occurring in >= 2
+    orders. The scalable shape is basket-explode, NOT a fact self-join:
+    each order reduces to its sorted distinct item array (one
+    order-keyed shuffle with map-side combine), ordered pairs (i < j)
+    come from a per-row nested `transform` over that array (no second
+    shuffle, no items x items join), and the pair counts hash-aggregate
+    on the pair key. Per-row work is quadratic in BASKET size — fine
+    for order-shaped baskets (max 11 here); web-session baskets need a
+    hot-basket cap (slice the array, same move as ngram_jaccard's
+    max_df) before the pair expansion. The DuckDB oracle takes the
+    classic self-join route — two independent formulations agreeing is
+    the point."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("s")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(s, (x, i) -> "
+                "transform(slice(s, i + 2, size(s)), "
+                "y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    )
+    return (
+        pairs.select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+_SQL_COPURCHASE_PAIRS = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT p1, p2, count(*) AS n_orders
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def _q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations per year, in
     both directions — the dual-nation OR-pair join filter
@@ -3698,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 3 but past the 50-entry window (locally
         # parity-verified; first in line for the r4 window) ---
         "q7_volume_shipping": _q_q7_volume_shipping,
+        "copurchase_pairs_lineitem": _q_copurchase_pairs,
         # --- last driver-verified in round 1 (21), cheapest first ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -4609,6 +4657,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "q15_top_supplier": _SQL_Q15_TOP_SUPPLIER,
         "q8_market_share": _SQL_Q8_MARKET_SHARE,
         "q7_volume_shipping": _SQL_Q7_VOLUME_SHIPPING,
+        "copurchase_pairs_lineitem": _SQL_COPURCHASE_PAIRS,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

@@ -460,3 +460,12 @@ def test_q8_single_aggregate_pass_all_dims_broadcast(qs, spark):
     # numerator and denominator come from ONE aggregate over the slice
     assert plan.count("BroadcastHashJoin") >= 5
     P.assert_filter_pushed(df, "p_type")
+
+
+def test_copurchase_is_basket_explode_not_self_join(qs, spark):
+    # pair generation must be the per-row array expansion: exactly the
+    # basket-build shuffle + the pair-count shuffle, no items x items join
+    df = qs["copurchase_pairs_lineitem"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "Join" not in plan
+    P.assert_max_shuffles(df, 3)  # distinct, basket agg, pair agg
