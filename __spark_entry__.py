@@ -2110,6 +2110,62 @@ def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conversion_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: every purchase paired (as-of) with
+    the user's most recent prior-or-simultaneous view, then the
+    view->purchase latency distribution per signup cohort half — the
+    composition every growth report runs (as-of pairing feeding
+    ordered-set aggregates). Latencies are exact integer seconds
+    (floored epoch delta), percentiles are percentile_disc picks of
+    actual elements, so the whole report is integer-exact cross-engine.
+    Plan: one as-of shuffle + one grouping aggregate — no range-join
+    pair blow-up, no window over the full event log."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    j = ASOF.asof_join(
+        purchases, views, ["user_id"], "ts", "ts", ["ts"], suffix="_view"
+    ).filter(F.col("ts_view").isNotNull())
+    lat = j.select(
+        (F.col("user_id") % 2).alias("cohort_half"),
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("ts_view").cast("timestamp"))
+        ).alias("latency_s"),
+    )
+    return lat.groupBy("cohort_half").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_s)")
+        .cast("long")
+        .alias("p50_s"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_s)")
+        .cast("long")
+        .alias("p90_s"),
+    )
+
+
+_SQL_CONVERSION_LATENCY_EVENTS = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+), paired AS (
+  SELECT p.user_id,
+         CAST(floor(epoch(p.ts)) AS BIGINT)
+           - CAST(floor(epoch(v.ts)) AS BIGINT) AS latency_s
+  FROM p ASOF JOIN v
+    ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT user_id % 2 AS cohort_half,
+       count(*) AS n_conversions,
+       CAST(quantile_disc(latency_s, 0.5) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(latency_s, 0.9) AS BIGINT) AS p90_s
+FROM paired GROUP BY 1
+"""
+
+
 def _q_range_join_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded range join: every (click, error) pair for the same user
     where the error happened in the 10 minutes before the click. Binned
@@ -3746,6 +3802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity-verified; first in line for the r4 window) ---
         "q7_volume_shipping": _q_q7_volume_shipping,
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
+        "conversion_latency_events": _q_conversion_latency_events,
         # --- last driver-verified in round 1 (21), cheapest first ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -4658,6 +4715,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "q8_market_share": _SQL_Q8_MARKET_SHARE,
         "q7_volume_shipping": _SQL_Q7_VOLUME_SHIPPING,
         "copurchase_pairs_lineitem": _SQL_COPURCHASE_PAIRS,
+        "conversion_latency_events": _SQL_CONVERSION_LATENCY_EVENTS,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),
