@@ -687,19 +687,20 @@ GROUP BY 1
 def _q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: part pairs co-occurring in >= 2
     orders. The scalable shape is basket-explode, NOT a fact self-join:
-    each order reduces to its sorted distinct item array (one
-    order-keyed shuffle with map-side combine), ordered pairs (i < j)
-    come from a per-row nested `transform` over that array (no second
-    shuffle, no items x items join), and the pair counts hash-aggregate
-    on the pair key. Per-row work is quadratic in BASKET size — fine
+    each order reduces to its sorted distinct item array (ONE
+    order-keyed shuffle — collect_set deduplicates per order with
+    map-side partial sets, so no separate distinct pass), ordered
+    pairs (i < j) come from a per-row nested `transform` over that
+    array (no second shuffle, no items x items join), and the pair
+    counts hash-aggregate on the pair key. Per-row work is quadratic
+    in BASKET size — fine
     for order-shaped baskets (max 11 here); web-session baskets need a
     hot-basket cap (slice the array, same move as ngram_jaccard's
     max_df) before the pair expansion. The DuckDB oracle takes the
     classic self-join route — two independent formulations agreeing is
     the point."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = items.groupBy("l_orderkey").agg(
+    baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("s")
     )
     pairs = baskets.select(
@@ -2113,9 +2114,11 @@ def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_conversion_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel latency distribution: every purchase paired (as-of) with
     the user's most recent prior-or-simultaneous view, then the
-    view->purchase latency distribution per signup cohort half — the
-    composition every growth report runs (as-of pairing feeding
-    ordered-set aggregates). Latencies are exact integer seconds
+    view->purchase latency distribution per user-id-parity half — a
+    stand-in grouping that keeps the report two-rowed and
+    deterministic (real cohort analysis keys on first-activity week,
+    see retention_cohorts_events) — the composition every growth
+    report runs (as-of pairing feeding ordered-set aggregates). Latencies are exact integer seconds
     (floored epoch delta), percentiles are percentile_disc picks of
     actual elements, so the whole report is integer-exact cross-engine.
     Plan: one as-of shuffle + one grouping aggregate — no range-join
@@ -3737,10 +3740,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
     a window of entries from the FRONT (r2 covered exactly the first
     50), so entries are sequenced by how much driver-visible evidence
-    they still need — all 50 queries never driver-checked first (the 27
-    dark after r2, cheapest first, then the 23 round-3 additions), so a
-    50-count window covers every one of them; then those last checked
-    in round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
+    they still need — 50 never-driver-checked queries first (the 27
+    dark after r2, cheapest first, then 23 round-3 additions), filling
+    a 50-count window exactly; the 4 round-3 additions made after the
+    window filled sit immediately past it (locally parity-verified,
+    first in line for the r4 window); then those last checked in
+    round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
     CORRECTNESS_r{N} files change.
     """
     return {

@@ -272,33 +272,40 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    # node set and degree-annotated edges are reused EVERY round:
+    # persist both, and unpersist in a finally so a failed iteration
+    # (executor loss, skew OOM) doesn't leave them pinned for the
+    # session's lifetime
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # edges annotated once with out-degree; reused every round
     ew = e.join(out_deg, "src").persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
-        contribs = ew.join(
-            ranks, ew["src"] == ranks["node"]
-        ).select(
-            F.col("dst").alias("node"),
-            (F.col("rank") / F.col("deg")).alias("c"),
-        )
-        summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
-                ).alias("rank"),
+    try:
+        ranks = nodes.withColumn("rank", F.lit(1.0))
+        for _ in range(iterations):
+            contribs = ew.join(
+                ranks, ew["src"] == ranks["node"]
+            ).select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
             )
-            .localCheckpoint(eager=True)
-        )
-    ew.unpersist()
+            summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = (
+                nodes.join(summed, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        ew.unpersist()
+        nodes.unpersist()
     return ranks

@@ -464,8 +464,9 @@ def test_q8_single_aggregate_pass_all_dims_broadcast(qs, spark):
 
 def test_copurchase_is_basket_explode_not_self_join(qs, spark):
     # pair generation must be the per-row array expansion: exactly the
-    # basket-build shuffle + the pair-count shuffle, no items x items join
+    # basket-build shuffle + the pair-count shuffle, no items x items
+    # join and no separate distinct pass (collect_set dedups per order)
     df = qs["copurchase_pairs_lineitem"](spark, SF)
     plan = P.physical_plan(df)
     assert "Join" not in plan
-    P.assert_max_shuffles(df, 3)  # distinct, basket agg, pair agg
+    P.assert_max_shuffles(df, 2)  # basket agg, pair agg
