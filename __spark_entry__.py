@@ -732,6 +732,58 @@ FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def _q_order_backlog_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting by differencing: how many orders
+    were OPEN (placed, not yet fully shipped) in each week — every
+    order contributes +1 at its open week and -1 the week after its
+    last shipment, and the running sum of weekly deltas is the backlog
+    curve. The running sum uses operators/incremental.py:running_total
+    — the two-phase distributed prefix sum (year-bucketed local window
+    + driver-gathered bucket offsets) — so there is NO single-partition
+    global window anywhere (the linter-error shape this operator
+    exists to replace). Deltas are grain-sized (two rows per order,
+    aggregated to weeks) before any window sees them."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    b = o.join(close, F.col("o_orderkey") == F.col("l_orderkey"))
+    deltas = b.select(
+        F.date_trunc("week", "o_orderdate").alias("wk"), F.lit(1).alias("d")
+    ).unionByName(
+        b.select(
+            (F.date_trunc("week", "last_ship") + F.expr("INTERVAL 7 DAYS")).alias(
+                "wk"
+            ),
+            F.lit(-1).alias("d"),
+        )
+    )
+    weekly = deltas.groupBy("wk").agg(F.sum("d").alias("d"))
+    out = INC.running_total(
+        weekly, "wk", "d", bucket=F.year("wk"), out_col="open_orders"
+    )
+    return out.select("wk", F.col("open_orders").cast("long").alias("open_orders"))
+
+
+_SQL_ORDER_BACKLOG_WEEKLY = """
+WITH b AS (
+  SELECT o_orderkey, date_trunc('week', o_orderdate) AS wopen,
+         date_trunc('week', max(l_shipdate)) + INTERVAL 7 DAY AS wclose
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderdate
+), d AS (
+  SELECT wopen AS wk, 1 AS d FROM b
+  UNION ALL
+  SELECT wclose AS wk, -1 AS d FROM b
+), weekly AS (
+  SELECT wk, sum(d) AS d FROM d GROUP BY wk
+)
+SELECT wk,
+       CAST(sum(d) OVER (ORDER BY wk ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_orders
+FROM weekly
+"""
+
+
 def _q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations per year, in
     both directions — the dual-nation OR-pair join filter
@@ -3742,7 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50), so entries are sequenced by how much driver-visible evidence
     they still need — 50 never-driver-checked queries first (the 27
     dark after r2, cheapest first, then 23 round-3 additions), filling
-    a 50-count window exactly; the 4 round-3 additions made after the
+    a 50-count window exactly; the 5 round-3 additions made after the
     window filled sit immediately past it (locally parity-verified,
     first in line for the r4 window); then those last checked in
     round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
@@ -3808,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": _q_q7_volume_shipping,
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
         "conversion_latency_events": _q_conversion_latency_events,
+        "order_backlog_weekly": _q_order_backlog_weekly,
         # --- last driver-verified in round 1 (21), cheapest first ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -4721,6 +4774,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "q7_volume_shipping": _SQL_Q7_VOLUME_SHIPPING,
         "copurchase_pairs_lineitem": _SQL_COPURCHASE_PAIRS,
         "conversion_latency_events": _SQL_CONVERSION_LATENCY_EVENTS,
+        "order_backlog_weekly": _SQL_ORDER_BACKLOG_WEEKLY,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

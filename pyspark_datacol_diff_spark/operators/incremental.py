@@ -110,3 +110,56 @@ def merge_agg_states(
             for out, (_, fn) in aggs.items()
         ]
     )
+
+
+def running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    bucket,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Distributed prefix sum — the scale-honest running total. A
+    global ``Window.orderBy`` funnels the whole dataset through ONE
+    task (the scale linter flags it as an error); this is the standard
+    two-phase alternative, the same dataflow as GPU/MPI scan:
+
+    1. partition the window by a coarse ``bucket`` Column that is
+       monotone non-decreasing in ``order_col`` (year of a date, epoch
+       day of a timestamp) — each bucket computes its LOCAL prefix sums
+       in parallel;
+    2. gather the per-bucket totals to the driver — one row per bucket,
+       a bounded summary (the repo's collect policy), ordered there
+       into cumulative offsets;
+    3. add each row's bucket offset back as a literal CASE projection —
+       no second shuffle, no single-partition window, no nested-loop
+       join.
+
+    The caller owns the monotonicity contract (bucket boundaries must
+    align with ``order_col`` order across buckets — a hash bucket would
+    interleave and the offsets would be wrong). NULL ``value_col`` rows
+    contribute nothing, as in SUM OVER.
+    """
+    b = df.withColumn("__pb", bucket)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__pb")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("__loc", F.sum(value_col).over(w))
+    totals = sorted(
+        (r["__pb"], r["t"])
+        for r in b.groupBy("__pb").agg(F.sum(value_col).alias("t")).collect()
+    )
+    offset_of: dict = {}
+    acc = 0
+    for key, t in totals:
+        offset_of[key] = acc
+        acc += t or 0
+    expr = F.lit(0)
+    for key, off in offset_of.items():
+        expr = F.when(F.col("__pb") == F.lit(key), F.lit(off)).otherwise(expr)
+    return local.withColumn(out_col, F.col("__loc") + expr).drop("__pb", "__loc")

@@ -187,3 +187,37 @@ def test_any_partition_merges_to_direct_state(spark, rows, assignment):
     ]
     merged = merge_agg_states(states, ["key"], aggs)
     assert _rows(merged) == _rows(direct)
+
+
+def test_running_total_equals_global_window(spark):
+    from pyspark.sql import Window
+
+    from pyspark_datacol_diff_spark.operators.incremental import running_total
+
+    df = spark.createDataFrame(
+        [(d, v) for d, v in zip(range(100), [(-1) ** i * i for i in range(100)])],
+        "pos long, delta long",
+    )
+    got = running_total(
+        df, "pos", "delta", bucket=(F.col("pos") / 10).cast("long")
+    )
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("running_total", F.sum("delta").over(w))
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+
+def test_running_total_plan_has_no_single_partition_window(spark):
+    from pyspark_datacol_diff_spark import plans as P
+    from pyspark_datacol_diff_spark.operators.incremental import running_total
+
+    df = spark.range(50).select(
+        F.col("id").alias("pos"), (F.col("id") % 7).alias("delta")
+    )
+    got = running_total(
+        df, "pos", "delta", bucket=(F.col("pos") / 10).cast("long")
+    )
+    assert not [
+        f for f in P.scale_lint(got) if f["code"] == "global_window"
+    ]
