@@ -38,7 +38,7 @@ from .operators.diff import (
     validate_schemas,
 )
 from .operators.fuzzy import fuzzy_join, fuzzy_join_multi
-from .operators.incremental import agg_state, merge_agg_states
+from .operators.incremental import agg_state, merge_agg_states, running_total
 from .plans import scale_lint
 from .session import get_spark
 
@@ -47,6 +47,7 @@ __all__ = [
     "fuzzy_join",
     "fuzzy_join_multi",
     "merge_agg_states",
+    "running_total",
     "DataColDiffError",
     "InvalidArgumentError",
     "PrimaryKeyError",
