@@ -39,6 +39,7 @@ from pyspark_datacol_diff_spark.operators import text as TX
 from pyspark_datacol_diff_spark.operators import cluster as CC
 from pyspark_datacol_diff_spark.operators import incremental as INC
 from pyspark_datacol_diff_spark.operators import fuzzy as FZ
+from pyspark_datacol_diff_spark.operators import quality as QA
 from pyspark_datacol_diff_spark.operators import corpus as CP
 
 
@@ -729,6 +730,51 @@ pairs AS (
 )
 SELECT p1, p2, count(*) AS n_orders
 FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _q_dq_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (operators/quality.py): five
+    named row-level rules over orders evaluated in ONE map-combined
+    aggregate over one scan — never a job per rule (the reference's
+    n-jobs summary anti-pattern, fixed the same way its diff summary
+    was). NULL predicate results count as violations. Includes a rule
+    that genuinely fails (custkeys below 500) so the report exercises
+    both outcomes; cross-row rules (uniqueness, referential) reuse the
+    engine's keyed/anti-join shapes instead of hiding shuffles here."""
+    o = _t(spark, sf_dir, "orders")
+    rules = {
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "orderdate_in_range": (F.col("o_orderdate") >= "1990-01-01")
+        & (F.col("o_orderdate") < "2010-01-01"),
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_not_null": F.col("o_orderpriority").isNotNull(),
+        "custkey_below_500": F.col("o_custkey") < F.lit(500),
+    }
+    return QA.check_rules(o, rules)
+
+
+_SQL_DQ_RULES_ORDERS = """
+WITH a AS (
+  SELECT count(*) AS n_rows,
+    SUM(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS v0,
+    SUM(CASE WHEN coalesce(o_orderdate >= '1990-01-01'
+                           AND o_orderdate < '2010-01-01', FALSE)
+             THEN 0 ELSE 1 END) AS v1,
+    SUM(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+             THEN 0 ELSE 1 END) AS v2,
+    SUM(CASE WHEN o_orderpriority IS NOT NULL THEN 0 ELSE 1 END) AS v3,
+    SUM(CASE WHEN coalesce(o_custkey < 500, FALSE) THEN 0 ELSE 1 END) AS v4
+  FROM orders
+)
+SELECT r.rule, a.n_rows, r.n_violations, r.n_violations = 0 AS passed
+FROM a, (
+  SELECT 'totalprice_positive' AS rule, v0 AS n_violations FROM a
+  UNION ALL SELECT 'orderdate_in_range', v1 FROM a
+  UNION ALL SELECT 'status_known', v2 FROM a
+  UNION ALL SELECT 'priority_not_null', v3 FROM a
+  UNION ALL SELECT 'custkey_below_500', v4 FROM a
+) r
 """
 
 
@@ -3794,7 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50), so entries are sequenced by how much driver-visible evidence
     they still need — 50 never-driver-checked queries first (the 27
     dark after r2, cheapest first, then 23 round-3 additions), filling
-    a 50-count window exactly; the 5 round-3 additions made after the
+    a 50-count window exactly; the 6 round-3 additions made after the
     window filled sit immediately past it (locally parity-verified,
     first in line for the r4 window); then those last checked in
     round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
@@ -3861,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
         "conversion_latency_events": _q_conversion_latency_events,
         "order_backlog_weekly": _q_order_backlog_weekly,
+        "dq_rules_orders": _q_dq_rules_orders,
         # --- last driver-verified in round 1 (21), cheapest first ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -4775,6 +4822,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "copurchase_pairs_lineitem": _SQL_COPURCHASE_PAIRS,
         "conversion_latency_events": _SQL_CONVERSION_LATENCY_EVENTS,
         "order_backlog_weekly": _SQL_ORDER_BACKLOG_WEEKLY,
+        "dq_rules_orders": _SQL_DQ_RULES_ORDERS,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

@@ -39,6 +39,7 @@ from .operators.diff import (
 )
 from .operators.fuzzy import fuzzy_join, fuzzy_join_multi
 from .operators.incremental import agg_state, merge_agg_states, running_total
+from .operators.quality import check_rules
 from .plans import scale_lint
 from .session import get_spark
 
@@ -48,6 +49,7 @@ __all__ = [
     "fuzzy_join_multi",
     "merge_agg_states",
     "running_total",
+    "check_rules",
     "DataColDiffError",
     "InvalidArgumentError",
     "PrimaryKeyError",

@@ -1,0 +1,61 @@
+"""Declarative data-quality checks — one pass, one aggregate.
+
+The dbt-test / Deequ-shaped contract: a dict of named row-level rules
+(Column predicates that are TRUE when the row is healthy) evaluated in
+a SINGLE map-side-combined aggregate over one scan, whatever the rule
+count — never one job per rule (the reference library's n-jobs-for-n
+counts anti-pattern, rebuilt here the same way its diff summary was).
+NULL predicate results count as violations: an unevaluable rule is a
+failing rule, the conservative read.
+
+Row-level rules only. Cross-row rules reuse the engine's existing
+shapes instead of hiding a shuffle in a "rule": uniqueness is
+``dedup.exact_dedup_groups`` / a keyed count, referential integrity is
+a broadcast anti join (``join_anti_customers``), distribution checks
+are :func:`~pyspark_datacol_diff_spark.operators.diff.distribution_drift`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate every rule over one scan; returns one row per rule:
+    ``(rule, n_rows, n_violations, passed)``.
+
+    The single aggregate emits a per-rule violation count (sum of the
+    inverted, null-is-violation predicate) plus the row count; the
+    per-rule rows come from a stack() over that ONE result row —
+    grain-sized, no second scan. ``passed`` is ``n_violations == 0``.
+    """
+    if not rules:
+        raise ValueError("rules must name at least one predicate")
+    bad = [n for n in rules if "'" in n or "\\" in n or "\n" in n]
+    if bad:
+        raise ValueError(
+            f"rule names must not contain quotes/backslashes/newlines "
+            f"(they are embedded in a stack() literal): {bad}"
+        )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (name, pred) in enumerate(rules.items()):
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+            ).alias(f"__v{i}")
+        )
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{name}', __v{i}" for i, name in enumerate(rules)
+    )
+    stacked = one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"),
+    )
+    return stacked.select(
+        "rule",
+        "n_rows",
+        F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
+        (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
+    )

@@ -1,0 +1,65 @@
+"""Declarative data-quality checks: one-pass semantics, NULL-as-
+violation, empty-table vacuous pass, name validation, plan shape."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark_datacol_diff_spark.operators.quality import check_rules
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, None), (-3, "c"), (None, "d")], "x long, s string"
+    )
+
+
+def test_counts_and_null_is_violation(spark):
+    rows = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in check_rules(
+            _df(spark),
+            {
+                "x_positive": F.col("x") > 0,  # -3 fails, NULL x fails
+                "s_not_null": F.col("s").isNotNull(),
+                "always": F.lit(True),
+            },
+        ).collect()
+    }
+    assert rows == {
+        "x_positive": (4, 2, False),
+        "s_not_null": (4, 1, False),
+        "always": (4, 0, True),
+    }
+
+
+def test_empty_table_passes_vacuously(spark):
+    rows = check_rules(
+        spark.createDataFrame([], "x long"), {"pos": F.col("x") > 0}
+    ).collect()
+    assert [(r["n_rows"], r["n_violations"], r["passed"]) for r in rows] == [
+        (0, 0, True)
+    ]
+
+
+def test_rejects_empty_and_quoted_names(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        check_rules(_df(spark), {})
+    with pytest.raises(ValueError, match="quotes"):
+        check_rules(_df(spark), {"bad'name": F.lit(True)})
+
+
+def test_single_scan_whatever_the_rule_count(spark):
+    from pyspark_datacol_diff_spark import plans as P
+
+    df = _df(spark)
+    out = check_rules(
+        df, {f"r{i}": F.col("x") > i for i in range(12)}
+    )
+    plan = P.physical_plan(out)
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
+    assert "Join" not in plan
