@@ -138,28 +138,51 @@ def running_total(
 
     The caller owns the monotonicity contract (bucket boundaries must
     align with ``order_col`` order across buckets — a hash bucket would
-    interleave and the offsets would be wrong). NULL ``value_col`` rows
-    contribute nothing, as in SUM OVER.
+    interleave and the offsets would be wrong); a NULL bucket key has
+    no position in that order and is rejected. Ties in ``order_col``
+    use SQL's default RANGE frame semantics — tied rows all carry the
+    cumulative sum INCLUDING every tie, deterministically — not the
+    arbitrary tie attribution of a ROWS frame. NULL ``value_col`` rows
+    contribute nothing, as in SUM OVER. The windowed intermediate is
+    persisted (both the offsets gather and the result read it — the
+    repo's branch-point convention); it unpins on the session's next
+    ``spark.catalog.clearCache()`` or GC.
     """
-    b = df.withColumn("__pb", bucket)
     from pyspark.sql import Window
 
+    reserved = {"__pb", "__loc"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input already has reserved column(s) {sorted(reserved)}; "
+            "rename them before running_total"
+        )
+    b = df.withColumn("__pb", bucket)
     w = (
         Window.partitionBy("__pb")
         .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = b.withColumn("__loc", F.sum(value_col).over(w))
-    totals = sorted(
+    local = b.withColumn("__loc", F.sum(value_col).over(w)).persist()
+    totals = [
         (r["__pb"], r["t"])
-        for r in b.groupBy("__pb").agg(F.sum(value_col).alias("t")).collect()
-    )
+        for r in local.groupBy("__pb").agg(F.sum(value_col).alias("t")).collect()
+    ]
+    if any(k is None for k, _ in totals):
+        local.unpersist()
+        raise ValueError(
+            "bucket produced NULL keys: a NULL bucket has no position in "
+            "the order_col ordering — filter or coalesce such rows first"
+        )
     offset_of: dict = {}
     acc = 0
-    for key, t in totals:
+    for key, t in sorted(totals):
         offset_of[key] = acc
         acc += t or 0
-    expr = F.lit(0)
-    for key, off in offset_of.items():
-        expr = F.when(F.col("__pb") == F.lit(key), F.lit(off)).otherwise(expr)
-    return local.withColumn(out_col, F.col("__loc") + expr).drop("__pb", "__loc")
+    # constant-depth literal map lookup — a CASE chain would nest
+    # n_buckets deep and break Catalyst on fine-grained buckets
+    lookup = F.create_map(
+        *[F.lit(x) for kv in offset_of.items() for x in kv]
+    )
+    return local.withColumn(
+        out_col, F.col("__loc") + lookup[F.col("__pb")]
+    ).drop("__pb", "__loc")

@@ -27,35 +27,27 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
 
     The single aggregate emits a per-rule violation count (sum of the
     inverted, null-is-violation predicate) plus the row count; the
-    per-rule rows come from a stack() over that ONE result row —
-    grain-sized, no second scan. ``passed`` is ``n_violations == 0``.
+    per-rule rows come from unpivoting that ONE result row —
+    grain-sized, no second scan, and rule names are ordinary column
+    aliases (any string works — nothing is spliced into SQL text).
+    ``passed`` is ``n_violations == 0``.
     """
     if not rules:
         raise ValueError("rules must name at least one predicate")
-    bad = [n for n in rules if "'" in n or "\\" in n or "\n" in n]
-    if bad:
-        raise ValueError(
-            f"rule names must not contain quotes/backslashes/newlines "
-            f"(they are embedded in a stack() literal): {bad}"
-        )
+    if "__n" in rules:
+        raise ValueError("'__n' is reserved for the row count")
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for i, (name, pred) in enumerate(rules.items()):
+    for name, pred in rules.items():
         aggs.append(
             F.sum(
                 F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
-            ).alias(f"__v{i}")
+            ).alias(name)
         )
     one = df.agg(*aggs)
-    pairs = ", ".join(
-        f"'{name}', __v{i}" for i, name in enumerate(rules)
-    )
-    stacked = one.select(
-        F.col("__n").alias("n_rows"),
-        F.expr(f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"),
-    )
-    return stacked.select(
+    long = one.unpivot(["__n"], list(rules), "rule", "n_violations")
+    return long.select(
         "rule",
-        "n_rows",
+        F.col("__n").alias("n_rows"),
         F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
         (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
     )

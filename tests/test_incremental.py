@@ -221,3 +221,31 @@ def test_running_total_plan_has_no_single_partition_window(spark):
     assert not [
         f for f in P.scale_lint(got) if f["code"] == "global_window"
     ]
+
+
+def test_running_total_ties_use_range_semantics(spark):
+    from pyspark_datacol_diff_spark.operators.incremental import running_total
+
+    # SQL-default RANGE frame: tied order keys all carry the cumulative
+    # sum INCLUDING every tie — deterministic whatever partition order
+    df = spark.createDataFrame(
+        [(1, 10), (2, 1), (2, 2), (3, 100)], "pos long, delta long"
+    )
+    got = {
+        (r["pos"], r["delta"]): r["running_total"]
+        for r in running_total(
+            df, "pos", "delta", bucket=F.lit(0)
+        ).collect()
+    }
+    assert got == {(1, 10): 10, (2, 1): 13, (2, 2): 13, (3, 100): 113}
+
+
+def test_running_total_rejects_null_bucket_and_reserved_cols(spark):
+    from pyspark_datacol_diff_spark.operators.incremental import running_total
+
+    df = spark.createDataFrame([(1, 1), (None, 2)], "pos long, delta long")
+    with pytest.raises(ValueError, match="NULL"):
+        running_total(df, "pos", "delta", bucket=F.col("pos"))
+    bad = df.withColumn("__pb", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        running_total(bad, "pos", "delta", bucket=F.lit(0))

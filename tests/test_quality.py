@@ -46,11 +46,20 @@ def test_empty_table_passes_vacuously(spark):
     ]
 
 
-def test_rejects_empty_and_quoted_names(spark):
+def test_rejects_empty_rules_and_reserved_name(spark):
     with pytest.raises(ValueError, match="at least one"):
         check_rules(_df(spark), {})
-    with pytest.raises(ValueError, match="quotes"):
-        check_rules(_df(spark), {"bad'name": F.lit(True)})
+    with pytest.raises(ValueError, match="reserved"):
+        check_rules(_df(spark), {"__n": F.lit(True)})
+
+
+def test_arbitrary_rule_names_including_quotes(spark):
+    # names are column aliases, never SQL text — apostrophes work
+    rows = check_rules(
+        _df(spark), {"customer's id present": F.col("x").isNotNull()}
+    ).collect()
+    assert rows[0]["rule"] == "customer's id present"
+    assert rows[0]["n_violations"] == 1
 
 
 def test_single_scan_whatever_the_rule_count(spark):
