@@ -733,6 +733,68 @@ FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def _q_user_trend_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise linear regression via moments — the churn-feature
+    shape: each user's weekly activity counts fit a least-squares line,
+    emitted as the slope's EXACT integer numerator/denominator
+    (slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2); both terms are
+    translation-invariant in x, so absolute epoch-week indexes work
+    with no per-user centering pass). Two hash aggregates total —
+    (user, week) counts, then per-user moment sums — no window, no
+    join; the float division is the caller's, so the report is
+    integer-exact cross-engine. Users active a single week emit
+    slope_den = 0 (undefined trend, explicit not NULL-ish)."""
+    e = _t(spark, sf_dir, "events")
+    wk_x = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.lit("1970-01-05"))
+        / 7
+    ).cast("long")
+    weekly = (
+        e.select("user_id", wk_x.alias("x"))
+        .groupBy("user_id", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    m = weekly.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "user_id",
+        "n_weeks",
+        (F.col("n_weeks") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n_weeks") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "slope_den"
+        ),
+        "sy",
+    )
+
+
+_SQL_USER_TREND_FEATURES = """
+WITH weekly AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-05',
+                        CAST(date_trunc('week', ts) AS DATE)) / 7 AS BIGINT)
+           AS x,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT user_id, count(*) AS n_weeks, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM weekly GROUP BY 1
+)
+SELECT user_id, n_weeks,
+       n_weeks * sxy - sx * sy AS slope_num,
+       n_weeks * sxx - sx * sx AS slope_den,
+       sy
+FROM m
+"""
+
+
 def _q_dq_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality report (operators/quality.py): five
     named row-level rules over orders evaluated in ONE map-combined
@@ -3840,7 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50), so entries are sequenced by how much driver-visible evidence
     they still need — 50 never-driver-checked queries first (the 27
     dark after r2, cheapest first, then 23 round-3 additions), filling
-    a 50-count window exactly; the 6 round-3 additions made after the
+    a 50-count window exactly; the 7 round-3 additions made after the
     window filled sit immediately past it (locally parity-verified,
     first in line for the r4 window); then those last checked in
     round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
@@ -3908,6 +3970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency_events": _q_conversion_latency_events,
         "order_backlog_weekly": _q_order_backlog_weekly,
         "dq_rules_orders": _q_dq_rules_orders,
+        "user_trend_features": _q_user_trend_features,
         # --- last driver-verified in round 1 (21), cheapest first ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -4823,6 +4886,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "conversion_latency_events": _SQL_CONVERSION_LATENCY_EVENTS,
         "order_backlog_weekly": _SQL_ORDER_BACKLOG_WEEKLY,
         "dq_rules_orders": _SQL_DQ_RULES_ORDERS,
+        "user_trend_features": _SQL_USER_TREND_FEATURES,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),
