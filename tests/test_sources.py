@@ -315,3 +315,17 @@ def test_compact_parquet_handles_spaces_and_rejects_bad_target(spark, tmp_path):
     assert spark.read.parquet(dst).count() == 100
     with _pytest.raises(ValueError, match="target_mb"):
         compact_parquet(spark, src, str(tmp_path / "out2"), target_mb=0)
+
+
+def test_compact_parquet_append_accumulates_documented(spark, tmp_path):
+    from pyspark_datacol_diff_spark.sources import compact_parquet
+
+    src = str(tmp_path / "src")
+    spark.range(500).repartition(5).write.parquet(src)
+    dst = str(tmp_path / "dst")
+    first = compact_parquet(spark, src, dst, target_mb=64)
+    second = compact_parquet(spark, src, dst, target_mb=64, mode="append")
+    # return counts files PRESENT at dst (docstring contract): append
+    # accumulates, rows double
+    assert second == 2 * first
+    assert spark.read.parquet(dst).count() == 1000
