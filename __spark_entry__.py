@@ -733,6 +733,43 @@ FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def _q_dq_rules_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health (operators/quality.py:check_rules_by):
+    the grouped rule report that says WHICH feed broke — three named
+    rules over documents, one row per (source, rule), all evaluated in
+    a single map-combined aggregate over one scan. NULL predicate
+    results count as violations."""
+    d = _t(spark, sf_dir, "documents")
+    return QA.check_rules_by(
+        d,
+        ["source"],
+        {
+            "text_nonempty": F.length("text") > 0,
+            "lang_known": F.col("lang").isin("en", "de", "fr", "es", "zh"),
+            "chars_consistent": F.col("n_chars") == F.length("text"),
+        },
+    )
+
+
+_SQL_DQ_RULES_BY_SOURCE_DOCS = """
+WITH a AS (
+  SELECT source, count(*) AS n_rows,
+    SUM(CASE WHEN coalesce(length(text) > 0, FALSE) THEN 0 ELSE 1 END) AS v0,
+    SUM(CASE WHEN coalesce(lang IN ('en','de','fr','es','zh'), FALSE)
+             THEN 0 ELSE 1 END) AS v1,
+    SUM(CASE WHEN coalesce(n_chars = length(text), FALSE)
+             THEN 0 ELSE 1 END) AS v2
+  FROM documents GROUP BY source
+)
+SELECT source, r.rule, a.n_rows, r.n_violations, r.n_violations = 0 AS passed
+FROM a, LATERAL (
+  SELECT 'text_nonempty' AS rule, v0 AS n_violations
+  UNION ALL SELECT 'lang_known', v1
+  UNION ALL SELECT 'chars_consistent', v2
+) r
+"""
+
+
 def _q_user_trend_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise linear regression via moments — the churn-feature
     shape: each user's weekly activity counts fit a least-squares line,
@@ -3902,7 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50), so entries are sequenced by how much driver-visible evidence
     they still need — 50 never-driver-checked queries first (the 27
     dark after r2, cheapest first, then 23 round-3 additions), filling
-    a 50-count window exactly; the 7 round-3 additions made after the
+    a 50-count window exactly; the 8 round-3 additions made after the
     window filled sit immediately past it (locally parity-verified,
     first in line for the r4 window); then those last checked in
     round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
@@ -3971,6 +4008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_backlog_weekly": _q_order_backlog_weekly,
         "dq_rules_orders": _q_dq_rules_orders,
         "user_trend_features": _q_user_trend_features,
+        "dq_rules_by_source_docs": _q_dq_rules_by_source_docs,
         # --- last driver-verified in round 1 (21), cheapest first ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -4887,6 +4925,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "order_backlog_weekly": _SQL_ORDER_BACKLOG_WEEKLY,
         "dq_rules_orders": _SQL_DQ_RULES_ORDERS,
         "user_trend_features": _SQL_USER_TREND_FEATURES,
+        "dq_rules_by_source_docs": _SQL_DQ_RULES_BY_SOURCE_DOCS,
         "mix_sources_docs": _sql_mix_sources_docs(),
         "span_dedup_docs": _sql_span_dedup_docs(),
         "bm25_docs": _sql_bm25_docs(),

@@ -39,7 +39,7 @@ from .operators.diff import (
 )
 from .operators.fuzzy import fuzzy_join, fuzzy_join_multi
 from .operators.incremental import agg_state, merge_agg_states, running_total
-from .operators.quality import check_rules
+from .operators.quality import check_rules, check_rules_by
 from .plans import scale_lint
 from .session import get_spark
 
@@ -50,6 +50,7 @@ __all__ = [
     "merge_agg_states",
     "running_total",
     "check_rules",
+    "check_rules_by",
     "DataColDiffError",
     "InvalidArgumentError",
     "PrimaryKeyError",

@@ -51,3 +51,40 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
         (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
     )
+
+
+def check_rules_by(
+    df: DataFrame, keys: list[str], rules: dict[str, Column]
+) -> DataFrame:
+    """Grouped variant of :func:`check_rules`: one health row per
+    (group, rule) — the per-source / per-partition data-quality report
+    that tells you WHICH feed broke, not just that something did. Same
+    single-aggregate contract (one scan, map-side combined, N rules in
+    one pass), the unpivot just runs over group-grain rows instead of
+    one. Returns ``(*keys, rule, n_rows, n_violations, passed)``.
+    """
+    if not rules:
+        raise ValueError("rules must name at least one predicate")
+    if "__n" in rules:
+        raise ValueError("'__n' is reserved for the row count")
+    clash = set(rules) & set(keys)
+    if clash:
+        raise ValueError(f"rule names clash with group keys: {sorted(clash)}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+            ).alias(name)
+        )
+    grouped = df.groupBy(*keys).agg(*aggs)
+    long = grouped.unpivot(
+        keys + ["__n"], list(rules), "rule", "n_violations"
+    )
+    return long.select(
+        *keys,
+        "rule",
+        F.col("__n").alias("n_rows"),
+        F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
+        (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
+    )

@@ -72,3 +72,28 @@ def test_single_scan_whatever_the_rule_count(spark):
     plan = P.physical_plan(out)
     assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
     assert "Join" not in plan
+
+
+def test_grouped_rules_report_per_group(spark):
+    from pyspark_datacol_diff_spark.operators.quality import check_rules_by
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", -1), ("b", 2), ("b", 3)], "src string, x long"
+    )
+    rows = {
+        (r["src"], r["rule"]): (r["n_rows"], r["n_violations"], r["passed"])
+        for r in check_rules_by(
+            df, ["src"], {"x_pos": F.col("x") > 0}
+        ).collect()
+    }
+    assert rows == {
+        ("a", "x_pos"): (2, 1, False),
+        ("b", "x_pos"): (2, 0, True),
+    }
+
+
+def test_grouped_rules_reject_key_clash(spark):
+    from pyspark_datacol_diff_spark.operators.quality import check_rules_by
+
+    with pytest.raises(ValueError, match="clash"):
+        check_rules_by(_df(spark), ["s"], {"s": F.lit(True)})
