@@ -470,3 +470,29 @@ def test_copurchase_is_basket_explode_not_self_join(qs, spark):
     plan = P.physical_plan(df)
     assert "Join" not in plan
     P.assert_max_shuffles(df, 2)  # basket agg, pair agg
+
+
+def test_backlog_has_no_single_partition_window(qs, spark):
+    # the running sum must be the two-phase prefix sum, never a global
+    # window funneling all weeks through one task
+    df = qs["order_backlog_weekly"](spark, SF)
+    from pyspark_datacol_diff_spark import plans as P2
+
+    assert not [
+        f for f in P2.scale_lint(df) if f["code"] == "global_window"
+    ]
+
+
+def test_user_trend_two_aggregates_no_window_no_join(qs, spark):
+    df = qs["user_trend_features"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "Window" not in plan and "Join" not in plan
+    P.assert_max_shuffles(df, 2)  # (user, week) counts + per-user moments
+
+
+def test_dq_grouped_report_is_single_scan(qs, spark):
+    df = qs["dq_rules_by_source_docs"](spark, SF)
+    plan = P.physical_plan(df)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    P.assert_max_shuffles(df, 1)  # the source-grain aggregate
