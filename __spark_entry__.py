@@ -754,11 +754,12 @@ def _q_dq_rules_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DQ_RULES_BY_SOURCE_DOCS = """
 WITH a AS (
   SELECT source, count(*) AS n_rows,
-    SUM(CASE WHEN coalesce(length(text) > 0, FALSE) THEN 0 ELSE 1 END) AS v0,
-    SUM(CASE WHEN coalesce(lang IN ('en','de','fr','es','zh'), FALSE)
-             THEN 0 ELSE 1 END) AS v1,
-    SUM(CASE WHEN coalesce(n_chars = length(text), FALSE)
-             THEN 0 ELSE 1 END) AS v2
+    CAST(SUM(CASE WHEN coalesce(length(text) > 0, FALSE)
+             THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+    CAST(SUM(CASE WHEN coalesce(lang IN ('en','de','fr','es','zh'), FALSE)
+             THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN coalesce(n_chars = length(text), FALSE)
+             THEN 0 ELSE 1 END) AS BIGINT) AS v2
   FROM documents GROUP BY source
 )
 SELECT source, r.rule, a.n_rows, r.n_violations, r.n_violations = 0 AS passed
@@ -820,13 +821,15 @@ WITH weekly AS (
          count(*) AS y
   FROM events GROUP BY 1, 2
 ), m AS (
-  SELECT user_id, count(*) AS n_weeks, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx
+  SELECT user_id, count(*) AS n_weeks,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
   FROM weekly GROUP BY 1
 )
 SELECT user_id, n_weeks,
-       n_weeks * sxy - sx * sy AS slope_num,
-       n_weeks * sxx - sx * sx AS slope_den,
+       CAST(n_weeks * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_weeks * sxx - sx * sx AS BIGINT) AS slope_den,
        sy
 FROM m
 """
@@ -856,14 +859,17 @@ def _q_dq_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DQ_RULES_ORDERS = """
 WITH a AS (
   SELECT count(*) AS n_rows,
-    SUM(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS v0,
-    SUM(CASE WHEN coalesce(o_orderdate >= '1990-01-01'
+    CAST(SUM(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+             THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+    CAST(SUM(CASE WHEN coalesce(o_orderdate >= '1990-01-01'
                            AND o_orderdate < '2010-01-01', FALSE)
-             THEN 0 ELSE 1 END) AS v1,
-    SUM(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
-             THEN 0 ELSE 1 END) AS v2,
-    SUM(CASE WHEN o_orderpriority IS NOT NULL THEN 0 ELSE 1 END) AS v3,
-    SUM(CASE WHEN coalesce(o_custkey < 500, FALSE) THEN 0 ELSE 1 END) AS v4
+             THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+             THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+             THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+    CAST(SUM(CASE WHEN coalesce(o_custkey < 500, FALSE)
+             THEN 0 ELSE 1 END) AS BIGINT) AS v4
   FROM orders
 )
 SELECT r.rule, a.n_rows, r.n_violations, r.n_violations = 0 AS passed
@@ -2732,7 +2738,7 @@ def _q_incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_INCREMENTAL_ROLLUP_EVENTS = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
        min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_cents,
        max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents
 FROM events GROUP BY 1
@@ -4867,7 +4873,7 @@ GROUP BY c.c_mktsegment
         "two_stage_agg_events": """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
        min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_cents,
        max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents
 FROM events GROUP BY event_type
@@ -4993,8 +4999,8 @@ c AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
   FROM s)
 SELECT doc_id, n_tokens, bucket,
-       bef // 512 AS pack_no,
-       bef % 512 AS pack_offset
+       CAST(bef // 512 AS BIGINT) AS pack_no,
+       CAST(bef % 512 AS BIGINT) AS pack_offset
 FROM c
 """,
         "tfidf_top_docs": """
@@ -5065,7 +5071,7 @@ x AS (
                unnest(generate_series(1, len(embedding))) AS i
         FROM j) u)
 SELECT lang, CAST(pos AS BIGINT) AS pos,
-       SUM(c) AS dim_sum_e6, count(*) AS n_vecs
+       CAST(SUM(c) AS BIGINT) AS dim_sum_e6, count(*) AS n_vecs
 FROM x GROUP BY lang, pos
 """,
         "minhash_portable_docs": _sql_minhash_portable_docs(),

@@ -10,6 +10,13 @@ compare row count, column-name schema, and a value hash (values rendered
 via repr of Python objects after both engines' results pass through
 pandas). Floats are rounded to 9 significant digits before hashing, the
 usual tolerance for cross-engine float formatting.
+
+The check is also TYPE-sensitive (round-4 hardening): the driver hashes
+pandas frames, where DuckDB HUGEINT (bare ``sum(BIGINT)``) becomes
+float64 and mismatches Spark's int64 even when the values stringify
+identically — exactly the failure mode of the 5 CORRECTNESS_r03 reds.
+Each query's oracle is DESCRIBEd and its output types compared to the
+Spark schema via scripts/oracle_type_lint.py; a type error fails parity.
 """
 
 from __future__ import annotations
@@ -77,6 +84,8 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    from oracle_type_lint import lint_one
+
     failed = []
     for name in names:
         if name not in sqls:
@@ -88,11 +97,15 @@ def main() -> int:
         res = con.execute(sqls[name])
         o_cols = [d[0] for d in res.description]
         o_sig = _frame_sig([tuple(r) for r in res.fetchall()], o_cols)
-        ok = s_sig == o_sig
+        type_errs = lint_one(con, spark, args.sf, name, sqls[name], qs[name])[
+            "errors"
+        ]
+        ok = s_sig == o_sig and not type_errs
         marks = (
             f"rows {s_sig[0]}/{o_sig[0]} "
             f"schema {'ok' if s_sig[1] == o_sig[1] else 'MISMATCH'} "
-            f"hash {'ok' if s_sig[2] == o_sig[2] else 'MISMATCH'}"
+            f"hash {'ok' if s_sig[2] == o_sig[2] else 'MISMATCH'} "
+            f"types {'ok' if not type_errs else 'MISMATCH'}"
         )
         print(f"{name}: {'PASS' if ok else 'FAIL'} ({marks})")
         if not ok:
@@ -100,6 +113,8 @@ def main() -> int:
             if s_sig[1] != o_sig[1]:
                 print(f"  spark cols:  {s_sig[1]}")
                 print(f"  oracle cols: {o_sig[1]}")
+            for e in type_errs:
+                print(f"  type: {e}")
     print(f"\n{len(names) - len(failed)}/{len(names)} pass")
     return 1 if failed else 0
 
