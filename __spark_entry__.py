@@ -3941,73 +3941,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query (SURVEY.md §2 + pipeline ops).
 
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
-    a window of entries from the FRONT (r2 covered exactly the first
-    50), so entries are sequenced by how much driver-visible evidence
-    they still need — 50 never-driver-checked queries first (the 27
-    dark after r2, cheapest first, then 23 round-3 additions), filling
-    a 50-count window exactly; the 8 round-3 additions made after the
-    window filled sit immediately past it (locally parity-verified,
-    first in line for the r4 window); then those last checked in
-    round 1, then the 50 green in CORRECTNESS_r02. Re-derive when
-    CORRECTNESS_r{N} files change.
+    a window of entries from the FRONT (r2 and r3 each covered exactly
+    the first 50), so entries are sequenced by how much driver-visible
+    evidence they still need. Round-4 derivation from CORRECTNESS_r03:
+    (1) the 7 round-3 additions made after r3's window filled (never
+    driver-seen); (2) the 5 queries that were `no_oracle` in r1 and
+    gained oracles later but were never value-checked; (3) the 5 r3
+    hash-fails, now fixed (oracle HUGEINT casts), for re-verification;
+    (4) new round-4 queries (never seen); (5) those last checked in
+    round 1; (6) the r02 greens; (7) the r03 greens (newest evidence
+    last). Re-derive when CORRECTNESS_r{N} files change.
     """
     return {
-        # --- never driver-verified (27), cheapest first ---
-        "chunk_docs": _q_chunk_docs,
-        "two_stage_agg_events": _q_two_stage_agg_events,
-        "pack_sequences_docs": _q_pack_sequences_docs,
-        "vocab_topk_docs": _q_vocab_topk_docs,
-        "salted_join_events": _q_salted_join_events,
-        "funnel_events": _q_funnel_events,
-        "span_dedup_docs": _q_span_dedup_docs,
-        "session_window_events": _q_session_window_events,
-        "ann_topk_quantized": _q_ann_topk_quantized,
-        "decontaminate_docs": _q_decontaminate_docs,
-        "pii_scrub_docs": _q_pii_scrub_docs,
-        "approx_distinct_events": _q_approx_distinct_events,
-        "resample_user_hourly": _q_resample_user_hourly,
-        "mix_sources_docs": _q_mix_sources_docs,
-        "diff_apply_roundtrip": _q_diff_apply_roundtrip,
-        "dedup_survivor_corpus": _q_dedup_survivor_corpus,
-        "embed_centroid_lang": _q_embed_centroid_lang,
-        "lsh_near_dup_recall": _q_lsh_near_dup_recall,
-        "minhash_cluster_docs": _q_minhash_cluster_docs,
-        "multimodal_sniff_parse": _q_multimodal_sniff_parse,
-        "outliers_events": _q_outliers_events,
-        "tfidf_top_docs": _q_tfidf_top_docs,
-        "bm25_docs": _q_bm25_docs,
-        "dedup_cluster_docs": _q_dedup_cluster_docs,
-        "streaming_click_attrib": _q_streaming_click_attrib,
-        "streaming_enriched_segments": _q_streaming_enriched_segments,
-        "repetition_docs": _q_repetition_docs,
-        # --- new in round 3 (23), never driver-verified; cheapest
-        # first, streaming replays last (hedging a time-budgeted
-        # window, same rationale as the block above) ---
-        "q15_top_supplier": _q_q15_top_supplier,
-        "q8_market_share": _q_q8_market_share,
-        "moments_lineitem": _q_moments_lineitem,
-        "drift_orders": _q_drift_orders,
-        "fuzzy_join_part_names": _q_fuzzy_join_part_names,
-        "ohlc_user_hourly": _q_ohlc_user_hourly,
-        "hopping_window_events": _q_hopping_window_events,
-        "event_paths_users": _q_event_paths_users,
-        "retention_cohorts_events": _q_retention_cohorts_events,
-        "rfm_segments_events": _q_rfm_segments_events,
-        "incremental_rollup_events": _q_incremental_rollup_events,
-        "hll_rollup_events": _q_hll_rollup_events,
-        "variant_events_props": _q_variant_events_props,
-        "cap_per_source_docs": _q_cap_per_source_docs,
-        "token_rarity_docs": _q_token_rarity_docs,
-        "change_intervals_events": _q_change_intervals_events,
-        "profile_orders": _q_profile_orders,
-        "ann_pq_recall": _q_ann_pq_recall,
-        "merge_upsert_orders": _q_merge_upsert_orders,
-        "weighted_sample_docs": _q_weighted_sample_docs,
-        "streaming_dedup_events": _q_streaming_dedup_events,
-        "streaming_sliding_windows": _q_streaming_sliding_windows,
-        "streaming_incremental_rollup": _q_streaming_incremental_rollup,
-        # --- new in round 3 but past the 50-entry window (locally
-        # parity-verified; first in line for the r4 window) ---
+        # --- (1) round-3 additions past r3's 50-entry window: never
+        # driver-seen (locally parity-verified) ---
         "q7_volume_shipping": _q_q7_volume_shipping,
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
         "conversion_latency_events": _q_conversion_latency_events,
@@ -4015,7 +3962,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_rules_orders": _q_dq_rules_orders,
         "user_trend_features": _q_user_trend_features,
         "dq_rules_by_source_docs": _q_dq_rules_by_source_docs,
-        # --- last driver-verified in round 1 (21), cheapest first ---
+        # --- (2) r1 `no_oracle` queries whose oracles landed later but
+        # were never driver value-checked ---
+        "ann_topk_arrow": _q_ann_topk_arrow,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "minhash_native_docs": _q_minhash_native_docs,
+        "minhash_lsh_docs": _q_minhash_lsh_docs,
+        "simhash_docs": _q_simhash_docs,
+        # --- (3) CORRECTNESS_r03 hash-fails, fixed round 4 (oracle
+        # HUGEINT -> CAST AS BIGINT), queued for re-verification ---
+        "two_stage_agg_events": _q_two_stage_agg_events,
+        "pack_sequences_docs": _q_pack_sequences_docs,
+        "embed_centroid_lang": _q_embed_centroid_lang,
+        "incremental_rollup_events": _q_incremental_rollup_events,
+        "streaming_incremental_rollup": _q_streaming_incremental_rollup,
+        # --- (4) new in round 4: never driver-seen ---
+        # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
         "ann_topk_cosine": _q_ann_topk,
@@ -4024,20 +3986,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "embed_cosine_near_dup": _q_embed_cosine_near_dup,
         "minhash_portable_docs": _q_minhash_portable_docs,
-        "minhash_lsh_docs": _q_minhash_lsh_docs,
         "simhash_portable_docs": _q_simhash_portable_docs,
         "multimodal_payload_stats": _q_multimodal_payload_stats,
         "multimodal_frames": _q_multimodal_frames,
         "text_stats_docs": _q_text_stats_docs,
-        "ann_topk_arrow": _q_ann_topk_arrow,
         "pipeline_training_corpus": _q_pipeline_training_corpus,
-        "ann_ivf_topk": _q_ann_ivf_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
-        "minhash_native_docs": _q_minhash_native_docs,
-        "simhash_docs": _q_simhash_docs,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessions": _q_streaming_sessions,
-        # --- driver-green in CORRECTNESS_r02 (50) ---
+        # --- (6) driver-green in CORRECTNESS_r02 (50) ---
         "diff_orders_detail": _q_diff_orders_detail,
         "diff_orders_flags": _q_diff_orders_flags,
         "diff_orders_col_counts": _q_diff_orders_col_counts,
@@ -4088,6 +4045,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_fingerprint_docs": _q_dedup_fingerprint_docs,
         "dedup_incremental_docs": _q_dedup_incremental_docs,
+        # --- (7) driver-green in CORRECTNESS_r03 (45): newest
+        # evidence, re-confirmed last ---
+        "chunk_docs": _q_chunk_docs,
+        "vocab_topk_docs": _q_vocab_topk_docs,
+        "salted_join_events": _q_salted_join_events,
+        "funnel_events": _q_funnel_events,
+        "span_dedup_docs": _q_span_dedup_docs,
+        "session_window_events": _q_session_window_events,
+        "ann_topk_quantized": _q_ann_topk_quantized,
+        "decontaminate_docs": _q_decontaminate_docs,
+        "pii_scrub_docs": _q_pii_scrub_docs,
+        "approx_distinct_events": _q_approx_distinct_events,
+        "resample_user_hourly": _q_resample_user_hourly,
+        "mix_sources_docs": _q_mix_sources_docs,
+        "diff_apply_roundtrip": _q_diff_apply_roundtrip,
+        "dedup_survivor_corpus": _q_dedup_survivor_corpus,
+        "lsh_near_dup_recall": _q_lsh_near_dup_recall,
+        "minhash_cluster_docs": _q_minhash_cluster_docs,
+        "multimodal_sniff_parse": _q_multimodal_sniff_parse,
+        "outliers_events": _q_outliers_events,
+        "tfidf_top_docs": _q_tfidf_top_docs,
+        "bm25_docs": _q_bm25_docs,
+        "dedup_cluster_docs": _q_dedup_cluster_docs,
+        "streaming_click_attrib": _q_streaming_click_attrib,
+        "streaming_enriched_segments": _q_streaming_enriched_segments,
+        "repetition_docs": _q_repetition_docs,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q8_market_share": _q_q8_market_share,
+        "moments_lineitem": _q_moments_lineitem,
+        "drift_orders": _q_drift_orders,
+        "fuzzy_join_part_names": _q_fuzzy_join_part_names,
+        "ohlc_user_hourly": _q_ohlc_user_hourly,
+        "hopping_window_events": _q_hopping_window_events,
+        "event_paths_users": _q_event_paths_users,
+        "retention_cohorts_events": _q_retention_cohorts_events,
+        "rfm_segments_events": _q_rfm_segments_events,
+        "hll_rollup_events": _q_hll_rollup_events,
+        "variant_events_props": _q_variant_events_props,
+        "cap_per_source_docs": _q_cap_per_source_docs,
+        "token_rarity_docs": _q_token_rarity_docs,
+        "change_intervals_events": _q_change_intervals_events,
+        "profile_orders": _q_profile_orders,
+        "ann_pq_recall": _q_ann_pq_recall,
+        "merge_upsert_orders": _q_merge_upsert_orders,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "streaming_dedup_events": _q_streaming_dedup_events,
+        "streaming_sliding_windows": _q_streaming_sliding_windows,
     }
 
 
