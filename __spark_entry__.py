@@ -1920,8 +1920,11 @@ def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-bucketed independent packing streams — the training-sample
     densification step between dedup/filter and tokenization. One
     bucket-keyed shuffle; per-bucket sort + running sum; all-integer
-    output replayed exactly by the windowed SQL oracle."""
-    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    output replayed exactly by the windowed SQL oracle. No up-front
+    rebalance: the operator's first move IS a shuffle on the bucket key,
+    so a repartition before it would be pure overhead (it doubled wall
+    time in BENCH_r03)."""
+    d = _t(spark, sf_dir, "documents")
     p = CP.pack_sequences(
         d, "doc_id", "text", target_tokens=512, num_buckets=32
     )

@@ -52,11 +52,28 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the min
     node id reachable from it. Returns ``(node, comp)`` — one row per
     node that appears in at least one edge (singletons, by definition,
     never appear in a pair list and are trivially their own component).
+
+    Job economy (the round-4 re-profile): exactly ONE Spark job per
+    propagation round. The per-round convergence digest doubles as the
+    checkpoint materializer — ``localCheckpoint(eager=False)`` marks
+    the label frame for persist-on-first-use, and the digest aggregate
+    IS that first use, so one action both truncates lineage and probes
+    the fixpoint (the previous eager + separate-collect shape ran two
+    jobs per round). The identity-label round is fused into
+    initialization: labels start at each node's neighborhood min (what
+    round 1 used to compute from identity labels), saving one full
+    join + aggregate + materialization round.
+
+    Pass ``stats={}`` to receive ``stats["rounds"]`` — the number of
+    propagation JOINs executed (pinned by tests/test_cluster.py; at
+    100 TB each round is a cluster-wide shuffle, so the count is a
+    first-class performance contract).
 
     Raises ``RuntimeError`` if the fixpoint isn't reached in
     ``max_iter`` rounds (diameter > max_iter — see module docstring for
@@ -66,16 +83,20 @@ def connected_components(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    labels = e.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("comp")
-    ).localCheckpoint()
+    # init = one propagation step from identity labels: every node's
+    # label is min(self, direct neighbors). Every node appears as `s`
+    # in the doubled edge list, so the node set is preserved.
+    labels = e.groupBy("s").agg(
+        F.least(F.min("d"), F.first("s")).alias("comp")
+    ).select(F.col("s").alias("node"), "comp").localCheckpoint(eager=False)
     # accumulate the witness in decimal: a long sum over huge ids can
-    # overflow (ANSI mode raises instead of wrapping)
+    # overflow (ANSI mode raises instead of wrapping). This collect is
+    # also what materializes `e` and `labels`.
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         prop = e.join(labels, e["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("comp")
         )
@@ -83,13 +104,15 @@ def connected_components(
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels
         prev_sum = new_sum
     raise RuntimeError(
@@ -172,20 +195,26 @@ def connected_components_star(
     Same output contract as :func:`connected_components`:
     ``(node, comp)`` for every node appearing in an edge.
     """
+    # eager=False throughout: the per-round _edge_digest aggregate is
+    # the first action on each checkpoint-marked frame, so it both
+    # materializes the round's edge set and probes convergence in ONE
+    # job (same round-4 economy as connected_components).
     e = _canonical(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # keep the full node set: star rounds contract edges, and an
     # already-settled satellite can drop out of the edge list entirely
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     digest = _edge_digest(e)
     for _ in range(max_iter):
-        e = _star_round(_star_round(e, large=True), large=False).localCheckpoint()
+        e = _star_round(_star_round(e, large=True), large=False).localCheckpoint(
+            eager=False
+        )
         new_digest = _edge_digest(e)
         if new_digest == digest:
             break
@@ -256,11 +285,15 @@ def pagerank(
     Each round is the canonical two-shuffle dataflow: ranks join edges
     on src (contribution = rank/out_degree routed to dst), then a
     dst-keyed sum. Dangling nodes (no out-edges) keep receiving mass
-    but redistribute theirs uniformly via the standard
-    damping-complement term — total mass is NOT conserved under this
-    simplified treatment, which ranks identically but is cheaper than
-    the dangling-sum broadcast each round (documented trade: use the
-    full variant when absolute probabilities matter, not just order).
+    but their own mass is DISCARDED each round — the classic
+    simplified Spark PageRank, not the mass-conserving formulation
+    that redistributes the dangling sum uniformly. Total mass is not
+    conserved, scores differ from true PageRank, and rank ORDER is not
+    in general preserved either (nodes fed mainly by dangling
+    neighbors are under-weighted relative to the full variant). The
+    trade buys one fewer global aggregate + broadcast per round; use a
+    mass-conserving implementation when fidelity to true PageRank
+    matters rather than a cheap authority ordering.
     Lineage is truncated per round (localCheckpoint) like the
     components loop — same iterative-Spark pitfall, same fix.
 

@@ -345,11 +345,10 @@ def bm25_top_docs(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     ).filter(F.array_contains(terms, F.col("term")))
     # genuine branch point: tf feeds both the per-term df aggregation
-    # and the scoring join — persist so the corpus scan runs once.
-    # The cache is deliberately left registered (the returned top-k is
-    # lazy, so unpersisting here would force the recompute the persist
-    # exists to avoid); callers that are done with the result can
-    # ``spark.catalog.clearCache()``, as with ngram_jaccard_pairs.
+    # and the scoring join — persist so the corpus scan runs once. The
+    # cache is released before returning (see the eager top-k
+    # materialization below), so no corpus-sized block outlives the
+    # call.
     tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     n_docs = df.select(
         F.count(F.lit(1)).alias("__n"),
@@ -383,10 +382,18 @@ def bm25_top_docs(
         F.sum("tf").alias("sum_tf"),
     ).select(F.col(id_col), score.alias("score"), "n_terms", "sum_tf")
     # TakeOrderedAndProject (scale-safe top-k), then rank the k survivors
-    # with a window that only ever sees k rows
+    # with a window that only ever sees k rows. The result is k rows, so
+    # it is materialized EAGERLY (localCheckpoint) — which lets the
+    # corpus-sized tf cache be unpersisted before returning instead of
+    # leaking until an explicit clearCache (round-3 review finding).
     topk = scores.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return topk.withColumn("rnk", F.row_number().over(w))
+    try:
+        return topk.withColumn("rnk", F.row_number().over(w)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        tf.unpersist()
 
 
 def contamination_counts(

@@ -839,6 +839,13 @@ def distribution_drift(
     Callers wanting PSI/KL weights can derive them from the exact
     counts — the engine keeps the decision integral.
     """
+    if not (0 <= threshold_pct < 100):
+        # outside this range the flag is nonsense rather than an error:
+        # negative flags identical distributions, >= 100 can never flag
+        raise ValueError(
+            f"threshold_pct must be in [0, 100), got {threshold_pct}"
+        )
+
     def side(df: DataFrame, n_col: str) -> DataFrame:
         return df.select(bin_expr.alias("bin")).groupBy("bin").agg(
             F.count(F.lit(1)).alias(n_col)

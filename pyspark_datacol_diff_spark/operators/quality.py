@@ -70,6 +70,13 @@ def check_rules_by(
     clash = set(rules) & set(keys)
     if clash:
         raise ValueError(f"rule names clash with group keys: {sorted(clash)}")
+    reserved = {"rule", "n_rows", "n_violations", "passed"} & set(keys)
+    if reserved:
+        # a group key named like an output column would collide with the
+        # unpivot/report columns and emit duplicate/ambiguous names
+        raise ValueError(
+            f"group keys clash with reserved output columns: {sorted(reserved)}"
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in rules.items():
         aggs.append(

@@ -238,3 +238,56 @@ def test_recall_gate_exact_at_80_percent_boundary(spark):
         tot = F.coalesce(F.sum("in_e"), F.lit(0))
         row = df.agg((h * 5 >= tot * 4).alias("int_gate")).collect()[0]
         assert row["int_gate"] is True, f"gate flipped at n={n}"
+
+
+def test_distribution_drift_rejects_bad_threshold(spark):
+    """Round-4 review fix: threshold_pct outside [0, 100) silently
+    produced nonsense (negative flags identical distributions, >=100
+    can never flag) — now a ValueError."""
+    import pytest
+
+    from pyspark_datacol_diff_spark.operators.diff import distribution_drift
+    from pyspark.sql import functions as F
+
+    df = spark.range(10)
+    for bad in (-1, 100, 250):
+        with pytest.raises(ValueError, match="threshold_pct"):
+            distribution_drift(df, df, F.col("id") % 2, threshold_pct=bad)
+    # boundary values accepted
+    distribution_drift(df, df, F.col("id") % 2, threshold_pct=0)
+    distribution_drift(df, df, F.col("id") % 2, threshold_pct=99)
+
+
+def test_check_rules_by_rejects_reserved_key_names(spark):
+    """Round-4 review fix: a group key named like an output column
+    ('rule', 'n_rows', 'n_violations', 'passed') would collide with the
+    unpivot/report columns — now a ValueError."""
+    import pytest
+
+    from pyspark_datacol_diff_spark.operators.quality import check_rules_by
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a")], "v long, rule string")
+    with pytest.raises(ValueError, match="reserved"):
+        check_rules_by(df, ["rule"], {"v_pos": F.col("v") > 0})
+
+
+def test_bm25_releases_its_cache(spark):
+    """Round-4 review fix: bm25_top_docs must not leak its tf persist —
+    the top-k result is materialized eagerly and the cache dropped
+    before returning."""
+    from pyspark_datacol_diff_spark.operators.corpus import bm25_top_docs
+
+    docs = spark.createDataFrame(
+        [(1, "spark join spark"), (2, "join only"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    out = bm25_top_docs(docs, "doc_id", "text", ["spark", "join"], k=2)
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    # the tf cache must be gone; only the k-row localCheckpoint (and any
+    # pre-existing blocks) may remain
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    cached_names = [i.name() or "" for i in infos]
+    assert not any("In-memory table" in n for n in cached_names)

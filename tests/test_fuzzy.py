@@ -166,3 +166,30 @@ def test_multi_pass_handles_map_columns(spark):
     rows = fuzzy_join_multi(left, right, "name", "cand", max_dist=1).collect()
     assert len(rows) == 1
     assert rows[0]["attrs"] == {"tier": "gold"}
+
+
+def test_multi_pass_distinct_matches_differing_only_in_map_survive(spark):
+    """Round-4 review fix: dedup keys on non-map columns PLUS to_json of
+    map columns, so two legitimate distinct matches that differ only in
+    a map attribute both survive (single-pass semantics), while the
+    same source pair surfaced by several blocking passes still emits
+    once."""
+    from pyspark_datacol_diff_spark.operators.fuzzy import fuzzy_join_multi
+
+    # two left rows identical in every non-map column, distinct map
+    left = spark.createDataFrame(
+        [("acme corp", {"tier": "gold"}), ("acme corp", {"tier": "bronze"})],
+        "name string, attrs map<string,string>",
+    )
+    right = spark.createDataFrame([("acme c0rp",)], "cand string")
+    rows = fuzzy_join_multi(left, right, "name", "cand", max_dist=1).collect()
+    tiers = sorted(r["attrs"]["tier"] for r in rows)
+    assert tiers == ["bronze", "gold"], rows
+    # and the multi-pass duplicate of ONE source pair still collapses:
+    # prefix and suffix blocks both find the exact pair below
+    left1 = spark.createDataFrame(
+        [("acme corp", {"tier": "gold"})], "name string, attrs map<string,string>"
+    )
+    right1 = spark.createDataFrame([("acme corp",)], "cand string")
+    rows1 = fuzzy_join_multi(left1, right1, "name", "cand", max_dist=1).collect()
+    assert len(rows1) == 1
