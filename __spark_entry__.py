@@ -41,6 +41,7 @@ from pyspark_datacol_diff_spark.operators import incremental as INC
 from pyspark_datacol_diff_spark.operators import fuzzy as FZ
 from pyspark_datacol_diff_spark.operators import quality as QA
 from pyspark_datacol_diff_spark.operators import corpus as CP
+from pyspark_datacol_diff_spark.operators import cooccur as CO
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -118,6 +119,60 @@ CASE WHEN k2 IS NULL THEN 'S1_ONLY'
      WHEN {_ORDERS_DIFF_PRED} THEN ''
      ELSE 'NODIFF' END
 """
+
+
+def _digest_tree_side_sql(side: str, tag: str) -> str:
+    """One side's 3-level digest tree (fanout 8, 64 leaves) as CTEs —
+    the DuckDB replay of operators/diff.py:digest_tree on the perturbed
+    orders pair: leaf = md5(pk) % 64, row hash = 60-bit md5 of the
+    canonical row string (chr(0) null sentinel, chr(1) separator —
+    identical to the Spark side's concat_ws construction)."""
+    return f"""
+h{tag} AS (
+  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS node,
+         ('0x' || substr(md5(concat_ws(chr(1),
+             coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+             coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+             coalesce(o_orderstatus, chr(0)),
+             coalesce(o_orderpriority, chr(0)))), 1, 15))::BIGINT AS h
+  FROM {side}),
+l{tag} AS (
+  SELECT node, count(*) AS n,
+         CAST(sum(h) % 1000000000000000000 AS BIGINT) AS d
+  FROM h{tag} GROUP BY node),
+m{tag} AS (
+  SELECT node // 8 AS node, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(d) % 1000000000000000000 AS BIGINT) AS d
+  FROM l{tag} GROUP BY 1),
+r{tag} AS (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(d) % 1000000000000000000 AS BIGINT) AS d
+  FROM m{tag}),
+t{tag} AS (
+  SELECT 2 AS level, node, n, d FROM l{tag}
+  UNION ALL SELECT 1, node, n, d FROM m{tag}
+  UNION ALL SELECT 0, node, n, d FROM r{tag})"""
+
+
+_SQL_DIGEST_TREE_ORDERS = (
+    _ORDERS_PAIR_SQL
+    + ","
+    + _digest_tree_side_sql("s1", "a")
+    + ","
+    + _digest_tree_side_sql("s2", "b")
+    + """
+SELECT coalesce(ta.level, tb.level) AS level,
+       coalesce(ta.node, tb.node) AS node,
+       CAST(coalesce(ta.n, 0) AS BIGINT) AS n1,
+       CAST(coalesce(tb.n, 0) AS BIGINT) AS n2,
+       CAST(coalesce(ta.d, 0) AS BIGINT) AS d1,
+       CAST(coalesce(tb.d, 0) AS BIGINT) AS d2,
+       (coalesce(ta.n, 0) <> coalesce(tb.n, 0)
+        OR coalesce(ta.d, 0) <> coalesce(tb.d, 0)) AS differs
+FROM ta FULL OUTER JOIN tb
+  ON ta.level = tb.level AND ta.node = tb.node
+"""
+)
 
 
 def _lineitem_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -2972,13 +3027,10 @@ GROUP BY doc_id
 """
 
 
-# ngram-pair graph + connected components, shared by the two cluster
-# oracles: same gram/pair pipeline as the ngram_jaccard_docs oracle,
-# then a recursive CTE that propagates reachable labels to a fixpoint —
-# min(label) per node IS the connected component representative, the
-# exact semantics of operators/cluster.py's min-label propagation.
-_SQL_CC_PREFIX = """
-WITH RECURSIVE toks AS (
+# ngram-pair graph CTE body (toks -> ... -> pairs): the DuckDB replay of
+# _ngram_pairs (same gram/pair pipeline as the ngram_jaccard_docs
+# oracle). Shared by the cluster oracles and the triangle oracle.
+_SQL_NGRAM_PAIRS_BODY = """toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
 grams AS (
   SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
@@ -2995,7 +3047,13 @@ pairs AS (
   SELECT id_a, id_b FROM rawpairs
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-  WHERE inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) >= 0.1),
+  WHERE inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) >= 0.1)"""
+
+# ... + connected components, shared by the two cluster oracles: a
+# recursive CTE propagates reachable labels to a fixpoint — min(label)
+# per node IS the connected component representative, the exact
+# semantics of operators/cluster.py's min-label propagation.
+_SQL_CC_PREFIX = "WITH RECURSIVE " + _SQL_NGRAM_PAIRS_BODY + """,
 edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION SELECT id_b, id_a FROM pairs),
@@ -3020,6 +3078,69 @@ def _q_diff_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
     d = diff(s1, s2, ["o_orderkey"], compare_cols=cols, carry_unmatched=True)
     return apply_diff(s1, d, ["o_orderkey"], cols)
+
+
+def _q_digest_tree_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style diff localization (operators/diff.py:digest_tree_diff):
+    both perturbed orders snapshots reduce to 3-level key-bucket digest
+    trees (fanout 8 -> 64 leaves) and the trees full-outer join — the
+    anti-entropy primitive that finds WHICH key slices moved without a
+    row-level diff join. md5-based bucketing and 60-bit value hashes
+    are engine-portable, so the DuckDB oracle replays the whole tree
+    (both sides, all levels, the differs flags) exactly."""
+    s1, s2 = _orders_pair(spark, sf_dir)
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    return DIFF_OPS.digest_tree_diff(
+        s1, s2, ["o_orderkey"], cols, fanout=8, levels=2
+    )
+
+
+def _q_triangle_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the shared near-dup pair graph
+    (operators/cluster.py:triangle_counts — degree-ordered orientation,
+    Suri & Vassilvitskii WWW'11): the local-clustering signal that
+    separates tight duplicate clusters from chain noise. The oracle
+    closes wedges with a 3-way self-join on the id-canonical pair set —
+    both engines count each triangle exactly once (total orders differ,
+    triangle sets don't)."""
+    pairs = _ngram_pairs(spark, sf_dir)
+    return CC.triangle_counts(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "n_tri"
+    )
+
+
+def _q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension exact integer first+second moments over the
+    embedding corpus (operators/similarity.py:dim_stats_exact) — the
+    whitening/standardization precompute: mean and variance per
+    dimension derive from (n, sum_e6, sumsq_e12) with no cross-engine
+    float drift. One posexplode inside the scan, one map-side-combined
+    aggregate keyed by dimension."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.dim_stats_exact(emb, "embedding").select(
+        F.col("pos").cast("long").alias("pos"),
+        "n_vecs",
+        "dim_sum_e6",
+        "dim_sumsq_e12",
+    )
+
+
+def _q_pmi_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence sufficient statistics per user universe
+    (operators/cooccur.py:cooccurrence_stats): for every unordered pair
+    of event types sharing a user, the exact integers (n_ab, n_a, n_b,
+    n_groups) behind PMI/lift/affinity — presence-deduplicated before
+    the pair join (5 distinct types cap per-user work at 10 pairs
+    regardless of event volume), marginals broadcast."""
+    e = _t(spark, sf_dir, "events")
+    return CO.cooccurrence_stats(e, "user_id", "event_type").select(
+        F.col("item_a").alias("type_a"),
+        F.col("item_b").alias("type_b"),
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.col("n_groups").alias("n_users"),
+    )
 
 
 def _q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3980,6 +4101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup_events": _q_incremental_rollup_events,
         "streaming_incremental_rollup": _q_streaming_incremental_rollup,
         # --- (4) new in round 4: never driver-seen ---
+        "digest_tree_orders": _q_digest_tree_orders,
+        "embed_dim_stats": _q_embed_dim_stats,
+        "pmi_event_pairs": _q_pmi_event_pairs,
+        "triangle_counts_docs": _q_triangle_counts_docs,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -4973,6 +5098,47 @@ SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
        CAST(o_custkey AS VARCHAR) AS o_custkey,
        o_orderstatus, o_orderpriority
 FROM s2
+""",
+        "digest_tree_orders": _SQL_DIGEST_TREE_ORDERS,
+        "triangle_counts_docs": "WITH " + _SQL_NGRAM_PAIRS_BODY + """,
+tri AS (
+  SELECT a.id_a AS u, a.id_b AS v, b.id_b AS w
+  FROM pairs a
+  JOIN pairs b ON b.id_a = a.id_b
+  JOIN pairs c ON c.id_a = a.id_a AND c.id_b = b.id_b),
+members AS (
+  SELECT u AS doc_id FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri)
+SELECT doc_id, count(*) AS n_tri FROM members GROUP BY doc_id
+""",
+        "embed_dim_stats": """
+WITH x AS (
+  SELECT i - 1 AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS c
+  FROM (SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings) u)
+SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs,
+       CAST(SUM(c) AS BIGINT) AS dim_sum_e6,
+       CAST(SUM(c * c) AS BIGINT) AS dim_sumsq_e12
+FROM x GROUP BY pos
+""",
+        "pmi_event_pairs": """
+WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_ab
+  FROM pres a JOIN pres b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+marg AS (SELECT event_type, count(*) AS n FROM pres GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM pres)
+SELECT p.type_a, p.type_b, p.n_ab,
+       ma.n AS n_a, mb.n AS n_b, tot.n_users
+FROM pairs p
+JOIN marg ma ON ma.event_type = p.type_a
+JOIN marg mb ON mb.event_type = p.type_b
+CROSS JOIN tot
 """,
         "chunk_docs": """
 WITH toks AS (

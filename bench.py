@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "hopping_window_events",     # sliding windows: Expand + partial agg
     "ohlc_user_hourly",          # struct-min/max OHLC bars (SortAggregate)
     "event_paths_users",         # sequence build + trigram count
+    # new shapes in round 4:
+    "digest_tree_orders",        # dual-scan Merkle trees + grain join
+    "triangle_counts_docs",      # degree-oriented wedge-closing joins
     # lsh_near_dup_recall stays out: it deliberately runs the exact
     # O(n^2) verify next to the LSH path (a correctness gate, not a
     # throughput headline)

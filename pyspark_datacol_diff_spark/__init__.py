@@ -22,6 +22,8 @@ from .operators.diff import (
     change_intervals,
     distribution_drift,
     digests_equal,
+    digest_tree,
+    digest_tree_diff,
     profile_table,
     table_digest,
     compute_dataframe_diff,
@@ -61,6 +63,8 @@ __all__ = [
     "column_mismatch_counts",
     "diff",
     "digests_equal",
+    "digest_tree",
+    "digest_tree_diff",
     "distribution_drift",
     "diff_summary",
     "diff_summary_stats",

@@ -695,6 +695,182 @@ def digests_equal(s1: DataFrame, s2: DataFrame, cols: Sequence[str]) -> bool:
     return a == b
 
 
+_NULL_SENTINEL = "\x00"
+_SEP = "\x01"
+
+
+def _md5_int60(s: Column) -> Column:
+    """60-bit integer from the first 15 hex digits of md5 — the
+    engine-portable value hash shared with :func:`table_digest` (DuckDB:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _row_str(cols: Sequence[str]) -> Column:
+    """Canonical row string: each column cast to string, NULL mapped to
+    an out-of-band sentinel (concat_ws would silently SKIP nulls,
+    collapsing ('a', NULL) and ('a', '') to the same string), joined on
+    a separator no data value contains."""
+    return F.concat_ws(
+        _SEP,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+            for c in cols
+        ],
+    )
+
+
+def digest_tree(
+    df: DataFrame,
+    pk_cols: Sequence[str],
+    value_cols: Sequence[str] | None = None,
+    *,
+    fanout: int = 16,
+    levels: int = 2,
+    modulus: int = 10**18,
+) -> DataFrame:
+    """Merkle-style digest tree — :func:`table_digest`'s structured
+    sibling: instead of one digest per column, a ``levels``-deep tree of
+    key-range digests that LOCALIZES a mismatch to a small key bucket
+    before any row-level diff runs. Two snapshots' trees compare
+    top-down: equal roots => identical tables (at checksum confidence,
+    as with table_digest); on mismatch, descend only into unequal nodes
+    and full-diff only the leaf buckets that differ. At 100 TB that
+    turns "re-diff the whole table because something changed" into
+    "diff the 1/fanout^levels key slice that actually moved" — the
+    anti-entropy pattern of Merkle-tree replica repair (Dynamo-style),
+    expressed as two scans and a grain-sized join.
+
+    Construction: each row buckets to a leaf by md5 of its PRIMARY KEY
+    (value edits must flag the bucket holding that key, not migrate the
+    row to a different leaf), and contributes a 60-bit md5 hash of its
+    full canonical row string to the leaf's commutative digest (sum mod
+    ``modulus`` in DECIMAL(38,0) — order/partitioning independent,
+    engine-portable). Parents aggregate child digests with the same
+    modular sum (``(a mod m + b mod m) mod m = (a+b) mod m``), so any
+    row change propagates to the root.
+
+    Returns ``(level, node, n_rows, digest)``: level 0 is the root
+    (node 0), level ``levels`` the leaves (node in
+    ``[0, fanout**levels)``); the parent of node ``x`` is
+    ``x // fanout``. Empty buckets emit no row (a missing node reads as
+    ``n_rows=0, digest=0`` — :func:`digest_tree_diff` applies exactly
+    that convention).
+
+    Scale shape: ONE scan; the leaf aggregation is map-side combined,
+    so the only data-sized exchange carries at most
+    ``fanout**levels x n_partitions`` rows; every parent level
+    aggregates the (tiny, cached) leaf relation; the result —
+    ``sum(fanout^l) for l <= levels`` rows — is materialized eagerly
+    (localCheckpoint) so the leaf cache can be released before
+    returning (no corpus-sized block outlives the call).
+
+    Caller contract matches table_digest: pass columns whose STRING
+    form is engine-exact (keys, strings, dates, exact decimals/cents) —
+    project raw doubles to decimal first.
+    """
+    if fanout < 2:
+        raise InvalidArgumentError(f"fanout must be >= 2, got {fanout}")
+    if levels < 1:
+        raise InvalidArgumentError(f"levels must be >= 1, got {levels}")
+    if fanout**levels > 1 << 20:
+        raise InvalidArgumentError(
+            f"fanout**levels = {fanout**levels} leaves; keep the tree "
+            "grain-sized (<= 2^20) — it must stay cheap to compare"
+        )
+    if not pk_cols:
+        raise PrimaryKeyError("pk_cols must name at least one column")
+    vals = list(value_cols) if value_cols is not None else [
+        c for c in df.columns if c not in set(pk_cols)
+    ]
+    n_leaves = fanout**levels
+    mod_dec = F.lit(modulus).cast("decimal(38,0)")
+    leaves = (
+        df.select(
+            F.pmod(_md5_int60(_row_str(pk_cols)), F.lit(n_leaves)).alias(
+                "node"
+            ),
+            _md5_int60(_row_str(list(pk_cols) + vals)).alias("__h"),
+        )
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(F.sum(F.col("__h").cast("decimal(38,0)")), mod_dec)
+            .cast("long")
+            .alias("digest"),
+        )
+        .persist()
+    )
+    try:
+        out = leaves.select(
+            F.lit(levels).alias("level"), "node", "n_rows", "digest"
+        )
+        cur = leaves
+        for lv in range(levels - 1, -1, -1):
+            cur = (
+                cur.groupBy(
+                    F.floor(F.col("node") / fanout).cast("long").alias("node")
+                )
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.pmod(F.sum(F.col("digest").cast("decimal(38,0)")), mod_dec)
+                    .cast("long")
+                    .alias("digest"),
+                )
+            )
+            out = out.unionByName(
+                cur.select(F.lit(lv).alias("level"), "node", "n_rows", "digest")
+            )
+        return out.localCheckpoint(eager=True)
+    finally:
+        leaves.unpersist()
+
+
+def digest_tree_diff(
+    s1: DataFrame,
+    s2: DataFrame,
+    pk_cols: Sequence[str],
+    value_cols: Sequence[str] | None = None,
+    *,
+    fanout: int = 16,
+    levels: int = 2,
+    modulus: int = 10**18,
+) -> DataFrame:
+    """Compare two snapshots' digest trees: one row per tree node
+    present on either side, with both sides' counts/digests and a
+    ``differs`` flag. The localization read: the root row answers "did
+    anything change"; the ``differs`` leaves name the key buckets to
+    re-diff (``pmod(md5(pk), fanout**levels)`` membership), everything
+    else is verified-identical without a row-level join. Each side is
+    one scan; the comparison join touches only tree-grain rows.
+    """
+    t1 = digest_tree(
+        s1, pk_cols, value_cols, fanout=fanout, levels=levels, modulus=modulus
+    )
+    t2 = digest_tree(
+        s2, pk_cols, value_cols, fanout=fanout, levels=levels, modulus=modulus
+    )
+    a = t1.select(
+        "level", "node",
+        F.col("n_rows").alias("n1"), F.col("digest").alias("d1"),
+    )
+    b = t2.select(
+        "level", "node",
+        F.col("n_rows").alias("n2"), F.col("digest").alias("d2"),
+    )
+    j = a.join(b, ["level", "node"], "full_outer").select(
+        "level",
+        "node",
+        F.coalesce("n1", F.lit(0)).alias("n1"),
+        F.coalesce("n2", F.lit(0)).alias("n2"),
+        F.coalesce("d1", F.lit(0)).alias("d1"),
+        F.coalesce("d2", F.lit(0)).alias("d2"),
+    )
+    return j.withColumn(
+        "differs", (F.col("n1") != F.col("n2")) | (F.col("d1") != F.col("d2"))
+    )
+
+
 def change_intervals(
     df: DataFrame,
     key: Sequence[str],

@@ -995,3 +995,42 @@ def pq_topk_refined(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def dim_stats_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-dimension first AND second moments of an embedding column in
+    EXACT integer space — the whitening/standardization precompute
+    (mean = sum/n, variance = (n*sumsq - sum^2)/n^2, both derivable
+    from the emitted integers with no cross-engine float drift). Same
+    contribution rule as :func:`dim_sums_exact`: each element enters as
+    ``floor(x * 10^scale)`` BIGINT, so sums are order/partitioning
+    independent and bit-identical in any engine.
+
+    Returns ``(pos, n_vecs, dim_sum_e{scale}, dim_sumsq_e{2*scale})``.
+    The squared sum accumulates in DECIMAL(38,0) (a squared e6
+    contribution is ~1e12; 38 digits absorbs any row count) and is
+    emitted mod nothing — callers get the exact integer, cast to
+    BIGINT (raises on genuine overflow rather than wrapping, per ANSI).
+
+    Plan shape: identical to dim_sums_exact — posexplode inside the
+    scan stage, one map-side-combined aggregate keyed by dimension; the
+    exchange carries dim x partitions rows, never corpus x dim.
+    """
+    sum_col = f"dim_sum_e{scale}"
+    sq_col = f"dim_sumsq_e{2 * scale}"
+    c = F.floor(F.col("__x").cast("double") * F.lit(float(10**scale))).cast(
+        "long"
+    )
+    exploded = df.select(F.posexplode(F.col(vec_col)).alias("pos", "__x"))
+    return exploded.select("pos", c.alias("__c")).groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("__c").alias(sum_col),
+        F.sum(
+            (F.col("__c") * F.col("__c")).cast("decimal(38,0)")
+        ).cast("long").alias(sq_col),
+    )

@@ -204,3 +204,45 @@ def test_round_count_on_path(spark):
     got = _comps(connected_components(edges, stats=stats))
     assert got == {0: 0, 1: 0, 2: 0, 3: 0}
     assert stats["rounds"] == 3
+
+
+def test_triangle_counts_hand_graphs(spark):
+    from pyspark_datacol_diff_spark.operators.cluster import triangle_counts
+
+    # K4 on {1,2,3,4}: 4 triangles, each node in exactly 3; plus a
+    # triangle-free path {10,11,12} and an isolated edge {20,21}
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(10, 11), (11, 12), (20, 21)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_matches_brute_force_random(spark):
+    from itertools import combinations
+
+    from pyspark_datacol_diff_spark.operators.cluster import triangle_counts
+
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(30), 2))) for _ in range(80)})
+    es = set(edges)
+    expect = {}
+    for a, b, c in combinations(range(30), 3):
+        if ((a, b) in es) and ((b, c) in es) and ((a, c) in es):
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == expect
+
+
+def test_triangle_counts_duplicate_and_reversed_edges(spark):
+    from pyspark_datacol_diff_spark.operators.cluster import triangle_counts
+
+    # the same triangle given redundantly (dup + reversed) counts once
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (1, 2)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -505,3 +505,107 @@ def test_distribution_drift_null_bin_is_one_bucket(spark):
     rows = distribution_drift(s, s, F.col("v"), threshold_pct=5).collect()
     assert len(rows) == 2
     assert all(not r["drifted"] and r["n1"] == r["n2"] == 5 for r in rows)
+
+
+class TestDigestTree:
+    """Merkle-style diff localization (round-4 north-star addition)."""
+
+    def _tree(self, spark, rows):
+        df = spark.createDataFrame(rows, "pk long, v string")
+        from pyspark_datacol_diff_spark import digest_tree
+
+        return digest_tree(df, ["pk"], ["v"], fanout=4, levels=2)
+
+    def test_root_counts_and_parent_child_consistency(self, spark):
+        rows = [(i, f"v{i}") for i in range(40)]
+        t = {(r["level"], r["node"]): r for r in self._tree(spark, rows).collect()}
+        root = t[(0, 0)]
+        assert root["n_rows"] == 40
+        # every parent equals the modular sum of its children
+        for (lv, node), r in t.items():
+            if lv == 2:
+                continue
+            kids = [
+                c for (clv, cn), c in t.items()
+                if clv == lv + 1 and cn // 4 == node
+            ]
+            assert r["n_rows"] == sum(c["n_rows"] for c in kids)
+            assert r["digest"] == sum(c["digest"] for c in kids) % 10**18
+
+    def test_single_value_edit_flags_exactly_one_root_leaf_path(self, spark):
+        from pyspark_datacol_diff_spark import digest_tree_diff
+
+        rows = [(i, f"v{i}") for i in range(40)]
+        edited = [(i, "CHANGED" if i == 17 else f"v{i}") for i in range(40)]
+        a = spark.createDataFrame(rows, "pk long, v string")
+        b = spark.createDataFrame(edited, "pk long, v string")
+        d = digest_tree_diff(a, b, ["pk"], ["v"], fanout=4, levels=2)
+        bad = sorted(
+            (r["level"], r["node"]) for r in d.collect() if r["differs"]
+        )
+        # exactly one root->leaf path: levels 0, 1, 2 with consistent
+        # ancestry, and counts agree everywhere (pure value edit)
+        assert len(bad) == 3
+        assert [lv for lv, _ in bad] == [0, 1, 2]
+        (l0, n0), (l1, n1), (l2, n2) = bad
+        assert n0 == 0 and n1 == n2 // 4 and n0 == n1 // 4
+        assert all(r["n1"] == r["n2"] for r in d.collect())
+
+    def test_row_insertion_flags_count_and_digest(self, spark):
+        from pyspark_datacol_diff_spark import digest_tree_diff
+
+        rows = [(i, f"v{i}") for i in range(10)]
+        a = spark.createDataFrame(rows, "pk long, v string")
+        b = spark.createDataFrame(rows + [(99, "new")], "pk long, v string")
+        d = digest_tree_diff(a, b, ["pk"], ["v"], fanout=4, levels=2)
+        root = [r for r in d.collect() if r["level"] == 0][0]
+        assert root["differs"] and root["n1"] == 10 and root["n2"] == 11
+
+    def test_identical_tables_differ_nowhere(self, spark):
+        from pyspark_datacol_diff_spark import digest_tree_diff
+
+        rows = [(i, None if i % 3 == 0 else f"v{i}") for i in range(30)]
+        a = spark.createDataFrame(rows, "pk long, v string")
+        b = spark.createDataFrame(list(rows), "pk long, v string")
+        d = digest_tree_diff(a, b, ["pk"], ["v"], fanout=4, levels=2)
+        assert not any(r["differs"] for r in d.collect())
+
+    def test_null_vs_empty_string_distinct(self, spark):
+        """The sentinel canonicalization must keep (NULL) and ('')
+        apart — concat_ws alone would collapse them."""
+        from pyspark_datacol_diff_spark import digest_tree_diff
+
+        a = spark.createDataFrame([(1, None)], "pk long, v string")
+        b = spark.createDataFrame([(1, "")], "pk long, v string")
+        d = digest_tree_diff(a, b, ["pk"], ["v"], fanout=4, levels=1)
+        root = [r for r in d.collect() if r["level"] == 0][0]
+        assert root["differs"]
+
+    def test_validation_errors(self, spark):
+        import pytest
+
+        from pyspark_datacol_diff_spark import digest_tree
+        from pyspark_datacol_diff_spark.errors import (
+            InvalidArgumentError,
+            PrimaryKeyError,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "pk long, v string")
+        with pytest.raises(InvalidArgumentError):
+            digest_tree(df, ["pk"], fanout=1)
+        with pytest.raises(InvalidArgumentError):
+            digest_tree(df, ["pk"], levels=0)
+        with pytest.raises(InvalidArgumentError):
+            digest_tree(df, ["pk"], fanout=64, levels=5)
+        with pytest.raises(PrimaryKeyError):
+            digest_tree(df, [])
+
+    def test_no_cache_leak(self, spark):
+        from pyspark_datacol_diff_spark import digest_tree
+
+        df = spark.createDataFrame([(i, "x") for i in range(5)], "pk long, v string")
+        digest_tree(df, ["pk"], ["v"]).collect()
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert not any(
+            "In-memory table" in (i.name() or "") for i in infos
+        )

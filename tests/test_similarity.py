@@ -435,3 +435,19 @@ def test_pq_refined_recall_beats_raw_pq(spark):
     ref_hits = exact.join(ref, ["qid", "neighbor_id"]).count()
     assert ref_hits > raw_hits          # refine must add recall
     assert ref_hits * 10 >= n * 7       # the driver gate's 70% bound
+
+
+def test_dim_stats_exact_hand_values(spark):
+    from pyspark_datacol_diff_spark.operators.similarity import dim_stats_exact
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, [0.1, 0.75])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["pos"]: r for r in dim_stats_exact(df, "embedding").collect()}
+    # floor contributions: pos0 -> 500000, 100000; pos1 -> -250000, 750000
+    assert got[0]["n_vecs"] == 2
+    assert got[0]["dim_sum_e6"] == 600000
+    assert got[0]["dim_sumsq_e12"] == 500000**2 + 100000**2
+    assert got[1]["dim_sum_e6"] == 500000
+    assert got[1]["dim_sumsq_e12"] == 250000**2 + 750000**2
