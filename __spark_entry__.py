@@ -3125,6 +3125,63 @@ def _q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ffill_user_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (operators/incremental.py:forward_fill): every
+    event row carries the user's most recent purchase value at or
+    before it, in exact cents — the last-observation-carried-forward
+    repair between sparse event logs and dense feature frames. One
+    per-user window (single shuffle); (ts, event_id) is a total order
+    so the carry is deterministic; oracle is DuckDB's
+    last_value(... IGNORE NULLS) over the identical frame."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+    )
+    src = e.select("event_id", "user_id", "ts", cents.alias("purchase_cents"))
+    filled = INC.forward_fill(
+        src, ["user_id"], ["ts", "event_id"], ["purchase_cents"]
+    )
+    return filled.select(
+        "event_id", "user_id",
+        F.col("purchase_cents_ffill").alias("last_purchase_cents"),
+    )
+
+
+def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user latest event via max_by/arg_max AGGREGATION — top-1-per-
+    group without a window: no per-partition sort, fully map-side
+    combinable (each partition keeps one candidate per user before the
+    shuffle), where the window rewrite sorts every user's whole history.
+    The ordering key is a fixed-width sortable string (ISO timestamp +
+    zero-padded id) so both engines compare identical bytes and ties
+    are impossible."""
+    e = _t(spark, sf_dir, "events")
+    key = F.concat_ws(
+        "|",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("last_event_id"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_cluster_size_hist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component size distribution — the dedup diagnostic
+    (how much of the corpus sits in 2-clusters vs giant blobs, i.e.
+    projected savings and skew risk before running the survivor drop).
+    Components from the shared pair graph, then two grain-sized
+    aggregates (component -> size, size -> count); the oracle reuses
+    the recursive-CTE fixpoint."""
+    pairs = _ngram_pairs(spark, sf_dir)
+    comps = CC.connected_components(pairs, "id_a", "id_b")
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_components"))
+
+
 def _q_pmi_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type co-occurrence sufficient statistics per user universe
     (operators/cooccur.py:cooccurrence_stats): for every unordered pair
@@ -4104,7 +4161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digest_tree_orders": _q_digest_tree_orders,
         "embed_dim_stats": _q_embed_dim_stats,
         "pmi_event_pairs": _q_pmi_event_pairs,
+        "ffill_user_purchase": _q_ffill_user_purchase,
+        "latest_event_per_user": _q_latest_event_per_user,
         "triangle_counts_docs": _q_triangle_counts_docs,
+        "cluster_size_hist_docs": _q_cluster_size_hist_docs,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -5122,6 +5182,32 @@ SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs,
        CAST(SUM(c) AS BIGINT) AS dim_sum_e6,
        CAST(SUM(c * c) AS BIGINT) AS dim_sumsq_e12
 FROM x GROUP BY pos
+""",
+        "ffill_user_purchase": """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_cents
+FROM events
+""",
+        "latest_event_per_user": """
+WITH k AS (
+  SELECT user_id, event_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') || '|' ||
+         lpad(CAST(event_id AS VARCHAR), 12, '0') AS key
+  FROM events)
+SELECT user_id,
+       arg_max(event_id, key) AS last_event_id,
+       arg_max(event_type, key) AS last_type,
+       count(*) AS n_events
+FROM k GROUP BY user_id
+""",
+        "cluster_size_hist_docs": _SQL_CC_PREFIX + """
+, csizes AS (SELECT comp, count(*) AS size FROM comp GROUP BY comp)
+SELECT size, count(*) AS n_components FROM csizes GROUP BY size
 """,
         "pmi_event_pairs": """
 WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -40,13 +40,19 @@ from .operators.diff import (
     validate_schemas,
 )
 from .operators.fuzzy import fuzzy_join, fuzzy_join_multi
-from .operators.incremental import agg_state, merge_agg_states, running_total
+from .operators.incremental import (
+    agg_state,
+    forward_fill,
+    merge_agg_states,
+    running_total,
+)
 from .operators.quality import check_rules, check_rules_by
 from .plans import scale_lint
 from .session import get_spark
 
 __all__ = [
     "agg_state",
+    "forward_fill",
     "fuzzy_join",
     "fuzzy_join_multi",
     "merge_agg_states",

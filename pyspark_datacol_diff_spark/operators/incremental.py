@@ -32,7 +32,9 @@ raw data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SUPPORTED = {"count", "sum", "min", "max", "hll_distinct"}
@@ -186,3 +188,51 @@ def running_total(
     return local.withColumn(
         out_col, F.col("__loc") + lookup[F.col("__pb")]
     ).drop("__pb", "__loc")
+
+
+def forward_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Per-entity forward fill (last observation carried forward) — the
+    sparse-to-dense time-series repair between event logs and feature
+    frames: each ``value_cols`` entry gains a ``<col>_ffill`` column
+    holding the most recent non-null value at or before the row in the
+    entity's ``order_cols`` timeline (null until the first
+    observation).
+
+    One window, one shuffle: ``last(col, ignorenulls=True)`` over
+    ``(partitionBy keys, orderBy order_cols, rows unbounded
+    preceding..current)`` evaluates all fills in a single
+    partition-sort pass. Partitioning is per entity key — the standard
+    time-series contract that one entity's history fits a task; for
+    keyless global fills use :func:`running_total`'s bucketed two-phase
+    shape instead (a global window is the single-partition anti-pattern
+    this module exists to avoid).
+
+    ``order_cols`` must be a deterministic total order per entity (add
+    a unique id as tiebreaker) — otherwise equal-order rows make the
+    carried value nondeterministic.
+    """
+    if not keys:
+        raise ValueError(
+            "keys must be non-empty: a keyless forward fill is a global "
+            "single-partition window; bucket the timeline instead"
+        )
+    if not order_cols or not value_cols:
+        raise ValueError("order_cols and value_cols must be non-empty")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out

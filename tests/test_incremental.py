@@ -249,3 +249,45 @@ def test_running_total_rejects_null_bucket_and_reserved_cols(spark):
     bad = df.withColumn("__pb", F.lit(1))
     with pytest.raises(ValueError, match="reserved"):
         running_total(bad, "pos", "delta", bucket=F.lit(0))
+
+
+def test_forward_fill_carries_last_observation(spark):
+    from pyspark_datacol_diff_spark.operators.incremental import forward_fill
+
+    rows = [
+        (1, 1, None), (1, 2, 10), (1, 3, None), (1, 4, None), (1, 5, 20),
+        (2, 1, None), (2, 2, None),
+    ]
+    df = spark.createDataFrame(rows, "u long, s long, x long")
+    got = {
+        (r["u"], r["s"]): r["x_ffill"]
+        for r in forward_fill(df, ["u"], ["s"], ["x"]).collect()
+    }
+    assert got == {
+        (1, 1): None, (1, 2): 10, (1, 3): 10, (1, 4): 10, (1, 5): 20,
+        (2, 1): None, (2, 2): None,
+    }
+
+
+def test_forward_fill_multiple_columns_and_suffix(spark):
+    from pyspark_datacol_diff_spark.operators.incremental import forward_fill
+
+    df = spark.createDataFrame(
+        [(1, 1, 5, "a"), (1, 2, None, None)], "u long, s long, x long, y string"
+    )
+    out = forward_fill(df, ["u"], ["s"], ["x", "y"], suffix="_f")
+    assert {"x_f", "y_f"} <= set(out.columns)
+    r = {row["s"]: row for row in out.collect()}
+    assert r[2]["x_f"] == 5 and r[2]["y_f"] == "a"
+
+
+def test_forward_fill_rejects_keyless_and_empty(spark):
+    import pytest
+
+    from pyspark_datacol_diff_spark.operators.incremental import forward_fill
+
+    df = spark.createDataFrame([(1, 1, 1)], "u long, s long, x long")
+    with pytest.raises(ValueError, match="keys"):
+        forward_fill(df, [], ["s"], ["x"])
+    with pytest.raises(ValueError, match="non-empty"):
+        forward_fill(df, ["u"], [], ["x"])
