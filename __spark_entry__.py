@@ -42,6 +42,8 @@ from pyspark_datacol_diff_spark.operators import fuzzy as FZ
 from pyspark_datacol_diff_spark.operators import quality as QA
 from pyspark_datacol_diff_spark.operators import corpus as CP
 from pyspark_datacol_diff_spark.operators import cooccur as CO
+from pyspark_datacol_diff_spark.operators import prune as PR
+from pyspark_datacol_diff_spark.operators import histogram as HG
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -3182,6 +3184,69 @@ def _q_cluster_size_hist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_components"))
 
 
+def _q_bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/prune.py:bloom_semi_join):
+    lineitem rows restricted to the negative-balance suppliers, then
+    per-supplier line counts — the shuffle-pruning pattern for a semi
+    join whose build side is too big to broadcast at 100 TB. The Bloom
+    membership test runs map-side against a literal bitset (the only
+    collect is the bounded num_bits/64-row word table), so non-matching
+    lineitem rows never enter the semi-join exchange; the trailing
+    exact semi join makes the result bit-identical to the plain semi
+    join the oracle runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    sm = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    j = PR.bloom_semi_join(li, sm, ["l_suppkey"], num_bits=1 << 17)
+    return j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+def _q_bigram_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram table with min-count prune
+    (operators/corpus.py:ngram_counts) — the LM sufficient statistic.
+    Gram materialization is array transform+slice inside the scan (no
+    shuffle, no token self-join); the single exchange is the gram-keyed
+    hash agg with map-side combine, so shuffle volume is
+    distinct-grams-sized. min_count=10 prunes after the global count,
+    where LM pipelines prune."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.ngram_counts(d, "text", n=2, min_count=10)
+
+
+def _cents(col: str = "value"):
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
+
+
+def _q_hist_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event value in cents
+    (operators/histogram.py:histogram) — the mergeable distribution
+    sketch: one algebraic hash agg whose map side emits at most
+    num_bins rows per partition, vs the exact-percentile sort that
+    shuffles every row. $10 bins over [0, $500), edge bins clamp."""
+    e = _t(spark, sf_dir, "events")
+    return HG.histogram(
+        e.select(_cents().alias("cents")), "cents",
+        lo=0, width=1000, num_bins=50,
+    )
+
+
+def _q_hist_quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-derived p50/p90/p99 of event value
+    (operators/histogram.py:histogram_quantiles): quantile rank read
+    off the binned cumulative counts with integer cross-multiplied
+    rank comparison (cum*1000 >= q*total — no float rounding to
+    diverge from the oracle). Bin-width error is chosen up front; the
+    quantile pass itself touches <= num_bins rows."""
+    h = _q_hist_event_value(spark, sf_dir)
+    return HG.histogram_quantiles(h, [500, 900, 990])
+
+
 def _q_pmi_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type co-occurrence sufficient statistics per user universe
     (operators/cooccur.py:cooccurrence_stats): for every unordered pair
@@ -4165,6 +4230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "triangle_counts_docs": _q_triangle_counts_docs,
         "cluster_size_hist_docs": _q_cluster_size_hist_docs,
+        "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
+        "bigram_counts_docs": _q_bigram_counts_docs,
+        "hist_event_value": _q_hist_event_value,
+        "hist_quantiles_event_value": _q_hist_quantiles_event_value,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -5208,6 +5277,57 @@ FROM k GROUP BY user_id
         "cluster_size_hist_docs": _SQL_CC_PREFIX + """
 , csizes AS (SELECT comp, count(*) AS size FROM comp GROUP BY comp)
 SELECT size, count(*) AS n_components FROM csizes GROUP BY size
+""",
+        "bloom_semi_join_lineitem": """
+SELECT l_suppkey, count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_suppkey IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY l_suppkey
+""",
+        "bigram_counts_docs": """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+g AS (
+  SELECT tk[i] || ' ' || tk[i + 1] AS gram
+  FROM t, LATERAL unnest(range(1, len(tk))) AS r(i)
+  WHERE len(tk) >= 2)
+SELECT gram, count(*) AS cnt FROM g GROUP BY gram HAVING count(*) >= 10
+""",
+        "hist_event_value": """
+WITH c AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT LEAST(GREATEST(CAST(floor(cents / 1000) AS BIGINT), 0), 49) AS bin
+  FROM c)
+SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
+FROM b GROUP BY bin
+""",
+        "hist_quantiles_event_value": """
+WITH c AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT LEAST(GREATEST(CAST(floor(cents / 1000) AS BIGINT), 0), 49) AS bin
+  FROM c),
+h AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+cum AS (
+  SELECT bin,
+         CAST(sum(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM h),
+q AS (SELECT unnest([500, 900, 990]) AS q_permille)
+SELECT q.q_permille,
+       CAST(min(cum.bin) AS BIGINT) AS bin,
+       CAST(min(cum.bin) * 1000 AS BIGINT) AS lo_edge
+FROM q JOIN cum ON cum.cum * 1000 >= q.q_permille * cum.total
+GROUP BY q.q_permille
 """,
         "pmi_event_pairs": """
 WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -46,6 +46,8 @@ from .operators.incremental import (
     merge_agg_states,
     running_total,
 )
+from .operators.histogram import histogram, histogram_quantiles
+from .operators.prune import bloom_semi_join
 from .operators.quality import check_rules, check_rules_by
 from .plans import scale_lint
 from .session import get_spark
@@ -57,6 +59,9 @@ __all__ = [
     "fuzzy_join_multi",
     "merge_agg_states",
     "running_total",
+    "bloom_semi_join",
+    "histogram",
+    "histogram_quantiles",
     "check_rules",
     "check_rules_by",
     "DataColDiffError",

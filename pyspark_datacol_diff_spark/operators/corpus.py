@@ -97,6 +97,52 @@ def top_vocab(
     )
 
 
+def ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n: int = 2,
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Global word n-gram counts over the corpus — the LM sufficient
+    statistic (bigram/trigram tables, contamination shingles, Kneser-
+    Ney numerators all start here). Returns ``(gram, cnt)`` with
+    ``cnt >= min_count``; ``gram`` is the n tokens joined by one space.
+
+    Shape: n-gram materialization is a per-row array ``transform`` +
+    ``slice`` inside the scan stage (no shuffle, no self-join — the
+    window/lead formulation would shuffle every token once); the only
+    exchange is the gram-keyed hash aggregate, map-side combined so
+    shuffle volume is distinct-grams-per-partition, not corpus token
+    count. ``min_count`` prunes AFTER the aggregate (a global count
+    cannot be decided earlier), which is also where LM pipelines prune.
+
+    Documents with fewer than ``n`` tokens contribute nothing (guarded:
+    Spark's ``sequence(1, m-n+1)`` would count DOWN for m < n).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.filter(tokens(t), lambda x: x != "")
+    m = F.size(toks)
+    grams = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
 def pii_counts(text: Column | str) -> Column:
     """struct(n_urls, n_emails, n_phones) found in ``text`` — the audit
     signal next to the scrub (URLs counted before scrubbing strips the

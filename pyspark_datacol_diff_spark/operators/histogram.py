@@ -1,0 +1,125 @@
+"""Fixed-width integer histograms and histogram-derived quantiles.
+
+The mergeable alternative to exact percentiles at 100 TB: an exact
+per-group sort (``percentile``) shuffles every row to its group's
+reducer and holds the group's values in memory; a fixed-bin histogram
+is an algebraic aggregate — map-side combine reduces each partition to
+at most ``num_bins`` rows before the shuffle, partial histograms merge
+by adding counts (the same decomposition contract as
+``operators/incremental.py`` states), and any quantile is then read off
+the cumulative counts with bin-width error bounded up front by the bin
+layout the caller chose.
+
+Everything is integer arithmetic on a caller-scaled ``long`` column
+(scale floats to cents/micros first) — bin assignment, cumulative
+sums, and quantile ranks replay bit-for-bit in any engine, so the
+DuckDB oracles compare exactly rather than within-epsilon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    lo: int,
+    width: int,
+    num_bins: int,
+) -> DataFrame:
+    """Fixed-width histogram of an integer-valued column: bin ``i``
+    covers ``[lo + i*width, lo + (i+1)*width)``; values below ``lo``
+    clamp into bin 0 and values at/above the top edge clamp into bin
+    ``num_bins - 1`` (edge bins double as under/overflow counters, the
+    usual monitoring convention). NULLs are dropped. Returns one row
+    per non-empty bin: ``(bin, lo_edge, n)``.
+
+    One algebraic hash aggregate — at most ``num_bins`` rows per
+    partition survive the map side regardless of input size.
+    """
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    if num_bins < 1:
+        raise ValueError(f"num_bins must be >= 1, got {num_bins}")
+    v = F.col(value) if isinstance(value, str) else value
+    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(num_bins - 1))
+    return (
+        df.filter(v.isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo_edge"),
+            "n",
+        )
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, quantiles: list[int]
+) -> DataFrame:
+    """Quantiles from a ``histogram()`` output, exact over the binned
+    distribution: for each ``q`` in permille (500 = median), the first
+    bin whose cumulative count reaches ``ceil(q/1000 * total)``.
+    Returns ``(q_permille, bin, lo_edge)``.
+
+    Permille ints (not float fractions) keep the rank computation in
+    integer space: a bin reaches quantile ``q`` iff
+    ``cum*1000 >= q*total`` (the integer form of ``cum >=
+    ceil(q/1000 * total)``) — no float rounding to diverge between
+    engines.
+
+    Shape: the histogram is metadata-sized (<= num_bins rows), so it
+    is folded into ONE array row (``collect_list`` + ``array_sort``)
+    and the cumulative counts / rank probes run as array higher-order
+    functions on that row — no window over a single partition, no
+    join, one tiny final aggregate. An empty histogram yields an empty
+    result.
+    """
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not 1 <= q <= 1000:
+            raise ValueError(f"quantiles are permille in [1, 1000], got {q}")
+    zero = F.lit(0).cast("long")
+    one_row = hist.agg(
+        F.array_sort(
+            F.collect_list(F.struct("bin", "lo_edge", "n"))
+        ).alias("__hs")
+    )
+    total = F.aggregate(F.col("__hs"), zero, lambda a, x: a + x["n"])
+    cums = F.transform(
+        F.col("__hs"),
+        lambda x, i: F.aggregate(
+            F.slice(F.col("__hs"), 1, i + 1), zero, lambda a, y: a + y["n"]
+        ),
+    )
+    probes = one_row.select(
+        F.explode(
+            F.array(*[F.lit(q) for q in sorted(set(quantiles))])
+        ).alias("q_permille"),
+        F.col("__hs"),
+        cums.alias("__cums"),
+        total.alias("__total"),
+    ).filter(F.col("__total") > 0)
+    # cum is nondecreasing, so the first index reaching the rank is
+    # (number of strictly-failing prefixes) + 1
+    idx = (
+        F.size(
+            F.filter(
+                F.col("__cums"),
+                lambda c: c * 1000
+                < F.col("q_permille").cast("long") * F.col("__total"),
+            )
+        )
+        + 1
+    )
+    hit = F.element_at(F.col("__hs"), idx)
+    return probes.select(
+        "q_permille", hit["bin"].alias("bin"), hit["lo_edge"].alias("lo_edge")
+    )

@@ -338,3 +338,58 @@ def test_token_rarity_hand_computed(spark):
     assert (r2["n_tokens"], r2["freq_mass"], r2["min_tok_count"], r2["n_hapax"]) == (
         4, 8, 2, 0,
     )
+
+
+def test_ngram_counts_hand_computed(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import ngram_counts
+
+    df = spark.createDataFrame(
+        [("the cat sat on the cat",), ("the cat",), ("solo",), ("",)],
+        "text string",
+    )
+    got = {r["gram"]: r["cnt"] for r in ngram_counts(df, "text").collect()}
+    # doc1 bigrams: the cat, cat sat, sat on, on the, the cat
+    # doc2: the cat; doc3/doc4: fewer than 2 tokens -> nothing
+    assert got == {"the cat": 3, "cat sat": 1, "sat on": 1, "on the": 1}
+
+
+def test_ngram_counts_min_count_and_trigram(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import ngram_counts
+
+    df = spark.createDataFrame(
+        [("a b c a b c",), ("a b c",)], "text string"
+    )
+    got = {
+        r["gram"]: r["cnt"]
+        for r in ngram_counts(df, "text", n=3, min_count=2).collect()
+    }
+    # trigrams doc1: "a b c","b c a","c a b","a b c"; doc2: "a b c"
+    assert got == {"a b c": 3}
+
+
+def test_ngram_counts_short_docs_and_validation(spark):
+    import pytest
+
+    from pyspark_datacol_diff_spark.operators.corpus import ngram_counts
+
+    df = spark.createDataFrame([("one",), ("  ",)], "text string")
+    assert ngram_counts(df, "text", n=2).count() == 0
+    with pytest.raises(ValueError, match="n must"):
+        ngram_counts(df, "text", n=0)
+    with pytest.raises(ValueError, match="min_count"):
+        ngram_counts(df, "text", min_count=0)
+
+
+def test_ngram_counts_zero_shuffle_before_agg(spark):
+    """Gram materialization must be scan-stage-local: exactly one
+    exchange in the whole plan (the gram hash agg)."""
+    from pyspark_datacol_diff_spark.operators.corpus import ngram_counts
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    plan = (
+        ngram_counts(df, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2  # one shuffle, possibly AQE-read twice

@@ -1,0 +1,100 @@
+"""histogram / histogram_quantiles: hand-computed bins, clamping,
+quantile ranks, validation, map-side-combinable plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_datacol_diff_spark.operators.histogram import (
+    histogram,
+    histogram_quantiles,
+)
+
+
+def _hist_map(df):
+    return {r["bin"]: (r["lo_edge"], r["n"]) for r in df.collect()}
+
+
+def test_histogram_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in [0, 5, 9, 10, 19, 20, 99]], "v long"
+    )
+    got = _hist_map(histogram(df, "v", lo=0, width=10, num_bins=5))
+    # bins of width 10 from 0; 99 clamps into last bin (idx 4)
+    assert got == {0: (0, 3), 1: (10, 2), 2: (20, 1), 4: (40, 1)}
+
+
+def test_histogram_clamps_below_lo_and_drops_nulls(spark):
+    df = spark.createDataFrame(
+        [(-50,), (None,), (5,), (1000,)], "v long"
+    )
+    got = _hist_map(histogram(df, "v", lo=0, width=10, num_bins=3))
+    assert got == {0: (0, 2), 2: (20, 1)}
+
+
+def test_histogram_validation(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="width"):
+        histogram(df, "v", lo=0, width=0, num_bins=3)
+    with pytest.raises(ValueError, match="num_bins"):
+        histogram(df, "v", lo=0, width=1, num_bins=0)
+
+
+def test_quantiles_hand_computed(spark):
+    # 10 values in bin 0, 80 in bin 1, 10 in bin 2
+    rows = [(0,)] * 10 + [(10,)] * 80 + [(20,)] * 10
+    df = spark.createDataFrame(rows, "v long")
+    h = histogram(df, "v", lo=0, width=10, num_bins=3)
+    got = {
+        r["q_permille"]: (r["bin"], r["lo_edge"])
+        for r in histogram_quantiles(h, [100, 500, 950]).collect()
+    }
+    # rank(100) = 10 -> bin 0 exactly; rank(500) = 50 -> bin 1;
+    # rank(950) = 95 -> bin 2
+    assert got == {100: (0, 0), 500: (1, 10), 950: (2, 20)}
+
+
+def test_quantile_boundary_exact_rank(spark):
+    # cum*1000 >= q*total must treat an exact boundary as reached:
+    # 4 values, q=500 -> rank 2 -> second value's bin
+    df = spark.createDataFrame([(0,), (0,), (10,), (10,)], "v long")
+    h = histogram(df, "v", lo=0, width=10, num_bins=2)
+    got = {r["q_permille"]: r["bin"] for r in histogram_quantiles(h, [500]).collect()}
+    assert got == {500: 0}
+
+
+def test_quantiles_validation(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    h = histogram(df, "v", lo=0, width=1, num_bins=1)
+    with pytest.raises(ValueError, match="non-empty"):
+        histogram_quantiles(h, [])
+    with pytest.raises(ValueError, match="permille"):
+        histogram_quantiles(h, [0])
+    with pytest.raises(ValueError, match="permille"):
+        histogram_quantiles(h, [1001])
+
+
+def test_histogram_is_partial_aggregable(spark):
+    """The plan must show a partial/final hash aggregate pair — the
+    property that caps map output at num_bins rows per partition."""
+    df = spark.range(0, 1000).select(F.col("id").alias("v"))
+    plan = (
+        histogram(df, "v", lo=0, width=100, num_bins=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_quantiles_plan_has_no_window(spark):
+    """The quantile pass must not use a single-partition window — the
+    histogram folds into one array row instead."""
+    df = spark.range(0, 100).select(F.col("id").alias("v"))
+    h = histogram(df, "v", lo=0, width=10, num_bins=10)
+    plan = (
+        histogram_quantiles(h, [500])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan

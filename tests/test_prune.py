@@ -1,0 +1,79 @@
+"""bloom_semi_join: exactness vs the plain semi join, null keys,
+false-positive pruning, validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_datacol_diff_spark.operators.prune import bloom_semi_join
+
+
+def _same(a, b):
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_matches_plain_semi_join(spark):
+    big = spark.range(0, 2000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(0, 10).select((F.col("id") * 7).alias("k"))
+    got = bloom_semi_join(big, small, ["k"])
+    exp = big.join(small, ["k"], "left_semi")
+    assert _same(got, exp)
+
+
+def test_multi_column_key_and_null_keys(spark):
+    big = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 11), (2, "a", 12), (None, "a", 13), (2, None, 14)],
+        "k1 int, k2 string, v int",
+    )
+    small = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "a")], "k1 int, k2 string"
+    )
+    got = bloom_semi_join(big, small, ["k1", "k2"])
+    exp = big.join(small, ["k1", "k2"], "left_semi")
+    # null-key rows match in neither (semi join equality is null-rejecting)
+    assert _same(got, exp)
+    assert got.count() == 1
+
+
+def test_tiny_filter_forces_false_positives_still_exact(spark):
+    # 64 bits for 50 keys: nearly every probe passes the Bloom test,
+    # so the trailing semi join is doing the correctness work
+    big = spark.range(0, 500).select((F.col("id") % 100).alias("k"))
+    small = spark.range(0, 50).select((F.col("id") * 2).alias("k"))
+    got = bloom_semi_join(big, small, ["k"], num_bits=64, num_hashes=1)
+    exp = big.join(small, ["k"], "left_semi")
+    assert _same(got, exp)
+
+
+def test_empty_small_side(spark):
+    big = spark.range(0, 10).select(F.col("id").alias("k"))
+    small = spark.range(0, 0).select(F.col("id").alias("k"))
+    assert bloom_semi_join(big, small, ["k"]).count() == 0
+
+
+def test_validation(spark):
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="non-empty"):
+        bloom_semi_join(df, df, [])
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_semi_join(df, df, ["k"], num_bits=100)
+    with pytest.raises(ValueError, match="num_hashes"):
+        bloom_semi_join(df, df, ["k"], num_hashes=0)
+
+
+def test_bloom_prunes_before_shuffle(spark):
+    """The membership test must sit below the semi-join exchange: the
+    probe side's filter stage contains the bitset probe, so pruned rows
+    never enter the shuffle."""
+    big = spark.range(0, 1000).select((F.col("id") % 50).alias("k"))
+    small = spark.range(0, 3).select(F.col("id").alias("k"))
+    plan = (
+        bloom_semi_join(big, small, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the probe filter references the literal bitset via element_at,
+    # and the build-side aggregate is gone (collected at plan time)
+    assert "element_at" in plan
