@@ -3214,8 +3214,12 @@ def _q_bigram_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no token self-join); the single exchange is the gram-keyed
     hash agg with map-side combine, so shuffle volume is
     distinct-grams-sized. min_count=10 prunes after the global count,
-    where LM pipelines prune."""
-    d = _t(spark, sf_dir, "documents")
+    where LM pipelines prune. balance_partitions is warranted here
+    (unlike pack_sequences): the heavy work — per-doc gram zip +
+    explode + partial agg — happens BEFORE the operator's only
+    shuffle, so a single-file input would otherwise run it on one
+    task (measured 2x at sf0.1)."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
     return CP.ngram_counts(d, "text", n=2, min_count=10)
 
 

@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     # new shapes in round 4:
     "digest_tree_orders",        # dual-scan Merkle trees + grain join
     "triangle_counts_docs",      # degree-oriented wedge-closing joins
+    "bloom_semi_join_lineitem",  # bitset-literal probe prune + semi join
+    "bigram_counts_docs",        # zip_with gram build + map-combined agg
+    "hist_event_value",          # algebraic fixed-bin histogram
+    "ffill_user_purchase",       # keyed-window forward fill
+    "latest_event_per_user",     # max_by top-1-per-group (no window)
     # lsh_near_dup_recall stays out: it deliberately runs the exact
     # O(n^2) verify next to the LSH path (a correctness gate, not a
     # throughput headline)

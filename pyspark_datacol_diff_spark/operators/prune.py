@@ -95,7 +95,13 @@ def bloom_semi_join(
     bitset = [0] * (num_bits >> 6)
     for r in words:
         bitset[r["__w"]] = r["__bits"]
-    blit = F.lit(bitset)  # array<bigint> literal, num_bits/8 bytes
+    # ship the bitset as ONE string and let ConstantFolding turn the
+    # from_json into an array literal at plan time: a plain
+    # F.lit(list) builds num_bits/64 py4j Literal nodes (~0.9 s at
+    # 2^17 bits, growing with the parameter); this is O(1) calls
+    blit = F.from_json(
+        F.lit("[" + ",".join(map(str, bitset)) + "]"), "array<bigint>"
+    )
 
     def contains(k: Column) -> Column:
         tests = [
