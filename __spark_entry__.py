@@ -3251,6 +3251,34 @@ def _q_hist_quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame
     return HG.histogram_quantiles(h, [500, 900, 990])
 
 
+def _q_hard_negatives_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negatives):
+    top-5 nearest DIFFERENT-label neighbors for the deterministic query
+    subset — the contrastive-training pair source. Label inequality is
+    a predicate on the broadcast join (pruned before scoring); ids+rank
+    only, same last-ulp argument as ann_topk_cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    return SIM.hard_negatives(emb, q, 5).select("qid", "neighbor_id", "rank")
+
+
+def _q_len_hist_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution
+    (operators/histogram.py:histogram with group keys) — the corpus
+    intake diagnostic (which feed ships truncated docs / walls of
+    text). One algebraic aggregate on (source, bin): map side emits at
+    most sources x num_bins rows per partition no matter the corpus
+    size."""
+    d = _t(spark, sf_dir, "documents")
+    return HG.histogram(
+        d, "n_chars", lo=0, width=200, num_bins=20, keys=["source"]
+    )
+
+
 def _q_pmi_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type co-occurrence sufficient statistics per user universe
     (operators/cooccur.py:cooccurrence_stats): for every unordered pair
@@ -4238,6 +4266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts_docs": _q_bigram_counts_docs,
         "hist_event_value": _q_hist_event_value,
         "hist_quantiles_event_value": _q_hist_quantiles_event_value,
+        "len_hist_by_source_docs": _q_len_hist_by_source_docs,
+        "hard_negatives_embed": _q_hard_negatives_embed,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -5332,6 +5362,28 @@ SELECT q.q_permille,
        CAST(min(cum.bin) * 1000 AS BIGINT) AS lo_edge
 FROM q JOIN cum ON cum.cum * 1000 >= q.q_permille * cum.total
 GROUP BY q.q_permille
+""",
+        "len_hist_by_source_docs": """
+WITH b AS (
+  SELECT source,
+         LEAST(GREATEST(CAST(floor(n_chars / 200) AS BIGINT), 0), 19) AS bin
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT source, bin, CAST(bin * 200 AS BIGINT) AS lo_edge, count(*) AS n
+FROM b GROUP BY source, bin
+""",
+        "hard_negatives_embed": """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid AND e.label <> q.qlabel),
+ranked AS (
+  SELECT qid, neighbor_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 5
 """,
         "pmi_event_pairs": """
 WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),

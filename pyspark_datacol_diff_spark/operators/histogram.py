@@ -18,6 +18,8 @@ DuckDB oracles compare exactly rather than within-epsilon.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -29,16 +31,20 @@ def histogram(
     lo: int,
     width: int,
     num_bins: int,
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """Fixed-width histogram of an integer-valued column: bin ``i``
     covers ``[lo + i*width, lo + (i+1)*width)``; values below ``lo``
     clamp into bin 0 and values at/above the top edge clamp into bin
     ``num_bins - 1`` (edge bins double as under/overflow counters, the
     usual monitoring convention). NULLs are dropped. Returns one row
-    per non-empty bin: ``(bin, lo_edge, n)``.
+    per non-empty bin: ``(*keys, bin, lo_edge, n)``.
 
-    One algebraic hash aggregate — at most ``num_bins`` rows per
-    partition survive the map side regardless of input size.
+    With ``keys`` the histogram is computed per group in the SAME
+    single aggregate (the per-source quality-distribution /
+    drift-monitoring shape) — still algebraic: at most
+    ``groups_in_partition x num_bins`` rows survive the map side
+    regardless of input size.
     """
     if width <= 0:
         raise ValueError(f"width must be positive, got {width}")
@@ -47,12 +53,14 @@ def histogram(
     v = F.col(value) if isinstance(value, str) else value
     raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(num_bins - 1))
+    ks = list(keys)
     return (
         df.filter(v.isNotNull())
-        .select(bin_.alias("bin"))
-        .groupBy("bin")
+        .select(*ks, bin_.alias("bin"))
+        .groupBy(*ks, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
+            *ks,
             "bin",
             (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo_edge"),
             "n",

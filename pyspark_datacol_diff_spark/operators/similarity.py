@@ -479,6 +479,64 @@ def group_centroids(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    query_label_col: str = "qlabel",
+) -> DataFrame:
+    """Top-k nearest neighbors with a DIFFERENT label per query vector —
+    hard-negative mining for contrastive training (the negatives that
+    sit closest to the anchor in embedding space are the informative
+    ones). Returns ``(qid, neighbor_id, rank, sim)``.
+
+    Same broadcast-bounded exact scan as :func:`cosine_topk` — the
+    label-inequality predicate rides the broadcast join, so same-label
+    pairs are dropped BEFORE scoring and before the per-query rank
+    window (at 100 TB the predicate prunes roughly 1/num_labels of the
+    pair blow-up at the cheapest point). A per-label pre-partition
+    cannot express this (each query excludes a different label), which
+    is why it is the join predicate. NULL-label corpus rows and
+    pairs with a NULL query label never match (SQL inequality
+    semantics) — unlabeled vectors are not negatives.
+
+    Exact by construction; the IVF/LSH variants can reuse their cell
+    and bucket machinery with the same predicate when the corpus no
+    longer fits a full scan per query batch.
+    """
+    from ..sources import balance_partitions
+
+    c = balance_partitions(corpus).withColumn("__na", norm(F.col(vec_col)))
+    q = queries.withColumn("__nq", norm(F.col(query_vec_col)))
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .filter(F.col(label_col) != F.col(query_label_col))
+    )
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__na") * F.col("__nq"))
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "sim")
+    )
+
+
 def cosine_pairs(
     corpus: DataFrame,
     *,

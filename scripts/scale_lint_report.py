@@ -48,6 +48,13 @@ DECLARED_EXACT = {
         "recall gate: deliberately computes the exact O(n^2) pair set "
         "next to the LSH candidates to measure recall"
     ),
+    "hard_negatives_embed": (
+        "hard-negative mining on the same broadcast-bounded exact scan "
+        "as ann_topk_cosine (O(n*q), q small by contract) with the "
+        "label-inequality predicate pruning pairs pre-score; the IVF "
+        "cell machinery is the scale path when the corpus outgrows a "
+        "full scan"
+    ),
     "ann_pq_recall": (
         "recall gate: the PQ ADC pass streams corpus codes against the "
         "BROADCAST bounded query set (O(n*q), the PQ contract — m "

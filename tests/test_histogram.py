@@ -98,3 +98,17 @@ def test_quantiles_plan_has_no_window(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+def test_grouped_histogram(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 15), ("a", 17), ("b", 5), ("b", None)],
+        "g string, v long",
+    )
+    got = {
+        (r["g"], r["bin"]): (r["lo_edge"], r["n"])
+        for r in histogram(
+            df, "v", lo=0, width=10, num_bins=3, keys=["g"]
+        ).collect()
+    }
+    assert got == {("a", 0): (0, 1), ("a", 1): (10, 2), ("b", 0): (0, 1)}

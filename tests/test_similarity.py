@@ -451,3 +451,53 @@ def test_dim_stats_exact_hand_values(spark):
     assert got[0]["dim_sumsq_e12"] == 500000**2 + 100000**2
     assert got[1]["dim_sum_e6"] == 500000
     assert got[1]["dim_sumsq_e12"] == 250000**2 + 750000**2
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),   # anchor
+        (2, [0.99, 0.1], 0),  # nearest but same label -> excluded
+        (3, [0.9, 0.3], 1),   # nearest different-label
+        (4, [0.0, 1.0], 1),   # far different-label
+        (5, [0.95, 0.2], None),  # unlabeled -> never a negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in SIM.hard_negatives(df, q, 2).orderBy("rank").collect()
+    ]
+    assert got == [(3, 1), (4, 2)]
+
+
+def test_hard_negatives_matches_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    labels = rng.integers(0, 3, size=40)
+    rows = [(i, [float(x) for x in vecs[i]], int(labels[i])) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = df.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    got = {
+        (r["qid"], r["rank"]): r["neighbor_id"]
+        for r in SIM.hard_negatives(df, q, 3).collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1)
+    for qi in range(0, 40, 10):
+        sims = vecs @ vecs[qi] / (norms * norms[qi])
+        cand = [
+            (-sims[j], j)
+            for j in range(40)
+            if j != qi and labels[j] != labels[qi]
+        ]
+        for rank, (_, j) in enumerate(sorted(cand)[:3], start=1):
+            assert got[(qi, rank)] == j
