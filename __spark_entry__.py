@@ -3240,6 +3240,27 @@ def _q_hist_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hist_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram rollup
+    (operators/histogram.py:merge_histograms): three disjoint batches
+    (event_id mod 3 — standing in for daily partitions) are
+    histogrammed independently and MERGED; the driver hash proves the
+    merged state equals the one-shot histogram the oracle computes.
+    The incremental.py contract extended to distributions: aggregate
+    the new batch only, merge grain-sized (bin) rows, never rescan
+    history."""
+    e = _t(spark, sf_dir, "events")
+    src = e.select("event_id", _cents().alias("cents"))
+    batches = [
+        HG.histogram(
+            src.filter(F.col("event_id") % 3 == i), "cents",
+            lo=0, width=1000, num_bins=50,
+        )
+        for i in range(3)
+    ]
+    return HG.merge_histograms(batches)
+
+
 def _q_hist_quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-derived p50/p90/p99 of event value
     (operators/histogram.py:histogram_quantiles): quantile rank read
@@ -3264,6 +3285,26 @@ def _q_hard_negatives_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("qlabel"),
     )
     return SIM.hard_negatives(emb, q, 5).select("qid", "neighbor_id", "rank")
+
+
+def _q_dedup_rate_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate — the ingest-feed diagnostic that
+    says WHICH source ships copies (and therefore what dedup will
+    delete, per feed) before any dedup runs. Exact integer
+    numerator/denominator per source, never a float rate. Two
+    exchanges total: fingerprint-keyed window count (the dedup key
+    shape), then the source-keyed aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source",
+        DD.content_fingerprint("text", num_tokens=2).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    cnts = fp.withColumn("cnt", F.count(F.lit(1)).over(w))
+    return cnts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_docs"),
+    )
 
 
 def _q_len_hist_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4268,6 +4309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_event_value": _q_hist_quantiles_event_value,
         "len_hist_by_source_docs": _q_len_hist_by_source_docs,
         "hard_negatives_embed": _q_hard_negatives_embed,
+        "dedup_rate_by_source_docs": _q_dedup_rate_by_source_docs,
+        "hist_rollup_events": _q_hist_rollup_events,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -5341,6 +5384,16 @@ b AS (
 SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
 FROM b GROUP BY bin
 """,
+        "hist_rollup_events": """
+WITH c AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT LEAST(GREATEST(CAST(floor(cents / 1000) AS BIGINT), 0), 49) AS bin
+  FROM c)
+SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
+FROM b GROUP BY bin
+""",
         "hist_quantiles_event_value": """
 WITH c AS (
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -5384,6 +5437,17 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored)
 SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 5
+""",
+        "dedup_rate_by_source_docs": """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), 1, 2), ' ')) AS fp
+  FROM documents),
+c AS (
+  SELECT source, count(*) OVER (PARTITION BY fp) AS cnt FROM fp)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+FROM c GROUP BY source
 """,
         "pmi_event_pairs": """
 WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -68,6 +68,38 @@ def histogram(
     )
 
 
+def merge_histograms(
+    hists: list[DataFrame], *, keys: Sequence[str] = ()
+) -> DataFrame:
+    """Merge :func:`histogram` outputs built over disjoint batches —
+    the mergeable-state contract of ``operators/incremental.py``
+    extended to distributions: aggregate only the new batch's
+    histogram, merge grain-sized ``(keys, bin)`` rows, never rescan
+    history; then :func:`histogram_quantiles` reads quantiles off the
+    merged state. (A histogram cannot be a single-COLUMN state in
+    Spark's algebraic aggregate set — there is no elementwise
+    array-sum aggregate — so the state grain is keyed rows, which is
+    also what partitioned parquet wants.)
+
+    Union (no shuffle) + one grain-sized hash aggregate; all inputs
+    must share the same bin layout (same lo/width/num_bins — bins
+    merge BY INDEX, and lo_edge rides along only because equal bins
+    imply equal edges).
+    """
+    if not hists:
+        raise ValueError("merge_histograms needs at least one histogram")
+    ks = list(keys)
+    cols = ks + ["bin", "lo_edge", "n"]
+    unioned = hists[0].select(cols)
+    for h in hists[1:]:
+        unioned = unioned.unionByName(h.select(cols))
+    return (
+        unioned.groupBy(*ks, "bin", "lo_edge")
+        .agg(F.sum("n").alias("n"))
+        .select(*ks, "bin", "lo_edge", "n")
+    )
+
+
 def histogram_quantiles(
     hist: DataFrame, quantiles: list[int]
 ) -> DataFrame:

@@ -67,7 +67,9 @@ def _check(aggs: dict[str, tuple[str, str]]) -> None:
             f"incremental aggregation supports {sorted(_SUPPORTED)} "
             f"(the decomposable set), got {sorted(bad)}; exact "
             "count-distinct and percentiles need the raw data — use "
-            "hll_distinct for a mergeable distinct sketch"
+            "hll_distinct for a mergeable distinct sketch, or "
+            "operators/histogram.py (histogram + merge_histograms + "
+            "histogram_quantiles) for mergeable binned quantiles"
         )
 
 

@@ -53,9 +53,18 @@ QUERIES = [
     "profile_orders",
     "change_intervals_events",
     "token_rarity_docs",
+    # round-4 additions
+    "bigram_counts_docs",
+    "triangle_counts_docs",
+    "digest_tree_orders",
+    "bloom_semi_join_lineitem",
+    "hard_negatives_embed",
 ]
 
-TABLES_NEEDED = ["documents", "embeddings", "events", "orders", "customer"]
+TABLES_NEEDED = [
+    "documents", "embeddings", "events", "orders", "customer",
+    "lineitem", "supplier",
+]
 
 
 def synth(spark, k_replicas: int) -> str:
@@ -107,6 +116,19 @@ def synth(spark, k_replicas: int) -> str:
             elif t == "customer":
                 rep = rep.withColumn(
                     "c_custkey", F.col("c_custkey") + F.lit(k * 10_000_000)
+                )
+            elif t == "lineitem":
+                # suppkey offset keeps the supplier FK consistent with
+                # the replicated supplier table below, so the bloom
+                # semi join's match rate is scale-invariant
+                rep = rep.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000)
+                ).withColumn(
+                    "l_suppkey", F.col("l_suppkey") + F.lit(k * 10_000_000)
+                )
+            elif t == "supplier":
+                rep = rep.withColumn(
+                    "s_suppkey", F.col("s_suppkey") + F.lit(k * 10_000_000)
                 )
             parts.append(rep)
         out = parts[0]
@@ -167,6 +189,13 @@ def main() -> None:
                 f"{K * K}x work — a ratio near {K * K}/parallel-slack "
                 "is the CONTRACT; the scale path (ann_ivf_topk) bounds "
                 "probed cells instead"
+            ),
+            "hard_negatives_embed": (
+                "same declared O(n*q) exact-baseline contract as "
+                "ann_topk_cosine (query set is the same fixed corpus "
+                f"fraction, so {K * K}x work at {K}x data); the "
+                "label-inequality predicate prunes pairs but not "
+                "asymptotics — the IVF cell machinery is the scale path"
             ),
             "ratios_below_replicas": (
                 "ratios under the replica count mean fixed per-job "

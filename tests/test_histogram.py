@@ -112,3 +112,29 @@ def test_grouped_histogram(spark):
         ).collect()
     }
     assert got == {("a", 0): (0, 1), ("a", 1): (10, 2), ("b", 0): (0, 1)}
+
+
+def test_merge_histograms_equals_direct(spark):
+    from pyspark_datacol_diff_spark.operators.histogram import merge_histograms
+
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 97).alias("v")
+    )
+    batches = [
+        df.filter((F.col("v") + F.col("g")) % 3 == i) for i in range(3)
+    ]
+    kw = dict(lo=0, width=10, num_bins=10, keys=["g"])
+    merged = merge_histograms([histogram(b, "v", **kw) for b in batches], keys=["g"])
+    direct = histogram(df, "v", **kw)
+    a = {(r["g"], r["bin"]): (r["lo_edge"], r["n"]) for r in merged.collect()}
+    b = {(r["g"], r["bin"]): (r["lo_edge"], r["n"]) for r in direct.collect()}
+    assert a == b
+
+
+def test_merge_histograms_validation(spark):
+    import pytest
+
+    from pyspark_datacol_diff_spark.operators.histogram import merge_histograms
+
+    with pytest.raises(ValueError, match="at least one"):
+        merge_histograms([])
