@@ -3287,6 +3287,19 @@ def _q_hard_negatives_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, q, 5).select("qid", "neighbor_id", "rank")
 
 
+def _q_oov_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage report (operators/corpus.py:oov_stats): the
+    top-100 corpus vocabulary is built once (deterministic cnt-desc/
+    token-asc top-k, bounded collect), shipped as a constant-folded
+    map literal, and every source's token occurrences are probed
+    against it inside the scan — no token explode, no join; the only
+    exchange is the per-source aggregate. Exact integer
+    numerator/denominator (OOV mass per feed)."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = [r["token"] for r in CP.top_vocab(d, "text", 100).collect()]
+    return CP.oov_stats(d, "text", vocab, keys=["source"])
+
+
 def _q_dedup_rate_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication rate — the ingest-feed diagnostic that
     says WHICH source ships copies (and therefore what dedup will
@@ -4110,6 +4123,29 @@ def _q_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_streaming_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained distribution state
+    (streaming/continuous_histogram): three disjoint micro-batches are
+    histogrammed and folded into the versioned parquet state via
+    merge_histograms — monitoring quantiles come off the state, never
+    a history rescan. The oracle histograms the full table one-shot:
+    state-maintenance == direct aggregation is the contract (same
+    shape as streaming_incremental_rollup, extended to
+    distributions)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = STR.stage_disjoint_splits(batch, "event_id", 3)
+    sdf = (
+        STR.read_parquet_stream(spark, src, batch.schema, max_files_per_trigger=1)
+        .transform(SRC.normalize_event_ts)
+        .withColumn("cents", _cents())
+    )
+    return STR.continuous_histogram(
+        sdf, "cents", lo=0, width=1000, num_bins=50,
+        query_name="q_stream_hist",
+    )
+
+
 def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column data profile (operators/diff.profile_table)
     over the same engine-exact orders projection the digest gate uses:
@@ -4311,6 +4347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_embed": _q_hard_negatives_embed,
         "dedup_rate_by_source_docs": _q_dedup_rate_by_source_docs,
         "hist_rollup_events": _q_hist_rollup_events,
+        "oov_by_source_docs": _q_oov_by_source_docs,
+        "streaming_hist_rollup": _q_streaming_hist_rollup,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -5437,6 +5475,35 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored)
 SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 5
+""",
+        "streaming_hist_rollup": """
+WITH c AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT LEAST(GREATEST(CAST(floor(cents / 1000) AS BIGINT), 0), 49) AS bin
+  FROM c)
+SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
+FROM b GROUP BY bin
+""",
+        "oov_by_source_docs": """
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+v AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM t WHERE token != ''
+    GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100)),
+tok AS (
+  SELECT source, token FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+    FROM documents)
+  WHERE token != '')
+SELECT source, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_oov
+FROM tok GROUP BY source
 """,
         "dedup_rate_by_source_docs": """
 WITH fp AS (

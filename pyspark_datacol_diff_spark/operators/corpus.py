@@ -21,6 +21,9 @@ All pure Column/DataFrame expressions — no Python UDFs:
 
 from __future__ import annotations
 
+import json
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -146,6 +149,51 @@ def ngram_counts(
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    text_col: str,
+    vocab: list[str],
+    *,
+    keys: Sequence[str] = (),
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenizer-coverage report: per group (or whole corpus with no
+    ``keys``), total token occurrences and how many fall OUTSIDE
+    ``vocab`` — the out-of-vocabulary mass that decides whether a
+    tokenizer/vocab fits a feed before training starts. Returns
+    ``(*keys, n_tokens, n_oov)`` — exact integers, never a float rate
+    (callers divide at the edge).
+
+    ``vocab`` is a bounded in-memory list by contract (a tokenizer
+    vocab — 32K..256K entries), shipped ONCE as a constant-folded map
+    literal (hash lookup per token, not a linear array scan) and
+    probed inside the scan stage; the only exchange is the final
+    grain-sized aggregate. No token explode, no join — the corpus
+    never shuffles token rows. Build the vocab itself with
+    :func:`top_vocab` (collect is bounded by its ``k``).
+
+    Multiset semantics: every OCCURRENCE of an OOV token counts.
+    """
+    if not vocab:
+        raise ValueError("vocab must be a non-empty list of tokens")
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.filter(tokens(t), lambda x: x != "")
+    vmap = F.from_json(
+        F.lit(json.dumps({v: 1 for v in sorted(set(vocab))})),
+        "map<string,int>",
+    )
+    n_oov = F.size(F.filter(toks, lambda x: F.element_at(vmap, x).isNull()))
+    ks = list(keys)
+    return (
+        df.select(*ks, F.size(toks).alias("__nt"), n_oov.alias("__no"))
+        .groupBy(*ks)
+        .agg(
+            F.sum("__nt").alias("n_tokens"),
+            F.sum("__no").alias("n_oov"),
+        )
     )
 
 

@@ -438,10 +438,72 @@ def continuous_rollup(
     (availableNow) and returns the final merged state as a batch
     DataFrame.
     """
+    from ..operators import incremental as INC
+
+    return _continuous_state(
+        sdf,
+        lambda b: INC.agg_state(b, keys, aggs),
+        lambda prev, cur: INC.merge_agg_states([prev, cur], keys, aggs),
+        query_name=query_name,
+        state_root=state_root,
+        state_partitions=state_partitions,
+    )
+
+
+def continuous_histogram(
+    sdf: DataFrame,
+    value: str,
+    *,
+    lo: int,
+    width: int,
+    num_bins: int,
+    keys: list | None = None,
+    query_name: str,
+    state_root: str | None = None,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Continuously-maintained distribution state: each micro-batch is
+    histogrammed (``operators/histogram.py`` — an algebraic bin
+    aggregate) and folded into the stored histogram via
+    ``merge_histograms``; ``histogram_quantiles`` then reads
+    monitoring quantiles off the state without ever rescanning
+    history. Same versioned-state / at-least-once machinery as
+    :func:`continuous_rollup` (see its docstring for the retry and
+    resume contract).
+    """
+    from ..operators import histogram as HG
+
+    ks = list(keys or [])
+
+    return _continuous_state(
+        sdf,
+        lambda b: HG.histogram(
+            b, value, lo=lo, width=width, num_bins=num_bins, keys=ks
+        ),
+        lambda prev, cur: HG.merge_histograms([prev, cur], keys=ks),
+        query_name=query_name,
+        state_root=state_root,
+        state_partitions=state_partitions,
+    )
+
+
+def _continuous_state(
+    sdf: DataFrame,
+    make_state,
+    merge_states,
+    *,
+    query_name: str,
+    state_root: str | None,
+    state_partitions: int | None,
+) -> DataFrame:
+    """foreachBatch versioned-state fold shared by continuous_rollup
+    and continuous_histogram: per batch, ``make_state(batch_df)``
+    builds the grain-sized state and ``merge_states(prev, cur)`` folds
+    it into the newest on-disk version with id < batch_id (the
+    at-least-once-safe predecessor choice documented in
+    continuous_rollup)."""
     import os
     import tempfile
-
-    from ..operators import incremental as INC
 
     spark = sdf.sparkSession
     root = state_root or tempfile.mkdtemp(prefix=f"dcd_rollup_{query_name}_")
@@ -455,11 +517,11 @@ def continuous_rollup(
         )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        state = INC.agg_state(batch_df, keys, aggs)
+        state = make_state(batch_df)
         prior = [p for i, p in _versions() if i < batch_id]
         if prior:
             prev_state = batch_df.sparkSession.read.parquet(prior[-1])
-            state = INC.merge_agg_states([prev_state, state], keys, aggs)
+            state = merge_states(prev_state, state)
         out = os.path.join(root, f"v{batch_id}")
         state.write.mode("overwrite").parquet(out)
         ran.append(batch_id)
@@ -476,5 +538,5 @@ def continuous_rollup(
         return spark.read.parquet(os.path.join(root, f"v{max(ran)}"))
     final = _versions()
     if not final:
-        raise RuntimeError(f"continuous_rollup {query_name!r}: no micro-batch ran")
+        raise RuntimeError(f"{query_name!r}: no micro-batch ran")
     return spark.read.parquet(final[-1][1])

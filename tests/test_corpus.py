@@ -393,3 +393,46 @@ def test_ngram_counts_zero_shuffle_before_agg(spark):
         .toString()
     )
     assert plan.count("Exchange") <= 2  # one shuffle, possibly AQE-read twice
+
+
+def test_oov_stats_hand_computed(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import oov_stats
+
+    df = spark.createDataFrame(
+        [("a", "the cat sat"), ("a", "dog dog"), ("b", "the the unknown")],
+        "src string, text string",
+    )
+    vocab = ["the", "cat"]
+    got = {
+        r["src"]: (r["n_tokens"], r["n_oov"])
+        for r in oov_stats(df, "text", vocab, keys=["src"]).collect()
+    }
+    # a: 5 tokens, oov = sat + dog + dog = 3; b: 3 tokens, oov = unknown = 1
+    assert got == {"a": (5, 3), "b": (3, 1)}
+
+
+def test_oov_stats_global_and_validation(spark):
+    import pytest
+
+    from pyspark_datacol_diff_spark.operators.corpus import oov_stats
+
+    df = spark.createDataFrame([("x y",), ("",)], "text string")
+    r = oov_stats(df, "text", ["x"]).collect()[0]
+    assert (r["n_tokens"], r["n_oov"]) == (2, 1)
+    with pytest.raises(ValueError, match="non-empty"):
+        oov_stats(df, "text", [])
+
+
+def test_oov_stats_zero_shuffle_probe(spark):
+    """The vocab probe must not explode or join: one exchange total
+    (the final aggregate)."""
+    from pyspark_datacol_diff_spark.operators.corpus import oov_stats
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    plan = (
+        oov_stats(df, "text", ["a"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Generate" not in plan

@@ -344,3 +344,30 @@ def test_continuous_rollup_returns_this_runs_state_not_stale_versions(spark):
     )
     want = batch.groupBy("event_type").count().withColumnRenamed("count", "n")
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_continuous_histogram_merges_across_micro_batches(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = ST.stage_disjoint_splits(batch, "event_id", 3)
+    sdf = ST.read_parquet_stream(
+        spark, src, batch.schema, max_files_per_trigger=1
+    )
+    sdf = SRC.normalize_event_ts(sdf).withColumn(
+        "cents", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    )
+    got = ST.continuous_histogram(
+        sdf, "cents", lo=0, width=1000, num_bins=50,
+        query_name="t_hist_rollup",
+    )
+    from pyspark_datacol_diff_spark.operators.histogram import histogram
+
+    want = histogram(
+        SRC.normalize_event_ts(batch).withColumn(
+            "cents", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        ),
+        "cents", lo=0, width=1000, num_bins=50,
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
