@@ -3287,6 +3287,28 @@ def _q_hard_negatives_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, q, 5).select("qid", "neighbor_id", "rank")
 
 
+def _q_split_leakage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: after the deterministic hash_split,
+    count per split how many docs share a content fingerprint with a
+    doc in ANOTHER split — the eval-integrity gate that must run
+    before any benchmark number is trusted (hash_split is keyed on
+    doc_id, so byte-identical content under different ids leaks).
+    One fingerprint-keyed window pass (collect_set of splits — Spark
+    has no DISTINCT window aggregate), then the split-grain
+    aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    s = SAMP.hash_split(d, "doc_id", _SPLITS)
+    fp = s.select(
+        "split", DD.content_fingerprint("text", num_tokens=2).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    x = fp.withColumn("n_splits", F.size(F.collect_set("split").over(w)))
+    return x.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_splits") > 1).cast("long")).alias("n_leaky_docs"),
+    )
+
+
 def _q_oov_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-coverage report (operators/corpus.py:oov_stats): the
     top-100 corpus vocabulary is built once (deterministic cnt-desc/
@@ -4349,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_rollup_events": _q_hist_rollup_events,
         "oov_by_source_docs": _q_oov_by_source_docs,
         "streaming_hist_rollup": _q_streaming_hist_rollup,
+        "split_leakage_docs": _q_split_leakage_docs,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -4741,6 +4764,20 @@ SELECT {_SQL_SPLIT_CASE} AS split,
        count(*) AS n_docs,
        CAST(sum({_SQL_NTOK}) AS BIGINT) AS n_tokens
 FROM b GROUP BY 1
+"""
+
+
+def _sql_split_leakage_docs() -> str:
+    return f"""
+WITH s AS (
+  SELECT md5(array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), 1, 2), ' ')) AS fp,
+         {_SQL_SPLIT_CASE} AS split
+  FROM (SELECT *, {_SQL_BUCKET} AS bk FROM documents)),
+c AS (
+  SELECT split, count(DISTINCT split) OVER (PARTITION BY fp) AS ns FROM s)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs
+FROM c GROUP BY split
 """
 
 
@@ -5486,6 +5523,7 @@ b AS (
 SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
 FROM b GROUP BY bin
 """,
+        "split_leakage_docs": _sql_split_leakage_docs(),
         "oov_by_source_docs": """
 WITH t AS (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
