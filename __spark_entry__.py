@@ -3157,12 +3157,14 @@ def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), where the window rewrite sorts every user's whole history.
     The ordering key is a fixed-width sortable string (ISO timestamp +
     zero-padded id) so both engines compare identical bytes and ties
-    are impossible."""
+    are impossible. Pad width 20 > the 19 digits of any BIGINT — lpad
+    TRUNCATES overlong strings (both engines), so a narrower pad would
+    silently collide ids above its digit budget."""
     e = _t(spark, sf_dir, "events")
     key = F.concat_ws(
         "|",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
     return e.groupBy("user_id").agg(
         F.max_by("event_id", key).alias("last_event_id"),
@@ -5418,7 +5420,7 @@ FROM events
 WITH k AS (
   SELECT user_id, event_id, event_type,
          strftime(ts, '%Y-%m-%d %H:%M:%S') || '|' ||
-         lpad(CAST(event_id AS VARCHAR), 12, '0') AS key
+         lpad(CAST(event_id AS VARCHAR), 20, '0') AS key
   FROM events)
 SELECT user_id,
        arg_max(event_id, key) AS last_event_id,
@@ -5538,10 +5540,12 @@ tok AS (
            unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
     FROM documents)
   WHERE token != '')
-SELECT source, count(*) AS n_tokens,
-       CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END)
-            AS BIGINT) AS n_oov
-FROM tok GROUP BY source
+SELECT d.source, CAST(count(tok.token) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(CASE WHEN tok.token IN (SELECT token FROM v)
+                               THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_oov
+FROM (SELECT DISTINCT source FROM documents) d
+LEFT JOIN tok ON tok.source = d.source
+GROUP BY d.source
 """,
         "dedup_rate_by_source_docs": """
 WITH fp AS (

@@ -46,7 +46,11 @@ from .operators.incremental import (
     merge_agg_states,
     running_total,
 )
-from .operators.histogram import histogram, histogram_quantiles
+from .operators.histogram import (
+    histogram,
+    histogram_quantiles,
+    merge_histograms,
+)
 from .operators.prune import bloom_semi_join
 from .operators.quality import check_rules, check_rules_by
 from .plans import scale_lint
@@ -62,6 +66,7 @@ __all__ = [
     "bloom_semi_join",
     "histogram",
     "histogram_quantiles",
+    "merge_histograms",
     "check_rules",
     "check_rules_by",
     "DataColDiffError",

@@ -187,8 +187,14 @@ def oov_stats(
     )
     n_oov = F.size(F.filter(toks, lambda x: F.element_at(vmap, x).isNull()))
     ks = list(keys)
+    # NULL text -> NULL token array -> NULL sizes; count those docs as
+    # zero tokens rather than poisoning the group sums with NULL
     return (
-        df.select(*ks, F.size(toks).alias("__nt"), n_oov.alias("__no"))
+        df.select(
+            *ks,
+            F.coalesce(F.size(toks), F.lit(0)).alias("__nt"),
+            F.coalesce(n_oov, F.lit(0)).alias("__no"),
+        )
         .groupBy(*ks)
         .agg(
             F.sum("__nt").alias("n_tokens"),

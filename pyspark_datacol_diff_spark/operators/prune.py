@@ -72,6 +72,24 @@ def bloom_semi_join(
         raise ValueError(f"num_bits must be a power of two >= 64, got {num_bits}")
     if not 1 <= num_hashes <= 16:
         raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
+    # xxhash64 is TYPE-sensitive: int 3 and bigint 3 hash differently,
+    # so mismatched key dtypes would set build-side bits the probe side
+    # never reads and every true match would be pruned. The plain semi
+    # join silently coerces; this operator refuses instead — cast one
+    # side explicitly.
+    big_types = dict(big.dtypes)
+    small_types = dict(small.dtypes)
+    mismatched = [
+        (c, big_types.get(c), small_types.get(c))
+        for c in on
+        if big_types.get(c) != small_types.get(c)
+    ]
+    if mismatched:
+        raise ValueError(
+            "bloom_semi_join key dtypes must match exactly on both sides "
+            f"(xxhash64 is type-sensitive): {mismatched}; cast the keys "
+            "to a common type first"
+        )
 
     def key(df: DataFrame) -> Column:
         # single expression over the tuple; NULL keys never match a

@@ -1070,10 +1070,14 @@ def dim_stats_exact(
     independent and bit-identical in any engine.
 
     Returns ``(pos, n_vecs, dim_sum_e{scale}, dim_sumsq_e{2*scale})``.
-    The squared sum accumulates in DECIMAL(38,0) (a squared e6
-    contribution is ~1e12; 38 digits absorbs any row count) and is
-    emitted mod nothing — callers get the exact integer, cast to
-    BIGINT (raises on genuine overflow rather than wrapping, per ANSI).
+    Both the per-element square and the running sum are computed in
+    DECIMAL (the LONG*LONG multiply would overflow first), and the
+    exact integer is emitted as BIGINT — the OUTPUT domain bound: a
+    squared-sum beyond 2^63 raises a loud ANSI CAST_OVERFLOW rather
+    than wrapping. For unit-scale embeddings at scale=6 a squared e6
+    contribution is ~1e12, leaving ~9e6 rows of headroom per dimension
+    times however small the elements are; data outside that envelope
+    needs a smaller ``scale``.
 
     Plan shape: identical to dim_sums_exact — posexplode inside the
     scan stage, one map-side-combined aggregate keyed by dimension; the
@@ -1088,7 +1092,11 @@ def dim_stats_exact(
     return exploded.select("pos", c.alias("__c")).groupBy("pos").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("__c").alias(sum_col),
+        # the multiply itself must run in decimal: LONG * LONG overflows
+        # (ANSI ARITHMETIC_OVERFLOW) for |c| >= 2^31.5, i.e. elements
+        # beyond ~3037 at scale=6, even when the product fits 38 digits
         F.sum(
-            (F.col("__c") * F.col("__c")).cast("decimal(38,0)")
+            F.col("__c").cast("decimal(19,0)")
+            * F.col("__c").cast("decimal(19,0)")
         ).cast("long").alias(sq_col),
     )

@@ -88,15 +88,21 @@ def make_duck(sf_dir: str):
 
 
 def lint_one(con, spark, sf_dir: str, name: str, sql: str, qfn) -> dict:
-    """Lint a single (query, oracle) pair; returns the findings record."""
+    """Lint a single (query, oracle) pair; returns the findings record.
+
+    ``qfn`` is either the query callable or an ALREADY-BUILT DataFrame
+    (anything with ``.schema``) — callers that just executed the query
+    (scripts/parity.py) pass the DataFrame so construction-time work
+    (streaming replays, CC fixpoints, vocab/bitset collects) is not
+    redone for a schema read."""
     errors: list[str] = []
     warnings: list[str] = []
     o_types = {
         r[0].lower(): r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()
     }
+    sdf = qfn if hasattr(qfn, "schema") else qfn(spark, sf_dir)
     s_types = {
-        f.name.lower(): f.dataType.simpleString()
-        for f in qfn(spark, sf_dir).schema.fields
+        f.name.lower(): f.dataType.simpleString() for f in sdf.schema.fields
     }
     for c in sorted(set(o_types) - set(s_types)):
         errors.append(f"extra_col: oracle-only column '{c}'")

@@ -97,7 +97,7 @@ def main() -> int:
         res = con.execute(sqls[name])
         o_cols = [d[0] for d in res.description]
         o_sig = _frame_sig([tuple(r) for r in res.fetchall()], o_cols)
-        type_errs = lint_one(con, spark, args.sf, name, sqls[name], qs[name])[
+        type_errs = lint_one(con, spark, args.sf, name, sqls[name], sdf)[
             "errors"
         ]
         ok = s_sig == o_sig and not type_errs

@@ -436,3 +436,12 @@ def test_oov_stats_zero_shuffle_probe(spark):
         .toString()
     )
     assert "Join" not in plan and "Generate" not in plan
+
+
+def test_oov_stats_null_text_counts_zero(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import oov_stats
+
+    df = spark.createDataFrame([("a", None), ("a", "x y")], "src string, text string")
+    r = {row["src"]: (row["n_tokens"], row["n_oov"])
+         for row in oov_stats(df, "text", ["x"], keys=["src"]).collect()}
+    assert r == {"a": (2, 1)}

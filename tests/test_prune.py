@@ -77,3 +77,16 @@ def test_bloom_prunes_before_shuffle(spark):
     # the probe filter references the literal bitset via element_at,
     # and the build-side aggregate is gone (collected at plan time)
     assert "element_at" in plan
+
+
+def test_rejects_mismatched_key_dtypes(spark):
+    """xxhash64 is type-sensitive: int 3 and bigint 3 set different
+    bits, so a silent coercion would prune every true match. The
+    operator must refuse instead."""
+    big = spark.range(0, 10).select(F.col("id").alias("k"))  # bigint
+    small = spark.createDataFrame([(3,), (7,)], "k int")
+    with pytest.raises(ValueError, match="type-sensitive"):
+        bloom_semi_join(big, small, ["k"])
+    # cast to a common type and it matches the plain semi join
+    got = bloom_semi_join(big, small.select(F.col("k").cast("long")), ["k"])
+    assert sorted(r["k"] for r in got.collect()) == [3, 7]

@@ -501,3 +501,30 @@ def test_hard_negatives_matches_brute_force(spark):
         ]
         for rank, (_, j) in enumerate(sorted(cand)[:3], start=1):
             assert got[(qi, rank)] == j
+
+
+def test_dim_stats_exact_square_in_decimal_and_loud_overflow(spark):
+    """The per-element square runs in DECIMAL (a LONG*LONG multiply
+    would raise ARITHMETIC_OVERFLOW mid-plan); the documented domain
+    bound is the BIGINT OUTPUT — beyond 2^63 the emit raises a loud
+    ANSI overflow, never wraps."""
+    import pytest as _pt
+
+    from pyspark_datacol_diff_spark.operators.similarity import dim_stats_exact
+
+    # exactly representable near the top of the long domain: 3000e6
+    # squared = 9e18 < 2^63 — fails a long multiply's intermediate on
+    # nothing, fits the output
+    df = spark.createDataFrame(
+        [(1, [3000.0],)], "vec_id long, embedding array<double>"
+    )
+    r = dim_stats_exact(df, "embedding").collect()[0]
+    c = 3000 * 10**6
+    assert r["dim_sum_e6"] == c and r["dim_sumsq_e12"] == c * c
+
+    # beyond the output domain: loud error, not a wrapped value
+    big = spark.createDataFrame(
+        [(1, [50000.0],)], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(Exception, match="OVERFLOW"):
+        dim_stats_exact(big, "embedding").collect()
