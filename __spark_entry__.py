@@ -3155,15 +3155,17 @@ def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     group without a window: no per-partition sort, fully map-side
     combinable (each partition keeps one candidate per user before the
     shuffle), where the window rewrite sorts every user's whole history.
-    The ordering key is a fixed-width sortable string (ISO timestamp +
-    zero-padded id) so both engines compare identical bytes and ties
-    are impossible. Pad width 20 > the 19 digits of any BIGINT — lpad
-    TRUNCATES overlong strings (both engines), so a narrower pad would
-    silently collide ids above its digit budget."""
+    The ordering key is a fixed-width sortable string
+    (microsecond-precision ISO timestamp — the testdata carries real
+    sub-second parts — + zero-padded id) so both engines compare
+    identical bytes and ties are impossible. Pad width 20 > the 19
+    digits of any BIGINT — lpad TRUNCATES overlong strings (both
+    engines), so a narrower pad would silently collide ids above its
+    digit budget."""
     e = _t(spark, sf_dir, "events")
     key = F.concat_ws(
         "|",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
         F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
     return e.groupBy("user_id").agg(
@@ -5419,7 +5421,7 @@ FROM events
         "latest_event_per_user": """
 WITH k AS (
   SELECT user_id, event_id, event_type,
-         strftime(ts, '%Y-%m-%d %H:%M:%S') || '|' ||
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
          lpad(CAST(event_id AS VARCHAR), 20, '0') AS key
   FROM events)
 SELECT user_id,

@@ -24,7 +24,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
 # Headline set: one query per DISTINCT plan shape. The r02 bench timed 53
 # queries and per-query job overhead (~0.2-1 s each) drowned real deltas;
-# this set keeps the ~36 shapes that exercise different physical plans and
+# this set keeps the ~43 shapes that exercise different physical plans and
 # leaves same-shape variants (q4/q5/q12/q13/q19 scan-agg-join family,
 # window_user_running vs range_frame, ann_topk_arrow/quantized vs cosine,
 # chunk/vocab/tfidf explode-agg family, per-row-expression family) to the
