@@ -445,3 +445,37 @@ def test_oov_stats_null_text_counts_zero(spark):
     r = {row["src"]: (row["n_tokens"], row["n_oov"])
          for row in oov_stats(df, "text", ["x"], keys=["src"]).collect()}
     assert r == {"a": (2, 1)}
+
+
+# --- property: ngram_counts equals brute-force on arbitrary text ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c\t", max_size=30), min_size=1, max_size=8
+    ),
+    n=st.integers(min_value=1, max_value=3),
+)
+def test_property_ngram_counts_match_brute_force(spark, docs, n):
+    from collections import Counter
+
+    from pyspark_datacol_diff_spark.operators.corpus import ngram_counts
+
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = {
+        r["gram"]: r["cnt"] for r in ngram_counts(df, "text", n=n).collect()
+    }
+    want = Counter()
+    for d in docs:
+        toks = [t for t in d.lower().split() if t]
+        for i in range(len(toks) - n + 1):
+            want[" ".join(toks[i : i + n])] += 1
+    assert got == dict(want)

@@ -138,3 +138,41 @@ def test_merge_histograms_validation(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         merge_histograms([])
+
+
+# --- property: quantile = first bin reaching ceil(q/1000 * total) ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=-20, max_value=120), min_size=1, max_size=50
+    ),
+    qs=st.lists(
+        st.integers(min_value=1, max_value=1000),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_property_quantiles_match_brute_force(spark, values, qs):
+    import math
+
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    h = histogram(df, "v", lo=0, width=10, num_bins=10)
+    got = {
+        r["q_permille"]: r["bin"]
+        for r in histogram_quantiles(h, qs).collect()
+    }
+    bins = sorted(min(max((v - 0) // 10, 0), 9) for v in values)
+    total = len(bins)
+    for q in qs:
+        rank = math.ceil(q * total / 1000)
+        assert got[q] == bins[rank - 1], (q, rank, bins)

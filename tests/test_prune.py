@@ -90,3 +90,40 @@ def test_rejects_mismatched_key_dtypes(spark):
     # cast to a common type and it matches the plain semi join
     got = bloom_semi_join(big, small.select(F.col("k").cast("long")), ["k"])
     assert sorted(r["k"] for r in got.collect()) == [3, 7]
+
+
+# --- property: bloom prune is invisible — equals plain semi join ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    big_keys=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    small_keys=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=0, max_size=20
+    ),
+    num_bits=st.sampled_from([64, 256, 4096]),
+    num_hashes=st.integers(min_value=1, max_value=4),
+)
+def test_property_equals_plain_semi_join(
+    spark, big_keys, small_keys, num_bits, num_hashes
+):
+    big = spark.createDataFrame([(k,) for k in big_keys], "k long")
+    small = spark.createDataFrame([], "k long") if not small_keys else (
+        spark.createDataFrame([(k,) for k in small_keys], "k long")
+    )
+    got = bloom_semi_join(
+        big, small, ["k"], num_bits=num_bits, num_hashes=num_hashes
+    )
+    exp = big.join(small, ["k"], "left_semi")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in exp.collect()
+    )
