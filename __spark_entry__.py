@@ -3326,6 +3326,28 @@ def _q_oov_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.oov_stats(d, "text", vocab, keys=["source"])
 
 
+def _q_distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source signature vocabulary
+    (operators/corpus.py:distinctive_terms): top-5 most
+    over-represented tokens per feed by exact-ratio ranking (within a
+    group, lift order reduces to cnt_g/cnt_all — one IEEE double
+    division of exact ints, identical across engines; no totals pass).
+    One corpus token aggregate; everything after is vocab-grain."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    return CP.distinctive_terms(d, "source", "text", 5, min_count=5)
+
+
+def _q_shingle_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content containment
+    (operators/corpus.py:shingle_overlap): distinct 3-gram shingles
+    shared between every source pair + per-source shingle counts — the
+    syndication/contamination matrix. Posting-list self-join bounded
+    by sources^2 per shingle; one corpus scan, cache released before
+    return."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    return CP.shingle_overlap(d, "source", "text", n=3)
+
+
 def _q_dedup_rate_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication rate — the ingest-feed diagnostic that
     says WHICH source ships copies (and therefore what dedup will
@@ -4376,6 +4398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_by_source_docs": _q_oov_by_source_docs,
         "streaming_hist_rollup": _q_streaming_hist_rollup,
         "split_leakage_docs": _q_split_leakage_docs,
+        "distinctive_terms_by_source": _q_distinctive_terms_by_source,
+        "shingle_overlap_sources": _q_shingle_overlap_sources,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -5528,6 +5552,41 @@ SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
 FROM b GROUP BY bin
 """,
         "split_leakage_docs": _sql_split_leakage_docs(),
+        "distinctive_terms_by_source": """
+WITH tok AS (
+  SELECT source, token FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+    FROM documents)
+  WHERE token != ''),
+g AS (SELECT source, token, count(*) AS cnt_g FROM tok GROUP BY source, token),
+a AS (SELECT token, CAST(sum(cnt_g) AS BIGINT) AS cnt_all FROM g GROUP BY token),
+s AS (SELECT g.source AS "group", g.token, g.cnt_g, a.cnt_all,
+             row_number() OVER (PARTITION BY g.source
+               ORDER BY CAST(g.cnt_g AS DOUBLE) / CAST(a.cnt_all AS DOUBLE) DESC,
+                        g.token) AS rank
+      FROM g JOIN a USING (token) WHERE g.cnt_g >= 5)
+SELECT "group", token, CAST(rank AS INTEGER) AS rank, cnt_g, cnt_all
+FROM s WHERE rank <= 5
+""",
+        "shingle_overlap_sources": """
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source, array_to_string(tk[i:i+2], ' ') AS sh
+  FROM (SELECT source, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM toks) u),
+sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS group_a, b.source AS group_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT group_a, group_b, n_shared, sa.sz AS n_a, sb.sz AS n_b
+FROM pairs
+JOIN sizes sa ON sa.source = group_a
+JOIN sizes sb ON sb.source = group_b
+""",
         "oov_by_source_docs": """
 WITH t AS (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token

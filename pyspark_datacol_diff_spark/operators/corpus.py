@@ -203,6 +203,121 @@ def oov_stats(
     )
 
 
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int,
+    *,
+    min_count: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-group signature vocabulary: the ``k`` tokens most
+    over-represented in each group relative to the whole corpus — the
+    domain/feed fingerprint (which terms make source X source X).
+    Returns ``(group, token, rank, cnt_g, cnt_all)``.
+
+    Ranking note: full lift is ``(cnt_g/tot_g) / (cnt_all/corpus)``,
+    but within one group ``tot_g`` and ``corpus`` are constants, so
+    the per-group ORDER is exactly ``cnt_g / cnt_all`` — computed as
+    one IEEE double division of two exact integers (identical in
+    every engine; no totals pass, no scalar broadcast needed at all).
+    Ties break on token asc. ``min_count`` (on cnt_g) keeps noise
+    words out of the rankings.
+
+    Shape: one token-keyed aggregate over the corpus (map-side
+    combined); ``cnt_all`` is RE-AGGREGATED from that result (vocab x
+    groups rows, never a second corpus scan); one vocab-grain join;
+    the rank window partitions by group over vocab-sized input.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    tok = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(tokens(t)).alias("token"),
+    ).filter(F.col("token") != "")
+    gcnt = tok.groupBy("group", "token").agg(
+        F.count(F.lit(1)).alias("cnt_g")
+    )
+    allcnt = gcnt.groupBy("token").agg(F.sum("cnt_g").alias("cnt_all"))
+    scored = gcnt.filter(F.col("cnt_g") >= min_count).join(allcnt, "token")
+    ratio = F.col("cnt_g").cast("double") / F.col("cnt_all").cast("double")
+    w = Window.partitionBy("group").orderBy(
+        F.desc(ratio), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("group", "token", "rank", "cnt_g", "cnt_all")
+    )
+
+
+def shingle_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Cross-group content containment: for every group pair, how many
+    DISTINCT word n-gram shingles they share, plus each side's
+    distinct-shingle count — the cross-source contamination /
+    syndication diagnostic (containment_a = n_shared/n_a says how much
+    of A is also in B). Returns
+    ``(group_a, group_b, n_shared, n_a, n_b)`` for pairs with
+    ``group_a < group_b`` and at least one shared shingle; exact
+    integers only.
+
+    Shape: the corpus reduces to DISTINCT (group, shingle) once (the
+    posting-list relation, shingle-keyed shuffle); the pair counts
+    come from the shingle-keyed self-join of that relation — output
+    per shingle is bounded by groups^2, never doc^2 — and the sizes
+    re-aggregate the same relation. One corpus scan total: the posting
+    relation is persisted at the branch point and released before
+    returning (the result is group-pair-grain, so it is materialized
+    eagerly — the bm25 no-leaked-cache pattern).
+    """
+    from .dedup import word_ngrams
+
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    sh = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(word_ngrams(t, n)).alias("sh"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("g").alias("group_a"), "sh")
+    b = sh.select(F.col("g").alias("group_b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("g").alias("group_a"), F.col("sz").alias("n_a"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("group_b"), F.col("sz").alias("n_b"))),
+            "group_b",
+        )
+        .select("group_a", "group_b", "n_shared", "n_a", "n_b")
+    )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
 def pii_counts(text: Column | str) -> Column:
     """struct(n_urls, n_emails, n_phones) found in ``text`` — the audit
     signal next to the scrub (URLs counted before scrubbing strips the

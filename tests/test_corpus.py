@@ -479,3 +479,78 @@ def test_property_ngram_counts_match_brute_force(spark, docs, n):
         for i in range(len(toks) - n + 1):
             want[" ".join(toks[i : i + n])] += 1
     assert got == dict(want)
+
+
+def test_distinctive_terms_hand_computed(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import distinctive_terms
+
+    # "zz" only in a (ratio 1.0); "the" everywhere (ratio 0.5 each)
+    df = spark.createDataFrame(
+        [("a", "the zz zz"), ("a", "the zz"), ("b", "the the yy yy yy")],
+        "src string, text string",
+    )
+    got = [
+        (r["group"], r["rank"], r["token"], r["cnt_g"], r["cnt_all"])
+        for r in distinctive_terms(df, "src", "text", 2, min_count=2)
+        .orderBy("group", "rank")
+        .collect()
+    ]
+    # a: zz 3/3=1.0, the 2/4=0.5 ; b: yy 3/3=1.0, the 2/4=0.5
+    assert got == [
+        ("a", 1, "zz", 3, 3), ("a", 2, "the", 2, 4),
+        ("b", 1, "yy", 3, 3), ("b", 2, "the", 2, 4),
+    ]
+
+
+def test_distinctive_terms_validation(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import distinctive_terms
+
+    df = spark.createDataFrame([("a", "x")], "src string, text string")
+    with pytest.raises(ValueError, match="k must"):
+        distinctive_terms(df, "src", "text", 0)
+    with pytest.raises(ValueError, match="min_count"):
+        distinctive_terms(df, "src", "text", 1, min_count=0)
+
+
+def test_shingle_overlap_hand_computed(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import shingle_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("a", "one two three four"),   # shingles: 1-2-3, 2-3-4
+            ("b", "one two three"),        # shingles: 1-2-3
+            ("c", "five six seven"),       # disjoint
+        ],
+        "src string, text string",
+    )
+    rows = shingle_overlap(df, "src", "text", n=3).collect()
+    got = {
+        (r["group_a"], r["group_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+        for r in rows
+    }
+    # only (a, b) share; c appears in no pair (zero shared)
+    assert got == {("a", "b"): (1, 2, 1)}
+
+
+def test_shingle_overlap_releases_cache(spark):
+    from pyspark_datacol_diff_spark.operators.corpus import shingle_overlap
+
+    df = spark.createDataFrame([("a", "x y z"), ("b", "x y z")], "src string, text string")
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached_non_checkpoint():
+        # localCheckpoint RDDs legitimately stay registered; the leak
+        # we guard against is the corpus-sized posting-list persist
+        it = jsc.getPersistentRDDs().values().iterator()
+        n = 0
+        while it.hasNext():
+            r = it.next()
+            if "LocalCheckpoint" not in r.toString():
+                n += 1
+        return n
+
+    shingle_overlap(df, "src", "text", n=3).collect()
+    base = n_cached_non_checkpoint()
+    for _ in range(3):
+        shingle_overlap(df, "src", "text", n=3).collect()
+    assert n_cached_non_checkpoint() <= base
