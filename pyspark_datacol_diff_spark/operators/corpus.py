@@ -226,9 +226,13 @@ def distinctive_terms(
     words out of the rankings.
 
     Shape: one token-keyed aggregate over the corpus (map-side
-    combined); ``cnt_all`` is RE-AGGREGATED from that result (vocab x
-    groups rows, never a second corpus scan); one vocab-grain join;
-    the rank window partitions by group over vocab-sized input.
+    combined), PERSISTED at the branch point — ``cnt_all`` and the
+    scored side both read it, and Spark's ReuseExchange does not fire
+    across the aggregate boundary here (verified: unpersisted, the
+    corpus is scanned twice); the result is k x groups rows, so it is
+    materialized eagerly and the vocab-grain cache released before
+    returning (the bm25 no-leaked-cache pattern). One vocab-grain
+    join; the rank window partitions by group over vocab-sized input.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -241,18 +245,22 @@ def distinctive_terms(
     ).filter(F.col("token") != "")
     gcnt = tok.groupBy("group", "token").agg(
         F.count(F.lit(1)).alias("cnt_g")
-    )
+    ).persist()
     allcnt = gcnt.groupBy("token").agg(F.sum("cnt_g").alias("cnt_all"))
     scored = gcnt.filter(F.col("cnt_g") >= min_count).join(allcnt, "token")
     ratio = F.col("cnt_g").cast("double") / F.col("cnt_all").cast("double")
     w = Window.partitionBy("group").orderBy(
         F.desc(ratio), F.asc("token")
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("group", "token", "rank", "cnt_g", "cnt_all")
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        gcnt.unpersist()
 
 
 def shingle_overlap(
