@@ -3326,6 +3326,35 @@ def _q_oov_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.oov_stats(d, "text", vocab, keys=["source"])
 
 
+def _q_budget_fill_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: fill a 10k-token budget with the
+    highest-quality documents first (quality decile desc, doc_id asc),
+    keeping every doc whose cumulative token count fits — the "best
+    data under a budget" selection step of training-corpus curation.
+    Priority order is encoded as ONE monotone long ((10-decile)<<44 |
+    doc_id — unique, so RANGE/ROWS frames agree) and the cumulative
+    sum is operators/incremental.py:running_total — the bucketed
+    two-phase prefix sum (bucket = inverted decile, 11 bounded
+    buckets), never a single-partition global window."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    s = d.select(
+        "doc_id",
+        TX.bpe_ish_token_count("text").cast("long").alias("n_tok"),
+        F.round(TX.quality_score("text") * 10).cast("long").alias("qd"),
+    )
+    inv = (F.lit(10) - F.col("qd")).cast("long")
+    s2 = s.withColumn("__ord", inv * F.lit(1 << 44) + F.col("doc_id"))
+    filled = INC.running_total(
+        s2, "__ord", "n_tok", bucket=inv, out_col="cum_tokens"
+    )
+    return filled.filter(F.col("cum_tokens") <= 10_000).select(
+        "doc_id",
+        F.col("qd").alias("quality_decile"),
+        "n_tok",
+        "cum_tokens",
+    )
+
+
 def _q_distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source signature vocabulary
     (operators/corpus.py:distinctive_terms): top-5 most
@@ -4399,6 +4428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hist_rollup": _q_streaming_hist_rollup,
         "split_leakage_docs": _q_split_leakage_docs,
         "distinctive_terms_by_source": _q_distinctive_terms_by_source,
+        "budget_fill_docs": _q_budget_fill_docs,
         "shingle_overlap_sources": _q_shingle_overlap_sources,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
@@ -5552,6 +5582,19 @@ SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
 FROM b GROUP BY bin
 """,
         "split_leakage_docs": _sql_split_leakage_docs(),
+        "budget_fill_docs": f"""
+WITH s AS (
+  SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS n_tok,
+         CAST({_sql_quality_decile_expr()} AS BIGINT) AS qd
+  FROM documents),
+o AS (
+  SELECT doc_id, qd, n_tok,
+         sum(n_tok) OVER (ORDER BY (10 - qd), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM s)
+SELECT doc_id, qd AS quality_decile, n_tok, CAST(cum AS BIGINT) AS cum_tokens
+FROM o WHERE cum <= 10000
+""",
         "distinctive_terms_by_source": """
 WITH tok AS (
   SELECT source, token FROM (
