@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "hist_event_value",          # algebraic fixed-bin histogram
     "ffill_user_purchase",       # keyed-window forward fill
     "latest_event_per_user",     # max_by top-1-per-group (no window)
+    "streaming_dedup_events",    # watermarked stateful streaming dedup
+    #   (the one streaming-family headline: micro-batch replay through
+    #   real StateStore dedup; the other streaming shapes share its
+    #   source/trigger machinery and stay on the correctness gate)
     # lsh_near_dup_recall stays out: it deliberately runs the exact
     # O(n^2) verify next to the LSH path (a correctness gate, not a
     # throughput headline)
