@@ -495,10 +495,13 @@ def _q_digest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection of orders (keys/strings as-is, date and money projected
     to exact string forms) — the pre-diff equality gate: digest both
     snapshots nightly, run the full diff only on digest mismatch. One
-    scan, map-side unpivot, one column-keyed aggregate."""
+    scan, map-side unpivot, one column-keyed aggregate.
+    balance_partitions is warranted: the per-cell md5 runs BEFORE the
+    aggregate's shuffle, and a single-file scan would do all of it on
+    one task (measured 2.4x at sf0.1)."""
     from pyspark_datacol_diff_spark.operators.diff import table_digest
 
-    o = _t(spark, sf_dir, "orders").select(
+    o = SRC.balance_partitions(_t(spark, sf_dir, "orders")).select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
@@ -3089,7 +3092,11 @@ def _q_digest_tree_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-entropy primitive that finds WHICH key slices moved without a
     row-level diff join. md5-based bucketing and 60-bit value hashes
     are engine-portable, so the DuckDB oracle replays the whole tree
-    (both sides, all levels, the differs flags) exactly."""
+    (both sides, all levels, the differs flags) exactly. NOT balanced
+    up front: unlike digest_orders, each side immediately reduces
+    through its bucket-keyed aggregate, and a pre-balance adds two
+    full-table exchanges that measured slower than the single-task
+    hashing they parallelize."""
     s1, s2 = _orders_pair(spark, sf_dir)
     cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
     return DIFF_OPS.digest_tree_diff(
@@ -4227,7 +4234,10 @@ def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column data profile (operators/diff.profile_table)
     over the same engine-exact orders projection the digest gate uses:
     non-null/null/exact-distinct counts and string-space min/max per
-    column — the audit report beside the digest's change gate."""
+    column — the audit report beside the digest's change gate.
+    NOT balanced up front (unlike digest_orders): the cost here is the
+    distinct aggregate AFTER the exchange, not scan-side expressions,
+    so a pre-balance adds an exchange for no measured gain."""
     from pyspark_datacol_diff_spark.operators.diff import profile_table
 
     o = _t(spark, sf_dir, "orders").select(
