@@ -4190,9 +4190,7 @@ def _q_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     sdf = (
         STR.read_parquet_stream(spark, src, batch.schema, max_files_per_trigger=1)
         .transform(SRC.normalize_event_ts)
-        .withColumn(
-            "cents", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-        )
+        .withColumn("cents", _cents())
     )
     return STR.continuous_rollup(
         sdf,

@@ -113,39 +113,26 @@ def ngram_counts(
     Ney numerators all start here). Returns ``(gram, cnt)`` with
     ``cnt >= min_count``; ``gram`` is the n tokens joined by one space.
 
-    Shape: n-gram materialization is a per-row ``zip_with`` of n
-    shifted views of the token array inside the scan stage (no
-    shuffle, no self-join — the window/lead formulation would shuffle
-    every token once; the transform+slice-per-gram formulation
-    allocates a fresh 2-element array per gram and measured 6x slower
-    at sf0.1); the only exchange is the gram-keyed hash aggregate,
-    map-side combined so shuffle volume is distinct-grams-per-
-    partition, not corpus token count. ``min_count`` prunes AFTER the
-    aggregate (a global count cannot be decided earlier), which is
-    also where LM pipelines prune.
-
-    Documents with fewer than ``n`` tokens contribute nothing (guarded:
-    an unguarded ``slice`` length ``m-n+1`` would be negative).
+    Shape: gram materialization is ``text.gram_multiset`` (the shared
+    n-1-zip_with builder — scan-stage, no shuffle, no self-join; the
+    window/lead formulation would shuffle every token once, and the
+    slice-per-gram formulation measured 6x slower at sf0.1); the only
+    exchange is the gram-keyed hash aggregate, map-side combined so
+    shuffle volume is distinct-grams-per-partition, not corpus token
+    count. ``min_count`` prunes AFTER the aggregate (a global count
+    cannot be decided earlier), which is also where LM pipelines
+    prune. Documents with fewer than ``n`` tokens contribute nothing.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    from functools import reduce
+    from .text import gram_multiset
 
     t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     toks = F.filter(tokens(t), lambda x: x != "")
-    m = F.size(toks)
-    shifted = [F.slice(toks, i + 1, m - F.lit(n - 1)) for i in range(n)]
-    joined = reduce(
-        lambda acc, nxt: F.zip_with(
-            acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b)
-        ),
-        shifted,
-    )
-    grams = F.when(m >= n, joined).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(grams).alias("gram"))
+        df.select(F.explode(gram_multiset(toks, n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
@@ -180,19 +167,26 @@ def oov_stats(
     if not vocab:
         raise ValueError("vocab must be a non-empty list of tokens")
     t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    toks = F.filter(tokens(t), lambda x: x != "")
     vmap = F.from_json(
         F.lit(json.dumps({v: 1 for v in sorted(set(vocab))})),
         "map<string,int>",
     )
-    n_oov = F.size(F.filter(toks, lambda x: F.element_at(vmap, x).isNull()))
     ks = list(keys)
+    # build the token array ONCE per row (a single-expression form
+    # would evaluate the split twice — HOF subtrees are not CSE'd),
+    # then derive both counts from the materialized column.
     # NULL text -> NULL token array -> NULL sizes; count those docs as
     # zero tokens rather than poisoning the group sums with NULL
+    toked = df.select(
+        *ks, F.filter(tokens(t), lambda x: x != "").alias("__tk")
+    )
+    n_oov = F.size(
+        F.filter(F.col("__tk"), lambda x: F.element_at(vmap, x).isNull())
+    )
     return (
-        df.select(
+        toked.select(
             *ks,
-            F.coalesce(F.size(toks), F.lit(0)).alias("__nt"),
+            F.coalesce(F.size(F.col("__tk")), F.lit(0)).alias("__nt"),
             F.coalesce(n_oov, F.lit(0)).alias("__no"),
         )
         .groupBy(*ks)

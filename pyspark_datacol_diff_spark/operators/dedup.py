@@ -93,28 +93,15 @@ def fast_fingerprint(text: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 def word_ngrams(text: Column | str, n: int) -> Column:
-    """Distinct word n-gram shingles of ``text`` as array<string>.
+    """Distinct word n-gram shingles of ``text`` as array<string> —
+    :func:`..text.gram_multiset` (the shared n-1-zip_with gram
+    builder; see its docstring for the allocation-count argument)
+    deduplicated for shingling."""
+    from .text import gram_multiset
 
-    Built from built-ins only, as n-1 ``zip_with`` passes that concat the
-    token array against itself shifted by 1..n-1 — O(n) array traversals
-    per document total. The obvious per-offset ``slice + concat_ws``
-    formulation allocates a fresh subarray for every gram and measured
-    5.5x slower at sf0.1 (HOFs are interpreted, so allocation count is
-    the cost driver). ``zip_with`` pads the shorter (shifted) side with
-    null and ``concat`` null-propagates, so the tail windows shorter
-    than n become null and the final ``slice`` drops them.
-    """
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.trim(t), r"\s+")
-    cnt = F.size(toks)
-    acc = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, F.greatest(cnt - j, F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    grams = F.when(cnt >= n, F.slice(acc, 1, cnt - F.lit(n) + 1)).otherwise(
-        F.array().cast("array<string>")
-    )
-    return F.array_distinct(grams)
+    return F.array_distinct(gram_multiset(toks, n))
 
 
 def ngram_jaccard_pairs(

@@ -121,7 +121,7 @@ def bloom_semi_join(
         F.lit("[" + ",".join(map(str, bitset)) + "]"), "array<bigint>"
     )
 
-    def contains(k: Column) -> Column:
+    def contains() -> Column:
         tests = [
             F.expr(
                 f"(shiftright(element_at(__dcd_bloom, "
@@ -136,7 +136,7 @@ def bloom_semi_join(
     for i, p in enumerate(_positions(key(big), num_bits, num_hashes)):
         probe = probe.withColumn(f"__dcd_p{i}", p)
     pruned = (
-        probe.filter(contains(key(big)))
+        probe.filter(contains())
         .drop("__dcd_bloom", *[f"__dcd_p{i}" for i in range(num_hashes)])
     )
     return pruned.join(small.select(*on).dropna(), on, "left_semi")

@@ -154,18 +154,33 @@ def distinct_token_count(text: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
 
-def word_bigrams(text: Column | str) -> Column:
-    """All word 2-grams (NOT deduplicated — repetition signals need the
-    multiset) as array<string>, via one zip-with pass against the
-    token array shifted by 1 (same allocation-count argument as
-    dedup.word_ngrams). Empty array for docs with <2 tokens."""
-    toks = tokens(text)
+def gram_multiset(toks: Column, n: int) -> Column:
+    """All word n-grams of a token array as array<string>, NOT
+    deduplicated — the single shared gram builder (dedup.word_ngrams
+    distincts it for shingles, word_bigrams is the n=2 case,
+    corpus.ngram_counts counts it). n-1 ``zip_with`` passes that
+    concat the array against itself shifted by 1..n-1 — O(n) array
+    traversals per document, no per-gram subarray allocation (the
+    slice-per-gram formulation measured 5.5x slower at sf0.1; HOFs are
+    interpreted, so allocation count is the cost driver). ``zip_with``
+    pads the shorter (shifted) side with null and ``concat``
+    null-propagates, so tail windows shorter than n become null and
+    the final ``slice`` drops them. Empty array for docs with fewer
+    than n tokens."""
     cnt = F.size(toks)
-    shifted = F.slice(toks, 2, F.greatest(cnt - 1, F.lit(0)))
-    grams = F.zip_with(toks, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(cnt >= 2, F.slice(grams, 1, cnt - 1)).otherwise(
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(cnt - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(cnt >= n, F.slice(acc, 1, cnt - F.lit(n) + 1)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """All word 2-grams (NOT deduplicated — repetition signals need the
+    multiset): :func:`gram_multiset` at n=2."""
+    return gram_multiset(tokens(text), 2)
 
 
 def max_equal_run(arr: Column, *, elem_type: str = "string") -> Column:
