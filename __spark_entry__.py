@@ -3333,6 +3333,71 @@ def _q_oov_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.oov_stats(d, "text", vocab, keys=["source"])
 
 
+def _q_pctile_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact order statistics: p50/p90/p99 of event value in
+    cents per event type via percentile_disc WITHIN GROUP — the
+    ordered-set aggregate emitted directly (the fence-derived variant
+    is outliers_events; this is the raw monitoring surface). Exact
+    integers: discrete percentiles SELECT a value, never interpolate,
+    so both engines return identical BIGINTs."""
+    e = _t(spark, sf_dir, "events")
+    cents_sql = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {cents_sql})"
+            ).cast("long").alias(f"p{int(p*100):02d}_cents")
+            for p in (0.5, 0.9, 0.99)
+        ],
+    )
+
+
+def _q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit — the referential/financial
+    consistency gate single-table dq_rules cannot express: per order
+    status, how many orders have NO line items at all and how many
+    have a computed line total drifting >1% from the order header's
+    total. Line amounts round to exact cents PER ROW (the double
+    product is one deterministic IEEE expression, identical in both
+    engines) and only integers are summed — so the aggregate is
+    order/partition independent — and the 1% tolerance compares by
+    integer cross-multiplication (|calc-total|*100 > total), never a
+    float ratio. One lineitem aggregate + one order-grain join (AQE
+    picks the join side; at 100 TB both sides are key-partitioned on
+    the order key)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    line_cents = F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    sums = (
+        li.select(F.col("l_orderkey").alias("o_orderkey"),
+                  line_cents.alias("__c"))
+        .groupBy("o_orderkey")
+        .agg(F.sum("__c").alias("calc_cents"))
+    )
+    hdr = o.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    j = hdr.join(sums, "o_orderkey", "left")
+    drift = (
+        F.abs(F.col("calc_cents") - F.col("total_cents")) * 100
+        > F.col("total_cents")
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("calc_cents").isNull().cast("long")).alias("n_no_lines"),
+        F.sum(
+            (F.col("calc_cents").isNotNull() & drift).cast("long")
+        ).alias("n_drift_gt_1pct"),
+    )
+
+
 def _q_budget_fill_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus selection: fill a 10k-token budget with the
     highest-quality documents first (quality decile desc, doc_id asc),
@@ -4437,6 +4502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_docs": _q_split_leakage_docs,
         "distinctive_terms_by_source": _q_distinctive_terms_by_source,
         "budget_fill_docs": _q_budget_fill_docs,
+        "pctile_by_type_events": _q_pctile_by_type_events,
+        "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
         "shingle_overlap_sources": _q_shingle_overlap_sources,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
@@ -5590,6 +5657,36 @@ SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
 FROM b GROUP BY bin
 """,
         "split_leakage_docs": _sql_split_leakage_docs(),
+        "pctile_by_type_events": """
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events)
+SELECT event_type, count(*) AS n_events,
+       CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(cents, 0.90) AS BIGINT) AS p90_cents,
+       CAST(quantile_disc(cents, 0.99) AS BIGINT) AS p99_cents
+FROM c GROUP BY event_type
+""",
+        "reconcile_orders_lineitem": """
+WITH lc AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                 * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS calc_cents
+  FROM lineitem GROUP BY l_orderkey),
+h AS (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+         lc.calc_cents
+  FROM orders o LEFT JOIN lc USING (o_orderkey))
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CASE WHEN calc_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_lines,
+       CAST(sum(CASE WHEN calc_cents IS NOT NULL
+                      AND abs(calc_cents - total_cents) * 100 > total_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_drift_gt_1pct
+FROM h GROUP BY o_orderstatus
+""",
         "budget_fill_docs": f"""
 WITH s AS (
   SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS n_tok,
