@@ -2377,6 +2377,30 @@ def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_forward_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py direction='forward'):
+    each click joined to the user's EARLIEST purchase at or after it
+    (null if none) — the look-ahead pairing behind time-to-convert and
+    next-action labels. Same single-shuffle union+running-window shape
+    as the backward direction, just ordered the other way; oracle is
+    DuckDB's native ASOF with the >= comparator."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    j = ASOF.asof_join(
+        clicks, buys, ["user_id"], "ts", "ts", ["ts"],
+        suffix="_buy", direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("ts_buy").alias("purchase_ts"),
+    )
+
+
 def _q_conversion_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel latency distribution: every purchase paired (as-of) with
     the user's most recent prior-or-simultaneous view, then the
@@ -4504,6 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_fill_docs": _q_budget_fill_docs,
         "pctile_by_type_events": _q_pctile_by_type_events,
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
+        "asof_forward_click_purchase": _q_asof_forward_click_purchase,
         "shingle_overlap_sources": _q_shingle_overlap_sources,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
@@ -5657,6 +5682,12 @@ SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
 FROM b GROUP BY bin
 """,
         "split_leakage_docs": _sql_split_leakage_docs(),
+        "asof_forward_click_purchase": """
+SELECT c.event_id, c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+""",
         "pctile_by_type_events": """
 WITH c AS (
   SELECT event_type,
