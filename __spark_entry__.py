@@ -3553,6 +3553,22 @@ def _q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_survivor_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST near-dedup (operators/cluster.py:drop_near_dups with
+    priority_col): every component keeps its longest member (n_chars,
+    min-id ties) instead of an arbitrary min id — the survivor policy
+    real pipelines want (drop the truncated copies, keep the full
+    doc). Same broadcast-victims shape; survivor election is one
+    max_by over the node-grain component relation."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = _ngram_pairs(spark, sf_dir)
+    kept = CC.drop_near_dups(d, pairs, "doc_id", priority_col="n_chars")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def _q_dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: drop every component member except the
     min-id survivor, then per-source corpus counts — the operation a
@@ -4529,6 +4545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pctile_by_type_events": _q_pctile_by_type_events,
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
         "asof_forward_click_purchase": _q_asof_forward_click_purchase,
+        "dedup_survivor_longest": _q_dedup_survivor_longest,
         "shingle_overlap_sources": _q_shingle_overlap_sources,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
@@ -5682,6 +5699,25 @@ SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
 FROM b GROUP BY bin
 """,
         "split_leakage_docs": _sql_split_leakage_docs(),
+        "dedup_survivor_longest": _SQL_CC_PREFIX
+        + """
+, m AS (
+  SELECT c.comp, c.node, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node),
+surv AS (
+  SELECT comp, node AS keep FROM (
+    SELECT comp, node,
+           row_number() OVER (PARTITION BY comp
+             ORDER BY n_chars DESC, node ASC) AS rn
+    FROM m) WHERE rn = 1),
+victims AS (
+  SELECT m.node FROM m JOIN surv USING (comp) WHERE m.node != surv.keep)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM victims)
+GROUP BY source
+""",
         "asof_forward_click_purchase": """
 SELECT c.event_id, c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c

@@ -251,15 +251,42 @@ def drop_near_dups(
     *,
     src: str = "id_a",
     dst: str = "id_b",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Deduplicated corpus: keep every row except non-survivor members
-    of near-dup components (survivor = min id per component — the same
-    deterministic-survivor rule as ``drop_exact_dups``).
+    of near-dup components. Default survivor = min id per component
+    (the same deterministic-survivor rule as ``drop_exact_dups``); with
+    ``priority_col`` the survivor is the component member with the
+    HIGHEST priority (ties -> smallest id) — the keep-best policy
+    (keep the longest / highest-quality copy, not an arbitrary one).
 
     The victim list is tiny relative to the corpus (ids only), so the
-    anti-join broadcasts; the corpus itself never shuffles.
+    anti-join broadcasts; the corpus itself never shuffles. The
+    priority variant additionally joins the component relation (node
+    grain, pair-graph-sized — far smaller than the corpus) against the
+    corpus's (id, priority) projection to elect survivors with one
+    ``max_by`` aggregate per component.
     """
-    victims = near_dup_victims(pairs, src, dst)
+    if priority_col is None:
+        victims = near_dup_victims(pairs, src, dst)
+    else:
+        comps = connected_components(pairs, src, dst)
+        pri = df.select(
+            F.col(id_col).alias("node"), F.col(priority_col).alias("__p")
+        )
+        m = comps.join(pri, "node")
+        # survivor = max (priority, -id): highest priority, min-id ties;
+        # ids are not assumed positive, so negate inside a struct
+        surv = m.groupBy("comp").agg(
+            F.max_by("node", F.struct(F.col("__p"), -F.col("node"))).alias(
+                "__keep"
+            )
+        )
+        victims = (
+            m.join(surv, "comp")
+            .filter(F.col("node") != F.col("__keep"))
+            .select("node")
+        )
     return df.join(
         F.broadcast(victims),
         df[id_col] == victims["node"],

@@ -246,3 +246,27 @@ def test_triangle_counts_duplicate_and_reversed_edges(spark):
     )
     got = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_drop_near_dups_priority_keeps_best(spark):
+    from pyspark_datacol_diff_spark.operators.cluster import drop_near_dups
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (9, 1)],
+        "doc_id long, quality long",
+    )
+    # component {1,2,3}: best quality 50 held by 2 and 3 -> tie to min id 2
+    # component {4}: alone in no pair -> kept; 9: not in graph -> kept
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in drop_near_dups(
+            docs, pairs, "doc_id", priority_col="quality"
+        ).collect()
+    )
+    assert kept == [2, 4, 9]
+    # default policy keeps min id instead
+    kept_min = sorted(
+        r["doc_id"] for r in drop_near_dups(docs, pairs, "doc_id").collect()
+    )
+    assert kept_min == [1, 4, 9]
