@@ -2525,6 +2525,52 @@ def _q_window_user_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregate: events -> per-user 30-min sessions (native
+    session_window, one user-keyed shuffle) -> corpus-wide session
+    DISTRIBUTION (count + discrete p50/p90 of events-per-session and
+    of session duration in seconds) — the engagement-monitoring
+    surface. The second level aggregates the session-grain relation,
+    orders of magnitude smaller than the event log; exact integers
+    (percentile_disc selects, never interpolates)."""
+    e = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    sess = e.groupBy("user_id", sw).agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("dur_s"),
+    )
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_ev)")
+        .cast("long").alias("p50_events"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_ev)")
+        .cast("long").alias("p90_events"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_s)")
+        .cast("long").alias("p50_dur_s"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dur_s)")
+        .cast("long").alias("p90_dur_s"),
+    )
+
+
+def _q_wow_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week deltas on an AGGREGATED series: weekly event
+    counts per type, then lag on the week-grain relation — the trend
+    report shape where the window runs over a tiny aggregate (weeks x
+    types rows), never the event log. Exact integer deltas; first week
+    of a type emits NULL delta (no fabricated zero baseline)."""
+    e = _t(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "week", "event_type", "n_events",
+        (F.col("n_events") - F.lag("n_events").over(w)).alias("wow_delta"),
+    )
+
+
 def _q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-NATIVE session windows in batch: per-user sessions with a
     30-minute inactivity gap via ``F.session_window`` — the built-in
@@ -4546,6 +4592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
         "asof_forward_click_purchase": _q_asof_forward_click_purchase,
         "dedup_survivor_longest": _q_dedup_survivor_longest,
+        "session_stats_events": _q_session_stats_events,
+        "wow_change_events": _q_wow_change_events,
         "shingle_overlap_sources": _q_shingle_overlap_sources,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
@@ -5699,6 +5747,39 @@ SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
 FROM b GROUP BY bin
 """,
         "split_leakage_docs": _sql_split_leakage_docs(),
+        "session_stats_events": """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+), sess AS (
+  SELECT user_id, sid, count(*) AS n_ev,
+         CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS dur_s
+  FROM s GROUP BY user_id, sid)
+SELECT count(*) AS n_sessions,
+       CAST(quantile_disc(n_ev, 0.5) AS BIGINT) AS p50_events,
+       CAST(quantile_disc(n_ev, 0.9) AS BIGINT) AS p90_events,
+       CAST(quantile_disc(dur_s, 0.5) AS BIGINT) AS p50_dur_s,
+       CAST(quantile_disc(dur_s, 0.9) AS BIGINT) AS p90_dur_s
+FROM sess
+""",
+        "wow_change_events": """
+WITH wk AS (
+  SELECT date_trunc('week', ts) AS week, event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT week, event_type, n_events,
+       n_events - lag(n_events) OVER (PARTITION BY event_type ORDER BY week)
+         AS wow_delta
+FROM wk
+""",
         "dedup_survivor_longest": _SQL_CC_PREFIX
         + """
 , m AS (
