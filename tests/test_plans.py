@@ -496,3 +496,39 @@ def test_dq_grouped_report_is_single_scan(qs, spark):
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
     P.assert_max_shuffles(df, 1)  # the source-grain aggregate
+
+
+def test_bloom_semi_join_query_prunes_before_exchange(qs, spark):
+    # the bitset probe must be a scan-stage filter (element_at against
+    # the folded literal), with no bloom-build aggregate left in the
+    # probe plan (it was collected at plan time)
+    df = qs["bloom_semi_join_lineitem"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "element_at" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reconcile_is_one_join_no_cartesian(qs, spark):
+    df = qs["reconcile_orders_lineitem"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # lineitem agg + header join + status agg
+    P.assert_max_shuffles(df, 4)
+
+
+def test_wow_window_runs_over_aggregated_relation(qs, spark):
+    # the lag window must consume the weekly aggregate, not the event
+    # log: Window appears ABOVE a HashAggregate in the plan tree
+    df = qs["wow_change_events"](spark, SF)
+    plan = P.physical_plan(df)
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_hist_queries_are_algebraic_aggregates(qs, spark):
+    for name in ("hist_event_value", "len_hist_by_source_docs"):
+        df = qs[name](spark, SF)
+        plan = P.physical_plan(df)
+        assert plan.count("HashAggregate") >= 2, name  # partial + final
+        assert "Window" not in plan, name
