@@ -3252,6 +3252,23 @@ def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_degree_hist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph — the skew
+    predictor for every pair-join stage (a heavy-tailed degree curve
+    means hot nodes and a 'last reducer'; the histogram says so before
+    the join runs). Node degrees from one doubled-edge aggregate, then
+    the shared fixed-width histogram (operators/histogram.py) over
+    them: bin width 1, 16 bins, top bin clamps the tail."""
+    pairs = _ngram_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("id_a").alias("n"))
+        .unionAll(pairs.select(F.col("id_b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return HG.histogram(deg, "deg", lo=0, width=1, num_bins=16)
+
+
 def _q_cluster_size_hist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup component size distribution — the dedup diagnostic
     (how much of the corpus sits in 2-clusters vs giant blobs, i.e.
@@ -4594,6 +4611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivor_longest": _q_dedup_survivor_longest,
         "session_stats_events": _q_session_stats_events,
         "wow_change_events": _q_wow_change_events,
+        "degree_hist_docs": _q_degree_hist_docs,
         "shingle_overlap_sources": _q_shingle_overlap_sources,
         # --- (5) last driver-verified in round 1 (16) ---
         "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
@@ -5747,6 +5765,14 @@ SELECT bin, CAST(bin * 1000 AS BIGINT) AS lo_edge, count(*) AS n
 FROM b GROUP BY bin
 """,
         "split_leakage_docs": _sql_split_leakage_docs(),
+        "degree_hist_docs": "WITH " + _SQL_NGRAM_PAIRS_BODY + """,
+edges AS (
+  SELECT id_a AS s FROM pairs UNION ALL SELECT id_b FROM pairs),
+deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+b AS (SELECT LEAST(GREATEST(CAST(deg AS BIGINT), 0), 15) AS bin FROM deg)
+SELECT bin, CAST(bin AS BIGINT) AS lo_edge, count(*) AS n
+FROM b GROUP BY bin
+""",
         "session_stats_events": """
 WITH d AS (
   SELECT user_id, ts,
