@@ -3616,6 +3616,21 @@ def _q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cc_star_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contraction connected components (operators/cluster.py:
+    connected_components_star — the declared O(log n) high-diameter
+    fallback) over the SAME exact-Jaccard pair graph as
+    dedup_cluster_docs, with the identical output contract (comp = min
+    doc id of the component) and therefore the identical recursive-CTE
+    oracle. Registering it makes the fallback's correctness driver-
+    verified and puts it in the 10x scale smoke, instead of being a
+    tested-but-never-scale-measured claim."""
+    pairs = _ngram_pairs(spark, sf_dir)
+    return CC.connected_components_star(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp")
+    )
+
+
 def _q_dedup_survivor_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-BEST near-dedup (operators/cluster.py:drop_near_dups with
     priority_col): every component keeps its longest member (n_chars,
@@ -4704,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_docs": _q_tfidf_top_docs,
         "bm25_docs": _q_bm25_docs,
         "dedup_cluster_docs": _q_dedup_cluster_docs,
+        "cc_star_docs": _q_cc_star_docs,
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
@@ -6036,6 +6052,10 @@ SELECT doc_id,
 FROM nourl
 """,
         "dedup_cluster_docs": _SQL_CC_PREFIX
+        + "SELECT node AS doc_id, comp FROM comp",
+        # star contraction reaches the same fixpoint as propagation:
+        # comp = component min id — one oracle, two implementations
+        "cc_star_docs": _SQL_CC_PREFIX
         + "SELECT node AS doc_id, comp FROM comp",
         "dedup_survivor_corpus": _SQL_CC_PREFIX
         + """

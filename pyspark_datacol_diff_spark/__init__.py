@@ -54,7 +54,7 @@ from .operators.histogram import (
 from .operators.prune import bloom_semi_join
 from .operators.quality import check_rules, check_rules_by
 from .plans import scale_lint
-from .session import get_spark
+from .session import free_persistent_rdds, get_spark
 
 __all__ = [
     "agg_state",
@@ -88,6 +88,7 @@ __all__ = [
     "gen_comp_col",
     "merge_upsert",
     "resolve_compare_cols",
+    "free_persistent_rdds",
     "get_spark",
     "profile_table",
     "scale_lint",

@@ -30,10 +30,23 @@ Scale notes (100 TB):
 - the label frame is one row per node (ids only, bytes per row), NOT
   per document — the document payload is joined back exactly once at
   the end (``drop_near_dups``);
-- iterative DataFrame loops grow the logical plan each round;
-  ``localCheckpoint`` truncates lineage so round k+1 plans against a
-  materialized RDD instead of a k-round plan tree (driver OOM / planner
-  blowup otherwise — the classic iterative-Spark pitfall);
+- iterative DataFrame loops must TRUNCATE LINEAGE each round
+  (``localCheckpoint``), not merely ``persist``: a persisted round-k
+  frame is re-planned inside round k+1's join, where self-join
+  attribute deduplication rewrites the embedded subtree so it no
+  longer matches the cache entry — measured: per-round time DOUBLES
+  every round (full-chain recompute) under persist chaining, with or
+  without unpersist, while checkpointed rounds stay flat;
+- checkpointed round state must also be RELEASED: localCheckpoint
+  blocks are invisible to ``spark.catalog.clearCache()`` and have no
+  DataFrame-level handle, so a long session (or a multi-query
+  harness) otherwise accumulates every round of every run — exactly
+  the storage leak the round-4 10x smoke measured (33 s co-run vs
+  14.5 s isolated for the same plan). Each round therefore frees the
+  previous round's checkpoint RDD through its JVM handle
+  (:func:`_free_ckpt`) the moment the new round is materialized, and
+  the edge frame is freed on convergence — peak executor storage is
+  2 label frames + 1 edge frame regardless of round count;
 - the per-round convergence probe is a single tiny aggregate: min-label
   propagation is monotone (labels only decrease), so ``sum(comp)``
   strictly decreases until the fixpoint and one scalar comparison
@@ -44,6 +57,48 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _free_ckpt(df: DataFrame) -> None:
+    """Release the block set behind a ``localCheckpoint``-ed frame.
+
+    The checkpointed frame's analyzed plan is a ``LogicalRDD`` leaf;
+    its underlying RDD is the persisted block set, reachable only
+    through the JVM handle (no DataFrame-level API, and
+    ``clearCache`` does not see checkpoint storage). Unpersisting is
+    safe ONLY for frames that will never be read again — a local
+    checkpoint has no lineage to recompute from — which is exactly
+    the retired-round case in the iterative loops below. Best-effort:
+    a non-classic session (Connect) or an unexpected plan shape
+    degrades to the old leak-until-context-death behavior, never to
+    an error."""
+    try:
+        _squelch_ckpt_warns(df.sparkSession)
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+_ckpt_warns_squelched = False
+
+
+def _squelch_ckpt_warns(spark) -> None:
+    """Silence the per-release 'RDD was locally checkpointed ... cannot
+    be recomputed after unpersisting' WARN: for retired rounds that is
+    the INTENDED contract, and the loops below would otherwise emit it
+    once per round per run. One-time, best-effort, scoped to the RDD
+    logger category only."""
+    global _ckpt_warns_squelched
+    if _ckpt_warns_squelched:
+        return
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd", jvm.org.apache.logging.log4j.Level.ERROR
+        )
+        _ckpt_warns_squelched = True
+    except Exception:
+        pass
 
 
 def connected_components(
@@ -62,13 +117,22 @@ def connected_components(
     Job economy (the round-4 re-profile): exactly ONE Spark job per
     propagation round. The per-round convergence digest doubles as the
     checkpoint materializer — ``localCheckpoint(eager=False)`` marks
-    the label frame for persist-on-first-use, and the digest aggregate
-    IS that first use, so one action both truncates lineage and probes
-    the fixpoint (the previous eager + separate-collect shape ran two
-    jobs per round). The identity-label round is fused into
-    initialization: labels start at each node's neighborhood min (what
-    round 1 used to compute from identity labels), saving one full
-    join + aggregate + materialization round.
+    the label frame, and the digest aggregate is its first action, so
+    one job both truncates lineage and probes the fixpoint (the
+    previous eager + separate-collect shape ran two jobs per round).
+    The identity-label round is fused into initialization: labels
+    start at each node's neighborhood min (what round 1 used to
+    compute from identity labels), saving one full join + aggregate +
+    materialization round.
+
+    Storage economy (the round-5 fix): the previous round's checkpoint
+    blocks are released (:func:`_free_ckpt`) the moment the new round
+    is materialized, and the edge blocks on convergence — peak
+    executor storage is 2 label frames + 1 edge frame, independent of
+    round count. The RETURNED frame's blocks stay live (a local
+    checkpoint cannot be recomputed); they are one (node, comp) id
+    pair per node — release via ``_free_ckpt`` after the last read if
+    the session is long-lived.
 
     Pass ``stats={}`` to receive ``stats["rounds"]`` — the number of
     propagation JOINs executed (pinned by tests/test_cluster.py; at
@@ -79,46 +143,70 @@ def connected_components(
     ``max_iter`` rounds (diameter > max_iter — see module docstring for
     the large-star/small-star alternative).
     """
+    # doubled edge set WITH self-loops: N+(v) = N(v) ∪ {v}. The
+    # self-loops make each round a single join→groupBy that reads the
+    # label frame exactly once — new_label(v) = min over u∈N+(v) of
+    # label(u) — instead of the labels.union(prop) formulation's two
+    # scans of the label leaf per round.
+    pe = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        pe.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("s"), F.col("b").alias("d")),
+                    F.struct(F.col("b").alias("s"), F.col("a").alias("d")),
+                    F.struct(F.col("a").alias("s"), F.col("a").alias("d")),
+                    F.struct(F.col("b").alias("s"), F.col("b").alias("d")),
+                )
+            ).alias("x")
+        )
+        .select("x.s", "x.d")
         .distinct()
         .localCheckpoint(eager=False)
     )
     # init = one propagation step from identity labels: every node's
-    # label is min(self, direct neighbors). Every node appears as `s`
-    # in the doubled edge list, so the node set is preserved.
-    labels = e.groupBy("s").agg(
-        F.least(F.min("d"), F.first("s")).alias("comp")
-    ).select(F.col("s").alias("node"), "comp").localCheckpoint(eager=False)
-    # accumulate the witness in decimal: a long sum over huge ids can
-    # overflow (ANSI mode raises instead of wrapping). This collect is
-    # also what materializes `e` and `labels`.
-    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
-
-    for rounds in range(1, max_iter + 1):
-        prop = e.join(labels, e["s"] == labels["node"]).select(
-            F.col("d").alias("node"), F.col("comp")
-        )
-        new_labels = (
-            labels.union(prop)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=False)
-        )
-        new_sum = new_labels.agg(
+    # label is min(self, direct neighbors) — the self-loop supplies
+    # "self". Every node appears as `s` in e, so the node set is
+    # preserved.
+    labels = (
+        e.groupBy("s")
+        .agg(F.min("d").alias("comp"))
+        .select(F.col("s").alias("node"), "comp")
+        .localCheckpoint(eager=False)
+    )
+    try:
+        # accumulate the witness in decimal: a long sum over huge ids
+        # can overflow (ANSI mode raises instead of wrapping). This
+        # collect is also what materializes `e` and `labels`.
+        prev_sum = labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            if stats is not None:
-                stats["rounds"] = rounds
-            return labels
-        prev_sum = new_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        "(graph diameter exceeds max_iter)"
-    )
+
+        for rounds in range(1, max_iter + 1):
+            new_labels = (
+                e.join(labels, e["s"] == labels["node"])
+                .groupBy(e["d"])
+                .agg(F.min("comp").alias("comp"))
+                .select(F.col("d").alias("node"), "comp")
+                .localCheckpoint(eager=False)
+            )
+            new_sum = new_labels.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            _free_ckpt(labels)  # retired round: never read again
+            labels = new_labels
+            if new_sum == prev_sum:
+                if stats is not None:
+                    stats["rounds"] = rounds
+                return labels
+            prev_sum = new_sum
+        _free_ckpt(labels)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter)"
+        )
+    finally:
+        _free_ckpt(e)
 
 
 def _canonical(e: DataFrame) -> DataFrame:
@@ -145,20 +233,52 @@ def _star_round(e: DataFrame, *, large: bool) -> DataFrame:
 
     Both preserve connectivity; alternating them converges to stars
     centered at each component's min in O(log n) rounds.
+
+    Plan shape: the input edge frame is referenced exactly ONCE —
+    direction-doubling is an explode, the neighborhood min is a window
+    aggregate (one shuffle, no self-join), and the small-star's dual
+    emission is a second explode — so the logical plan across the
+    iteration loop grows linearly with round count instead of
+    multiplying per round (the union/join formulation referenced its
+    inputs twice per round: exponential tree growth, planner OOM on
+    high-diameter graphs once lineage is no longer checkpoint-
+    truncated).
     """
-    nbrs = e.select("s", "d").union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    mins = nbrs.groupBy("s").agg(
-        F.least(F.min("d"), F.first("s")).alias("m")
+    from pyspark.sql.window import Window
+
+    nbrs = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s"), F.col("d")),
+                F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+            )
+        ).alias("x")
+    ).select("x.s", "x.d")
+    j = nbrs.withColumn(
+        "m",
+        F.least(F.min("d").over(Window.partitionBy("s")), F.col("s")),
     )
-    j = nbrs.join(mins, "s")
     if large:
         out = j.filter(F.col("d") > F.col("s")).select(
             F.col("d").alias("s"), F.col("m").alias("d")
         )
     else:
-        out = j.filter(F.col("d") <= F.col("s")).select(
-            F.col("d").alias("s"), F.col("m").alias("d")
-        ).union(j.select("s", "m").distinct())
+        # per row: always (s, m); additionally (d, m) when d <= s —
+        # array_compact drops the null arm, one explode, input
+        # referenced once
+        emit = F.array_compact(
+            F.array(
+                F.struct(F.col("s").alias("p"), F.col("m").alias("q")),
+                F.when(
+                    F.col("d") <= F.col("s"),
+                    F.struct(F.col("d").alias("p"), F.col("m").alias("q")),
+                ),
+            )
+        )
+        out = (
+            j.select(F.explode(emit).alias("x"))
+            .select(F.col("x.p").alias("s"), F.col("x.q").alias("d"))
+        )
     return _canonical(out)
 
 
@@ -193,17 +313,23 @@ def connected_components_star(
     clusters, 2 shuffles per round vs the star rounds' 3).
 
     Same output contract as :func:`connected_components`:
-    ``(node, comp)`` for every node appearing in an edge.
+    ``(node, comp)`` for every node appearing in an edge. The result
+    plan reads the converged star edge set and node set (both
+    checkpointed and edge-list-sized); their blocks stay live after
+    the caller's action — ``_free_ckpt`` them in long-lived sessions.
     """
-    # eager=False throughout: the per-round _edge_digest aggregate is
-    # the first action on each checkpoint-marked frame, so it both
-    # materializes the round's edge set and probes convergence in ONE
-    # job (same round-4 economy as connected_components).
+    # localCheckpoint per round (lineage truncation — see the module
+    # docstring for why persist chaining recomputes the whole chain),
+    # with the retired round's blocks freed as soon as the new round
+    # is materialized by its _edge_digest (still ONE job per round).
     e = _canonical(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     ).localCheckpoint(eager=False)
     # keep the full node set: star rounds contract edges, and an
-    # already-settled satellite can drop out of the edge list entirely
+    # already-settled satellite can drop out of the edge list entirely.
+    # Materialized eagerly (one cheap job over the checkpointed edge
+    # set) because the initial `e` blocks are freed long before the
+    # caller's final action would otherwise materialize it.
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
@@ -211,15 +337,20 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
     digest = _edge_digest(e)
+    nodes.count()
     for _ in range(max_iter):
-        e = _star_round(_star_round(e, large=True), large=False).localCheckpoint(
-            eager=False
-        )
-        new_digest = _edge_digest(e)
+        new_e = _star_round(
+            _star_round(e, large=True), large=False
+        ).localCheckpoint(eager=False)
+        new_digest = _edge_digest(new_e)
+        _free_ckpt(e)
+        e = new_e
         if new_digest == digest:
             break
         digest = new_digest
     else:
+        _free_ckpt(e)
+        _free_ckpt(nodes)
         raise RuntimeError(
             f"star rounds did not converge in {max_iter} iterations"
         )
@@ -321,8 +452,10 @@ def pagerank(
     trade buys one fewer global aggregate + broadcast per round; use a
     mass-conserving implementation when fidelity to true PageRank
     matters rather than a cheap authority ordering.
-    Lineage is truncated per round (localCheckpoint) like the
-    components loop — same iterative-Spark pitfall, same fix.
+    Each round's rank frame is checkpointed (lineage truncation — see
+    the module docstring) and the previous round's blocks are freed,
+    like the components loop — same iterative-Spark pitfall
+    (exponential re-evaluation / unbounded storage growth), same fix.
 
     Returns ``(node, rank)`` — one row per node appearing anywhere in
     the edge list.
@@ -346,6 +479,7 @@ def pagerank(
     ew = e.join(out_deg, "src").persist()
     try:
         ranks = nodes.withColumn("rank", F.lit(1.0))
+        prev = None
         for _ in range(iterations):
             contribs = ew.join(
                 ranks, ew["src"] == ranks["node"]
@@ -365,6 +499,9 @@ def pagerank(
                 )
                 .localCheckpoint(eager=True)
             )
+            if prev is not None:
+                _free_ckpt(prev)  # retired round: never read again
+            prev = ranks
     finally:
         ew.unpersist()
         nodes.unpersist()
@@ -395,10 +532,13 @@ def triangle_counts(
     computation; no cartesian anywhere.
 
     The canonical edge set and the oriented edge list are both consumed
-    by multiple downstream joins, so each is lineage-truncated
-    (``localCheckpoint(eager=False)``, materialized by its first use) —
-    without it the upstream pair-mining pipeline would re-execute once
-    per reference (measured 3x wall time on the n-gram pair graph).
+    by multiple downstream joins, so each is checkpointed — without
+    that the upstream pair-mining pipeline would re-execute once per
+    reference (measured 3x wall time on the n-gram pair graph). The
+    oriented list is materialized eagerly so the canonical edge set's
+    blocks can be freed before returning (everything downstream reads
+    only the oriented list); the oriented list itself stays live for
+    the caller's action — ``_free_ckpt`` it in long-lived sessions.
     """
     e = _canonical(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -421,7 +561,8 @@ def triangle_counts(
         F.when(lt, F.col("s")).otherwise(F.col("d")).alias("u"),
         F.when(lt, F.col("d")).otherwise(F.col("s")).alias("v"),
         F.when(lt, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
+    _free_ckpt(e)  # every downstream join reads only `o`
     x, y = o.alias("x"), o.alias("y")
     wedges = x.join(
         y,

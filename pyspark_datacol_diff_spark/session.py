@@ -56,3 +56,29 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def free_persistent_rdds(spark: SparkSession) -> int:
+    """Unpersist EVERY persistent RDD in the context — including
+    ``localCheckpoint`` block sets, which ``spark.catalog.clearCache()``
+    cannot see (it only drops Dataset cache entries). Returns the
+    number of RDDs released.
+
+    Use between independent pipelines in a long-lived session (a
+    benchmark harness, a notebook, a service): iterative operators
+    leave their final checkpointed result live by design, and without
+    this the blocks accumulate until the context dies — the storage
+    leak behind the round-4 10x smoke regression (33 s co-run vs
+    14.5 s isolated for an identical plan).
+
+    DANGER: a localCheckpointed RDD has no lineage; releasing one that
+    a still-pending DataFrame will read fails that read. Only call at
+    a quiescent point — after the previous pipeline's actions are done
+    and before the next one builds state.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist()
+        n += 1
+    return n

@@ -377,6 +377,14 @@ def run_available_now(
     return result.sparkSession.table(query_name)
 
 
+# final StreamingQueryProgress per query name, written by
+# _run_to_completion — ``stateOperators[*].numRowsTotal`` is the
+# state-store row count at end-of-replay, the number the 10x scale
+# smoke asserts grows linearly with keys (watermark-bounded state),
+# not with total input
+LAST_PROGRESS: dict[str, dict] = {}
+
+
 def _run_to_completion(spark, writer, query_name: str, state_partitions):
     """Shared finite-replay harness: availableNow trigger, disposable
     /dev/shm checkpoint, shuffle-partition pin restored afterwards
@@ -396,6 +404,11 @@ def _run_to_completion(spark, writer, query_name: str, state_partitions):
     try:
         q = writer.start()
         q.awaitTermination()
+        try:
+            if q.lastProgress is not None:
+                LAST_PROGRESS[query_name] = q.lastProgress
+        except Exception:
+            pass  # progress is observability, never a failure path
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

