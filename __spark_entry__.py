@@ -2598,8 +2598,11 @@ def _q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SESSION_WINDOW_EVENTS = """
 WITH x AS (
   SELECT user_id, ts, event_type,
+         -- strict >: session_window merges touching sessions (an
+         -- exactly-gap event continues the session) — measured, see
+         -- the session_stats_events oracle note
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -4564,76 +4567,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query (SURVEY.md §2 + pipeline ops).
 
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
-    a window of entries from the FRONT (r2 and r3 each covered exactly
-    the first 50), so entries are sequenced by how much driver-visible
-    evidence they still need. Round-4 derivation from CORRECTNESS_r03:
-    (1) the 7 round-3 additions made after r3's window filled (never
-    driver-seen); (2) the 5 queries that were `no_oracle` in r1 and
-    gained oracles later but were never value-checked; (3) the 5 r3
-    hash-fails, now fixed (oracle HUGEINT casts), for re-verification;
-    (4) new round-4 queries (never seen); (5) those last checked in
-    round 1; (6) the r02 greens; (7) the r03 greens (newest evidence
-    last). Re-derive when CORRECTNESS_r{N} files change.
+    a window of entries from the FRONT (r2-r4 each covered exactly the
+    first 50), so entries are sequenced oldest-evidence-first. Round-5
+    derivation, mechanically from the union of CORRECTNESS_r01-r04
+    (each query's MOST RECENT green row): (1) never driver-checked
+    (the round-5 additions); (2) last green in r01; (3) r02; (4) r03;
+    (5) r04, freshest last. The r05 window therefore re-greens the 11
+    r01-stale entries and most of the r02 block — after it, no entry's
+    latest driver check predates r02. Re-derive each round from the
+    updated CORRECTNESS_r{N} union.
     """
     return {
-        # --- (1) round-3 additions past r3's 50-entry window: never
-        # driver-seen (locally parity-verified) ---
-        "q7_volume_shipping": _q_q7_volume_shipping,
-        "copurchase_pairs_lineitem": _q_copurchase_pairs,
-        "conversion_latency_events": _q_conversion_latency_events,
-        "order_backlog_weekly": _q_order_backlog_weekly,
-        "dq_rules_orders": _q_dq_rules_orders,
-        "user_trend_features": _q_user_trend_features,
-        "dq_rules_by_source_docs": _q_dq_rules_by_source_docs,
-        # --- (2) r1 `no_oracle` queries whose oracles landed later but
-        # were never driver value-checked ---
-        "ann_topk_arrow": _q_ann_topk_arrow,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "minhash_native_docs": _q_minhash_native_docs,
-        "minhash_lsh_docs": _q_minhash_lsh_docs,
-        "simhash_docs": _q_simhash_docs,
-        # --- (3) CORRECTNESS_r03 hash-fails, fixed round 4 (oracle
-        # HUGEINT -> CAST AS BIGINT), queued for re-verification ---
-        "two_stage_agg_events": _q_two_stage_agg_events,
-        "pack_sequences_docs": _q_pack_sequences_docs,
-        "embed_centroid_lang": _q_embed_centroid_lang,
-        "incremental_rollup_events": _q_incremental_rollup_events,
-        "streaming_incremental_rollup": _q_streaming_incremental_rollup,
-        # --- (4) new in round 4: never driver-seen ---
-        "digest_tree_orders": _q_digest_tree_orders,
-        "embed_dim_stats": _q_embed_dim_stats,
-        "pmi_event_pairs": _q_pmi_event_pairs,
-        "ffill_user_purchase": _q_ffill_user_purchase,
-        "latest_event_per_user": _q_latest_event_per_user,
-        "triangle_counts_docs": _q_triangle_counts_docs,
-        "cluster_size_hist_docs": _q_cluster_size_hist_docs,
-        "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
-        "bigram_counts_docs": _q_bigram_counts_docs,
-        "hist_event_value": _q_hist_event_value,
-        "hist_quantiles_event_value": _q_hist_quantiles_event_value,
-        "len_hist_by_source_docs": _q_len_hist_by_source_docs,
-        "hard_negatives_embed": _q_hard_negatives_embed,
-        "dedup_rate_by_source_docs": _q_dedup_rate_by_source_docs,
-        "hist_rollup_events": _q_hist_rollup_events,
-        "oov_by_source_docs": _q_oov_by_source_docs,
-        "streaming_hist_rollup": _q_streaming_hist_rollup,
-        "split_leakage_docs": _q_split_leakage_docs,
-        "distinctive_terms_by_source": _q_distinctive_terms_by_source,
-        "budget_fill_docs": _q_budget_fill_docs,
-        "pctile_by_type_events": _q_pctile_by_type_events,
-        "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
-        "asof_forward_click_purchase": _q_asof_forward_click_purchase,
-        "dedup_survivor_longest": _q_dedup_survivor_longest,
-        "session_stats_events": _q_session_stats_events,
-        "wow_change_events": _q_wow_change_events,
-        "degree_hist_docs": _q_degree_hist_docs,
-        "shingle_overlap_sources": _q_shingle_overlap_sources,
-        # --- (5) last driver-verified in round 1 (16) ---
-        "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
-        "lang_id_docs": _q_lang_id_docs,
-        "ann_topk_cosine": _q_ann_topk,
-        "text_quality_docs": _q_text_quality_docs,
-        "sample_split_docs": _q_sample_split_docs,
+        # --- (1) never driver-checked: round-5 additions (1) ---
+        "cc_star_docs": _q_cc_star_docs,
+        # --- (2) last driver-green in r01 — oldest evidence first (11) ---
         "stratified_sample_docs": _q_stratified_sample_docs,
         "embed_cosine_near_dup": _q_embed_cosine_near_dup,
         "minhash_portable_docs": _q_minhash_portable_docs,
@@ -4645,7 +4592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessions": _q_streaming_sessions,
-        # --- (6) driver-green in CORRECTNESS_r02 (50) ---
+        # --- (3) last driver-green in r02 (50) ---
         "diff_orders_detail": _q_diff_orders_detail,
         "diff_orders_flags": _q_diff_orders_flags,
         "diff_orders_col_counts": _q_diff_orders_col_counts,
@@ -4696,8 +4643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_fingerprint_docs": _q_dedup_fingerprint_docs,
         "dedup_incremental_docs": _q_dedup_incremental_docs,
-        # --- (7) driver-green in CORRECTNESS_r03 (45): newest
-        # evidence, re-confirmed last ---
+        # --- (4) last driver-green in r03 (45) ---
         "chunk_docs": _q_chunk_docs,
         "vocab_topk_docs": _q_vocab_topk_docs,
         "salted_join_events": _q_salted_join_events,
@@ -4719,7 +4665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_docs": _q_tfidf_top_docs,
         "bm25_docs": _q_bm25_docs,
         "dedup_cluster_docs": _q_dedup_cluster_docs,
-        "cc_star_docs": _q_cc_star_docs,
         "streaming_click_attrib": _q_streaming_click_attrib,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "repetition_docs": _q_repetition_docs,
@@ -4744,6 +4689,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "streaming_dedup_events": _q_streaming_dedup_events,
         "streaming_sliding_windows": _q_streaming_sliding_windows,
+        # --- (5) last driver-green in r04 — freshest evidence last (50) ---
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "copurchase_pairs_lineitem": _q_copurchase_pairs,
+        "conversion_latency_events": _q_conversion_latency_events,
+        "order_backlog_weekly": _q_order_backlog_weekly,
+        "dq_rules_orders": _q_dq_rules_orders,
+        "user_trend_features": _q_user_trend_features,
+        "dq_rules_by_source_docs": _q_dq_rules_by_source_docs,
+        "ann_topk_arrow": _q_ann_topk_arrow,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "minhash_native_docs": _q_minhash_native_docs,
+        "minhash_lsh_docs": _q_minhash_lsh_docs,
+        "simhash_docs": _q_simhash_docs,
+        "two_stage_agg_events": _q_two_stage_agg_events,
+        "pack_sequences_docs": _q_pack_sequences_docs,
+        "embed_centroid_lang": _q_embed_centroid_lang,
+        "incremental_rollup_events": _q_incremental_rollup_events,
+        "streaming_incremental_rollup": _q_streaming_incremental_rollup,
+        "digest_tree_orders": _q_digest_tree_orders,
+        "embed_dim_stats": _q_embed_dim_stats,
+        "pmi_event_pairs": _q_pmi_event_pairs,
+        "ffill_user_purchase": _q_ffill_user_purchase,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "triangle_counts_docs": _q_triangle_counts_docs,
+        "cluster_size_hist_docs": _q_cluster_size_hist_docs,
+        "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
+        "bigram_counts_docs": _q_bigram_counts_docs,
+        "hist_event_value": _q_hist_event_value,
+        "hist_quantiles_event_value": _q_hist_quantiles_event_value,
+        "len_hist_by_source_docs": _q_len_hist_by_source_docs,
+        "hard_negatives_embed": _q_hard_negatives_embed,
+        "dedup_rate_by_source_docs": _q_dedup_rate_by_source_docs,
+        "hist_rollup_events": _q_hist_rollup_events,
+        "oov_by_source_docs": _q_oov_by_source_docs,
+        "streaming_hist_rollup": _q_streaming_hist_rollup,
+        "split_leakage_docs": _q_split_leakage_docs,
+        "distinctive_terms_by_source": _q_distinctive_terms_by_source,
+        "budget_fill_docs": _q_budget_fill_docs,
+        "pctile_by_type_events": _q_pctile_by_type_events,
+        "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
+        "asof_forward_click_purchase": _q_asof_forward_click_purchase,
+        "dedup_survivor_longest": _q_dedup_survivor_longest,
+        "session_stats_events": _q_session_stats_events,
+        "wow_change_events": _q_wow_change_events,
+        "degree_hist_docs": _q_degree_hist_docs,
+        "shingle_overlap_sources": _q_shingle_overlap_sources,
+        "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
+        "lang_id_docs": _q_lang_id_docs,
+        "ann_topk_cosine": _q_ann_topk,
+        "text_quality_docs": _q_text_quality_docs,
+        "sample_split_docs": _q_sample_split_docs,
     }
 
 
@@ -5792,6 +5788,12 @@ FROM b GROUP BY bin
         "session_stats_events": """
 WITH d AS (
   SELECT user_id, ts,
+         -- strict >: measured on pyspark 4.1.2, native session_window
+         -- MERGES sessions that touch (an event exactly gap after its
+         -- predecessor stays in the same session; gap + 1us starts a
+         -- new one), matching the custom sessionize's <= gap
+         -- continuation — every session oracle uses the same strict->
+         -- break (pinned by tests/test_advice_fixes.py boundary test)
          CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS brk

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "ffill_user_purchase",       # keyed-window forward fill
     "latest_event_per_user",     # max_by top-1-per-group (no window)
     "streaming_dedup_events",    # watermarked stateful streaming dedup
+    # new shape in round 5:
+    "cc_star_docs",              # alternating-star CC (O(log n) fallback)
     #   (the one streaming-family headline: micro-batch replay through
     #   real StateStore dedup; the other streaming shapes share its
     #   source/trigger machinery and stay on the correctness gate)
@@ -106,8 +108,27 @@ def main() -> None:
     # Caches are cleared between runs, so the warm run warms CODE paths,
     # never data. Set SPARK_GRAFT_BENCH_WARM=0 to measure cold-start.
     warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    # Median of N timed runs per query (default 3): single-run numbers
+    # carried +/-0.3 s co-run drift in BENCH_r04, large enough to hide
+    # real 20% regressions on sub-2s queries. The median is robust to
+    # one GC/scheduling hiccup; the per-query spread (max-min across
+    # the timed runs) is reported alongside so round-over-round deltas
+    # smaller than the spread are read as noise, not regressions.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    from pyspark_datacol_diff_spark import free_persistent_rdds
+
+    def quiesce():
+        # operators persist()/localCheckpoint() at branch points; drop
+        # Dataset caches AND checkpoint block sets, then force a full
+        # GC so one query's heap debris never taxes the next (measured
+        # 2x on ngram_jaccard after text_stats without the GC)
+        spark.catalog.clearCache()
+        free_persistent_rdds(spark)
+        spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
@@ -115,14 +136,17 @@ def main() -> None:
             qs[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
-            spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators persist() at branch points; drop those blocks so one
-        # query's cache never squeezes the next query's execution memory
-        spark.catalog.clearCache()
+            quiesce()
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+            quiesce()
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spreads[name] = round(samples[-1] - samples[0], 3)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
     print(
@@ -134,10 +158,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 # methodology marker: true = each query timed on its
-                # SECOND execution (caches cleared between runs; JIT
+                # SECOND+ executions (caches cleared between runs; JIT
                 # warm, data cold). r01/r02 timed first executions after
                 # a single global warm-up query.
                 "warm_per_query": warm,
+                # r05 methodology: per-query value = MEDIAN of `runs`
+                # timed executions; `spread` = max-min of those runs
+                # (the noise band: treat round-over-round deltas inside
+                # a query's spread as run noise, not regression)
+                "runs": runs,
+                "spread": spreads,
             }
         )
     )

@@ -47,10 +47,11 @@ Scale notes (100 TB):
   (:func:`_free_ckpt`) the moment the new round is materialized, and
   the edge frame is freed on convergence — peak executor storage is
   2 label frames + 1 edge frame regardless of round count;
-- the per-round convergence probe is a single tiny aggregate: min-label
-  propagation is monotone (labels only decrease), so ``sum(comp)``
-  strictly decreases until the fixpoint and one scalar comparison
-  detects it — no expensive frame-vs-frame anti-join.
+- the per-round convergence probe is a single tiny aggregate — a
+  hash-sum digest of the labeling that changes (w.h.p.) whenever any
+  label moves — so one scalar comparison detects the fixpoint with no
+  expensive frame-vs-frame anti-join, for any orderable id type
+  (string ids included).
 """
 
 from __future__ import annotations
@@ -175,12 +176,19 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     try:
-        # accumulate the witness in decimal: a long sum over huge ids
-        # can overflow (ANSI mode raises instead of wrapping). This
-        # collect is also what materializes `e` and `labels`.
-        prev_sum = labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        # convergence witness: decimal sum of xxhash64(node, comp) —
+        # type-agnostic (string ids work, where a sum of comp itself
+        # would not cast) and overflow-safe (decimal, not long, under
+        # ANSI). Equal digests across a round mean no label moved
+        # (hash-sum collision on a changed labeling is ~2^-64-
+        # improbable — the same witness contract as _edge_digest).
+        # This collect is also what materializes `e` and `labels`.
+        def digest(frame: DataFrame):
+            return frame.agg(
+                F.sum(F.xxhash64("node", "comp").cast("decimal(38,0)"))
+            ).collect()[0][0]
+
+        prev_sum = digest(labels)
 
         for rounds in range(1, max_iter + 1):
             new_labels = (
@@ -190,9 +198,7 @@ def connected_components(
                 .select(F.col("d").alias("node"), "comp")
                 .localCheckpoint(eager=False)
             )
-            new_sum = new_labels.agg(
-                F.sum(F.col("comp").cast("decimal(38,0)"))
-            ).collect()[0][0]
+            new_sum = digest(new_labels)
             _free_ckpt(labels)  # retired round: never read again
             labels = new_labels
             if new_sum == prev_sum:
@@ -406,12 +412,18 @@ def drop_near_dups(
             F.col(id_col).alias("node"), F.col(priority_col).alias("__p")
         )
         m = comps.join(pri, "node")
-        # survivor = max (priority, -id): highest priority, min-id ties;
-        # ids are not assumed positive, so negate inside a struct
-        surv = m.groupBy("comp").agg(
-            F.max_by("node", F.struct(F.col("__p"), -F.col("node"))).alias(
-                "__keep"
-            )
+        # survivor = highest priority, min-id ties — elected in two
+        # steps (max priority per component, then min node at that
+        # priority) rather than max_by over struct(__p, -node): node
+        # negation restricted ids to numeric types, while min/max
+        # order any orderable id type (strings included). eqNullSafe
+        # keeps a survivor even when every member's priority is null.
+        best = m.groupBy("comp").agg(F.max("__p").alias("__bp"))
+        surv = (
+            m.join(best, "comp")
+            .filter(F.col("__p").eqNullSafe(F.col("__bp")))
+            .groupBy("comp")
+            .agg(F.min("node").alias("__keep"))
         )
         victims = (
             m.join(surv, "comp")
@@ -532,13 +544,14 @@ def triangle_counts(
     computation; no cartesian anywhere.
 
     The canonical edge set and the oriented edge list are both consumed
-    by multiple downstream joins, so each is checkpointed — without
-    that the upstream pair-mining pipeline would re-execute once per
-    reference (measured 3x wall time on the n-gram pair graph). The
-    oriented list is materialized eagerly so the canonical edge set's
-    blocks can be freed before returning (everything downstream reads
-    only the oriented list); the oriented list itself stays live for
-    the caller's action — ``_free_ckpt`` it in long-lived sessions.
+    by multiple downstream joins, so each is checkpointed lazily —
+    without that the upstream pair-mining pipeline would re-execute
+    once per reference (measured 3x wall time on the n-gram pair
+    graph); both materialize inside the caller's single action (an
+    eager variant was measured 1.8x slower at 10x: the materialization
+    job re-runs the upstream pipeline the final action would have run
+    anyway). The blocks stay live after the action — release them with
+    ``free_persistent_rdds`` in long-lived sessions.
     """
     e = _canonical(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -561,8 +574,7 @@ def triangle_counts(
         F.when(lt, F.col("s")).otherwise(F.col("d")).alias("u"),
         F.when(lt, F.col("d")).otherwise(F.col("s")).alias("v"),
         F.when(lt, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
-    ).localCheckpoint(eager=True)
-    _free_ckpt(e)  # every downstream join reads only `o`
+    ).localCheckpoint(eager=False)
     x, y = o.alias("x"), o.alias("y")
     wedges = x.join(
         y,

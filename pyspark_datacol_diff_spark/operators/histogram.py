@@ -51,12 +51,22 @@ def histogram(
     if num_bins < 1:
         raise ValueError(f"num_bins must be >= 1, got {num_bins}")
     v = F.col(value) if isinstance(value, str) else value
-    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(num_bins - 1))
+    # bin assignment in INTEGER arithmetic end to end: `/` on longs is
+    # double division in Spark SQL, and beyond ~2^53 the rounded
+    # quotient can cross a bin boundary — `div` never can. The under-
+    # flow clamp to 0 happens BEFORE the divide, so the dividend is
+    # non-negative and trunc-vs-floor division never differs.
+    delta = F.greatest(v - F.lit(lo), F.lit(0)).cast("long")
     ks = list(keys)
     return (
         df.filter(v.isNotNull())
-        .select(*ks, bin_.alias("bin"))
+        .select(*ks, delta.alias("__delta"))
+        .select(
+            *ks,
+            F.least(
+                F.expr(f"__delta div {int(width)}"), F.lit(num_bins - 1)
+            ).alias("bin"),
+        )
         .groupBy(*ks, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -126,6 +136,19 @@ def histogram_quantiles(
     for q in quantiles:
         if not 1 <= q <= 1000:
             raise ValueError(f"quantiles are permille in [1, 1000], got {q}")
+    # a GROUPED histogram (built with keys=...) carries its key columns;
+    # collapsing it here would silently merge every group's bins into
+    # one distribution and return wrong quantiles — refuse instead
+    # (compute per-group quantiles by filtering to one group first, or
+    # aggregate groups deliberately with merge_histograms)
+    extra = [c for c in hist.columns if c not in ("bin", "lo_edge", "n")]
+    if extra:
+        raise ValueError(
+            "histogram_quantiles expects an ungrouped histogram "
+            f"(bin, lo_edge, n); extra columns {extra} look like group "
+            "keys, and collapsing groups into one distribution would "
+            "be silently wrong"
+        )
     zero = F.lit(0).cast("long")
     one_row = hist.agg(
         F.array_sort(

@@ -36,21 +36,32 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def stage_files(*paths: str, dir_suffix: str = "stream_src") -> str:
-    """Stage individual parquet FILES into a fresh temp directory and
-    return it — Spark's file streaming source requires a directory (it
-    monitors for new files), while batch testdata ships as single files.
-    Files are prefixed with their position so the SAME path may be
-    staged more than once (deliberate duplicate injection for dedup
-    tests); the source lists files in name order, so position order is
-    arrival order under ``maxFilesPerTrigger``. Production streams read
-    a real landing-zone directory and never need this."""
+    """Stage parquet inputs into a fresh temp directory and return it —
+    Spark's file streaming source requires a directory (it monitors
+    for new files). Each path may be a single parquet FILE (how batch
+    testdata ships) or a Spark-written parquet DIRECTORY (how the
+    scale harness synthesizes), whose ``part-*`` data files are staged
+    individually. Everything is prefixed with its position so the SAME
+    path may be staged more than once (deliberate duplicate injection
+    for dedup tests); the source lists files in name order, so
+    position order is arrival order under ``maxFilesPerTrigger``.
+    Production streams read a real landing-zone directory and never
+    need this."""
+    import glob
     import os
     import shutil
     import tempfile
 
     d = tempfile.mkdtemp(prefix=f"dcd_{dir_suffix}_")
     for i, p in enumerate(paths):
-        shutil.copy(p, os.path.join(d, f"{i:03d}_{os.path.basename(p)}"))
+        if os.path.isdir(p):
+            parts = sorted(glob.glob(os.path.join(p, "part-*")))
+            for j, part in enumerate(parts):
+                shutil.copy(
+                    part, os.path.join(d, f"{i:03d}_{j:05d}_{os.path.basename(part)}")
+                )
+        else:
+            shutil.copy(p, os.path.join(d, f"{i:03d}_{os.path.basename(p)}"))
     return d
 
 

@@ -160,13 +160,25 @@ def run(spark, qs, sf_dir: str) -> dict[str, float]:
     from pyspark_datacol_diff_spark import free_persistent_rdds
     from pyspark_datacol_diff_spark import streaming as STR
 
+    def quiesce():
+        """Measurement isolation: drop Dataset caches, drop
+        localCheckpoint block sets (invisible to clearCache), then
+        force a full GC. The GC matters empirically: heap garbage left
+        by one query (humongous array allocations G1 reclaims lazily)
+        taxed the NEXT query 2x — ngram_jaccard_docs measured 8.5 s
+        after text_stats_docs vs 4.7 s with an interposed System.gc(),
+        identical plans. A per-query fresh JVM would be cleaner still,
+        but costs ~10 s startup x 2 scales x every query."""
+        spark.catalog.clearCache()
+        free_persistent_rdds(spark)
+        spark.sparkContext._jvm.System.gc()
+
     times: dict[str, float] = {}
     state_rows: dict[str, int] = {}
     for name in QUERIES:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        spark.catalog.clearCache()
-        free_persistent_rdds(spark)
+        quiesce()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
@@ -178,8 +190,7 @@ def run(spark, qs, sf_dir: str) -> dict[str, float]:
                 n = sum(int(o.get("numRowsTotal", 0)) for o in ops)
                 state_rows[name] = max(state_rows.get(name, 0), n)
             STR.LAST_PROGRESS.clear()
-        spark.catalog.clearCache()
-        free_persistent_rdds(spark)
+        quiesce()
     return times, state_rows
 
 
@@ -243,12 +254,13 @@ def main() -> None:
             ),
             "isolation": (
                 "round-5 harness change: clearCache + "
-                "free_persistent_rdds between every query, so "
-                "localCheckpoint block sets from iterative operators "
-                "no longer accumulate across the co-run — the round-4 "
-                "dedup_cluster_docs/ngram_jaccard_docs 10x regressions "
-                "were this harness pollution (33 s co-run vs 14.5 s "
-                "isolated, identical plan), not plan regressions"
+                "free_persistent_rdds + System.gc() between every "
+                "query, so localCheckpoint block sets and lazily-"
+                "reclaimed heap garbage no longer bleed across the "
+                "co-run — the round-4 dedup_cluster_docs/"
+                "ngram_jaccard_docs 10x regressions were this harness "
+                "pollution (33 s co-run vs 14.5 s isolated, identical "
+                "plan), not plan regressions"
             ),
             "streaming_state": (
                 "state_rows_* = end-of-replay state-store rows "

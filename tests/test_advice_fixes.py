@@ -291,3 +291,149 @@ def test_bm25_releases_its_cache(spark):
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     cached_names = [i.name() or "" for i in infos]
     assert not any("In-memory table" in n for n in cached_names)
+
+
+# --- round-5 advice items ---
+
+
+def test_histogram_bins_integer_division_beyond_2_53(spark):
+    """Round-5 advice: bin assignment must be integer division — the
+    old floor((v-lo)/width) went through double division, which
+    mis-bins once |v-lo| exceeds ~2^53 (the rounded quotient can
+    cross an integer boundary)."""
+    from pyspark_datacol_diff_spark.operators.histogram import histogram
+
+    width = 3
+    # 2^53+1 is not representable as a double; (2^53+1)/3 rounds to a
+    # quotient whose floor differs from the exact integer division at
+    # nearby values — pin several boundary-straddling points
+    vals = [2**53 - 1, 2**53, 2**53 + 1, 2**53 + 2, 2**53 + 3, 7, 0]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    big_bins = 2**62
+    out = histogram(df, "v", lo=0, width=width, num_bins=big_bins)
+    got = {r["bin"]: r["n"] for r in out.collect()}
+    import collections
+
+    want = collections.Counter(v // width for v in vals)
+    assert got == dict(want)
+    # lo_edge stays consistent with the integer bin
+    for r in out.collect():
+        assert r["lo_edge"] == r["bin"] * width
+
+
+def test_histogram_underflow_clamps_before_divide(spark):
+    """Negative (v - lo) clamps to bin 0 BEFORE the divide, so
+    trunc-vs-floor semantics can never differ."""
+    from pyspark_datacol_diff_spark.operators.histogram import histogram
+
+    df = spark.createDataFrame([(-100,), (-1,), (0,), (5,)], "v long")
+    out = histogram(df, "v", lo=0, width=10, num_bins=4)
+    got = {r["bin"]: r["n"] for r in out.collect()}
+    assert got == {0: 4}
+
+
+def test_histogram_quantiles_rejects_grouped_input(spark):
+    """Round-5 advice: a grouped histogram silently collapsed into one
+    distribution — now a ValueError naming the extra columns."""
+    import pytest
+
+    from pyspark_datacol_diff_spark.operators.histogram import (
+        histogram,
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 9)], "src string, v long"
+    )
+    grouped = histogram(df, "v", lo=0, width=2, num_bins=8, keys=["src"])
+    with pytest.raises(ValueError, match="src"):
+        histogram_quantiles(grouped, [500])
+    # ungrouped still works
+    flat = histogram(df, "v", lo=0, width=2, num_bins=8)
+    rows = histogram_quantiles(flat, [500]).collect()
+    assert len(rows) == 1
+
+
+def test_drop_near_dups_priority_with_string_ids(spark):
+    """Round-5 advice: priority survivor election used -node negation,
+    restricting ids to numeric types. String ids must now work:
+    highest priority wins, min-id breaks ties."""
+    from pyspark_datacol_diff_spark.operators.cluster import drop_near_dups
+
+    docs = spark.createDataFrame(
+        [("a", 5), ("b", 9), ("c", 9), ("z", 1)],
+        "doc_id string, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    kept = {r["doc_id"] for r in
+            drop_near_dups(docs, pairs, "doc_id", priority_col="quality").collect()}
+    # component {a,b,c}: max quality 9 shared by b,c -> min id 'b' wins
+    assert kept == {"b", "z"}
+
+
+def test_drop_near_dups_priority_all_null_keeps_one(spark):
+    """All-null priorities must still elect exactly one survivor (the
+    min id), not drop the whole component."""
+    from pyspark_datacol_diff_spark.operators.cluster import drop_near_dups
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (9, 7)], "doc_id long, quality long"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    kept = {r["doc_id"] for r in
+            drop_near_dups(docs, pairs, "doc_id", priority_col="quality").collect()}
+    assert kept == {1, 9}
+
+
+def test_session_stats_oracle_boundary_gap(spark):
+    """Round-5 advice follow-up — the advice suggested `>=` to match an
+    assumed exclusive window end, but MEASURED pyspark 4.1.2 behavior
+    is the opposite: session_window MERGES sessions that touch, so an
+    event exactly gap after its predecessor stays in the SAME session
+    and only a strictly-greater gap breaks. Every session oracle
+    therefore uses strict `>` (this also matches the custom
+    sessionize's `<= gap` continuation). Pinned by running a
+    boundary-gap event set through BOTH Spark session_window and the
+    oracle's lag-comparator convention."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=30)),          # exactly gap -> SAME session
+        (1, base + dt.timedelta(minutes=30, seconds=1)),
+        (2, base),
+        (2, base + dt.timedelta(minutes=29, seconds=59)),  # < gap -> same
+        (3, base),
+        (3, base + dt.timedelta(minutes=30, microseconds=1)),  # > gap -> NEW
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sw = F.session_window("ts", "30 minutes")
+    spark_sessions = (
+        df.groupBy("user_id", sw).count().count()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, TIMESTAMP '{t.isoformat(sep=' ')}')" for u, t in rows
+        )
+        + ") AS t(user_id, ts)"
+    )
+    oracle_sessions = con.execute(
+        """
+        WITH d AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        SELECT sum(brk) FROM d
+        """
+    ).fetchone()[0]
+    assert spark_sessions == oracle_sessions == 4
