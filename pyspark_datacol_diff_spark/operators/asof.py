@@ -51,6 +51,13 @@ def asof_join(
     into left rows with no real match); a left row with null
     ``left_ts`` matches nothing and keeps nulls (nulls-first ordering
     on both directions puts it before any right row).
+
+    The right row is carried ATOMICALLY (one struct column, one
+    ``last(ignorenulls)``): per-column carries would let a null field
+    in the nearest right row be back-filled from an OLDER right row,
+    emitting a combination of values no actual right row contains —
+    pandas ``merge_asof`` / DuckDB ASOF carry whole rows, and so does
+    this.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -61,7 +68,9 @@ def asof_join(
         *on,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(c + suffix) for c in right_cols],
+        F.struct(
+            *[F.col(c).alias(c + suffix) for c in right_cols]
+        ).alias("__asof_row"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
@@ -77,12 +86,12 @@ def asof_join(
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     matched = u.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(c + "__m") for c in carried]
+        "*", F.last("__asof_row", ignorenulls=True).over(w).alias("__asof_m")
     )
     return (
         matched.filter(F.col(_SIDE) == 1)
         .select(
             *left.columns,
-            *[F.col(c + "__m").alias(c) for c in carried],
+            *[F.col(f"__asof_m.{c}").alias(c) for c in carried],
         )
     )

@@ -173,15 +173,29 @@ def run(spark, qs, sf_dir: str) -> dict[str, float]:
         free_persistent_rdds(spark)
         spark.sparkContext._jvm.System.gc()
 
+    # min of RUNS timed executions: individual runs on this box carry
+    # sporadic ~2x spikes (measured: the same triangle_counts plan,
+    # same process, back to back: 4.1 / 4.2 / 8.1 / 3.9 s — GC time
+    # flat at ~120 ms, so the spikes are JIT-compilation bursts /
+    # scheduler interference, not the plan). The MIN is the intrinsic
+    # plan cost — the right numerator and denominator for a SCALING
+    # ratio; all samples are recorded alongside for transparency.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_SMOKE_RUNS", "3")))
     times: dict[str, float] = {}
+    samples: dict[str, list] = {}
     state_rows: dict[str, int] = {}
     for name in QUERIES:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         quiesce()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 3))
+            quiesce()
+        times[name] = min(ts)
+        samples[name] = ts
         if name in STREAMING:
             # end-of-replay state-store rows across stateful operators
             # of whatever query name the entry registered last
@@ -190,8 +204,7 @@ def run(spark, qs, sf_dir: str) -> dict[str, float]:
                 n = sum(int(o.get("numRowsTotal", 0)) for o in ops)
                 state_rows[name] = max(state_rows.get(name, 0), n)
             STR.LAST_PROGRESS.clear()
-        quiesce()
-    return times, state_rows
+    return times, samples, state_rows
 
 
 def main() -> None:
@@ -207,8 +220,8 @@ def main() -> None:
     d1 = synth(spark, 1)
     dk = synth(spark, K)
     try:
-        t1, s1 = run(spark, qs, d1)
-        tk, sk = run(spark, qs, dk)
+        t1, r1, s1 = run(spark, qs, d1)
+        tk, rk, sk = run(spark, qs, dk)
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(dk, ignore_errors=True)
@@ -217,6 +230,8 @@ def main() -> None:
             "t_1x_sec": t1[q],
             f"t_{K}x_sec": tk[q],
             "ratio": round(tk[q] / t1[q], 2) if t1[q] else None,
+            "runs_1x": r1[q],
+            f"runs_{K}x": rk[q],
         }
         for q in QUERIES
     }
@@ -261,6 +276,13 @@ def main() -> None:
                 "ngram_jaccard_docs 10x regressions were this harness "
                 "pollution (33 s co-run vs 14.5 s isolated, identical "
                 "plan), not plan regressions"
+            ),
+            "min_of_runs": (
+                "t_* = MIN over the per-query timed runs (runs_* lists "
+                "every sample): individual runs carry sporadic ~2x "
+                "JIT/scheduler spikes with flat GC time, and the min "
+                "is the intrinsic plan cost a scaling ratio should "
+                "compare"
             ),
             "streaming_state": (
                 "state_rows_* = end-of-replay state-store rows "

@@ -121,3 +121,25 @@ def test_asof_matches_pandas_merge_asof(spark, direction):
             assert g is None, f"cid={cid}: expected no match, got {g}"
         else:
             assert g == int(w), f"cid={cid}: expected {w}, got {g}"
+
+
+def test_asof_carries_nearest_row_atomically(spark):
+    """Round-5 review fix: a null FIELD in the nearest right row must be
+    carried as null, not back-filled from an older right row (per-column
+    last(ignorenulls) built combination rows no actual right row
+    contains; merge_asof/DuckDB ASOF carry whole rows)."""
+    import datetime as dt
+
+    from pyspark_datacol_diff_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m, 0)
+    left = spark.createDataFrame([(1, t(10))], "k long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, t(1), 100, "old"), (1, t(9), None, "near")],
+        "k long, rts timestamp, price int, tag string",
+    )
+    row = asof_join(
+        left, right, ["k"], "lts", "rts", ["price", "tag"]
+    ).collect()[0]
+    assert row["tag_r"] == "near"
+    assert row["price_r"] is None  # NOT 100 from the older row
