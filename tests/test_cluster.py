@@ -270,3 +270,45 @@ def test_drop_near_dups_priority_keeps_best(spark):
         r["doc_id"] for r in drop_near_dups(docs, pairs, "doc_id").collect()
     )
     assert kept_min == [1, 4, 9]
+
+
+def test_cc_releases_round_state(spark):
+    """Round-5 storage contract: connected_components frees retired
+    rounds' checkpoint blocks and the edge frame — after consuming the
+    result, the only surviving persistent RDD is the returned label
+    frame (peak storage independent of round count)."""
+    from pyspark_datacol_diff_spark import free_persistent_rdds
+    from pyspark_datacol_diff_spark.operators.cluster import (
+        connected_components,
+    )
+
+    free_persistent_rdds(spark)  # clean slate
+    # path 0..6: several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
+    )
+    stats = {}
+    out = connected_components(edges, stats=stats)
+    assert out.count() == 7
+    assert stats["rounds"] >= 2
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    # exactly the final label frame's block set may remain
+    assert len(jmap) <= 1, f"leaked {len(jmap)} persistent RDDs"
+    assert free_persistent_rdds(spark) == len(jmap)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_cc_string_ids(spark):
+    """Round-5: string node ids work end to end in BOTH variants (the
+    convergence digest no longer casts labels to decimal)."""
+    from pyspark_datacol_diff_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert _comps(connected_components(edges)) == want
+    assert _comps(connected_components_star(edges)) == want
