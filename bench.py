@@ -77,11 +77,12 @@ BENCH_QUERIES = [
     "ffill_user_purchase",       # keyed-window forward fill
     "latest_event_per_user",     # max_by top-1-per-group (no window)
     "streaming_dedup_events",    # watermarked stateful streaming dedup
-    # new shape in round 5:
-    "cc_star_docs",              # alternating-star CC (O(log n) fallback)
     #   (the one streaming-family headline: micro-batch replay through
     #   real StateStore dedup; the other streaming shapes share its
     #   source/trigger machinery and stay on the correctness gate)
+    # new shapes in round 5:
+    "cc_star_docs",              # alternating-star CC (O(log n) fallback)
+    "srp_near_dup_embed",        # exact-int SRP signatures + band join
     # lsh_near_dup_recall stays out: it deliberately runs the exact
     # O(n^2) verify next to the LSH path (a correctness gate, not a
     # throughput headline)

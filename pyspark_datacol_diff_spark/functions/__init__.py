@@ -28,6 +28,7 @@ from ..operators.similarity import (
     norm,
     quantize_int8,
     quantize_scale,
+    srp_planes,
 )
 from ..operators.text import (
     bpe_ish_token_count,
@@ -61,6 +62,7 @@ __all__ = [
     "quality_score",
     "quantize_int8",
     "quantize_scale",
+    "srp_planes",
     "scrub_pii",
     "rolling_hash_fingerprint",
     "stopword_hits",

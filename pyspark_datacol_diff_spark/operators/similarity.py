@@ -193,14 +193,17 @@ def assign_cells(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """IVF index build: nearest-centroid cell id per corpus vector,
     computed as a per-row argmax projection (no Exchange in the plan —
-    pinned by tests/test_plans.py). Returns (id, vec, __na norm, cid)."""
+    pinned by tests/test_plans.py). Returns
+    (id, vec, *keep_cols, __na norm, cid); ``keep_cols`` ride the same
+    projection free (the label column for IVF hard-negative mining)."""
     from ..sources import balance_partitions
 
     base = balance_partitions(corpus).select(
-        id_col, vec_col, norm(F.col(vec_col)).alias("__na")
+        id_col, vec_col, *keep_cols, norm(F.col(vec_col)).alias("__na")
     )
     best = F.element_at(cell_ranks(F.col(vec_col), F.col("__na"), centroids), 1)
     return base.withColumn("cid", best["cid"])
@@ -212,6 +215,7 @@ def assign_cells_arrow(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """IVF cell assignment via Arrow-batched numpy: one matmul against
     the broadcast centroid matrix per batch, argmax per row. Same
@@ -234,27 +238,31 @@ def assign_cells_arrow(
 
     id_t = corpus.schema[id_col].dataType.simpleString()
     vec_t = corpus.schema[vec_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_t}, {vec_col} {vec_t}, __na double, cid int"
+    keep_t = {
+        c: corpus.schema[c].dataType.simpleString() for c in keep_cols
+    }
+    keep_schema = "".join(f", {c} {t}" for c, t in keep_t.items())
+    out_schema = (
+        f"{id_col} {id_t}, {vec_col} {vec_t}{keep_schema}, __na double, cid int"
+    )
 
     def assign(batches):
         for pdf in batches:
             m = np.array(list(pdf[vec_col]), dtype=np.float64)  # (b, dim)
             na = np.linalg.norm(m, axis=1)
             sims = (m @ cm.T) / np.outer(na, cn)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    vec_col: pdf[vec_col],
-                    "__na": na,
-                    "cid": np.argmax(sims, axis=1).astype("int32"),
-                }
-            )
+            out = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            out["__na"] = na
+            out["cid"] = np.argmax(sims, axis=1).astype("int32")
+            yield pd.DataFrame(out)
 
     from ..sources import balance_partitions
 
-    return balance_partitions(corpus).select(id_col, vec_col).mapInPandas(
-        assign, out_schema
-    )
+    return balance_partitions(corpus).select(
+        id_col, vec_col, *keep_cols
+    ).mapInPandas(assign, out_schema)
 
 
 def ivf_topk(
@@ -368,27 +376,38 @@ def _ivf_probe(
     nprobe: int,
     exclude_self: bool,
     assign_method: str,
+    label_col: str | None = None,
+    query_label_col: str | None = None,
 ) -> DataFrame:
     """Assignment + probe + local top-k shared by every coarse-quantizer
-    flavor (trained k-means or hash-sampled centroids)."""
+    flavor (trained k-means or hash-sampled centroids). With
+    ``label_col``/``query_label_col`` set, only DIFFERENT-label pairs
+    are scored (hard-negative mining — the label column rides the cell
+    assignment projection and the inequality prunes candidates right
+    at the probe join, before any dot product)."""
     # 'expr' bakes the centroids into the plan as literals (pure
     # Column, WholeStageCodegen) — right for small nlist; 'arrow' keeps
     # the centroid matrix in a closure and does one BLAS matmul per
     # batch — right for real IVF nlist (plan-size stays O(1)). Both are
     # exchange-free.
+    keep = (label_col,) if label_col else ()
     if assign_method == "arrow":
         assigned = assign_cells_arrow(
-            corpus, centroids, id_col=id_col, vec_col=vec_col
+            corpus, centroids, id_col=id_col, vec_col=vec_col, keep_cols=keep
         )
     else:
-        assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        assigned = assign_cells(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, keep_cols=keep
+        )
 
+    qcols = [query_id_col, query_vec_col]
+    if query_label_col:
+        qcols.append(query_label_col)
     q = queries.select(
-        query_id_col, query_vec_col, norm(F.col(query_vec_col)).alias("__nq")
+        *qcols, norm(F.col(query_vec_col)).alias("__nq")
     )
     probes = q.select(
-        query_id_col,
-        query_vec_col,
+        *qcols,
         "__nq",
         F.explode(
             F.slice(
@@ -397,10 +416,14 @@ def _ivf_probe(
                 nprobe,
             )
         ).alias("__cell"),
-    ).select(query_id_col, query_vec_col, "__nq", F.col("__cell")["cid"].alias("cid"))
+    ).select(*qcols, "__nq", F.col("__cell")["cid"].alias("cid"))
     cand = assigned.join(F.broadcast(probes), "cid")
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    if label_col and query_label_col:
+        # SQL inequality: NULL labels never match — unlabeled vectors
+        # are not negatives (same contract as hard_negatives)
+        cand = cand.filter(F.col(label_col) != F.col(query_label_col))
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
@@ -534,6 +557,54 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "sim")
+    )
+
+
+def hard_negatives_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    query_label_col: str = "qlabel",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    assign_method: str = "expr",
+) -> DataFrame:
+    """IVF-backed hard-negative mining — the scale path
+    :func:`hard_negatives` names in its contract, implemented: instead
+    of scoring every (query, corpus) pair, the corpus is bucketed into
+    ``nlist`` cells once (zero-shuffle argmax projection, label column
+    riding along) and each query probes only its ``nprobe`` nearest
+    cells; the label-inequality predicate prunes candidates at the
+    probe join, before any dot product. Work per query drops
+    ~nlist/nprobe-fold; recall < 1 by construction (raise nprobe to
+    trade compute back for recall; ``nprobe == nlist`` is exhaustive
+    and equals the exact miner).
+
+    Centroids are ``nlist`` hash-sampled corpus vectors (one
+    TakeOrdered job — the cheap IVF seeding; a recall-gated miner does
+    not need trained cells, and the driver-visible recall gate is the
+    quality contract). Returns ``(qid, neighbor_id, rank, sim)``.
+    """
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[1]] for r in rows]
+    return _ivf_probe(
+        corpus, queries, k, centroids,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, nprobe=nprobe, exclude_self=True,
+        assign_method=assign_method, label_col=label_col,
+        query_label_col=query_label_col,
     )
 
 
@@ -1099,4 +1170,152 @@ def dim_stats_exact(
             F.col("__c").cast("decimal(19,0)")
             * F.col("__c").cast("decimal(19,0)")
         ).cast("long").alias(sq_col),
+    )
+
+
+# --- portable sign-random-projection LSH (exact-integer SRP) ----------------
+
+def srp_planes(dim: int, num_planes: int = 32) -> list[list[int]]:
+    """Portable integer hyperplane coefficients for :func:`srp_signatures`:
+    ``coef(p, i) = (md5_32(f"{p}:{i}") % 1999) - 999`` (uniform in
+    [-999, 999]). md5 is the engine-portability contract this repo
+    already uses for ``minhash_portable``/``simhash_portable`` — any
+    engine with md5 reproduces the planes, so SRP signatures replay
+    bit-for-bit externally (no seeded-RNG state to ship)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 1999)
+            - 999
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def srp_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int | None = None,
+    num_planes: int = 32,
+) -> DataFrame:
+    """Sign-random-projection signature per vector (Charikar 2002, the
+    cosine-LSH family): bit ``p`` of ``sig`` is ``[qv . h_p >= 0]``
+    where ``qv = floor(double(v) * 1e6)`` (the engine-wide exact
+    embedding quantization, same contract as ``dim_sums_exact``) and
+    ``h_p`` are :func:`srp_planes`. Two signatures' Hamming distance
+    estimates angular distance (P[bit differs] = theta/pi) — the
+    embedding-space analogue of SimHash, and the hash-EXACT counterpart
+    of the float-plane ``lsh_near_dup_pairs`` (whose float dot products
+    are summation-order-sensitive and therefore only recall-testable).
+
+    Exactness: quantized values and plane coefficients are int64, so
+    every dot product is an exact integer sum — identical bits in any
+    engine, any summation order, BLAS or sequential. |qv| <= ~2^30 and
+    |coef| <= 999 over dim <= 2^13 keeps the sum far inside int64.
+
+    Shape: zero shuffle — one Arrow-batched numpy int64 matmul per
+    batch projects (batch x dim) against (num_planes x dim) and packs
+    sign bits; only (id, sig) rows leave the scan stage.
+    ``num_planes <= 63`` keeps the packed signature in a positive
+    BIGINT (external engines' ``>>`` is arithmetic).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 1 <= num_planes <= 63:
+        raise ValueError(f"num_planes must be in [1, 63], got {num_planes}")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    H = np.array(srp_planes(dim, num_planes), dtype=np.int64)  # (P, dim)
+    weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, sig bigint"
+
+    def project(batches):
+        for pdf in batches:
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qv = np.floor(v * 1_000_000.0).astype(np.int64)  # (batch, dim)
+            bits = (qv @ H.T) >= 0  # exact int64 matmul, (batch, P)
+            sig = (bits * weights).sum(axis=1, dtype=np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
+
+    return df.select(id_col, vec_col).mapInPandas(project, out_schema)
+
+
+def srp_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int | None = None,
+    num_planes: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Embedding near-dup candidate pairs by SRP signature banding —
+    the same pigeonhole blocking as ``dedup.simhash_near_dups``, on
+    vectors instead of shingles: band the ``num_planes``-bit signature
+    into ``num_planes // band_bits`` chunks, pairs sharing ANY band are
+    candidates (one band-key shuffle, never a cross product), verified
+    by full Hamming distance <= ``max_hamming``.
+
+    Pigeonhole note: a pair is GUARANTEED to collide only when its
+    Hamming distance is under the band count; beyond that recall is
+    probabilistic (the standard LSH trade — more/shorter bands raise
+    recall and candidate volume). Callers wanting cosine semantics
+    re-verify survivors with the exact pipeline (``cosine_pairs`` /
+    ``embed_cosine_near_dup``) — Hamming here is monotone in angular
+    distance only in expectation.
+
+    Returns ``(id_a, id_b, hamming)``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import hamming64
+
+    if num_planes % band_bits != 0:
+        raise ValueError(
+            f"band_bits must divide num_planes, got {band_bits}/{num_planes}"
+        )
+    sig = srp_signatures(
+        df, id_col, vec_col, dim=dim, num_planes=num_planes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nbands = num_planes // band_bits
+    bands = sig.select(
+        F.col(id_col).alias("doc_id"),
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        F.shiftrightunsigned(F.col("sig"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1)),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band"
+    )
+    cands = (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -51,9 +51,15 @@ DECLARED_EXACT = {
     "hard_negatives_embed": (
         "hard-negative mining on the same broadcast-bounded exact scan "
         "as ann_topk_cosine (O(n*q), q small by contract) with the "
-        "label-inequality predicate pruning pairs pre-score; the IVF "
-        "cell machinery is the scale path when the corpus outgrows a "
-        "full scan"
+        "label-inequality predicate pruning pairs pre-score; the "
+        "IMPLEMENTED scale path is hard_negatives_ivf (gated by "
+        "hard_negatives_ivf_recall)"
+    ),
+    "hard_negatives_ivf_recall": (
+        "recall gate: the IVF miner's candidates are cell-bounded (the "
+        "scale path itself), but the exact ground truth it is measured "
+        "against is the same deliberate broadcast-bounded O(n*q) scan "
+        "as hard_negatives_embed"
     ),
     "ann_pq_recall": (
         "recall gate: the PQ ADC pass streams corpus codes against the "

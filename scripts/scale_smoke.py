@@ -68,6 +68,9 @@ QUERIES = [
     "cc_star_docs",
     "streaming_dedup_events",
     "streaming_hist_rollup",
+    # portable exact-int SRP LSH over embeddings (Arrow int64 matmul +
+    # band-key join — the embedding-dedup scale path)
+    "srp_near_dup_embed",
 ]
 
 STREAMING = {"streaming_dedup_events", "streaming_hist_rollup"}

@@ -528,3 +528,128 @@ def test_dim_stats_exact_square_in_decimal_and_loud_overflow(spark):
     )
     with _pt.raises(Exception, match="OVERFLOW"):
         dim_stats_exact(big, "embedding").collect()
+
+
+# --- portable SRP-LSH (round 5) ---------------------------------------------
+
+
+def test_srp_planes_portable_and_bounded():
+    import hashlib
+
+    from pyspark_datacol_diff_spark.operators.similarity import srp_planes
+
+    H = srp_planes(4, 3)
+    assert len(H) == 3 and all(len(r) == 4 for r in H)
+    assert all(-999 <= c <= 999 for r in H for c in r)
+    # the documented portable formula, recomputed independently
+    want00 = (int(hashlib.md5(b"0:0").hexdigest()[:8], 16) % 1999) - 999
+    assert H[0][0] == want00
+    assert srp_planes(4, 3) == H  # deterministic
+
+
+def test_srp_signature_matches_pure_python(spark):
+    """The signature is exact integer arithmetic: a pure-Python replay
+    of quantize -> dot -> sign -> pack must reproduce Spark's bits."""
+    import math
+
+    from pyspark_datacol_diff_spark.operators.similarity import (
+        srp_planes,
+        srp_signatures,
+    )
+
+    vecs = [(1, [0.5, -0.25, 0.125, 0.9]), (2, [-0.1, 0.2, -0.3, 0.4])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["sig"] for r in
+           srp_signatures(df, dim=4, num_planes=8).collect()}
+    H = srp_planes(4, 8)
+    import struct
+
+    def f32(x):  # replicate float32 storage then double widening
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    for vid, v in vecs:
+        qv = [math.floor(f32(x) * 1_000_000.0) for x in v]
+        sig = 0
+        for p, h in enumerate(H):
+            d = sum(a * b for a, b in zip(qv, h))
+            if d >= 0:
+                sig |= 1 << p
+        assert got[vid] == sig, (vid, got[vid], sig)
+
+
+def test_srp_near_dup_pairs_finds_identical_vectors(spark):
+    from pyspark_datacol_diff_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    v = [0.1 * i for i in range(8)]
+    w = [(-1.0) ** i * (1.0 + 0.3 * i) for i in range(8)]  # unrelated
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, w)], "vec_id long, embedding array<float>"
+    )
+    rows = srp_near_dup_pairs(
+        df, dim=8, num_planes=16, band_bits=4, max_hamming=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert got.get((1, 2)) == 0  # identical vectors: hamming 0
+
+
+def test_srp_rejects_bad_banding(spark):
+    import pytest
+
+    from pyspark_datacol_diff_spark.operators.similarity import (
+        srp_near_dup_pairs,
+        srp_signatures,
+    )
+
+    df = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="band_bits"):
+        srp_near_dup_pairs(df, dim=2, num_planes=10, band_bits=4)
+    with pytest.raises(ValueError, match="num_planes"):
+        srp_signatures(df, dim=2, num_planes=64)
+
+
+def test_hard_negatives_ivf_exhaustive_equals_exact(spark):
+    """nprobe == nlist probes every cell — the IVF miner must equal the
+    exact hard_negatives rank-for-rank."""
+    import random
+
+    from pyspark_datacol_diff_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows if r[0] % 20 == 0],
+        "qid long, qv array<float>, qlabel int",
+    )
+    exact = {(r["qid"], r["rank"]): r["neighbor_id"]
+             for r in hard_negatives(emb, q, 5).collect()}
+    ivf = {(r["qid"], r["rank"]): r["neighbor_id"]
+           for r in hard_negatives_ivf(emb, q, 5, nlist=4, nprobe=4).collect()}
+    assert ivf == exact
+
+
+def test_hard_negatives_ivf_excludes_same_label(spark):
+    from pyspark_datacol_diff_spark.operators.similarity import (
+        hard_negatives_ivf,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.99, 0.1], 0), (3, [0.9, 0.2], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "qid long, qv array<float>, qlabel int"
+    )
+    got = hard_negatives_ivf(emb, q, 5, nlist=2, nprobe=2).collect()
+    # vec 2 shares label 0 with the query: excluded; only vec 3 remains
+    assert [r["neighbor_id"] for r in got] == [3]
