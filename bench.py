@@ -115,18 +115,19 @@ def main() -> None:
     # one GC/scheduling hiccup; the per-query spread (max-min across
     # the timed runs) is reported alongside so round-over-round deltas
     # smaller than the spread are read as noise, not regressions.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # cold-start mode forces a single timed run unless RUNS is set
+    # explicitly: median([cold, warm, warm]) would silently report a
+    # steady-state number under the cold-start flag
+    default_runs = "3" if warm else "1"
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", default_runs)))
 
-    from pyspark_datacol_diff_spark import free_persistent_rdds
+    # operators persist()/localCheckpoint() at branch points; the
+    # shared quiesce recipe (clearCache + checkpoint-block release +
+    # full GC) isolates every timed run — see session.quiesce_session
+    from pyspark_datacol_diff_spark import quiesce_session
 
     def quiesce():
-        # operators persist()/localCheckpoint() at branch points; drop
-        # Dataset caches AND checkpoint block sets, then force a full
-        # GC so one query's heap debris never taxes the next (measured
-        # 2x on ngram_jaccard after text_stats without the GC)
-        spark.catalog.clearCache()
-        free_persistent_rdds(spark)
-        spark.sparkContext._jvm.System.gc()
+        quiesce_session(spark)
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

@@ -54,7 +54,7 @@ from .operators.histogram import (
 from .operators.prune import bloom_semi_join
 from .operators.quality import check_rules, check_rules_by
 from .plans import scale_lint
-from .session import free_persistent_rdds, get_spark
+from .session import free_persistent_rdds, get_spark, quiesce_session
 
 __all__ = [
     "agg_state",
@@ -90,6 +90,7 @@ __all__ = [
     "resolve_compare_cols",
     "free_persistent_rdds",
     "get_spark",
+    "quiesce_session",
     "profile_table",
     "scale_lint",
     "standardize",

@@ -87,16 +87,24 @@ def _squelch_ckpt_warns(spark) -> None:
     """Silence the per-release 'RDD was locally checkpointed ... cannot
     be recomputed after unpersisting' WARN: for retired rounds that is
     the INTENDED contract, and the loops below would otherwise emit it
-    once per round per run. One-time, best-effort, scoped to the RDD
-    logger category only."""
+    once per round per run. One-time, best-effort, scoped to the
+    CONCRETE RDD classes that emit that message (a checkpointed
+    DataFrame's internal RDD is a MapPartitionsRDD / shuffle-row RDD) —
+    deliberately NOT the whole org.apache.spark.rdd or storage
+    categories, so memory-pressure and cache-eviction warnings from
+    MemoryStore/BlockManager stay visible."""
     global _ckpt_warns_squelched
     if _ckpt_warns_squelched:
         return
     try:
         jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.rdd", jvm.org.apache.logging.log4j.Level.ERROR
-        )
+        for logger in (
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            "org.apache.spark.sql.execution.ShuffledRowRDD",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, jvm.org.apache.logging.log4j.Level.ERROR
+            )
         _ckpt_warns_squelched = True
     except Exception:
         pass

@@ -46,8 +46,14 @@ def histogram(
     ``groups_in_partition x num_bins`` rows survive the map side
     regardless of input size.
     """
-    if width <= 0:
-        raise ValueError(f"width must be positive, got {width}")
+    if not isinstance(width, int) or isinstance(width, bool) or width <= 0:
+        raise ValueError(
+            f"width must be a positive int, got {width!r} — the bin "
+            "assignment is integer division (scale fractional-width "
+            "domains into integers first)"
+        )
+    if not isinstance(lo, int) or isinstance(lo, bool):
+        raise ValueError(f"lo must be an int, got {lo!r}")
     if num_bins < 1:
         raise ValueError(f"num_bins must be >= 1, got {num_bins}")
     v = F.col(value) if isinstance(value, str) else value

@@ -82,3 +82,19 @@ def free_persistent_rdds(spark: SparkSession) -> int:
         jrdd.unpersist()
         n += 1
     return n
+
+
+def quiesce_session(spark: SparkSession) -> None:
+    """Full measurement isolation between independent pipelines in one
+    session: drop Dataset caches, drop localCheckpoint block sets
+    (:func:`free_persistent_rdds` — invisible to clearCache), then
+    force a full JVM GC. The GC matters empirically: heap garbage left
+    by one query (humongous array allocations G1 reclaims lazily)
+    measured a 2x tax on the NEXT query's wall time at identical plans
+    (ngram_jaccard after text_stats: 8.5 s polluted vs 4.7 s quiesced).
+    The single shared recipe for bench.py and scripts/scale_smoke.py —
+    keep them on this helper so a future isolation fix reaches both
+    harnesses. Same quiescent-point caveat as free_persistent_rdds."""
+    spark.catalog.clearCache()
+    free_persistent_rdds(spark)
+    spark.sparkContext._jvm.System.gc()

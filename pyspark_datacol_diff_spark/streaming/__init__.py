@@ -56,6 +56,13 @@ def stage_files(*paths: str, dir_suffix: str = "stream_src") -> str:
     for i, p in enumerate(paths):
         if os.path.isdir(p):
             parts = sorted(glob.glob(os.path.join(p, "part-*")))
+            if not parts:
+                raise FileNotFoundError(
+                    f"stage_files: directory {p!r} contains no part-* "
+                    "data files — staging nothing would make the "
+                    "downstream streaming replay pass vacuously on an "
+                    "empty source"
+                )
             for j, part in enumerate(parts):
                 shutil.copy(
                     part, os.path.join(d, f"{i:03d}_{j:05d}_{os.path.basename(part)}")

@@ -52,6 +52,12 @@ def main() -> int:
     common = sorted(
         k for k in new if k != "__meta__" and isinstance(new[k], dict)
     )
+    for q in sorted(old):
+        if q != "__meta__" and isinstance(old[q], dict) and q not in new:
+            infos.append(
+                f"{q}: present in previous artifact but MISSING from new "
+                "— smoke coverage shrank"
+            )
     for q in common:
         ne = new[q]
         nk = tenx_key(ne)

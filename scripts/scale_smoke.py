@@ -152,7 +152,7 @@ def synth(spark, k_replicas: int) -> str:
     return d
 
 
-def run(spark, qs, sf_dir: str) -> dict[str, float]:
+def run(spark, qs, sf_dir: str) -> tuple[dict, dict, dict]:
     """Per-query timing with FULL state isolation between queries:
     clearCache drops Dataset caches, free_persistent_rdds drops
     localCheckpoint block sets (invisible to clearCache). Without the
@@ -160,21 +160,15 @@ def run(spark, qs, sf_dir: str) -> dict[str, float]:
     the co-run and the later 10x queries measure GC pressure instead
     of their plan — the round-4 dedup_cluster_docs artifact read
     33 s co-run vs 14.5 s isolated for the identical plan."""
-    from pyspark_datacol_diff_spark import free_persistent_rdds
+    from pyspark_datacol_diff_spark import quiesce_session
     from pyspark_datacol_diff_spark import streaming as STR
 
     def quiesce():
-        """Measurement isolation: drop Dataset caches, drop
-        localCheckpoint block sets (invisible to clearCache), then
-        force a full GC. The GC matters empirically: heap garbage left
-        by one query (humongous array allocations G1 reclaims lazily)
-        taxed the NEXT query 2x — ngram_jaccard_docs measured 8.5 s
-        after text_stats_docs vs 4.7 s with an interposed System.gc(),
-        identical plans. A per-query fresh JVM would be cleaner still,
-        but costs ~10 s startup x 2 scales x every query."""
-        spark.catalog.clearCache()
-        free_persistent_rdds(spark)
-        spark.sparkContext._jvm.System.gc()
+        # shared measurement-isolation recipe (session.quiesce_session:
+        # clearCache + checkpoint-block release + full GC); a per-query
+        # fresh JVM would be cleaner still, but costs ~10 s startup x
+        # 2 scales x every query
+        quiesce_session(spark)
 
     # min of RUNS timed executions: individual runs on this box carry
     # sporadic ~2x spikes (measured: the same triangle_counts plan,
