@@ -3128,6 +3128,57 @@ pairs AS (
   WHERE inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) >= 0.1)"""
 
 # ... + connected components, shared by the two cluster oracles: a
+# SRP-LSH pair mining replayed in SQL: md5-derived integer hyperplanes,
+# floor(x*1e6)-quantized vectors, exact integer dots -> sign bits ->
+# banding -> Hamming filter — identical bits to
+# operators/similarity.py:srp_near_dup_pairs (num_planes=32,
+# band_bits=8, max_hamming=8, the registered configuration).
+_SQL_SRP_PAIRS_BODY = """planes AS (
+  SELECT p, i,
+         (('0x' || substr(md5(p || ':' || i), 1, 8))::BIGINT % 1999) - 999 AS c
+  FROM (SELECT unnest(generate_series(0, 31)) AS p),
+       (SELECT unnest(generate_series(0, 63)) AS i)),
+q AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings) u),
+dots AS (
+  SELECT q.vec_id, planes.p, sum(q.x * planes.c) AS d
+  FROM q JOIN planes ON q.i = planes.i GROUP BY 1, 2),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id),
+bands AS (
+  SELECT vec_id, sig, b, (sig >> (b * 8)) & 255 AS bk
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+                  a.sig AS sa, b2.sig AS sb
+  FROM bands a
+  JOIN bands b2 ON a.b = b2.b AND a.bk = b2.bk AND a.vec_id < b2.vec_id)"""
+
+_SQL_SRP_PREFIX = "WITH " + _SQL_SRP_PAIRS_BODY + "\n"
+
+# the same recursive min-label fixpoint as _SQL_CC_PREFIX, over the SRP
+# pair graph instead of the n-gram Jaccard graph
+_SQL_SRP_CC_PREFIX = "WITH RECURSIVE " + _SQL_SRP_PAIRS_BODY + """,
+pairs AS (
+  SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 8),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges) n
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
+"""
+
+
 # recursive CTE propagates reachable labels to a fixpoint — min(label)
 # per node IS the connected component representative, the exact
 # semantics of operators/cluster.py's min-label propagation.
@@ -4318,6 +4369,32 @@ def _q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_srp_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding near-dedup — the full pipeline a training
+    corpus runs, composed from this round's pieces: SRP-LSH candidate
+    pairs (hash-exact, similarity.py:srp_near_dup_pairs) -> connected
+    components (cluster.py) -> min-id survivor per component
+    (drop_near_dups) -> per-label corpus census. The oracle replays
+    EVERY stage in DuckDB (md5 planes, integer dots, banding, Hamming,
+    recursive-CTE components, survivor anti-membership) — two engines,
+    one bit-identical pipeline. Components via the STAR variant: weak
+    Hamming<=8 edges over near-uniform synthetic vectors chain into a
+    pair graph whose diameter exceeds propagation's max_iter — exactly
+    the high-diameter regime connected_components_star exists for
+    (O(log n) rounds, measured in the 10x smoke at ratio 1.5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.srp_near_dup_pairs(
+        emb, "vec_id", "embedding", dim=64, num_planes=32,
+        band_bits=8, max_hamming=8,
+    )
+    kept = CC.drop_near_dups(emb, pairs, "vec_id", cc_variant="star")
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("vec_id").alias("min_kept_id"),
+        F.sum("vec_id").alias("sum_kept_ids"),
+    )
+
+
 def _q_hard_negatives_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible gate for the IVF-backed hard-negative miner
     (operators/similarity.py:hard_negatives_ivf — the implemented scale
@@ -4632,10 +4709,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     updated CORRECTNESS_r{N} union.
     """
     return {
-        # --- (1) never driver-checked: round-5 additions (3) ---
+        # --- (1) never driver-checked: round-5 additions (4) ---
         "cc_star_docs": _q_cc_star_docs,
         "srp_near_dup_embed": _q_srp_near_dup_embed,
         "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
+        "srp_dedup_embed": _q_srp_dedup_embed,
         # --- (2) last driver-green in r01 — oldest evidence first (11) ---
         "stratified_sample_docs": _q_stratified_sample_docs,
         "embed_cosine_near_dup": _q_embed_cosine_near_dup,
@@ -6123,36 +6201,21 @@ FROM documents
 WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != comp)
 GROUP BY source
 """,
-        "srp_near_dup_embed": """
-WITH planes AS (
-  SELECT p, i,
-         (('0x' || substr(md5(p || ':' || i), 1, 8))::BIGINT % 1999) - 999 AS c
-  FROM (SELECT unnest(generate_series(0, 31)) AS p),
-       (SELECT unnest(generate_series(0, 63)) AS i)),
-q AS (
-  SELECT vec_id, i - 1 AS i,
-         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
-  FROM (SELECT vec_id, embedding,
-               unnest(generate_series(1, len(embedding))) AS i
-        FROM embeddings) u),
-dots AS (
-  SELECT q.vec_id, planes.p, sum(q.x * planes.c) AS d
-  FROM q JOIN planes ON q.i = planes.i GROUP BY 1, 2),
-sig AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END)
-              AS BIGINT) AS sig
-  FROM dots GROUP BY vec_id),
-bands AS (
-  SELECT vec_id, sig, b, (sig >> (b * 8)) & 255 AS bk
-  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
-                  a.sig AS sa, b2.sig AS sb
-  FROM bands a
-  JOIN bands b2 ON a.b = b2.b AND a.bk = b2.bk AND a.vec_id < b2.vec_id)
+        "srp_near_dup_embed": _SQL_SRP_PREFIX + """
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+""",
+        # SRP pairs -> recursive-CTE connected components -> min-id
+        # survivors -> per-label census: both engines replay the ENTIRE
+        # LSH -> graph -> dedup pipeline end to end
+        "srp_dedup_embed": _SQL_SRP_CC_PREFIX + """
+SELECT label,
+       count(*) AS n_kept,
+       CAST(min(vec_id) AS BIGINT) AS min_kept_id,
+       CAST(sum(vec_id) AS BIGINT) AS sum_kept_ids
+FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != comp)
+GROUP BY label
 """,
         "embed_cosine_near_dup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

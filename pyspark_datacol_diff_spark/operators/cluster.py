@@ -380,12 +380,30 @@ def connected_components_star(
     )
 
 
+def _components(pairs: DataFrame, src: str, dst: str, variant: str) -> DataFrame:
+    """Dispatch between the two CC algorithms: ``propagation`` (the
+    dedup default — O(diameter) rounds, 2 shuffles each, right for
+    dense low-diameter near-dup clusters) and ``star`` (O(log n)
+    rounds regardless of diameter — right for chain-like pair graphs,
+    e.g. weak-threshold LSH candidates whose transitive chains exceed
+    propagation's max_iter)."""
+    if variant == "star":
+        return connected_components_star(pairs, src, dst)
+    if variant == "propagation":
+        return connected_components(pairs, src, dst)
+    raise ValueError(f"cc_variant must be propagation|star, got {variant!r}")
+
+
 def near_dup_victims(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    cc_variant: str = "propagation",
 ) -> DataFrame:
     """Ids to DROP from a corpus given near-dup pairs: every member of a
     connected component except its min-id survivor. Returns ``(node)``."""
-    comps = connected_components(pairs, src, dst)
+    comps = _components(pairs, src, dst, cc_variant)
     return comps.filter(F.col("node") != F.col("comp")).select("node")
 
 
@@ -397,6 +415,7 @@ def drop_near_dups(
     src: str = "id_a",
     dst: str = "id_b",
     priority_col: str | None = None,
+    cc_variant: str = "propagation",
 ) -> DataFrame:
     """Deduplicated corpus: keep every row except non-survivor members
     of near-dup components. Default survivor = min id per component
@@ -413,9 +432,9 @@ def drop_near_dups(
     ``max_by`` aggregate per component.
     """
     if priority_col is None:
-        victims = near_dup_victims(pairs, src, dst)
+        victims = near_dup_victims(pairs, src, dst, cc_variant=cc_variant)
     else:
-        comps = connected_components(pairs, src, dst)
+        comps = _components(pairs, src, dst, cc_variant)
         pri = df.select(
             F.col(id_col).alias("node"), F.col(priority_col).alias("__p")
         )

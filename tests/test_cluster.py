@@ -312,3 +312,24 @@ def test_cc_string_ids(spark):
     want = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
     assert _comps(connected_components(edges)) == want
     assert _comps(connected_components_star(edges)) == want
+
+
+def test_drop_near_dups_star_variant_matches_propagation(spark):
+    """cc_variant='star' must elect identical survivors on a graph both
+    algorithms handle; an unknown variant raises."""
+    import pytest
+
+    from pyspark_datacol_diff_spark.operators.cluster import drop_near_dups
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "doc_id long, t string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    prop = {r["doc_id"] for r in drop_near_dups(docs, pairs, "doc_id").collect()}
+    star = {r["doc_id"] for r in
+            drop_near_dups(docs, pairs, "doc_id", cc_variant="star").collect()}
+    assert prop == star == {0, 1, 4, 5, 7}
+    with pytest.raises(ValueError, match="cc_variant"):
+        drop_near_dups(docs, pairs, "doc_id", cc_variant="bogus")

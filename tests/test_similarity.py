@@ -653,3 +653,49 @@ def test_hard_negatives_ivf_excludes_same_label(spark):
     got = hard_negatives_ivf(emb, q, 5, nlist=2, nprobe=2).collect()
     # vec 2 shares label 0 with the query: excluded; only vec 3 remains
     assert [r["neighbor_id"] for r in got] == [3]
+
+
+def test_srp_signature_property_engine_parity(spark):
+    """Property: for randomized float32 vectors (including negatives,
+    tiny magnitudes, and exact zeros), the Spark SRP signature equals an
+    independent pure-Python integer replay — the quantize->dot->sign
+    pipeline has no summation-order or float-path sensitivity."""
+    import math
+    import random
+    import struct
+
+    from pyspark_datacol_diff_spark.operators.similarity import (
+        srp_planes,
+        srp_signatures,
+    )
+
+    rnd = random.Random(1234)
+    vecs = []
+    for i in range(40):
+        v = []
+        for _ in range(16):
+            kind = rnd.randrange(4)
+            if kind == 0:
+                v.append(0.0)
+            elif kind == 1:
+                v.append(rnd.uniform(-1e-7, 1e-7))  # quantizes to -1/0
+            elif kind == 2:
+                v.append(rnd.uniform(-1000.0, 1000.0))
+            else:
+                v.append(rnd.gauss(0, 1))
+        vecs.append((i, v))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["sig"] for r in
+           srp_signatures(df, dim=16, num_planes=24).collect()}
+    H = srp_planes(16, 24)
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    for vid, v in vecs:
+        qv = [math.floor(f32(x) * 1_000_000.0) for x in v]
+        sig = 0
+        for p, hrow in enumerate(H):
+            if sum(a * b for a, b in zip(qv, hrow)) >= 0:
+                sig |= 1 << p
+        assert got[vid] == sig, (vid, got[vid], sig)
