@@ -69,8 +69,11 @@ QUERIES = [
     "streaming_dedup_events",
     "streaming_hist_rollup",
     # portable exact-int SRP LSH over embeddings (Arrow int64 matmul +
-    # band-key join — the embedding-dedup scale path)
+    # band-key join — the embedding-dedup scale path), and the full
+    # composition (SRP pairs -> star CC -> survivors -> census): the
+    # star contraction over a high-diameter LSH chain graph at volume
     "srp_near_dup_embed",
+    "srp_dedup_embed",
 ]
 
 STREAMING = {"streaming_dedup_events", "streaming_hist_rollup"}
