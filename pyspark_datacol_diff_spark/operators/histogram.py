@@ -46,14 +46,24 @@ def histogram(
     ``groups_in_partition x num_bins`` rows survive the map side
     regardless of input size.
     """
-    if not isinstance(width, int) or isinstance(width, bool) or width <= 0:
+    import numbers
+
+    # Integral (not int): numpy integer scalars are exact and must keep
+    # working; bool is excluded (it IS Integral but a caller passing
+    # True as a width is a bug)
+    if (
+        not isinstance(width, numbers.Integral)
+        or isinstance(width, bool)
+        or width <= 0
+    ):
         raise ValueError(
-            f"width must be a positive int, got {width!r} — the bin "
+            f"width must be a positive integer, got {width!r} — the bin "
             "assignment is integer division (scale fractional-width "
             "domains into integers first)"
         )
-    if not isinstance(lo, int) or isinstance(lo, bool):
-        raise ValueError(f"lo must be an int, got {lo!r}")
+    if not isinstance(lo, numbers.Integral) or isinstance(lo, bool):
+        raise ValueError(f"lo must be an integer, got {lo!r}")
+    width, lo = int(width), int(lo)
     if num_bins < 1:
         raise ValueError(f"num_bins must be >= 1, got {num_bins}")
     v = F.col(value) if isinstance(value, str) else value

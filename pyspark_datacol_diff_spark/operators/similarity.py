@@ -227,7 +227,8 @@ def assign_cells_arrow(
     O(1) plan size and BLAS throughput. Ties broken toward the lower
     cell id (matching cell_ranks' sort order).
 
-    Returns (id, vec, __na norm, cid) — same contract as assign_cells.
+    Returns (id, vec, *keep_cols, __na norm, cid) — same contract as
+    assign_cells, keep_cols riding the projection free.
     """
     import numpy as np
     import pandas as pd
@@ -305,20 +306,7 @@ def ivf_topk(
     ``(qid, neighbor_id, rank, sim)``.
     """
     if fit_method == "sample":
-        # random coarse quantizer: nlist deterministic hash-ordered corpus
-        # vectors ARE the centroids — one TakeOrdered job, no ML fit at
-        # all. The standard cheap IVF seeding (faiss trains k-means for
-        # cell balance; random centroids trade some balance for zero fit
-        # cost) — exactly right when nprobe == nlist (result is exact
-        # regardless of centroids) or when the recall gate passes without
-        # the trained cells.
-        rows = (
-            corpus.select(id_col, vec_col)
-            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-            .limit(nlist)
-            .collect()
-        )
-        centroids = [[float(x) for x in r[1]] for r in rows]
+        centroids = _sample_centroids(corpus, id_col, vec_col, nlist, seed)
         return _ivf_probe(
             corpus, queries, k, centroids,
             id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
@@ -361,6 +349,25 @@ def ivf_topk(
         query_vec_col=query_vec_col, nprobe=nprobe,
         exclude_self=exclude_self, assign_method=assign_method,
     )
+
+
+def _sample_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, nlist: int, seed: int
+) -> list[list[float]]:
+    """Random coarse quantizer: nlist deterministic hash-ordered corpus
+    vectors ARE the centroids — one TakeOrdered job, no ML fit at all.
+    The standard cheap IVF seeding (faiss trains k-means for cell
+    balance; random centroids trade some balance for zero fit cost) —
+    exactly right when nprobe == nlist (result is exact regardless of
+    centroids) or when a recall gate passes without trained cells.
+    Shared by ivf_topk(fit_method='sample') and hard_negatives_ivf."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(nlist)
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
 
 
 def _ivf_probe(
@@ -592,13 +599,7 @@ def hard_negatives_ivf(
     not need trained cells, and the driver-visible recall gate is the
     quality contract). Returns ``(qid, neighbor_id, rank, sim)``.
     """
-    rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(nlist)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[1]] for r in rows]
+    centroids = _sample_centroids(corpus, id_col, vec_col, nlist, seed)
     return _ivf_probe(
         corpus, queries, k, centroids,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
@@ -705,7 +706,7 @@ def lsh_near_dup_pairs(
     import numpy as np
 
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _peek_dim(corpus, vec_col)
     rng = np.random.default_rng(seed)
 
     from ..sources import balance_partitions
@@ -878,6 +879,20 @@ def quantized_topk(
 # ---------------------------------------------------------------------------
 # product quantization (PQ)
 # ---------------------------------------------------------------------------
+
+def _peek_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from one row — for interactive use where the
+    caller omitted ``dim`` (array schemas don't carry length). Clear
+    error on an empty frame or a null vector instead of the opaque
+    'NoneType is not subscriptable'."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer dim from {vec_col!r}: input has no non-null "
+            "vector rows — pass dim explicitly"
+        )
+    return len(row[0])
+
 
 def _sq_l2_lit(a: Column, centroid: list[float]) -> Column:
     """Squared L2 distance from array column ``a`` to a literal centroid
@@ -1229,7 +1244,7 @@ def srp_signatures(
     if not 1 <= num_planes <= 63:
         raise ValueError(f"num_planes must be in [1, 63], got {num_planes}")
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _peek_dim(df, vec_col)
     H = np.array(srp_planes(dim, num_planes), dtype=np.int64)  # (P, dim)
     weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
     id_t = df.schema[id_col].dataType.simpleString()

@@ -89,7 +89,13 @@ def main() -> int:
     if failures:
         print(f"\n{len(failures)} scale regression(s) over budget")
         return 1
-    print(f"OK: {len(common) - len(infos)} compared queries within "
+    # compared = entries in BOTH artifacts; new-this-round and
+    # missing-from-new are info-only and excluded explicitly (not by
+    # subtracting the info count, which also covers removed queries)
+    n_compared = sum(
+        1 for q in common if isinstance(old.get(q), dict)
+    )
+    print(f"OK: {n_compared} compared queries within "
           f"{growth}x 10x-time budget")
     return 0
 
