@@ -329,3 +329,22 @@ def test_compact_parquet_append_accumulates_documented(spark, tmp_path):
     # accumulates, rows double
     assert second == 2 * first
     assert spark.read.parquet(dst).count() == 1000
+
+
+def test_free_persistent_rdds_sees_checkpoint_blocks(spark):
+    """free_persistent_rdds must release localCheckpoint block sets —
+    the storage clearCache cannot see (the round-4 smoke leak)."""
+    from pyspark_datacol_diff_spark import free_persistent_rdds
+
+    free_persistent_rdds(spark)
+    df = spark.range(100).localCheckpoint(eager=True)
+    assert df.count() == 100
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert len(jmap) >= 1
+    # clearCache does NOT release checkpoint storage...
+    spark.catalog.clearCache()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) >= 1
+    # ...free_persistent_rdds does
+    n = free_persistent_rdds(spark)
+    assert n >= 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
