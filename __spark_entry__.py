@@ -3623,6 +3623,24 @@ def _q_len_hist_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_len_pctile_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source binned length percentiles
+    (operators/histogram.py:histogram_quantiles_by — the grouped
+    companion histogram_quantiles refuses to fake): p50/p90 of
+    n_chars per source read off the grouped histogram's integer
+    cumulative ranks. Grain-sized end to end: the histogram is
+    sources x bins rows and the rank probes are per-group array HOFs —
+    no window over data rows, no per-group loop."""
+    d = _t(spark, sf_dir, "documents")
+    h = HG.histogram(d, "n_chars", lo=0, width=200, num_bins=20, keys=["source"])
+    return HG.histogram_quantiles_by(h, ["source"], [500, 900]).select(
+        "source",
+        F.col("q_permille").cast("long").alias("q_permille"),
+        "bin",
+        "lo_edge",
+    )
+
+
 def _q_pmi_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type co-occurrence sufficient statistics per user universe
     (operators/cooccur.py:cooccurrence_stats): for every unordered pair
@@ -4709,11 +4727,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     updated CORRECTNESS_r{N} union.
     """
     return {
-        # --- (1) never driver-checked: round-5 additions (4) ---
+        # --- (1) never driver-checked: round-5 additions (5) ---
         "cc_star_docs": _q_cc_star_docs,
         "srp_near_dup_embed": _q_srp_near_dup_embed,
         "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
         "srp_dedup_embed": _q_srp_dedup_embed,
+        "len_pctile_by_source_docs": _q_len_pctile_by_source_docs,
         # --- (2) last driver-green in r01 — oldest evidence first (11) ---
         "stratified_sample_docs": _q_stratified_sample_docs,
         "embed_cosine_near_dup": _q_embed_cosine_near_dup,
@@ -5877,6 +5896,25 @@ SELECT q.q_permille,
        CAST(min(cum.bin) * 1000 AS BIGINT) AS lo_edge
 FROM q JOIN cum ON cum.cum * 1000 >= q.q_permille * cum.total
 GROUP BY q.q_permille
+""",
+        "len_pctile_by_source_docs": """
+WITH b AS (
+  SELECT source,
+         LEAST(GREATEST(CAST(floor(n_chars / 200) AS BIGINT), 0), 19) AS bin
+  FROM documents WHERE n_chars IS NOT NULL),
+h AS (SELECT source, bin, count(*) AS n FROM b GROUP BY source, bin),
+t AS (SELECT source, sum(n) AS total FROM h GROUP BY source),
+c AS (
+  SELECT h.source, h.bin, t.total,
+         sum(h.n) OVER (PARTITION BY h.source ORDER BY h.bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h JOIN t ON h.source = t.source),
+q AS (SELECT unnest([500, 900]) AS q_permille)
+SELECT source, CAST(q_permille AS BIGINT) AS q_permille,
+       min(bin) AS bin, CAST(min(bin) * 200 AS BIGINT) AS lo_edge
+FROM c, q
+WHERE cum * 1000 >= q_permille * total
+GROUP BY source, q_permille
 """,
         "len_hist_by_source_docs": """
 WITH b AS (

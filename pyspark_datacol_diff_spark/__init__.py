@@ -49,6 +49,7 @@ from .operators.incremental import (
 from .operators.histogram import (
     histogram,
     histogram_quantiles,
+    histogram_quantiles_by,
     merge_histograms,
 )
 from .operators.prune import bloom_semi_join
@@ -66,6 +67,7 @@ __all__ = [
     "bloom_semi_join",
     "histogram",
     "histogram_quantiles",
+    "histogram_quantiles_by",
     "merge_histograms",
     "check_rules",
     "check_rules_by",

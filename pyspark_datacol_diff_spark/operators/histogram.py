@@ -165,12 +165,60 @@ def histogram_quantiles(
             "keys, and collapsing groups into one distribution would "
             "be silently wrong"
         )
-    zero = F.lit(0).cast("long")
     one_row = hist.agg(
         F.array_sort(
             F.collect_list(F.struct("bin", "lo_edge", "n"))
         ).alias("__hs")
     )
+    return _rank_probes(one_row, [], quantiles)
+
+
+def histogram_quantiles_by(
+    hist: DataFrame, keys: Sequence[str], quantiles: list[int]
+) -> DataFrame:
+    """Per-group quantiles from a GROUPED ``histogram(..., keys=...)``
+    output — the companion :func:`histogram_quantiles` refuses to
+    guess at (collapsing groups silently is the wrong answer; this is
+    the right one). Returns ``(*keys, q_permille, bin, lo_edge)``,
+    same integer permille-rank semantics.
+
+    Shape: the grouped histogram is grain-sized (groups x num_bins
+    rows), so one group-keyed aggregate folds each group's bins into
+    an array row and the cumulative/rank probes run as array HOFs per
+    group — no window, no join, no per-group driver loop.
+    """
+    ks = list(keys)
+    if not ks:
+        raise ValueError(
+            "keys must be non-empty — use histogram_quantiles for an "
+            "ungrouped histogram"
+        )
+    missing = [c for c in ks if c not in hist.columns]
+    if missing:
+        raise ValueError(f"keys {missing} not in histogram columns")
+    extra = [c for c in hist.columns if c not in (*ks, "bin", "lo_edge", "n")]
+    if extra:
+        raise ValueError(
+            f"unexpected histogram columns {extra}: expected "
+            f"({', '.join(ks)}, bin, lo_edge, n)"
+        )
+    rows = hist.groupBy(*ks).agg(
+        F.array_sort(
+            F.collect_list(F.struct("bin", "lo_edge", "n"))
+        ).alias("__hs")
+    )
+    return _rank_probes(rows, ks, quantiles)
+
+
+def _rank_probes(
+    rows: DataFrame, key_cols: list[str], quantiles: list[int]
+) -> DataFrame:
+    """Shared quantile-rank machinery over rows carrying a sorted
+    ``__hs`` array<struct<bin, lo_edge, n>> (one row per group, or one
+    total row): integer permille ranks — a bin reaches quantile q iff
+    cum*1000 >= q*total, the integer form of cum >= ceil(q/1000 *
+    total) — evaluated as array higher-order functions per row."""
+    zero = F.lit(0).cast("long")
     total = F.aggregate(F.col("__hs"), zero, lambda a, x: a + x["n"])
     cums = F.transform(
         F.col("__hs"),
@@ -178,7 +226,8 @@ def histogram_quantiles(
             F.slice(F.col("__hs"), 1, i + 1), zero, lambda a, y: a + y["n"]
         ),
     )
-    probes = one_row.select(
+    probes = rows.select(
+        *key_cols,
         F.explode(
             F.array(*[F.lit(q) for q in sorted(set(quantiles))])
         ).alias("q_permille"),
@@ -200,5 +249,8 @@ def histogram_quantiles(
     )
     hit = F.element_at(F.col("__hs"), idx)
     return probes.select(
-        "q_permille", hit["bin"].alias("bin"), hit["lo_edge"].alias("lo_edge")
+        *key_cols,
+        "q_permille",
+        hit["bin"].alias("bin"),
+        hit["lo_edge"].alias("lo_edge"),
     )

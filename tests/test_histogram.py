@@ -176,3 +176,32 @@ def test_property_quantiles_match_brute_force(spark, values, qs):
     for q in qs:
         rank = math.ceil(q * total / 1000)
         assert got[q] == bins[rank - 1], (q, rank, bins)
+
+
+def test_histogram_quantiles_by_per_group(spark):
+    """Grouped quantiles: each group's ranks computed over ITS bins
+    only — the semantics histogram_quantiles' guard protects."""
+    import pytest
+
+    from pyspark_datacol_diff_spark.operators.histogram import (
+        histogram,
+        histogram_quantiles_by,
+    )
+
+    rows = [("a", v) for v in (1, 1, 1, 9)] + [("b", v) for v in (9, 9, 9, 1)]
+    df = spark.createDataFrame(rows, "src string, v long")
+    h = histogram(df, "v", lo=0, width=2, num_bins=8, keys=["src"])
+    got = {
+        (r["src"], r["q_permille"]): (r["bin"], r["lo_edge"])
+        for r in histogram_quantiles_by(h, ["src"], [500, 900]).collect()
+    }
+    # a: 3x value-1 (bin 0), 1x value-9 (bin 4): p50 -> bin 0, p90 -> bin 4
+    assert got[("a", 500)] == (0, 0)
+    assert got[("a", 900)] == (4, 8)
+    # b mirrors: p50 -> bin 4, p90 -> bin 4
+    assert got[("b", 500)] == (4, 8)
+    assert got[("b", 900)] == (4, 8)
+    with pytest.raises(ValueError, match="keys"):
+        histogram_quantiles_by(h, [], [500])
+    with pytest.raises(ValueError, match="not in histogram"):
+        histogram_quantiles_by(h, ["nope"], [500])
