@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Boundary-stress parity sweep: copy the sf0.001 tables, INJECT
+measure-zero edge rows (exact session-gap timestamps, duplicate
+timestamps, histogram bin-edge values, empty/short/duplicate texts,
+zero and quantization-boundary vectors), and re-run the SQL-exact
+query subset against the DuckDB oracles on the stressed data.
+
+Rationale: the per-round parity sweep validates on driver testdata,
+whose continuous distributions almost surely avoid boundary events —
+the round-4 session-gap comparator question (`>` vs `>=` at an exact
+30:00 gap) was undetectable on that data by construction. This sweep
+makes the boundary class mechanically checkable: any comparator or
+rounding convention that differs between the Spark operator and its
+oracle flips a row here and fails the hash.
+
+Scope: the SQL-exact queries over events/documents/embeddings. Gate
+queries that PIN data-dependent constants (recall gates, fixture-pinned
+counts) are excluded by design — their oracles assume driver-data
+properties the stress set deliberately violates.
+
+Usage: python3 scripts/boundary_stress.py [out_dir_kept_if_given]
+Exit 0 = all pass.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.001"
+
+QUERIES = [
+    # session family: exact-gap events are THE case
+    "session_window_events",
+    "session_stats_events",
+    "streaming_sessions",
+    # histogram family: bin-edge values, duplicate values
+    "hist_event_value",
+    "hist_quantiles_event_value",
+    "len_hist_by_source_docs",
+    "len_pctile_by_source_docs",
+    # time bucketing / ordering: duplicate + week-boundary timestamps
+    "events_hourly",
+    "change_intervals_events",
+    "wow_change_events",
+    "latest_event_per_user",
+    "ffill_user_purchase",
+    # join boundaries: simultaneous click/view, exact range edges
+    "asof_click_view",
+    "asof_forward_click_purchase",
+    "range_join_click_error",
+    # text edges: empty/one-token/exact-duplicate docs
+    "text_stats_docs",
+    "repetition_docs",
+    "bigram_counts_docs",
+    "token_rarity_docs",
+    "ngram_jaccard_docs",
+    "dedup_cluster_docs",
+    # embedding edges: zero vector, quantization-boundary components
+    "srp_near_dup_embed",
+    "srp_dedup_embed",
+    "embed_dim_stats",
+]
+
+
+def synth(out: str) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+
+    b = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = []
+    eid = 90_000_000
+    def add(ts, user, etype, value, props='{"k": 1}'):
+        nonlocal eid
+        ev.append((eid, ts, user, etype, value, props))
+        eid += 1
+    u = 9_000_001
+    # exact 30:00 session gap, then 30:00 + 1us, then equal timestamps
+    add(b, u, "view", 10.0)
+    add(b + dt.timedelta(minutes=30), u, "click", 20.0)
+    add(b + dt.timedelta(minutes=60, microseconds=1), u, "view", 30.0)
+    add(b + dt.timedelta(minutes=60, microseconds=1), u, "click", 30.0)  # dup ts
+    # a click and a view at the SAME instant (as-of tie), purchase exactly at click ts
+    u2 = 9_000_002
+    add(b, u2, "view", 5.0)
+    add(b, u2, "click", 5.0)
+    add(b, u2, "purchase", 5.0)
+    # histogram bin edges: cents exactly at bin boundaries 0, 1000, 49999, 50000 (clamp)
+    u3 = 9_000_003
+    add(b + dt.timedelta(hours=1), u3, "error", 0.0)
+    add(b + dt.timedelta(hours=1, seconds=1), u3, "error", 10.0)       # 1000 cents
+    add(b + dt.timedelta(hours=1, seconds=2), u3, "error", 499.99)     # 49999
+    add(b + dt.timedelta(hours=1, seconds=3), u3, "error", 500.0)      # 50000 clamps
+    add(b + dt.timedelta(hours=1, seconds=4), u3, "error", -0.01)      # below lo
+    # exact ISO week boundary (Monday 00:00) for date_trunc('week')
+    add(dt.datetime(2024, 1, 8, 0, 0, 0), u3, "signup", 1.0)
+    con.execute(
+        "CREATE TABLE inj (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO inj VALUES (?, ?, ?, ?, ?, ?)", ev)
+    con.execute(
+        f"COPY (SELECT * FROM '{BASE}/events.parquet' UNION ALL "
+        f"SELECT * FROM inj) TO '{out}/events.parquet' (FORMAT PARQUET)"
+    )
+
+    docs = [
+        (90_000_001, "", "en", "srcX", 0),                       # empty text
+        (90_000_002, "word", "en", "srcX", 4),                   # single token
+        (90_000_003, "two tokens", "en", "srcX", 10),            # below 3-gram
+        (90_000_004, "exactly three tokens", "en", "srcX", 20),  # one 3-gram
+        (90_000_005, "exactly three tokens", "en", "srcX", 20),  # exact dup pair
+        (90_000_006, "a  b\tc   d", "en", "srcX", 10),           # whitespace runs
+        (90_000_007, "x " * 100, "en", "srcX", 200),             # n_chars bin edge
+    ]
+    con.execute(
+        "CREATE TABLE dinj (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO dinj VALUES (?, ?, ?, ?, ?)", docs)
+    con.execute(
+        f"COPY (SELECT * FROM '{BASE}/documents.parquet' UNION ALL "
+        f"SELECT * FROM dinj) TO '{out}/documents.parquet' (FORMAT PARQUET)"
+    )
+
+    # embeddings: zero vector, all-negative, quantization boundaries
+    # (x*1e6 exactly integral: floor is the boundary case), plus an
+    # exact duplicate pair for the near-dup path
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    dim = 64
+    zero = [0.0] * dim
+    qb = [f32((i % 7) * 1e-6) for i in range(dim)]        # tiny, exactly integral at 1e6
+    neg = [f32(-0.5 - i * 0.001) for i in range(dim)]
+    dup = [f32(0.25 + 0.01 * i) for i in range(dim)]
+    vecs = [
+        (90_000_001, zero, 0),
+        (90_000_002, qb, 1),
+        (90_000_003, neg, 2),
+        (90_000_004, dup, 0),
+        (90_000_005, dup, 1),
+    ]
+    con.execute(
+        "CREATE TABLE einj (vec_id BIGINT, embedding FLOAT[], label INTEGER)"
+    )
+    con.executemany("INSERT INTO einj VALUES (?, ?, ?)", vecs)
+    con.execute(
+        f"COPY (SELECT * FROM '{BASE}/embeddings.parquet' UNION ALL "
+        f"SELECT * FROM einj) TO '{out}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+
+
+def main() -> int:
+    keep = len(sys.argv) > 1
+    out = sys.argv[1] if keep else tempfile.mkdtemp(prefix="dcd_boundary_")
+    os.makedirs(out, exist_ok=True)
+    try:
+        synth(out)
+        rc = subprocess.call(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "parity.py"),
+             "--sf", out, *QUERIES]
+        )
+        return rc
+    finally:
+        if not keep:
+            shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
