@@ -66,6 +66,20 @@ QUERIES = [
     "srp_near_dup_embed",
     "srp_dedup_embed",
     "embed_dim_stats",
+    # ordering-sensitive event pipelines: simultaneous view/click/
+    # purchase (u2) stresses strictly-after funnel stages, zero
+    # conversion latency, path tie-breaks; exact window-boundary and
+    # duplicate timestamps stress OHLC/hopping/resample bucketing
+    "funnel_events",
+    "conversion_latency_events",
+    "event_paths_users",
+    "retention_cohorts_events",
+    "rfm_segments_events",
+    "ohlc_user_hourly",
+    "resample_user_hourly",
+    "hopping_window_events",
+    "user_trend_features",
+    "copurchase_pairs_lineitem",
 ]
 
 
