@@ -66,6 +66,15 @@ QUERIES = [
     "srp_near_dup_embed",
     "srp_dedup_embed",
     "embed_dim_stats",
+    # diff family: NULL and empty-string compare fields (reference
+    # P1/P11 null-vs-blank convention), null arithmetic in the s2
+    # mutation arm, null order dates in the drilldown predicates
+    "diff_orders_detail",
+    "diff_orders_flags",
+    "diff_orders_col_counts",
+    "diff_drilldown_status",
+    "digest_orders",
+    "merge_upsert_orders",
     # ordering-sensitive event pipelines: simultaneous view/click/
     # purchase (u2) stresses strictly-after funnel stages, zero
     # conversion latency, path tie-breaks; exact window-boundary and
@@ -88,8 +97,33 @@ def synth(out: str) -> None:
 
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+              "lineitem"):
         shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+
+    # orders: NULL and empty-string compare fields — the reference's
+    # null-vs-blank compare convention (SURVEY P1/P11) at its boundary.
+    # Keys are chosen so the injected rows take every diff route: both
+    # sides unchanged (null==null, ''==''), s2-mutated, and one-sided.
+    # 900001 % 101 != 0 and % 97 != 0 -> both sides; 900002 likewise;
+    # 900100 % 11 == 0 via custkey mutation uses arithmetic on NULL.
+    con.execute(
+        "CREATE TABLE oinj (o_orderkey BIGINT, o_custkey BIGINT, "
+        "o_orderstatus VARCHAR, o_totalprice DOUBLE, "
+        "o_orderdate TIMESTAMP, o_orderpriority VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO oinj VALUES (?, ?, ?, ?, ?, ?)",
+        [
+            (900001, None, None, 0.0, dt.datetime(2024, 1, 1), ""),
+            (900002, 7, "", 0.0, dt.datetime(2024, 1, 1), None),
+            (900108, None, "", None, None, None),  # % 11 == 0: null+1e6 arm
+            (900107, 8, "O", 1.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        ],
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{BASE}/orders.parquet' UNION ALL "
+        f"SELECT * FROM oinj) TO '{out}/orders.parquet' (FORMAT PARQUET)"
+    )
 
     b = dt.datetime(2024, 1, 1, 12, 0, 0)
     ev = []
