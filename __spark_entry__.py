@@ -44,6 +44,7 @@ from pyspark_datacol_diff_spark.operators import corpus as CP
 from pyspark_datacol_diff_spark.operators import cooccur as CO
 from pyspark_datacol_diff_spark.operators import prune as PR
 from pyspark_datacol_diff_spark.operators import histogram as HG
+from pyspark_datacol_diff_spark.operators import sketch as SK
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -4702,6 +4703,124 @@ FROM g
 """
 
 
+def _q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/cluster.py:pagerank_exact)
+    over the co-purchase graph — authority scores for the parts most
+    central to basket co-occurrence (the link-graph analogue of the
+    crawl-frontier / citation ordering an LLM data pipeline uses to
+    prioritize documents). Edge build is the same basket-explode shape
+    as copurchase_pairs_lineitem (one order-keyed shuffle, per-row pair
+    expansion, pair-keyed hash agg; NOT a fact self-join), thresholded
+    at >= 2 co-orders and symmetrized. Three rank rounds in scaled
+    integer arithmetic — integer sums are exact and associative, so
+    the result is bit-for-bit stable across partitionings and replays
+    hash-exactly against the unrolled SQL oracle (the float variant's
+    nondeterministic low bits cannot be oracled). Two shuffles per
+    round; per-round lineage truncation + retired-round block release
+    per the cluster-module iterative-loop contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("s")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(s, (x, i) -> "
+                    "transform(slice(s, i + 2, size(s)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    r = CC.pagerank_exact(edges, iterations=3)
+    return r.select(
+        F.col("node").alias("part"), F.col("rank").alias("rank_scaled")
+    )
+
+
+_SQL_PAGERANK_COPURCHASE = """
+WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT p1 AS src, p2 AS dst FROM prs
+          UNION ALL SELECT p2, p1 FROM prs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+c1 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node,
+              CAST(150000 + (85 * coalesce(c1.s, 0)) // 100 AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+c2 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node,
+              CAST(150000 + (85 * coalesce(c2.s, 0)) // 100 AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+c3 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r3 AS (SELECT n.node,
+              CAST(150000 + (85 * coalesce(c3.s, 0)) // 100 AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+SELECT node AS part, rank AS rank_scaled FROM r3
+"""
+
+
+def _q_heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram heavy hitters (operators/sketch.py:heavy_hitters)
+    — every word bigram covering >= 0.1% of all bigram occurrences,
+    with EXACT counts, via the two-pass Misra-Gries shape: a bounded-
+    state sketch pass (<= k+1 rows per task collected, never a
+    vocabulary-sized exchange) shortlists candidates, then an exact
+    count pass with the candidate isin-literal applied map-side before
+    the only aggregate — the same constant-folded pre-exchange kill as
+    the Bloom semi join. The final integer cross-multiplied phi cut
+    makes the sketch invisible in the answer (superset guarantee), so
+    a plain exact-SQL oracle replays it. balance_partitions for the
+    same reason as bigram_counts_docs: all heavy per-doc work precedes
+    the first shuffle."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    grams = d.select(
+        TX.gram_multiset(
+            F.filter(TX.tokens(F.lower(F.col("text"))), lambda x: x != ""),
+            2,
+        ).alias("grams")
+    )
+    hh = SK.heavy_hitters(grams, "grams", phi_num=1, phi_den=1000)
+    return hh.select(F.col("item").alias("gram"), "cnt")
+
+
+_SQL_HEAVY_HITTERS_DOCS = """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+g AS (
+  SELECT tk[i] || ' ' || tk[i + 1] AS gram
+  FROM t, LATERAL unnest(range(1, len(tk))) AS r(i)
+  WHERE len(tk) >= 2),
+c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+SELECT gram, cnt FROM c, tot WHERE cnt * 1000 >= n
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4727,7 +4846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     updated CORRECTNESS_r{N} union.
     """
     return {
-        # --- (1) never driver-checked: round-5 additions (5) ---
+        # --- (1) never driver-checked: round-5 additions (7) ---
+        "pagerank_copurchase": _q_pagerank_copurchase,
+        "heavy_hitters_docs": _q_heavy_hitters_docs,
         "cc_star_docs": _q_cc_star_docs,
         "srp_near_dup_embed": _q_srp_near_dup_embed,
         "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
@@ -5228,6 +5349,8 @@ FROM b GROUP BY 1
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pagerank_copurchase": _SQL_PAGERANK_COPURCHASE,
+        "heavy_hitters_docs": _SQL_HEAVY_HITTERS_DOCS,
         "diff_orders_detail": _ORDERS_PAIR_SQL
         + """,
 m AS (SELECT * FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL)

@@ -547,6 +547,103 @@ def pagerank(
     return ranks
 
 
+def pagerank_exact(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in SCALED INTEGER arithmetic — the
+    oracle-replayable variant of :func:`pagerank`. Ranks are longs in
+    units of ``1/scale``; each round every node sends
+    ``rank div out_degree`` (integer division) to each out-neighbor
+    and receives ``(scale * (damping_den - damping_num)) div
+    damping_den + (damping_num * incoming_sum) div damping_den``.
+
+    Why a second variant exists: the float formulation's per-node sums
+    run in nondeterministic partition order, so its low bits vary
+    run-to-run — fine for ranking, unusable for a hash-exact oracle or
+    a bit-for-bit incremental replay. Integer addition is exact and
+    associative, and both divisions here have non-negative operands
+    (trunc == floor), so this variant is deterministic bit-for-bit
+    across partitionings and engines: the same unrolled iterations in
+    ANSI SQL reproduce it hash-exactly. The cost is quantization —
+    each hop truncates up to ``out_degree - 1 + damping_den - 1``
+    rank units, so with the default ``scale`` of 1e6 the result
+    tracks the same simplified (dangling-mass-discarding, see
+    :func:`pagerank`) float recursion to ~1e-6 relative error per
+    hop; raise ``scale`` for deeper iteration counts.
+
+    Same dataflow and scale shape as :func:`pagerank` (two shuffles
+    per round — ranks-x-edges join keyed on src, then a dst-keyed
+    sum), same iterative-loop hygiene (per-round ``localCheckpoint``
+    lineage truncation, retired rounds freed via :func:`_free_ckpt`,
+    reused node/edge frames persisted and released in ``finally``).
+    Overflow bound: ``damping_num * total_mass`` must fit in int64,
+    i.e. ``node_count * scale * damping_num < 2^63`` — at the default
+    scale that is ~10^11 nodes, far past any dedup pair graph.
+
+    Returns ``(node, rank)`` with ``rank`` long — one row per node
+    appearing anywhere in the edge list.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError(
+            f"need 0 < damping_num < damping_den, got "
+            f"{damping_num}/{damping_den}"
+        )
+    if scale < damping_den:
+        raise ValueError(
+            f"scale must be >= damping_den, got {scale} < {damping_den}"
+        )
+    reset = (scale * (damping_den - damping_num)) // damping_den
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ew = e.join(out_deg, "src").persist()
+    try:
+        ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+        prev = None
+        for _ in range(iterations):
+            contribs = ew.join(
+                ranks, ew["src"] == ranks["node"]
+            ).select(
+                F.col("dst").alias("node"),
+                F.expr("rank div deg").alias("c"),
+            )
+            summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = (
+                nodes.join(summed, "node", "left")
+                .select(
+                    "node",
+                    F.expr(
+                        f"{reset}L + ({damping_num}L * coalesce(s, 0L)) "
+                        f"div {damping_den}L"
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if prev is not None:
+                _free_ckpt(prev)  # retired round: never read again
+            prev = ranks
+    finally:
+        ew.unpersist()
+        nodes.unpersist()
+    return ranks
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:

@@ -1,0 +1,174 @@
+"""Bounded-state frequency sketching: exact heavy hitters via a
+Misra-Gries candidate pass.
+
+Reference scope note: the reference library has no sketch/streaming-
+summary operator of any kind (its aggregations are the diff's flag
+counts, ``/root/reference/find_datacol_diff.py:118``); this is a
+north-star extension for the corpus-statistics workload (stop-gram
+discovery, contamination shingle shortlists, hot-key detection before a
+skewed join).
+
+Why not just ``groupBy(item).count()``: the exact aggregate's shuffle
+carries one row per DISTINCT item per partition. For corpus n-grams at
+100 TB the distinct-item set is itself corpus-scale (trigram vocabulary
+grows near-linearly with data), so the "vocabulary-sized shuffle" that
+makes :func:`~..corpus.top_vocab` cheap stops being small exactly when
+the data gets big. Heavy hitters ("every item occurring in at least a
+phi fraction of all occurrences") can instead be answered with TWO
+corpus scans and O(1/phi) state per task, independent of the distinct
+count:
+
+1. **Sketch pass** — each partition runs Misra-Gries with
+   ``k = ceil(phi_den/phi_num)`` counters (Misra & Gries 1982,
+   "Finding repeated elements"; the Space-Saving/MG family survey is
+   Cormode & Hadjieleftheriou VLDB'08). MG guarantees every item with
+   local count > N_p/(k+1) survives the partition's sketch; any item
+   with GLOBAL count > N/(k+1) must exceed that bound in at least one
+   partition (pigeonhole over the partition split of its occurrences),
+   and the phi threshold N*phi_num/phi_den is strictly above N/(k+1)
+   by the choice of k — so the union of per-partition survivors is a
+   SUPERSET of the true heavy hitters. Sketch output is bounded:
+   <= k items + one total-count row per task, collected to the driver
+   (the same bounded-scalar-collect contract as the Bloom word fold in
+   ``prune.py``).
+2. **Count pass** — exact occurrence counts of the candidate set only,
+   with the candidate filter applied BEFORE the aggregate's exchange
+   (an ``isin`` literal for small candidate sets — constant-folded,
+   map-side kill, same move as the Bloom-pruned semi join; a broadcast
+   semi join past ~4k candidates). The counts are exact, so the final
+   ``cnt * phi_den >= phi_num * N`` cut (integer cross-multiply, no
+   float ratio) returns EXACTLY the true heavy hitters — the sketch
+   only ever bounds the second pass's key space, never the answer.
+
+The MG loop is a per-row Python fold inside Arrow-batched
+``mapInPandas`` — deliberately: MG's evict-decrement step is a data-
+dependent mutation of a bounded dict, not expressible as a Column
+expression, and the alternative "exact per-partition counts, prune to
+top-k" (a ``groupBy(spark_partition_id(), item)``) pays the corpus-
+scale distinct-set exchange this operator exists to avoid. The Python
+cost is one dict op per occurrence with no per-row Python<->JVM
+boundary (Arrow batches); the eviction sweep is O(k) but amortized
+O(1) per occurrence (each decrement is paid for by a prior increment).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters", "misra_gries_sketch"]
+
+# past this many candidates an isin literal stops constant-folding
+# cheaply (plan size grows linearly); switch to a broadcast semi join
+_ISIN_CANDIDATE_CAP = 4096
+
+
+def misra_gries_sketch(
+    df: DataFrame, items_col: str, *, k: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries over an ``array<string>``
+    column. Returns ``(item, wt)`` rows: per partition, up to ``k``
+    surviving candidate items (``wt`` = residual counter, a LOWER
+    bound on the item's local count) plus one ``item IS NULL`` row
+    whose ``wt`` is the partition's total occurrence count. Bounded
+    output: <= (k + 1) rows per partition regardless of data volume.
+
+    Survivor guarantee (Misra & Gries 1982): every item whose count in
+    the partition exceeds ``N_p / (k + 1)`` is present in the summary.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def sketch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        state: dict = {}
+        total = 0
+        for pdf in batches:
+            for arr in pdf[items_col]:
+                if arr is None:
+                    continue
+                for item in arr:
+                    total += 1
+                    c = state.get(item)
+                    if c is not None:
+                        state[item] = c + 1
+                    elif len(state) < k:
+                        state[item] = 1
+                    else:
+                        dead = []
+                        for key, v in state.items():
+                            if v == 1:
+                                dead.append(key)
+                            else:
+                                state[key] = v - 1
+                        for key in dead:
+                            del state[key]
+        yield pd.DataFrame(
+            {
+                "item": list(state) + [None],
+                "wt": [int(v) for v in state.values()] + [total],
+            }
+        )
+
+    return df.select(items_col).mapInPandas(sketch, "item string, wt long")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    items_col: str,
+    *,
+    phi_num: int,
+    phi_den: int,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT counts of every item occurring in at least
+    ``phi_num/phi_den`` of all occurrences of ``items_col`` (an
+    ``array<string>`` column), computed in two corpus scans with
+    O(phi_den/phi_num) state per task — see the module docstring for
+    why this beats the exact aggregate at corpus-scale vocabularies.
+
+    Returns ``(item, cnt)``; ``cnt`` is the item's exact global
+    occurrence count, and the result set is exactly
+    ``{item : cnt * phi_den >= phi_num * N}`` (N = total occurrences)
+    — the sketch bounds the second pass's key space, never the answer.
+    """
+    if not (0 < phi_num < phi_den):
+        raise ValueError(
+            f"need 0 < phi_num < phi_den, got {phi_num}/{phi_den}"
+        )
+    k_min = math.ceil(phi_den / phi_num)
+    if k is None:
+        k = k_min
+    elif k < k_min:
+        raise ValueError(
+            f"k={k} breaks the superset guarantee for phi="
+            f"{phi_num}/{phi_den}; need k >= {k_min}"
+        )
+
+    # sketch pass: bounded rows per partition, bounded driver collect
+    summary = misra_gries_sketch(df, items_col, k=k).collect()
+    total = sum(r["wt"] for r in summary if r["item"] is None)
+    candidates = sorted({r["item"] for r in summary if r["item"] is not None})
+
+    spark = df.sparkSession
+    if total == 0 or not candidates:
+        return spark.createDataFrame([], "item string, cnt long")
+
+    # count pass: candidate filter BEFORE the exchange (map-side kill)
+    exploded = df.select(F.explode(items_col).alias("item"))
+    if len(candidates) <= _ISIN_CANDIDATE_CAP:
+        filtered = exploded.filter(F.col("item").isin(candidates))
+    else:
+        cand_df = spark.createDataFrame(
+            [(c,) for c in candidates], "item string"
+        )
+        filtered = exploded.join(F.broadcast(cand_df), "item", "semi")
+    return (
+        filtered.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * F.lit(phi_den) >= F.lit(phi_num * total))
+    )

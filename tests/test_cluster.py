@@ -333,3 +333,62 @@ def test_drop_near_dups_star_variant_matches_propagation(spark):
     assert prop == star == {0, 1, 4, 5, 7}
     with pytest.raises(ValueError, match="cc_variant"):
         drop_near_dups(docs, pairs, "doc_id", cc_variant="bogus")
+
+
+def test_pagerank_exact_hand_computed_chain(spark):
+    """a -> b -> c, one iteration from uniform 1_000_000 at 85/100:
+    rank(no-in) = 150000; rank(one uniform in-contrib) =
+    150000 + (85 * 1_000_000) div 100 = 1_000_000."""
+    from pyspark_datacol_diff_spark.operators.cluster import pagerank_exact
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    r = {x["node"]: x["rank"] for x in pagerank_exact(e, iterations=1).collect()}
+    assert r == {"a": 150000, "b": 1_000_000, "c": 1_000_000}
+
+
+def test_pagerank_exact_bitwise_partition_invariance(spark):
+    """The operator's reason to exist: integer sums are exact and
+    associative, so two partitionings agree BIT-FOR-BIT (== on longs,
+    no tolerance) and match a pure-Python replay of the recursion."""
+    import random as _rnd
+
+    from pyspark_datacol_diff_spark.operators.cluster import pagerank_exact
+
+    _rnd.seed(41)
+    edges = sorted(
+        {(_rnd.randint(0, 39), _rnd.randint(0, 39)) for _ in range(200)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {x["node"]: x["rank"] for x in pagerank_exact(e, iterations=3).collect()}
+    got7 = {
+        x["node"]: x["rank"]
+        for x in pagerank_exact(e.repartition(7), iterations=3).collect()
+    }
+
+    deg: dict = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    nodes = {x for ed in edges for x in ed}
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        inc: dict = {}
+        for a, b in edges:
+            inc[b] = inc.get(b, 0) + rank[a] // deg[a]
+        rank = {n: 150000 + (85 * inc.get(n, 0)) // 100 for n in nodes}
+    assert got == rank
+    assert got7 == rank
+
+
+def test_pagerank_exact_validation(spark):
+    from pyspark_datacol_diff_spark.operators.cluster import pagerank_exact
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank_exact(e, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_exact(e, damping_num=100, damping_den=100)
+    with pytest.raises(ValueError, match="scale"):
+        pagerank_exact(e, scale=10, damping_den=100)

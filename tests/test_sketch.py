@@ -1,0 +1,118 @@
+"""Heavy-hitter sketch tests: the Misra-Gries superset guarantee under
+eviction pressure and adversarial partitioning, exactness of the final
+answer vs brute force, and the bounded-output contract."""
+
+import random
+from collections import Counter
+
+import pytest
+
+from pyspark_datacol_diff_spark.operators.sketch import (
+    heavy_hitters,
+    misra_gries_sketch,
+)
+
+
+def _rows(tokens, seed):
+    """Pack a flat token stream into random-length array rows (plus a
+    few nulls/empties) so batching and null handling are exercised."""
+    rnd = random.Random(seed)
+    rows, i = [], 0
+    while i < len(tokens):
+        ln = rnd.randint(0, 9)
+        rows.append((tokens[i : i + ln],))
+        i += max(ln, 1)
+    rows.insert(0, (None,))
+    rows.append(([],))
+    return rows
+
+
+def test_heavy_hitters_exact_vs_brute_force(spark):
+    """Zipf-ish stream, k far below the distinct count (eviction fires
+    constantly), 13 partitions: result == exact brute-force thresholds,
+    counts exact."""
+    rnd = random.Random(3)
+    weights = [1.0 / (i + 1) for i in range(150)]
+    toks = [
+        f"t{rnd.choices(range(150), weights=weights)[0]}"
+        for _ in range(12000)
+    ]
+    rows = _rows(toks, 5)
+    df = spark.createDataFrame(rows, "items array<string>").repartition(13)
+    flat = [t for (arr,) in rows if arr for t in arr]
+    n = len(flat)
+    cnt = Counter(flat)
+    for num, den in [(1, 50), (1, 100), (3, 200)]:
+        exact = {t: c for t, c in cnt.items() if c * den >= num * n}
+        got = {
+            r["item"]: r["cnt"]
+            for r in heavy_hitters(
+                df, "items", phi_num=num, phi_den=den
+            ).collect()
+        }
+        assert got == exact, (num, den)
+
+
+def test_heavy_hitters_partitioning_invariance(spark):
+    """The candidate SET may differ across partitionings; the ANSWER
+    must not (the sketch only bounds the second pass's key space)."""
+    rnd = random.Random(9)
+    toks = [f"w{rnd.randint(0, 80)}" for _ in range(5000)]
+    base = spark.createDataFrame(_rows(toks, 1), "items array<string>")
+    a = heavy_hitters(base.repartition(2), "items", phi_num=1, phi_den=60)
+    b = heavy_hitters(base.repartition(17), "items", phi_num=1, phi_den=60)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_misra_gries_superset_and_bounded_output(spark):
+    """Per the MG guarantee every item above N/(k+1) globally must be
+    among the candidates, and each partition emits <= k+1 rows."""
+    rnd = random.Random(17)
+    toks = ["hot"] * 3000 + ["warm"] * 800 + [
+        f"c{rnd.randint(0, 500)}" for _ in range(4000)
+    ]
+    rnd.shuffle(toks)
+    k = 10
+    nparts = 7
+    packed = _rows(toks, 2)
+    df = spark.createDataFrame(
+        packed, "items array<string>"
+    ).repartition(nparts)
+    rows = misra_gries_sketch(df, "items", k=k).collect()
+    assert len(rows) <= nparts * (k + 1)
+    flat = [t for (arr,) in packed if arr for t in arr]
+    totals = [r["wt"] for r in rows if r["item"] is None]
+    assert sum(totals) == len(flat)
+    cands = {r["item"] for r in rows if r["item"] is not None}
+    n = len(flat)
+    cnt = Counter(flat)
+    for t, c in cnt.items():
+        if c * (k + 1) > n:  # global count > N/(k+1)
+            assert t in cands, t
+    assert "hot" in cands and "warm" in cands
+
+
+def test_heavy_hitters_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "items array<string>")
+    assert heavy_hitters(empty, "items", phi_num=1, phi_den=10).count() == 0
+    nulls = spark.createDataFrame([(None,), ([],)], "items array<string>")
+    assert heavy_hitters(nulls, "items", phi_num=1, phi_den=10).count() == 0
+    df = spark.createDataFrame([(["a"],)], "items array<string>")
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "items", phi_num=0, phi_den=10)
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "items", phi_num=10, phi_den=10)
+    with pytest.raises(ValueError, match="superset"):
+        heavy_hitters(df, "items", phi_num=1, phi_den=100, k=5)
+    with pytest.raises(ValueError, match="k must be"):
+        misra_gries_sketch(df, "items", k=0)
+
+
+def test_heavy_hitters_single_dominant_item(spark):
+    """Degenerate stream: one item is the whole corpus — it must be the
+    single hitter with its exact count, at any phi."""
+    df = spark.createDataFrame(
+        [(["x"] * 100,), (["x"] * 50,)], "items array<string>"
+    ).repartition(3)
+    got = heavy_hitters(df, "items", phi_num=99, phi_den=100).collect()
+    assert [(r["item"], r["cnt"]) for r in got] == [("x", 150)]
