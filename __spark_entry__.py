@@ -4821,6 +4821,48 @@ SELECT gram, cnt FROM c, tot WHERE cnt * 1000 >= n
 """
 
 
+def _q_diverse_sample_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced corpus subsetting
+    (operators/similarity.py:srp_diverse_sample): cap at 4 vectors per
+    8-bit SRP angular bucket, smallest-id survivors — the cluster-
+    balanced sample selection step, exact-integer deterministic (same
+    md5-plane portability contract as srp_near_dup_embed, so the
+    bucketing replays bit-for-bit in SQL). No per-bucket window sort:
+    zero-shuffle Arrow signature matmul, vectorized batch-local
+    min-n prune, then ONE bucket-keyed bounded-array fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.srp_diverse_sample(
+        emb, "vec_id", "embedding", dim=64, num_planes=8, per_bucket=4
+    )
+
+
+_SQL_DIVERSE_SAMPLE_EMBED = """
+WITH planes AS (
+  SELECT p, i,
+         (('0x' || substr(md5(p || ':' || i), 1, 8))::BIGINT % 1999) - 999 AS c
+  FROM (SELECT unnest(generate_series(0, 7)) AS p),
+       (SELECT unnest(generate_series(0, 63)) AS i)),
+q AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings) u),
+dots AS (
+  SELECT q.vec_id, planes.p, sum(q.x * planes.c) AS d
+  FROM q JOIN planes ON q.i = planes.i GROUP BY 1, 2),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id),
+r AS (SELECT sig AS bucket, vec_id,
+             row_number() OVER (PARTITION BY sig ORDER BY vec_id) AS rn
+      FROM sig)
+SELECT bucket, vec_id FROM r WHERE rn <= 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4846,9 +4888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     updated CORRECTNESS_r{N} union.
     """
     return {
-        # --- (1) never driver-checked: round-5 additions (7) ---
+        # --- (1) never driver-checked: round-5 additions (8) ---
         "pagerank_copurchase": _q_pagerank_copurchase,
         "heavy_hitters_docs": _q_heavy_hitters_docs,
+        "diverse_sample_embed": _q_diverse_sample_embed,
         "cc_star_docs": _q_cc_star_docs,
         "srp_near_dup_embed": _q_srp_near_dup_embed,
         "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
@@ -5351,6 +5394,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_copurchase": _SQL_PAGERANK_COPURCHASE,
         "heavy_hitters_docs": _SQL_HEAVY_HITTERS_DOCS,
+        "diverse_sample_embed": _SQL_DIVERSE_SAMPLE_EMBED,
         "diff_orders_detail": _ORDERS_PAIR_SQL
         + """,
 m AS (SELECT * FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL)

@@ -1334,3 +1334,67 @@ def srp_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def srp_diverse_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int | None = None,
+    num_planes: int = 8,
+    per_bucket: int = 4,
+) -> DataFrame:
+    """Diversity-balanced sampling over an embedding column: cap the
+    corpus at ``per_bucket`` vectors per SRP bucket (the
+    ``num_planes``-bit sign-random-projection signature = one of
+    ``2^num_planes`` angular regions; Charikar 2002). Semantically
+    similar vectors share buckets, so the cap flattens dense semantic
+    regions while keeping every sparse region intact — the
+    cluster-balanced subset selection step of a training-data pipeline
+    (the LSH-bucket analogue of k-means-balanced sampling, without a
+    centroid fit, and exact-integer deterministic where a k-means
+    assignment is float- and init-sensitive). Survivors are the
+    ``per_bucket`` SMALLEST ids per bucket — the engine-wide
+    deterministic-survivor convention.
+
+    Scale shape — the hot-bucket trap is the point: ``2^num_planes``
+    buckets over a billion-row corpus makes a per-bucket window sort
+    (row_number <= n) a few-hundred-task sort with unbounded per-task
+    input. Instead: (1) signatures from the zero-shuffle Arrow matmul
+    (:func:`srp_signatures`); (2) an Arrow-batch LOCAL prune — a
+    vectorized ``groupby().head(per_bucket)`` per batch, no shuffle —
+    bounds surviving rows at ``per_bucket`` per (bucket, batch);
+    (3) one bucket-keyed aggregate folds the pruned stream with a
+    bounded ``slice(array_sort(collect_list), 1, per_bucket)`` whose
+    input is already <= per_bucket * num_batches rows per bucket.
+    Exact despite the batch split: min-n is mergeable — any id in the
+    global per-bucket min-n is in its own batch's local min-n.
+
+    Returns ``(bucket, id_col)`` — the kept ids with their bucket.
+    """
+    if per_bucket < 1:
+        raise ValueError(f"per_bucket must be >= 1, got {per_bucket}")
+    sig = srp_signatures(
+        df, id_col, vec_col, dim=dim, num_planes=num_planes
+    )
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["sig", id_col])
+                    .groupby("sig", sort=False)
+                    .head(per_bucket)
+                )
+
+    loc = sig.mapInPandas(prune, sig.schema)
+    return (
+        loc.groupBy("sig")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(id_col)), 1, per_bucket
+            ).alias("ids")
+        )
+        .select(F.col("sig").alias("bucket"), F.explode("ids").alias(id_col))
+    )

@@ -699,3 +699,80 @@ def test_srp_signature_property_engine_parity(spark):
             if sum(a * b for a, b in zip(qv, hrow)) >= 0:
                 sig |= 1 << p
         assert got[vid] == sig, (vid, got[vid], sig)
+
+
+def test_srp_diverse_sample_exact_vs_brute_force(spark):
+    """Sample == the per_bucket smallest ids per signature bucket,
+    computed brute-force from srp_signatures — and invariant to
+    partitioning / Arrow batch splits (min-n is mergeable)."""
+    import random
+    from collections import defaultdict
+
+    from pyspark_datacol_diff_spark.operators.similarity import (
+        srp_diverse_sample,
+        srp_signatures,
+    )
+
+    rnd = random.Random(77)
+    vecs = [
+        (i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in srp_signatures(df, dim=16, num_planes=4).collect()
+    }
+    buckets = defaultdict(list)
+    for vid, s in sigs.items():
+        buckets[s].append(vid)
+    want = {
+        (s, vid) for s, ids in buckets.items() for vid in sorted(ids)[:3]
+    }
+    for nparts in (1, 7):
+        got = {
+            (r["bucket"], r["vec_id"])
+            for r in srp_diverse_sample(
+                df.repartition(nparts), dim=16, num_planes=4, per_bucket=3
+            ).collect()
+        }
+        assert got == want, nparts
+
+
+def test_srp_diverse_sample_batch_split_merge(spark):
+    """Force multi-batch partitions (tiny Arrow batches): the local
+    batch prunes must still merge to the exact global min-n."""
+    from pyspark_datacol_diff_spark.operators.similarity import (
+        srp_diverse_sample,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        # all-identical vectors -> one bucket; survivors = 2 smallest ids
+        df = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(100)],
+            "vec_id long, embedding array<float>",
+        ).coalesce(1)
+        got = srp_diverse_sample(
+            df, dim=4, num_planes=6, per_bucket=2
+        ).collect()
+        assert sorted(r["vec_id"] for r in got) == [0, 1]
+        assert len({r["bucket"] for r in got}) == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+
+
+def test_srp_diverse_sample_validation(spark):
+    import pytest as _pytest
+
+    from pyspark_datacol_diff_spark.operators.similarity import (
+        srp_diverse_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="per_bucket"):
+        srp_diverse_sample(df, dim=1, per_bucket=0)
