@@ -4863,6 +4863,46 @@ SELECT bucket, vec_id FROM r WHERE rn <= 4
 """
 
 
+def _q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile winsorization audit
+    (operators/quality.py:winsorize): every event whose exact-cents
+    value was clamped to its event_type's [p01, p99] discrete fences —
+    the outlier-clipping step of feature prep, emitted as the rows the
+    clip actually changed. Fences ride a broadcast (one group-grain
+    ordered-set aggregate); the event stream itself never shuffles,
+    no window, no sort. Discrete percentiles select existing integers,
+    so fences and clamped values are engine-portable BIGINTs."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", _cents().alias("cents")
+    )
+    w = QA.winsorize(e, "cents", keys=["event_type"], lower=0.01, upper=0.99)
+    return w.filter(
+        F.col("cents") != F.col("cents_winsorized")
+    ).select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.col("cents_winsorized").alias("cents_w"),
+    )
+
+
+_SQL_WINSORIZE_EVENTS = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+f AS (
+  SELECT event_type,
+         CAST(quantile_disc(cents, 0.01) AS BIGINT) AS lo,
+         CAST(quantile_disc(cents, 0.99) AS BIGINT) AS hi
+  FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type, c.cents,
+       CAST(least(greatest(c.cents, f.lo), f.hi) AS BIGINT) AS cents_w
+FROM c JOIN f USING (event_type)
+WHERE c.cents < f.lo OR c.cents > f.hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4892,6 +4932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase": _q_pagerank_copurchase,
         "heavy_hitters_docs": _q_heavy_hitters_docs,
         "diverse_sample_embed": _q_diverse_sample_embed,
+        "winsorize_events": _q_winsorize_events,
         "cc_star_docs": _q_cc_star_docs,
         "srp_near_dup_embed": _q_srp_near_dup_embed,
         "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
@@ -5395,6 +5436,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_copurchase": _SQL_PAGERANK_COPURCHASE,
         "heavy_hitters_docs": _SQL_HEAVY_HITTERS_DOCS,
         "diverse_sample_embed": _SQL_DIVERSE_SAMPLE_EMBED,
+        "winsorize_events": _SQL_WINSORIZE_EVENTS,
         "diff_orders_detail": _ORDERS_PAIR_SQL
         + """,
 m AS (SELECT * FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL)

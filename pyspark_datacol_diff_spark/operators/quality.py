@@ -95,3 +95,73 @@ def check_rules_by(
         F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
         (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    keys: list[str] | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Percentile winsorization — clamp ``value_col`` to its
+    [``lower``, ``upper``] DISCRETE percentile fences, per group when
+    ``keys`` is given (the outlier-clipping step of feature prep /
+    reward-signal normalization; Tukey fences' rank-based sibling).
+    Appends ``out_col`` (default ``{value_col}_winsorized``); every
+    input row and column passes through, NULL values stay NULL (a
+    missing measurement is not an outlier).
+
+    Exactness: ``percentile_disc`` SELECTS an existing value (never
+    interpolates), so on exact-integer inputs the fences — and
+    therefore the clamp — are engine-portable integers, the same
+    contract as ``pctile_by_type_events`` / the RFM quartile fences.
+    Domain bound: Spark's percentile_disc passes the selected value
+    through double, so integral inputs must stay within double's exact
+    range (|v| < 2^53) — comfortably true for anything cents-scaled;
+    beyond it the fence (not the data) quantizes.
+
+    Shape — fences ride a broadcast, the data never shuffles: one
+    ordered-set aggregate produces the group-grain fence relation
+    (two percentile_disc per group, map-side combinable), broadcast
+    back onto the stream for a pure-Column clamp. The group-by-less
+    variant is the same plan with a 1-row fence relation. At 100 TB
+    the only exchange is the fence aggregate's (group-grain);
+    ``sort``-free, window-free.
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(
+            f"need 0 <= lower < upper <= 1, got {lower}/{upper}"
+        )
+    if out_col is None:
+        out_col = f"{value_col}_winsorized"
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    v = F.col(value_col)
+    # percentile_disc widens to double even on integral inputs; the
+    # fence VALUE is an existing element of the column, so casting back
+    # to the column's own type is lossless and keeps the clamp (and the
+    # appended column) in the input's type
+    v_type = df.schema[value_col].dataType.simpleString()
+    aggs = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
+        )
+        .cast(v_type)
+        .alias(a)
+        for p, a in ((lower, "__lo"), (upper, "__hi"))
+    ]
+    nn = df.filter(v.isNotNull())
+    if keys:
+        fences = nn.groupBy(*keys).agg(*aggs)
+        joined = df.join(F.broadcast(fences), keys, "left")
+    else:
+        fences = nn.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(fences))
+    clamped = F.when(
+        v.isNotNull(),
+        F.least(F.greatest(v, F.col("__lo")), F.col("__hi")),
+    )
+    return joined.withColumn(out_col, clamped).drop("__lo", "__hi")

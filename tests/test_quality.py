@@ -97,3 +97,54 @@ def test_grouped_rules_reject_key_clash(spark):
 
     with pytest.raises(ValueError, match="clash"):
         check_rules_by(_df(spark), ["s"], {"s": F.lit(True)})
+
+
+def test_winsorize_hand_computed(spark):
+    """20 values 1..20 in one group: p10/p90 discrete fences on 1..20
+    are the 2nd and 18th values -> clamp to [2, 18]; nulls stay null;
+    all rows and columns pass through."""
+    from pyspark_datacol_diff_spark.operators.quality import winsorize
+
+    rows = [("a", i, f"x{i}") for i in range(1, 21)] + [("a", None, "xn")]
+    df = spark.createDataFrame(rows, "g string, v long, tag string")
+    out = winsorize(df, "v", keys=["g"], lower=0.10, upper=0.90)
+    got = {r["tag"]: r["v_winsorized"] for r in out.collect()}
+    assert len(got) == 21
+    assert got["xn"] is None
+    assert got["x1"] == 2 and got["x2"] == 2
+    assert got["x19"] == 18 and got["x20"] == 18
+    assert all(got[f"x{i}"] == i for i in range(3, 18))
+    # type preserved (percentile_disc's double widened back)
+    assert dict(out.dtypes)["v_winsorized"] == "bigint"
+
+
+def test_winsorize_keyless_and_per_group_fences_differ(spark):
+    from pyspark_datacol_diff_spark.operators.quality import winsorize
+
+    rows = [("lo", v) for v in range(0, 10)] + [
+        ("hi", v) for v in range(100, 110)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    per_g = winsorize(df, "v", keys=["g"], lower=0.2, upper=0.8)
+    # each group clamps within its own range: no cross-contamination
+    vals = {(r["g"], r["v"]): r["v_winsorized"] for r in per_g.collect()}
+    # p20 on 10 values selects the 2nd smallest; p80 the 8th
+    assert vals[("lo", 0)] == 1 and vals[("hi", 100)] == 101
+    assert vals[("lo", 9)] == 7 and vals[("hi", 109)] == 107
+    glob = winsorize(df, "v", lower=0.2, upper=0.8)
+    gv = {(r["g"], r["v"]): r["v_winsorized"] for r in glob.collect()}
+    # global fences pull the two clusters toward each other
+    assert gv[("lo", 0)] == gv[("lo", 3)]  # lo tail clamped up
+    assert gv[("hi", 109)] == gv[("hi", 106)]  # hi tail clamped down
+
+
+def test_winsorize_validation(spark):
+    import pytest as _pytest
+
+    from pyspark_datacol_diff_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with _pytest.raises(ValueError, match="lower"):
+        winsorize(df, "v", lower=0.5, upper=0.5)
+    with _pytest.raises(ValueError, match="already exists"):
+        winsorize(df.withColumn("v_winsorized", df.v), "v")
