@@ -4903,6 +4903,31 @@ WHERE c.cents < f.lo OR c.cents > f.hi
 """
 
 
+def _q_scoped_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy scoped repair (operators/diff.py:scoped_diff):
+    digest-tree localization first, then the row diff over ONLY the
+    leaf buckets whose digests differ — at 100 TB the full-outer join
+    reads the 1/256 key slices that moved, not the snapshots. Output
+    contract: IDENTICAL rows to diff_orders_detail (every difference
+    lives in a dirty bucket by the digest-tree construction), which is
+    why the oracle is the plain full-diff SQL — the scoping must be
+    invisible in the answer, exactly like the Bloom prune and the
+    heavy-hitter sketch. Digest self-consistency only (both trees are
+    computed by the same engine), so the default all-column value set
+    is safe here even with double/date columns."""
+    s1, s2 = _orders_pair(spark, sf_dir)
+    d = DIFF_OPS.scoped_diff(s1, s2, ["o_orderkey"])
+    return d.select(
+        F.col("o_orderkey_s1").alias("o_orderkey"),
+        F.explode("CompColArr").alias("e"),
+    ).select(
+        "o_orderkey",
+        F.col("e.col_name").alias("col_name"),
+        F.col("e.s1_value").alias("s1_value"),
+        F.col("e.s2_value").alias("s2_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4933,6 +4958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_docs": _q_heavy_hitters_docs,
         "diverse_sample_embed": _q_diverse_sample_embed,
         "winsorize_events": _q_winsorize_events,
+        "scoped_diff_orders": _q_scoped_diff_orders,
         "cc_star_docs": _q_cc_star_docs,
         "srp_near_dup_embed": _q_srp_near_dup_embed,
         "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
@@ -5437,6 +5463,21 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_docs": _SQL_HEAVY_HITTERS_DOCS,
         "diverse_sample_embed": _SQL_DIVERSE_SAMPLE_EMBED,
         "winsorize_events": _SQL_WINSORIZE_EVENTS,
+        # scoped_diff must be INVISIBLE in the answer: the oracle is
+        # the full (unscoped) diff — same convention as the Bloom prune
+        "scoped_diff_orders": _ORDERS_PAIR_SQL
+        + """,
+m AS (SELECT * FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL)
+SELECT o_orderkey, col_name, s1_value, s2_value FROM (
+  SELECT k1 AS o_orderkey, 'o_custkey' AS col_name,
+         CAST(c1 AS VARCHAR) AS s1_value, CAST(c2 AS VARCHAR) AS s2_value
+  FROM m WHERE c1 IS DISTINCT FROM c2
+  UNION ALL
+  SELECT k1, 'o_orderstatus', st1, st2 FROM m WHERE coalesce(st1,'') <> coalesce(st2,'')
+  UNION ALL
+  SELECT k1, 'o_orderpriority', pr1, pr2 FROM m WHERE coalesce(pr1,'') <> coalesce(pr2,'')
+) t
+""",
         "diff_orders_detail": _ORDERS_PAIR_SQL
         + """,
 m AS (SELECT * FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL)

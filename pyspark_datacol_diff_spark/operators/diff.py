@@ -871,6 +871,69 @@ def digest_tree_diff(
     )
 
 
+def scoped_diff(
+    s1: DataFrame,
+    s2: DataFrame,
+    pk_cols: Sequence[str],
+    *,
+    value_cols: Sequence[str] | None = None,
+    fanout: int = 16,
+    levels: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Anti-entropy scoped repair — the composition :func:`digest_tree`
+    exists for: localize the mismatch to the leaf key-buckets whose
+    digests differ, then run the row-level :func:`diff` over ONLY those
+    buckets. At 100 TB this turns "full-outer-join two snapshots
+    because something changed" into two digest scans plus a diff over
+    the 1/fanout^levels key slice that actually moved — the
+    Merkle-repair read path (Dynamo-style), end to end.
+
+    Equivalence contract: every row-level difference lives in a bucket
+    whose (count, digest) pair differs — key presence changes move the
+    count, value changes move the 60-bit-hash modular sum — so the
+    scoped diff equals the full diff at checksum confidence (a clean
+    bucket hiding a change requires a mod-2^60-scale hash-sum
+    collision, the same confidence statement as :func:`table_digest`).
+    ``value_cols`` must cover every column a difference may hide in
+    (default: all non-key columns) and follow digest_tree's
+    string-exactness contract (project raw doubles to decimal first).
+
+    The dirty-bucket id list is a bounded driver collect (<
+    ``fanout**levels`` ints, the digest-tree grain bound) shipped back
+    as a constant-folded ``isin`` literal — both snapshots are pruned
+    map-side BEFORE the diff's full-outer exchange. Pass ``stats={}``
+    to receive ``dirty_buckets`` / ``total_buckets``.
+
+    Returns the standard diff frame over the dirty buckets: every
+    DIFFERENCE row of the full diff (value mismatches, S1_ONLY/S2_ONLY)
+    is present; NODIFF rows appear only for rows that happen to share a
+    dirty bucket — clean buckets are verified identical at checksum
+    confidence WITHOUT materializing their rows, which is the point of
+    the scoping (a repair consumer reads differences, not
+    confirmations). Identical snapshots yield the empty diff without
+    running the row join at all.
+    """
+    dt = digest_tree_diff(
+        s1, s2, pk_cols, value_cols, fanout=fanout, levels=levels
+    )
+    dirty = [
+        r["node"]
+        for r in dt.filter(
+            (F.col("level") == levels) & F.col("differs")
+        )
+        .select("node")
+        .collect()
+    ]
+    if stats is not None:
+        stats["dirty_buckets"] = len(dirty)
+        stats["total_buckets"] = fanout**levels
+    n_leaves = fanout**levels
+    bucket = F.pmod(_md5_int60(_row_str(pk_cols)), F.lit(n_leaves))
+    keep = bucket.isin(dirty) if dirty else F.lit(False)
+    return diff(s1.filter(keep), s2.filter(keep), list(pk_cols))
+
+
 def change_intervals(
     df: DataFrame,
     key: Sequence[str],

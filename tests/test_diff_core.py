@@ -609,3 +609,62 @@ class TestDigestTree:
         assert not any(
             "In-memory table" in (i.name() or "") for i in infos
         )
+
+
+class TestScopedDiff:
+    def _pair(self, spark):
+        from pyspark.sql import functions as F
+
+        base = spark.createDataFrame(
+            [(i, f"v{i}", i * 10) for i in range(500)],
+            "pk long, s string, n long",
+        )
+        s1 = base.filter(F.col("pk") % 71 != 0)
+        s2 = base.filter(F.col("pk") % 67 != 0).withColumn(
+            "s",
+            F.when(F.col("pk") % 39 == 0, F.lit("EDITED")).otherwise(
+                F.col("s")
+            ),
+        )
+        return s1, s2
+
+    def test_scoped_equals_full_diff_on_differences(self, spark):
+        """Every difference row of the full diff survives the scoping
+        (the equivalence contract); NODIFF confirmations from clean
+        buckets are exactly what the scoping elides."""
+        from pyspark.sql import functions as F
+
+        from pyspark_datacol_diff_spark.operators.diff import diff, scoped_diff
+
+        s1, s2 = self._pair(spark)
+        stats = {}
+        scoped = scoped_diff(s1, s2, ["pk"], stats=stats)
+        full = diff(s1, s2, ["pk"])
+
+        def key(df):
+            return sorted(
+                (
+                    repr(r["pk_s1"]),
+                    repr(r["pk_s2"]),
+                    r["Flag"],
+                    tuple(map(tuple, r["CompColArr"])),
+                )
+                for r in df.filter(F.col("Flag") != "NODIFF").collect()
+            )
+
+        assert key(scoped) == key(full)
+        # and the scoping actually scoped: clean buckets' NODIFF rows
+        # are verified by digest, never materialized
+        assert 0 < stats["dirty_buckets"] < stats["total_buckets"]
+        n_scoped = scoped.filter(F.col("Flag") == "NODIFF").count()
+        n_full = full.filter(F.col("Flag") == "NODIFF").count()
+        assert n_scoped < n_full
+
+    def test_identical_snapshots_skip_the_row_join(self, spark):
+        from pyspark_datacol_diff_spark.operators.diff import scoped_diff
+
+        s1, _ = self._pair(spark)
+        stats = {}
+        out = scoped_diff(s1, s1, ["pk"], stats=stats)
+        assert stats["dirty_buckets"] == 0
+        assert out.count() == 0
