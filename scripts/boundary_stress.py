@@ -89,6 +89,19 @@ QUERIES = [
     "hopping_window_events",
     "user_trend_features",
     "copurchase_pairs_lineitem",
+    # round-5 additions: winsorize fences hit the injected extreme /
+    # duplicate-at-fence values (percentile_disc tie conventions);
+    # diverse sampling sees the zero vector (every SRP dot == 0, the
+    # d >= 0 sign boundary fires ALL plane bits) and exact-duplicate
+    # vectors sharing a bucket; the MG sketch walks the empty/
+    # single-token/duplicate docs; scoped diff digests the NULL and
+    # empty-string compare fields through its bucket hashing.
+    # (pagerank_copurchase reads only the UNstressed lineitem copy —
+    # running it here would duplicate plain parity, so it is omitted.)
+    "winsorize_events",
+    "diverse_sample_embed",
+    "heavy_hitters_docs",
+    "scoped_diff_orders",
 ]
 
 
