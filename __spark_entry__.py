@@ -4928,6 +4928,47 @@ def _q_scoped_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heavy_hitters_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed hot bigrams (operators/sketch.py:heavy_hitters_by):
+    every gram covering >= 0.5% of ITS OWN source's occurrences, exact
+    counts — the per-feed monitoring grain (which source's boilerplate,
+    which feed's hot join key). Grouped MG sketch bounded at
+    partitions x sources x (k+1) rows, composite-key broadcast semi
+    join before the lone aggregate; per-source totals ride the same
+    sketch pass. Same balance_partitions rationale as the ungrouped
+    variant."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    grams = d.select(
+        "source",
+        TX.gram_multiset(
+            F.filter(TX.tokens(F.lower(F.col("text"))), lambda x: x != ""),
+            2,
+        ).alias("grams"),
+    )
+    hh = SK.heavy_hitters_by(
+        grams, "grams", ["source"], phi_num=1, phi_den=200
+    )
+    return hh.select("source", F.col("item").alias("gram"), "cnt")
+
+
+_SQL_HEAVY_HITTERS_BY_SOURCE = """
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+g AS (
+  SELECT source, tk[i] || ' ' || tk[i + 1] AS gram
+  FROM t, LATERAL unnest(range(1, len(tk))) AS r(i)
+  WHERE len(tk) >= 2),
+c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY source)
+SELECT c.source, c.gram, c.cnt
+FROM c JOIN tot USING (source) WHERE c.cnt * 200 >= tot.n
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4959,6 +5000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diverse_sample_embed": _q_diverse_sample_embed,
         "winsorize_events": _q_winsorize_events,
         "scoped_diff_orders": _q_scoped_diff_orders,
+        "heavy_hitters_by_source_docs": _q_heavy_hitters_by_source_docs,
         "cc_star_docs": _q_cc_star_docs,
         "srp_near_dup_embed": _q_srp_near_dup_embed,
         "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
@@ -5491,6 +5533,7 @@ SELECT o_orderkey, col_name, s1_value, s2_value FROM (
   SELECT k1, 'o_orderpriority', pr1, pr2 FROM m WHERE coalesce(pr1,'') <> coalesce(pr2,'')
 ) t
 """,
+        "heavy_hitters_by_source_docs": _SQL_HEAVY_HITTERS_BY_SOURCE,
         "diff_orders_flags": _ORDERS_PAIR_SQL
         + f"""
 SELECT {_ORDERS_FLAG_SQL} AS "Flag", count(*) AS cnt FROM j GROUP BY 1

@@ -59,7 +59,12 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "misra_gries_sketch"]
+__all__ = [
+    "heavy_hitters",
+    "heavy_hitters_by",
+    "misra_gries_sketch",
+    "misra_gries_sketch_by",
+]
 
 # past this many candidates an isin literal stops constant-folding
 # cheaply (plan size grows linearly); switch to a broadcast semi join
@@ -171,4 +176,136 @@ def heavy_hitters(
         filtered.groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") * F.lit(phi_den) >= F.lit(phi_num * total))
+    )
+
+
+def misra_gries_sketch_by(
+    df: DataFrame, items_col: str, keys: list[str], *, k: int
+) -> DataFrame:
+    """Grouped :func:`misra_gries_sketch`: an independent k-counter MG
+    summary per (partition, key-tuple). Returns ``(*keys, item, wt)``
+    — per partition and key, up to ``k`` surviving candidates plus one
+    ``item IS NULL`` row carrying the (partition, key)'s exact total.
+    Output (and therefore the caller's collect) is bounded by
+    ``n_partitions * n_keys * (k + 1)`` rows, so ``keys`` must be
+    LOW-cardinality (feeds, sources, languages — the per-feed
+    monitoring grain), not a high-cardinality id."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not keys:
+        raise ValueError("keys must name at least one column")
+
+    def sketch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        states: dict = {}
+        totals: dict = {}
+        for pdf in batches:
+            key_iter = zip(*(pdf[c] for c in keys))
+            for key, arr in zip(key_iter, pdf[items_col]):
+                if arr is None:
+                    continue
+                state = states.get(key)
+                if state is None:
+                    state = states[key] = {}
+                    totals[key] = 0
+                n = 0
+                for item in arr:
+                    n += 1
+                    c = state.get(item)
+                    if c is not None:
+                        state[item] = c + 1
+                    elif len(state) < k:
+                        state[item] = 1
+                    else:
+                        dead = []
+                        for kk, v in state.items():
+                            if v == 1:
+                                dead.append(kk)
+                            else:
+                                state[kk] = v - 1
+                        for kk in dead:
+                            del state[kk]
+                totals[key] += n
+        rows = []
+        for key, state in states.items():
+            for item, wt in state.items():
+                rows.append((*key, item, int(wt)))
+            rows.append((*key, None, totals[key]))
+        yield pd.DataFrame(rows, columns=[*keys, "item", "wt"])
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keys
+    )
+    return df.select(*keys, items_col).mapInPandas(
+        sketch, f"{key_schema}, item string, wt long"
+    )
+
+
+def heavy_hitters_by(
+    df: DataFrame,
+    items_col: str,
+    keys: list[str],
+    *,
+    phi_num: int,
+    phi_den: int,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-group :func:`heavy_hitters`: EXACT counts of every item
+    covering at least ``phi_num/phi_den`` of ITS OWN group's
+    occurrences — the "which feed's hot keys" monitoring grain
+    (per-source stop-grams, per-language hot shingles, per-tenant hot
+    join keys before a salting decision). Same two-scan contract: a
+    bounded grouped MG pass shortlists (key, item) candidates and
+    carries each (partition, key)'s exact total; the count pass
+    broadcast-semi-joins the candidate set (composite key, so a join
+    rather than the ungrouped variant's isin literal) before its lone
+    aggregate. The per-group superset guarantee is the ungrouped one
+    applied within each key: every occurrence of a group routes through
+    that group's own counters. Returns ``(*keys, item, cnt)``.
+    """
+    if not (0 < phi_num < phi_den):
+        raise ValueError(
+            f"need 0 < phi_num < phi_den, got {phi_num}/{phi_den}"
+        )
+    k_min = math.ceil(phi_den / phi_num)
+    if k is None:
+        k = k_min
+    elif k < k_min:
+        raise ValueError(
+            f"k={k} breaks the superset guarantee for phi="
+            f"{phi_num}/{phi_den}; need k >= {k_min}"
+        )
+    summary = misra_gries_sketch_by(df, items_col, keys, k=k).collect()
+    totals: dict = {}
+    cand_rows = []
+    for r in summary:
+        key = tuple(r[c] for c in keys)
+        if r["item"] is None:
+            totals[key] = totals.get(key, 0) + r["wt"]
+        else:
+            cand_rows.append((*key, r["item"]))
+    spark = df.sparkSession
+    out_schema_key = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keys
+    )
+    if not cand_rows:
+        return spark.createDataFrame(
+            [], f"{out_schema_key}, item string, cnt long"
+        )
+    cand = spark.createDataFrame(
+        sorted(set(cand_rows)), f"{out_schema_key}, item string"
+    )
+    tot = spark.createDataFrame(
+        [(*key, n) for key, n in sorted(totals.items())],
+        f"{out_schema_key}, __total long",
+    )
+    exploded = df.select(*keys, F.explode(items_col).alias("item"))
+    return (
+        exploded.join(F.broadcast(cand), [*keys, "item"], "semi")
+        .groupBy(*keys, "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(tot), keys)
+        .filter(F.col("cnt") * F.lit(phi_den) >= F.lit(phi_num) * F.col("__total"))
+        .drop("__total")
     )

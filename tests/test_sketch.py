@@ -116,3 +116,71 @@ def test_heavy_hitters_single_dominant_item(spark):
     ).repartition(3)
     got = heavy_hitters(df, "items", phi_num=99, phi_den=100).collect()
     assert [(r["item"], r["cnt"]) for r in got] == [("x", 150)]
+
+
+def test_heavy_hitters_by_exact_vs_brute_force(spark):
+    """Two groups with different hot items and different sizes: result
+    == per-group exact thresholds; groups never contaminate each
+    other's counters."""
+    rnd = random.Random(23)
+    rows = []
+    for g, hot, size in (("a", "HOT_A", 4000), ("b", "HOT_B", 900)):
+        toks = [hot] * (size // 5) + [
+            f"{g}{rnd.randint(0, 120)}" for _ in range(size)
+        ]
+        rnd.shuffle(toks)
+        i = 0
+        while i < len(toks):
+            ln = rnd.randint(1, 8)
+            rows.append((g, toks[i : i + ln]))
+            i += ln
+    from pyspark_datacol_diff_spark.operators.sketch import heavy_hitters_by
+
+    df = spark.createDataFrame(
+        rows, "g string, items array<string>"
+    ).repartition(9)
+    flat = {}
+    for g, arr in rows:
+        flat.setdefault(g, []).extend(arr)
+    for num, den in [(1, 25), (1, 60)]:
+        want = set()
+        for g, toks in flat.items():
+            n = len(toks)
+            for t, c in Counter(toks).items():
+                if c * den >= num * n:
+                    want.add((g, t, c))
+        got = {
+            (r["g"], r["item"], r["cnt"])
+            for r in heavy_hitters_by(
+                df, "items", ["g"], phi_num=num, phi_den=den
+            ).collect()
+        }
+        assert got == want, (num, den)
+
+
+def test_heavy_hitters_by_bounded_sketch_and_validation(spark):
+    from pyspark_datacol_diff_spark.operators.sketch import (
+        heavy_hitters_by,
+        misra_gries_sketch_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", ["x", "y", "x"]), ("b", ["z"]), ("a", None)],
+        "g string, items array<string>",
+    ).repartition(3)
+    rows = misra_gries_sketch_by(df, "items", ["g"], k=2).collect()
+    assert len(rows) <= 3 * 2 * 3  # partitions * keys * (k+1)
+    tot = {}
+    for r in rows:
+        if r["item"] is None:
+            tot[r["g"]] = tot.get(r["g"], 0) + r["wt"]
+    assert tot == {"a": 3, "b": 1}
+    with pytest.raises(ValueError, match="keys"):
+        misra_gries_sketch_by(df, "items", [], k=2)
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters_by(df, "items", ["g"], phi_num=3, phi_den=2)
+    empty = spark.createDataFrame([], "g string, items array<string>")
+    assert (
+        heavy_hitters_by(empty, "items", ["g"], phi_num=1, phi_den=4).count()
+        == 0
+    )
