@@ -912,7 +912,11 @@ def scoped_diff(
     confidence WITHOUT materializing their rows, which is the point of
     the scoping (a repair consumer reads differences, not
     confirmations). Identical snapshots yield the empty diff without
-    running the row join at all.
+    running the row join at all; when HALF OR MORE of the buckets are
+    dirty the scoping is bypassed (the prune would buy little and the
+    isin literal would grow toward the tree grain) and the plain full
+    diff runs — same difference rows, NODIFF confirmations for
+    everything.
     """
     dt = digest_tree_diff(
         s1, s2, pk_cols, value_cols, fanout=fanout, levels=levels
@@ -929,6 +933,13 @@ def scoped_diff(
         stats["dirty_buckets"] = len(dirty)
         stats["total_buckets"] = fanout**levels
     n_leaves = fanout**levels
+    if 2 * len(dirty) >= n_leaves:
+        # majority-dirty: the prune buys (at best) a 2x scan saving but
+        # costs an isin literal up to the tree grain (2^20 terms blows
+        # the plan) — bypass the scoping and run the plain full diff,
+        # which is semantically a superset (extra NODIFF confirmations
+        # from the minority-clean buckets, same difference rows)
+        return diff(s1, s2, list(pk_cols))
     bucket = F.pmod(_md5_int60(_row_str(pk_cols)), F.lit(n_leaves))
     keep = bucket.isin(dirty) if dirty else F.lit(False)
     return diff(s1.filter(keep), s2.filter(keep), list(pk_cols))

@@ -139,6 +139,11 @@ def winsorize(
         out_col = f"{value_col}_winsorized"
     if out_col in df.columns:
         raise ValueError(f"output column {out_col!r} already exists")
+    clash = {"__lo", "__hi"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns clash with reserved fence names: {sorted(clash)}"
+        )
     v = F.col(value_col)
     # percentile_disc widens to double even on integral inputs; the
     # fence VALUE is an existing element of the column, so casting back

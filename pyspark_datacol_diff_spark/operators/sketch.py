@@ -194,6 +194,12 @@ def misra_gries_sketch_by(
         raise ValueError(f"k must be >= 1, got {k}")
     if not keys:
         raise ValueError("keys must name at least one column")
+    reserved = {"item", "wt", "__total"} & set(keys)
+    if reserved:
+        raise ValueError(
+            f"group keys clash with reserved output columns: "
+            f"{sorted(reserved)}"
+        )
 
     def sketch(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -101,6 +101,7 @@ QUERIES = [
     "winsorize_events",
     "diverse_sample_embed",
     "heavy_hitters_docs",
+    "heavy_hitters_by_source_docs",
     "scoped_diff_orders",
 ]
 

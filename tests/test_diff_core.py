@@ -668,3 +668,29 @@ class TestScopedDiff:
         out = scoped_diff(s1, s1, ["pk"], stats=stats)
         assert stats["dirty_buckets"] == 0
         assert out.count() == 0
+
+    def test_majority_dirty_bypasses_the_scoping(self, spark):
+        """Every bucket dirty (tiny tree, edits everywhere): scoped_diff
+        must fall back to the plain full diff — identical row set
+        including NODIFF confirmations."""
+        from pyspark.sql import functions as F
+
+        from pyspark_datacol_diff_spark.operators.diff import diff, scoped_diff
+
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(200)], "pk long, s string"
+        )
+        s2 = base.withColumn(
+            "s", F.when(F.col("pk") % 2 == 0, F.lit("E")).otherwise(F.col("s"))
+        )
+        stats = {}
+        scoped = scoped_diff(
+            base, s2, ["pk"], fanout=2, levels=2, stats=stats
+        )
+        assert stats["dirty_buckets"] == stats["total_buckets"] == 4
+        full = diff(base, s2, ["pk"])
+        k = lambda df: sorted(
+            (r["pk_s1"], r["Flag"], tuple(map(tuple, r["CompColArr"])))
+            for r in df.collect()
+        )
+        assert k(scoped) == k(full)

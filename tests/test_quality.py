@@ -148,3 +148,13 @@ def test_winsorize_validation(spark):
         winsorize(df, "v", lower=0.5, upper=0.5)
     with _pytest.raises(ValueError, match="already exists"):
         winsorize(df.withColumn("v_winsorized", df.v), "v")
+
+
+def test_winsorize_reserved_fence_names(spark):
+    import pytest as _pytest
+
+    from pyspark_datacol_diff_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame([(1, 2)], "v long, __lo long")
+    with _pytest.raises(ValueError, match="reserved"):
+        winsorize(df, "v")

@@ -184,3 +184,13 @@ def test_heavy_hitters_by_bounded_sketch_and_validation(spark):
         heavy_hitters_by(empty, "items", ["g"], phi_num=1, phi_den=4).count()
         == 0
     )
+
+
+def test_heavy_hitters_by_reserved_key_names(spark):
+    from pyspark_datacol_diff_spark.operators.sketch import heavy_hitters_by
+
+    df = spark.createDataFrame(
+        [("a", ["x"])], "item string, items array<string>"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        heavy_hitters_by(df, "items", ["item"], phi_num=1, phi_den=4)
