@@ -4989,12 +4989,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (each query's MOST RECENT green row): (1) never driver-checked
     (the round-5 additions); (2) last green in r01; (3) r02; (4) r03;
     (5) r04, freshest last. The r05 window therefore re-greens the 11
-    r01-stale entries and most of the r02 block — after it, no entry's
-    latest driver check predates r02. Re-derive each round from the
-    updated CORRECTNESS_r{N} union.
+    r01-stale entries and (after the 11 round-5 additions) over half
+    of the r02 block — after it, no entry's latest driver check
+    predates r02. Re-derive each round from the updated
+    CORRECTNESS_r{N} union.
     """
     return {
-        # --- (1) never driver-checked: round-5 additions (8) ---
+        # --- (1) never driver-checked: round-5 additions (11) ---
         "pagerank_copurchase": _q_pagerank_copurchase,
         "heavy_hitters_docs": _q_heavy_hitters_docs,
         "diverse_sample_embed": _q_diverse_sample_embed,
