@@ -871,6 +871,12 @@ def digest_tree_diff(
     )
 
 
+# same cap as the heavy-hitter count pass (operators/sketch.py):
+# past this many terms an isin literal stops constant-folding
+# cheaply; fall back to a broadcast semi join on the bucket id
+_SCOPED_ISIN_CAP = 4096
+
+
 def scoped_diff(
     s1: DataFrame,
     s2: DataFrame,
@@ -941,8 +947,31 @@ def scoped_diff(
         # from the minority-clean buckets, same difference rows)
         return diff(s1, s2, list(pk_cols))
     bucket = F.pmod(_md5_int60(_row_str(pk_cols)), F.lit(n_leaves))
-    keep = bucket.isin(dirty) if dirty else F.lit(False)
-    return diff(s1.filter(keep), s2.filter(keep), list(pk_cols))
+    if len(dirty) <= _SCOPED_ISIN_CAP:
+        # constant-folded literal, pruned map-side before any exchange
+        keep = bucket.isin(dirty) if dirty else F.lit(False)
+        f1, f2 = s1.filter(keep), s2.filter(keep)
+    else:
+        # minority-dirty but past the point where an isin literal
+        # compiles cheaply (plan size is linear in terms; the tree
+        # grain allows up to 2^20 leaves) — same cap and fallback as
+        # the heavy-hitter count pass: broadcast semi join on the
+        # bucket id, still pruning before the diff's full-outer
+        # exchange
+        spark = s1.sparkSession
+        dirty_df = spark.createDataFrame(
+            [(b,) for b in sorted(dirty)], "__bucket long"
+        )
+
+        def prune(s: DataFrame) -> DataFrame:
+            return (
+                s.withColumn("__bucket", bucket)
+                .join(F.broadcast(dirty_df), "__bucket", "semi")
+                .drop("__bucket")
+            )
+
+        f1, f2 = prune(s1), prune(s2)
+    return diff(f1, f2, list(pk_cols))
 
 
 def change_intervals(

@@ -152,7 +152,7 @@ def winsorize(
     v_type = df.schema[value_col].dataType.simpleString()
     aggs = [
         F.expr(
-            f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY `{value_col}`)"
         )
         .cast(v_type)
         .alias(a)
@@ -160,8 +160,16 @@ def winsorize(
     ]
     nn = df.filter(v.isNotNull())
     if keys:
+        # null-safe fence join: a NULL group key is a group and gets
+        # its own fences — a plain equi join would leave its rows
+        # unclamped while every other group is clipped
         fences = nn.groupBy(*keys).agg(*aggs)
-        joined = df.join(F.broadcast(fences), keys, "left")
+        cond = F.lit(True)
+        for c in keys:
+            cond = cond & df[c].eqNullSafe(fences[c])
+        joined = df.join(F.broadcast(fences), cond, "left").select(
+            df["*"], fences["__lo"], fences["__hi"]
+        )
     else:
         fences = nn.agg(*aggs)
         joined = df.crossJoin(F.broadcast(fences))

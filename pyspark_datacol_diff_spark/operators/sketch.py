@@ -71,6 +71,52 @@ __all__ = [
 _ISIN_CANDIDATE_CAP = 4096
 
 
+def _mg_fold(state: dict, arr, k: int) -> int:
+    """Fold one item array into a Misra-Gries counter dict (in place);
+    returns the number of NON-NULL items consumed. Null elements are
+    SKIPPED — not an occurrence, not counted into any total — so the
+    sketch's ``item IS NULL`` total-row sentinel can never collide with
+    a data value. The single shared hot loop of both sketch variants."""
+    n = 0
+    for item in arr:
+        if item is None:
+            continue
+        n += 1
+        c = state.get(item)
+        if c is not None:
+            state[item] = c + 1
+        elif len(state) < k:
+            state[item] = 1
+        else:
+            dead = []
+            for key, v in state.items():
+                if v == 1:
+                    dead.append(key)
+                else:
+                    state[key] = v - 1
+            for key in dead:
+                del state[key]
+    return n
+
+
+def _resolve_k(phi_num: int, phi_den: int, k: int | None) -> int:
+    """Validate phi and resolve the MG capacity; shared by both
+    heavy-hitter variants."""
+    if not (0 < phi_num < phi_den):
+        raise ValueError(
+            f"need 0 < phi_num < phi_den, got {phi_num}/{phi_den}"
+        )
+    k_min = math.ceil(phi_den / phi_num)
+    if k is None:
+        return k_min
+    if k < k_min:
+        raise ValueError(
+            f"k={k} breaks the superset guarantee for phi="
+            f"{phi_num}/{phi_den}; need k >= {k_min}"
+        )
+    return k
+
+
 def misra_gries_sketch(
     df: DataFrame, items_col: str, *, k: int
 ) -> DataFrame:
@@ -78,8 +124,10 @@ def misra_gries_sketch(
     column. Returns ``(item, wt)`` rows: per partition, up to ``k``
     surviving candidate items (``wt`` = residual counter, a LOWER
     bound on the item's local count) plus one ``item IS NULL`` row
-    whose ``wt`` is the partition's total occurrence count. Bounded
-    output: <= (k + 1) rows per partition regardless of data volume.
+    whose ``wt`` is the partition's total occurrence count. Null array
+    elements are skipped — not an occurrence, not counted into the
+    total — so the sentinel row is unambiguous. Bounded output:
+    <= (k + 1) rows per partition regardless of data volume.
 
     Survivor guarantee (Misra & Gries 1982): every item whose count in
     the partition exceeds ``N_p / (k + 1)`` is present in the summary.
@@ -96,22 +144,7 @@ def misra_gries_sketch(
             for arr in pdf[items_col]:
                 if arr is None:
                     continue
-                for item in arr:
-                    total += 1
-                    c = state.get(item)
-                    if c is not None:
-                        state[item] = c + 1
-                    elif len(state) < k:
-                        state[item] = 1
-                    else:
-                        dead = []
-                        for key, v in state.items():
-                            if v == 1:
-                                dead.append(key)
-                            else:
-                                state[key] = v - 1
-                        for key in dead:
-                            del state[key]
+                total += _mg_fold(state, arr, k)
         yield pd.DataFrame(
             {
                 "item": list(state) + [None],
@@ -140,19 +173,10 @@ def heavy_hitters(
     occurrence count, and the result set is exactly
     ``{item : cnt * phi_den >= phi_num * N}`` (N = total occurrences)
     — the sketch bounds the second pass's key space, never the answer.
+    Null array elements are not occurrences (skipped in the sketch;
+    they can never match a candidate in the count pass).
     """
-    if not (0 < phi_num < phi_den):
-        raise ValueError(
-            f"need 0 < phi_num < phi_den, got {phi_num}/{phi_den}"
-        )
-    k_min = math.ceil(phi_den / phi_num)
-    if k is None:
-        k = k_min
-    elif k < k_min:
-        raise ValueError(
-            f"k={k} breaks the superset guarantee for phi="
-            f"{phi_num}/{phi_den}; need k >= {k_min}"
-        )
+    k = _resolve_k(phi_num, phi_den, k)
 
     # sketch pass: bounded rows per partition, bounded driver collect
     summary = misra_gries_sketch(df, items_col, k=k).collect()
@@ -215,24 +239,7 @@ def misra_gries_sketch_by(
                 if state is None:
                     state = states[key] = {}
                     totals[key] = 0
-                n = 0
-                for item in arr:
-                    n += 1
-                    c = state.get(item)
-                    if c is not None:
-                        state[item] = c + 1
-                    elif len(state) < k:
-                        state[item] = 1
-                    else:
-                        dead = []
-                        for kk, v in state.items():
-                            if v == 1:
-                                dead.append(kk)
-                            else:
-                                state[kk] = v - 1
-                        for kk in dead:
-                            del state[kk]
-                totals[key] += n
+                totals[key] += _mg_fold(state, arr, k)
         rows = []
         for key, state in states.items():
             for item, wt in state.items():
@@ -268,20 +275,12 @@ def heavy_hitters_by(
     rather than the ungrouped variant's isin literal) before its lone
     aggregate. The per-group superset guarantee is the ungrouped one
     applied within each key: every occurrence of a group routes through
-    that group's own counters. Returns ``(*keys, item, cnt)``.
+    that group's own counters. Returns ``(*keys, item, cnt)``. NULL
+    group-key values form their own group (null-safe joins throughout
+    — an unlabeled feed still gets its hot keys reported); null array
+    elements are not occurrences, as in the ungrouped variant.
     """
-    if not (0 < phi_num < phi_den):
-        raise ValueError(
-            f"need 0 < phi_num < phi_den, got {phi_num}/{phi_den}"
-        )
-    k_min = math.ceil(phi_den / phi_num)
-    if k is None:
-        k = k_min
-    elif k < k_min:
-        raise ValueError(
-            f"k={k} breaks the superset guarantee for phi="
-            f"{phi_num}/{phi_den}; need k >= {k_min}"
-        )
+    k = _resolve_k(phi_num, phi_den, k)
     summary = misra_gries_sketch_by(df, items_col, keys, k=k).collect()
     totals: dict = {}
     cand_rows = []
@@ -299,19 +298,36 @@ def heavy_hitters_by(
         return spark.createDataFrame(
             [], f"{out_schema_key}, item string, cnt long"
         )
+    # None-safe canonical order (null group keys are legitimate rows);
+    # the order only serves determinism of the broadcast literal
+    none_safe = lambda t: tuple((x is None, x) for x in t)
     cand = spark.createDataFrame(
-        sorted(set(cand_rows)), f"{out_schema_key}, item string"
+        sorted(set(cand_rows), key=none_safe), f"{out_schema_key}, item string"
     )
     tot = spark.createDataFrame(
-        [(*key, n) for key, n in sorted(totals.items())],
+        sorted(
+            ((*key, n) for key, n in totals.items()), key=none_safe
+        ),
         f"{out_schema_key}, __total long",
     )
     exploded = df.select(*keys, F.explode(items_col).alias("item"))
-    return (
-        exploded.join(F.broadcast(cand), [*keys, "item"], "semi")
+    # null-safe key equality end to end: a NULL group key is a group,
+    # and plain equi joins would silently drop it
+    semi_cond = F.lit(True)
+    for c in keys:
+        semi_cond = semi_cond & exploded[c].eqNullSafe(cand[c])
+    semi_cond = semi_cond & (exploded["item"] == cand["item"])
+    counted = (
+        exploded.join(F.broadcast(cand), semi_cond, "semi")
         .groupBy(*keys, "item")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(F.broadcast(tot), keys)
+    )
+    tot_cond = F.lit(True)
+    for c in keys:
+        tot_cond = tot_cond & counted[c].eqNullSafe(tot[c])
+    return (
+        counted.join(F.broadcast(tot), tot_cond)
+        .select(counted["*"], tot["__total"])
         .filter(F.col("cnt") * F.lit(phi_den) >= F.lit(phi_num) * F.col("__total"))
         .drop("__total")
     )

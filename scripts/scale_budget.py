@@ -42,6 +42,15 @@ def main() -> int:
         return 2
     new = json.load(open(sys.argv[1]))
     old = json.load(open(sys.argv[2]))
+    for label, art in (("new", new), ("baseline", old)):
+        sub = (art.get("__meta__") or {}).get("subset")
+        if sub:
+            print(
+                f"ERROR: {label} artifact is a SMOKE_ONLY subset run "
+                f"({len(sub)} queries) — the gate needs full-list "
+                "artifacts on both sides"
+            )
+            return 2
     growth = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     abs_floor = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
     replicas = (new.get("__meta__") or {}).get("replicas", 10)

@@ -84,10 +84,20 @@ QUERIES = [
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those
-# queries (new-operator iteration without re-timing the whole set);
-# per-round artifacts are produced with the full list
+# queries (new-operator iteration without re-timing the whole set).
+# Subset runs must name an EXPLICIT output path (never the default
+# artifact the budget gate reads) and are stamped __meta__["subset"],
+# which scale_budget refuses as a baseline/new artifact — a 1-query
+# dev run can therefore never silently shrink gate coverage.
 _only = os.environ.get("SPARK_GRAFT_SMOKE_ONLY")
+SUBSET = bool(_only)
 if _only:
+    if len(sys.argv) < 2:
+        raise SystemExit(
+            "SPARK_GRAFT_SMOKE_ONLY requires an explicit out.json "
+            "argument — refusing to overwrite the default artifact "
+            "with a subset"
+        )
     _keep = {q.strip() for q in _only.split(",") if q.strip()}
     _unknown = _keep - set(QUERIES)
     if _unknown:
@@ -264,6 +274,7 @@ def main() -> None:
         "replicas": K,
         "base": BASE,
         "cpus": cpus,
+        **({"subset": sorted(QUERIES)} if SUBSET else {}),
         "notes": {
             "ann_topk_cosine": (
                 "declared exact baseline, O(n*q): the query set is a "

@@ -694,3 +694,19 @@ class TestScopedDiff:
             for r in df.collect()
         )
         assert k(scoped) == k(full)
+
+    def test_past_isin_cap_falls_back_to_semi_join(self, spark, monkeypatch):
+        """Minority-dirty but past the isin cap: the broadcast-semi
+        path must produce the same scoped result as the literal path."""
+        from pyspark_datacol_diff_spark.operators import diff as D
+
+        s1, s2 = self._pair(spark)
+        lit = D.scoped_diff(s1, s2, ["pk"]).collect()
+        monkeypatch.setattr(D, "_SCOPED_ISIN_CAP", 0)
+        semi = D.scoped_diff(s1, s2, ["pk"]).collect()
+        k = lambda rows: sorted(
+            (repr(r["pk_s1"]), repr(r["pk_s2"]), r["Flag"],
+             tuple(map(tuple, r["CompColArr"])))
+            for r in rows
+        )
+        assert k(semi) == k(lit)

@@ -158,3 +158,29 @@ def test_winsorize_reserved_fence_names(spark):
     df = spark.createDataFrame([(1, 2)], "v long, __lo long")
     with _pytest.raises(ValueError, match="reserved"):
         winsorize(df, "v")
+
+
+def test_winsorize_null_group_key_gets_its_own_fences(spark):
+    """Rows whose group key is NULL form a group: the null-safe fence
+    join must clamp them like any other group."""
+    from pyspark_datacol_diff_spark.operators.quality import winsorize
+
+    rows = [(None, v) for v in range(0, 10)] + [("g", v) for v in (5, 6, 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r["g"], r["v"]): r["v_winsorized"]
+        for r in winsorize(df, "v", keys=["g"], lower=0.2, upper=0.8).collect()
+    }
+    assert out[(None, 0)] == 1 and out[(None, 9)] == 7  # clamped
+    assert out[("g", 5)] == 5 and out[("g", 7)] == 7
+
+
+def test_winsorize_nonidentifier_column_name(spark):
+    from pyspark_datacol_diff_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 100)], ["g", "event value"]
+    )
+    out = winsorize(df, "event value", keys=["g"], lower=0.0, upper=0.5)
+    vals = sorted(r["event value_winsorized"] for r in out.collect())
+    assert vals == [1, 1]

@@ -194,3 +194,48 @@ def test_heavy_hitters_by_reserved_key_names(spark):
     )
     with pytest.raises(ValueError, match="reserved"):
         heavy_hitters_by(df, "items", ["item"], phi_num=1, phi_den=4)
+
+
+def test_null_items_are_not_occurrences(spark):
+    """Null array ELEMENTS must be skipped (not counted into N, never a
+    candidate) — a null item would otherwise collide with the sketch's
+    item-IS-NULL total sentinel and inflate N."""
+    from pyspark_datacol_diff_spark.operators.sketch import (
+        heavy_hitters,
+        misra_gries_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", None, "a", None],), (["b", None],), ([None],)],
+        "items array<string>",
+    ).coalesce(1)
+    rows = misra_gries_sketch(df, "items", k=5).collect()
+    totals = [r["wt"] for r in rows if r["item"] is None]
+    assert totals == [3]  # one sentinel row, nulls excluded from N
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(df, "items", phi_num=1, phi_den=3).collect()
+    }
+    assert got == {"a": 2, "b": 1}  # thresholds against N=3, not 7
+
+
+def test_heavy_hitters_by_null_group_key(spark):
+    """A NULL group key is a legitimate group: null-safe joins must
+    report its hitters against its own total, not drop or crash."""
+    from pyspark_datacol_diff_spark.operators.sketch import heavy_hitters_by
+
+    df = spark.createDataFrame(
+        [
+            ("a", ["x", "x", "y"]),
+            (None, ["z", "z", "z", "w"]),
+            (None, ["z"]),
+        ],
+        "g string, items array<string>",
+    ).repartition(3)
+    got = {
+        (r["g"], r["item"]): r["cnt"]
+        for r in heavy_hitters_by(
+            df, "items", ["g"], phi_num=1, phi_den=2
+        ).collect()
+    }
+    assert got == {("a", "x"): 2, (None, "z"): 4}
