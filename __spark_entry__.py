@@ -4969,6 +4969,37 @@ FROM c JOIN tot USING (source) WHERE c.cnt * 200 >= tot.n
 """
 
 
+def _q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained heavy hitters
+    (streaming/continuous_heavy_hitters): the corpus replays in three
+    disjoint micro-batches, each Misra-Gries-sketched and folded into a
+    k-bounded versioned summary state (mergeable-summaries trim — the
+    state stays <= k counters while the stream grows, unlike an exact
+    vocabulary rollup whose state is vocabulary-sized by definition);
+    the final state's candidates + totals feed the exact count pass
+    over the accumulated corpus. The oracle is the same plain exact
+    SQL as heavy_hitters_docs: streaming maintenance AND the sketch
+    must both be invisible in the answer."""
+    batch = _t(spark, sf_dir, "documents")
+    src = STR.stage_disjoint_splits(batch, "doc_id", 3)
+    grams_of = lambda df: df.select(
+        TX.gram_multiset(
+            F.filter(TX.tokens(F.lower(F.col("text"))), lambda x: x != ""),
+            2,
+        ).alias("grams")
+    )
+    sdf = STR.read_parquet_stream(
+        spark, src, batch.schema, max_files_per_trigger=1
+    )
+    state = STR.continuous_heavy_hitters(
+        grams_of(sdf), "grams", k=1000, query_name="q_stream_hh"
+    )
+    hh = SK.heavy_hitters_from_summary(
+        grams_of(batch), "grams", state.collect(), phi_num=1, phi_den=1000
+    )
+    return hh.select(F.col("item").alias("gram"), "cnt")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4995,13 +5026,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r{N} union.
     """
     return {
-        # --- (1) never driver-checked: round-5 additions (11) ---
+        # --- (1) never driver-checked: round-5 additions (12) ---
         "pagerank_copurchase": _q_pagerank_copurchase,
         "heavy_hitters_docs": _q_heavy_hitters_docs,
         "diverse_sample_embed": _q_diverse_sample_embed,
         "winsorize_events": _q_winsorize_events,
         "scoped_diff_orders": _q_scoped_diff_orders,
         "heavy_hitters_by_source_docs": _q_heavy_hitters_by_source_docs,
+        "streaming_heavy_hitters": _q_streaming_heavy_hitters,
         "cc_star_docs": _q_cc_star_docs,
         "srp_near_dup_embed": _q_srp_near_dup_embed,
         "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
@@ -5535,6 +5567,9 @@ SELECT o_orderkey, col_name, s1_value, s2_value FROM (
 ) t
 """,
         "heavy_hitters_by_source_docs": _SQL_HEAVY_HITTERS_BY_SOURCE,
+        # streaming maintenance and the sketch are both invisible in
+        # the answer: same oracle as the batch heavy hitters
+        "streaming_heavy_hitters": _SQL_HEAVY_HITTERS_DOCS,
         "diff_orders_flags": _ORDERS_PAIR_SQL
         + f"""
 SELECT {_ORDERS_FLAG_SQL} AS "Flag", count(*) AS cnt FROM j GROUP BY 1

@@ -62,6 +62,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "heavy_hitters",
     "heavy_hitters_by",
+    "heavy_hitters_from_summary",
+    "merge_mg_summaries",
     "misra_gries_sketch",
     "misra_gries_sketch_by",
 ]
@@ -180,6 +182,35 @@ def heavy_hitters(
 
     # sketch pass: bounded rows per partition, bounded driver collect
     summary = misra_gries_sketch(df, items_col, k=k).collect()
+    return _count_pass(df, items_col, summary, phi_num, phi_den)
+
+
+def heavy_hitters_from_summary(
+    df: DataFrame,
+    items_col: str,
+    summary,
+    *,
+    phi_num: int,
+    phi_den: int,
+) -> DataFrame:
+    """Exact heavy hitters from a PRE-BUILT Misra-Gries summary — the
+    count pass alone, for summaries maintained elsewhere (the final
+    state of ``streaming.continuous_heavy_hitters``, a summary merged
+    across days with :func:`merge_mg_summaries`, ...). ``summary`` is
+    an iterable of ``(item, wt)`` rows in the sketch convention
+    (``item IS NULL`` rows carry totals). The caller must have built
+    the summary with ``k >= ceil(phi_den/phi_num)`` counters or the
+    superset guarantee — and therefore exactness — does not hold;
+    ``df`` must be the exact corpus the summary summarizes."""
+    _resolve_k(phi_num, phi_den, None)
+    return _count_pass(df, items_col, list(summary), phi_num, phi_den)
+
+
+def _count_pass(
+    df: DataFrame, items_col: str, summary, phi_num: int, phi_den: int
+) -> DataFrame:
+    """Shared exact count pass: candidate filter BEFORE the exchange
+    (map-side kill), then the integer cross-multiplied phi cut."""
     total = sum(r["wt"] for r in summary if r["item"] is None)
     candidates = sorted({r["item"] for r in summary if r["item"] is not None})
 
@@ -187,7 +218,6 @@ def heavy_hitters(
     if total == 0 or not candidates:
         return spark.createDataFrame([], "item string, cnt long")
 
-    # count pass: candidate filter BEFORE the exchange (map-side kill)
     exploded = df.select(F.explode(items_col).alias("item"))
     if len(candidates) <= _ISIN_CANDIDATE_CAP:
         filtered = exploded.filter(F.col("item").isin(candidates))
@@ -201,6 +231,49 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") * F.lit(phi_den) >= F.lit(phi_num * total))
     )
+
+
+def merge_mg_summaries(states: list[DataFrame], *, k: int) -> DataFrame:
+    """Merge Misra-Gries summaries (``(item, wt)`` frames in the sketch
+    convention) into ONE k-counter summary — the mergeability that
+    makes the sketch a streaming/multi-day state (Agarwal et al. 2012,
+    "Mergeable summaries"): counters sum pointwise; if more than ``k``
+    items survive, the (k+1)-th largest counter value is subtracted
+    from every counter and non-positive ones drop — at most ``k``
+    remain and the summed error stays <= N_total/(k+1), so the merged
+    summary carries the SAME superset guarantee as a single-pass MG
+    over the concatenated stream. Total rows (``item IS NULL``) sum
+    exactly. Every input is summary-grain (<= partitions x (k+1)
+    rows), so the merge is grain-sized work — never corpus-sized.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not states:
+        raise ValueError("states must contain at least one summary")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    summed = u.groupBy("item").agg(F.sum("wt").alias("wt"))
+    items = summed.filter(F.col("item").isNotNull())
+    totals = summed.filter(F.col("item").isNull())
+    # (k+1)-th largest counter (0 when <= k items survive): one
+    # grain-sized TakeOrdered + 1-row aggregate, broadcast back
+    thr = (
+        items.orderBy(F.desc("wt"))
+        .limit(k + 1)
+        .agg(
+            F.when(F.count(F.lit(1)) > k, F.min("wt"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("__t")
+        )
+    )
+    trimmed = (
+        items.crossJoin(F.broadcast(thr))
+        .select("item", (F.col("wt") - F.col("__t")).alias("wt"))
+        .filter(F.col("wt") > 0)
+    )
+    return trimmed.unionByName(totals)
 
 
 def misra_gries_sketch_by(

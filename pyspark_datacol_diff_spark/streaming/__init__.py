@@ -518,6 +518,40 @@ def continuous_histogram(
     )
 
 
+def continuous_heavy_hitters(
+    sdf: DataFrame,
+    items_col: str,
+    *,
+    k: int,
+    query_name: str,
+    state_root: str | None = None,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Continuously-maintained frequency summary: each micro-batch is
+    Misra-Gries-sketched (``operators/sketch.py`` — bounded
+    <= partitions x (k+1) rows) and folded into the stored summary via
+    ``merge_mg_summaries`` (mergeable-summaries trim, so the state
+    stays <= k counters + totals FOREVER while the stream grows — the
+    bounded-state property the exact streaming vocabulary rollup
+    cannot have, since its state is vocabulary-sized by definition).
+    The returned final state feeds ``heavy_hitters_from_summary`` for
+    an exact answer over the accumulated corpus, or is read directly
+    for approximate monitoring (each counter is within N/(k+1) of the
+    item's true count). Same versioned-state / at-least-once machinery
+    as :func:`continuous_rollup` (see its docstring for the retry and
+    resume contract)."""
+    from ..operators import sketch as SK
+
+    return _continuous_state(
+        sdf,
+        lambda b: SK.misra_gries_sketch(b, items_col, k=k),
+        lambda prev, cur: SK.merge_mg_summaries([prev, cur], k=k),
+        query_name=query_name,
+        state_root=state_root,
+        state_partitions=state_partitions,
+    )
+
+
 def _continuous_state(
     sdf: DataFrame,
     make_state,

@@ -239,3 +239,59 @@ def test_heavy_hitters_by_null_group_key(spark):
         ).collect()
     }
     assert got == {("a", "x"): 2, (None, "z"): 4}
+
+
+def test_merge_mg_summaries_guarantee_and_trim(spark):
+    """Split a stream into 3 parts, sketch each, merge with trim: the
+    merged summary stays k-bounded, totals are exact, and feeding it to
+    the count pass returns exactly the brute-force heavy hitters."""
+    from pyspark_datacol_diff_spark.operators.sketch import (
+        heavy_hitters_from_summary,
+        merge_mg_summaries,
+        misra_gries_sketch,
+    )
+
+    rnd = random.Random(31)
+    weights = [1.0 / (i + 1) for i in range(200)]
+    toks = [
+        f"m{rnd.choices(range(200), weights=weights)[0]}"
+        for _ in range(9000)
+    ]
+    parts = [toks[i::3] for i in range(3)]
+    k = 60
+    dfs = [
+        spark.createDataFrame(_rows(p, 7 + i), "items array<string>")
+        for i, p in enumerate(parts)
+    ]
+    merged = merge_mg_summaries(
+        [misra_gries_sketch(d, "items", k=k) for d in dfs], k=k
+    )
+    rows = merged.collect()
+    assert sum(1 for r in rows if r["item"] is not None) <= k
+    flat = []
+    for d_rows in ([_rows(p, 7 + i) for i, p in enumerate(parts)]):
+        flat += [t for (arr,) in d_rows if arr for t in arr]
+    assert sum(r["wt"] for r in rows if r["item"] is None) == len(flat)
+
+    full = spark.createDataFrame(
+        [(flat,)], "items array<string>"
+    )
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters_from_summary(
+            full, "items", rows, phi_num=1, phi_den=50
+        ).collect()
+    }
+    n = len(flat)
+    cnt = Counter(flat)
+    want = {(t, c) for t, c in cnt.items() if c * 50 >= n}
+    assert got == want
+
+
+def test_merge_mg_summaries_validation(spark):
+    from pyspark_datacol_diff_spark.operators.sketch import merge_mg_summaries
+
+    with pytest.raises(ValueError, match="k must be"):
+        merge_mg_summaries([], k=0)
+    with pytest.raises(ValueError, match="at least one"):
+        merge_mg_summaries([], k=3)

@@ -371,3 +371,47 @@ def test_continuous_histogram_merges_across_micro_batches(spark):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_continuous_heavy_hitters_state_bounded_and_exact(spark):
+    """Three micro-batches of documents: the merged MG state stays
+    k-bounded, its totals are exact, and the final exact count pass
+    equals the single-pass batch heavy_hitters answer."""
+    from pyspark_datacol_diff_spark.operators import sketch as SK
+    from pyspark_datacol_diff_spark.operators import text as TX
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = ST.stage_disjoint_splits(batch, "doc_id", 3)
+    grams_of = lambda df: df.select(
+        TX.gram_multiset(
+            F.filter(TX.tokens(F.lower(F.col("text"))), lambda x: x != ""), 2
+        ).alias("grams")
+    )
+    k = 50
+    sdf = ST.read_parquet_stream(
+        spark, src, batch.schema, max_files_per_trigger=1
+    )
+    state = ST.continuous_heavy_hitters(
+        grams_of(sdf), "grams", k=k, query_name="t_stream_hh"
+    ).collect()
+    items = [r for r in state if r["item"] is not None]
+    assert len(items) <= k  # mergeable trim keeps the state bounded
+    total = sum(r["wt"] for r in state if r["item"] is None)
+    n_grams = grams_of(batch).select(
+        F.sum(F.size("grams")).alias("n")
+    ).first()["n"]
+    assert total == n_grams  # totals merge exactly
+
+    got = {
+        (r["item"], r["cnt"])
+        for r in SK.heavy_hitters_from_summary(
+            grams_of(batch), "grams", state, phi_num=1, phi_den=40
+        ).collect()
+    }
+    want = {
+        (r["item"], r["cnt"])
+        for r in SK.heavy_hitters(
+            grams_of(batch), "grams", phi_num=1, phi_den=40
+        ).collect()
+    }
+    assert got == want
