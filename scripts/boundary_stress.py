@@ -102,6 +102,7 @@ QUERIES = [
     "diverse_sample_embed",
     "heavy_hitters_docs",
     "heavy_hitters_by_source_docs",
+    "streaming_heavy_hitters",
     "scoped_diff_orders",
 ]
 

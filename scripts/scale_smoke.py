@@ -81,6 +81,11 @@ QUERIES = [
     # collect must stay partitions*(k+1)-bounded while the corpus 10x's)
     "pagerank_copurchase",
     "heavy_hitters_docs",
+    # streaming MG maintenance: state is the k-bounded parquet summary
+    # (foreachBatch versions, not the state store — boundedness is
+    # pinned by tests/test_streaming.py; the smoke measures replay
+    # wall time growth)
+    "streaming_heavy_hitters",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those
