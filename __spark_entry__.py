@@ -5000,6 +5000,34 @@ def _q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hh.select(F.col("item").alias("gram"), "cnt")
 
 
+def _q_cumulative_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user-acquisition curve: first-seen day per user (one
+    user-keyed hash agg), new-user counts per day (grain-sized), then
+    the cumulative count via the distributed two-phase prefix sum
+    (operators/incremental.py:running_total, year-bucketed) — never a
+    global single-task Window.orderBy. The growth-monitoring query
+    every ingestion pipeline reports."""
+    e = SRC.normalize_event_ts(_t(spark, sf_dir, "events"))
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    out = INC.running_total(
+        daily, "day", "new_users", bucket=F.year("day"), out_col="cum_users"
+    )
+    return out.select(
+        "day", "new_users", F.col("cum_users").cast("long").alias("cum_users")
+    )
+
+
+_SQL_CUMULATIVE_USERS_DAILY = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY day)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5026,7 +5054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r{N} union.
     """
     return {
-        # --- (1) never driver-checked: round-5 additions (12) ---
+        # --- (1) never driver-checked: round-5 additions (13) ---
         "pagerank_copurchase": _q_pagerank_copurchase,
         "heavy_hitters_docs": _q_heavy_hitters_docs,
         "diverse_sample_embed": _q_diverse_sample_embed,
@@ -5034,6 +5062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoped_diff_orders": _q_scoped_diff_orders,
         "heavy_hitters_by_source_docs": _q_heavy_hitters_by_source_docs,
         "streaming_heavy_hitters": _q_streaming_heavy_hitters,
+        "cumulative_users_daily": _q_cumulative_users_daily,
         "cc_star_docs": _q_cc_star_docs,
         "srp_near_dup_embed": _q_srp_near_dup_embed,
         "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
@@ -5570,6 +5599,7 @@ SELECT o_orderkey, col_name, s1_value, s2_value FROM (
         # streaming maintenance and the sketch are both invisible in
         # the answer: same oracle as the batch heavy hitters
         "streaming_heavy_hitters": _SQL_HEAVY_HITTERS_DOCS,
+        "cumulative_users_daily": _SQL_CUMULATIVE_USERS_DAILY,
         "diff_orders_flags": _ORDERS_PAIR_SQL
         + f"""
 SELECT {_ORDERS_FLAG_SQL} AS "Flag", count(*) AS cnt FROM j GROUP BY 1
