@@ -5001,29 +5001,39 @@ def _q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cumulative_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily user-acquisition curve: first-seen day per user (one
-    user-keyed hash agg), new-user counts per day (grain-sized), then
-    the cumulative count via the distributed two-phase prefix sum
-    (operators/incremental.py:running_total, year-bucketed) — never a
-    global single-task Window.orderBy. The growth-monitoring query
-    every ingestion pipeline reports."""
+    """Daily converted-user acquisition curve: first PURCHASE day per
+    user (one user-keyed hash agg over the filtered scan — 'purchase'
+    pushes to the parquet scan; first-EVENT day is degenerate on this
+    data, every user appears on day one), new-converter counts per day
+    (grain-sized), then the cumulative count via the distributed
+    two-phase prefix sum (operators/incremental.py:running_total,
+    year-bucketed) — never a global single-task Window.orderBy. Day is
+    emitted as its ISO string in both engines (the engine-portable
+    date grain, same convention as retention_cohorts_events)."""
     e = SRC.normalize_event_ts(_t(spark, sf_dir, "events"))
-    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
-    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    first = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d"))
+    )
+    daily = first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
     out = INC.running_total(
-        daily, "day", "new_users", bucket=F.year("day"), out_col="cum_users"
+        daily, "d", "new_users", bucket=F.year("d"), out_col="cum_users"
     )
     return out.select(
-        "day", "new_users", F.col("cum_users").cast("long").alias("cum_users")
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.col("cum_users").cast("long").alias("cum_users"),
     )
 
 
 _SQL_CUMULATIVE_USERS_DAILY = """
 WITH f AS (
-  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
-d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY day)
-SELECT day, new_users,
-       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+  SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id),
+d AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY d)
+SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
 FROM d
 """
 

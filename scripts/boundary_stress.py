@@ -104,6 +104,9 @@ QUERIES = [
     "heavy_hitters_by_source_docs",
     "streaming_heavy_hitters",
     "scoped_diff_orders",
+    # first-seen ties under duplicate timestamps + the ISO-week
+    # boundary event exercise the acquisition curve's min-date grain
+    "cumulative_users_daily",
 ]
 
 
