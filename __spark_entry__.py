@@ -5039,6 +5039,278 @@ FROM d
 
 
 # ---------------------------------------------------------------------------
+# partsupp family (round 6): the driver testdata ships no partsupp table, so
+# it is SYNTHESIZED deterministically from part x supplier on both engines
+# (SRC.synth_partsupp / _PARTSUPP_SQL — identical integer arithmetic), which
+# unlocks the four TPC-H shapes that need it: Q2 (correlated min-cost
+# supplier), Q11 (HAVING vs scalar total), Q16 (NOT-IN exclusion +
+# count-distinct), Q20 (correlated agg over lineitem).
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+WITH ps0 AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey * 4 + i.i) % (SELECT count(*) FROM supplier) AS ps_suppkey
+  FROM part CROSS JOIN (VALUES (0),(1),(2),(3)) AS i(i)
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 17 + ps_suppkey * 31) % 9999 + 1 AS ps_availqty,
+         (ps_partkey * 131 + ps_suppkey * 773) % 92000 + 90000
+           AS ps_supplycost_cents
+  FROM ps0
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SRC.synth_partsupp(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def _eu_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier x nation x region slice for EUROPE — a broadcastable dim
+    chain (supplier is the 10k*SF TPC-H dim, never fact-sized)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+def _q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each candidate part, the EUROPE supplier(s)
+    offering it at minimum cost — the classic correlated scalar
+    subquery, decorrelated Spark-side into ONE window min over the
+    part-partitioned slice (same exchange the result grouping needs
+    anyway; the oracle keeps the correlated-subquery form). Candidate
+    parts and the supplier dim chain both broadcast, so partsupp — the
+    only fact-shaped relation — is pruned map-side before its single
+    exchange. Ties on min cost all surface, as in the spec; the final
+    ORDER BY is a total order (s_name/p_partkey break every tie), so
+    LIMIT 100 is deterministic cross-engine."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    cand = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(_eu_suppliers(spark, sf_dir)),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn(
+            "__min", F.min("ps_supplycost_cents").over(w)
+        )
+        .filter(F.col("ps_supplycost_cents") == F.col("__min"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "ps_supplycost_cents",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_SQL_Q2_MIN_COST_SUPPLIER = _PARTSUPP_SQL + """
+SELECT s_acctbal, s_name, n_name, ps.ps_partkey AS p_partkey,
+       ps.ps_supplycost_cents
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size <= 10 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost_cents = (
+    SELECT min(ps2.ps_supplycost_cents)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def _q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value for one region's
+    suppliers, kept only when above a threshold derived from ALL
+    part values — HAVING against a scalar-subquery aggregate. TPC-H's
+    fixed fraction (0.0001/SF) is a constant retuned per scale factor;
+    here the threshold is self-scaling — 1.5x the mean part value
+    (value*n*2 > 3*total, exact integers cross-multiplied, ~20% of
+    parts at every SF) — so the query is non-degenerate from sf0.001
+    to 100 TB without retuning. The (total, count) pair is an
+    aggregate OVER the per-part aggregate (1 row, broadcast back);
+    one exchange on ps_partkey; the supplier slice broadcasts."""
+    eu = _eu_suppliers(spark, sf_dir).select("s_suppkey")
+    val = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("value_cents")
+        )
+    )
+    tot = val.agg(
+        F.sum("value_cents").alias("__tot"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_cents") * F.col("__n") * 2 > F.col("__tot") * 3
+        )
+        .select("ps_partkey", "value_cents")
+    )
+
+
+_SQL_Q11_IMPORTANT_STOCK = _PARTSUPP_SQL + """,
+eu AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+val AS (
+  SELECT ps_partkey,
+         CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+           AS value_cents
+  FROM partsupp JOIN eu ON ps_suppkey = s_suppkey
+  GROUP BY ps_partkey)
+SELECT ps_partkey, value_cents
+FROM val
+WHERE value_cents * (SELECT count(*) FROM val) * 2
+      > (SELECT sum(value_cents) FROM val) * 3
+"""
+
+
+def _q_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) bucket, excluding low-balance suppliers — the NOT-IN
+    subquery becomes a broadcast ANTI join (equivalent here: the
+    exclusion key is non-null by construction), applied to partsupp
+    BEFORE the part join so the excluded rows never reach the
+    aggregate. Filtered part broadcasts; the count-distinct shuffles
+    on the grouping key with partial aggregation."""
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000.0)
+        .select("s_suppkey")
+    )
+    pf = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(pf), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SQL_Q16_SUPPLIER_CNT = _PARTSUPP_SQL + """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN
+    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def _q_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose stock of 'large%' parts
+    exceeds half of what they actually shipped in 1996 — a correlated
+    aggregate over lineitem, decorrelated into a (partkey, suppkey)
+    pre-aggregate joined back on the pair key. Lineitem reduces
+    map-side to pair grain BEFORE its one exchange; the candidate part
+    list broadcasts as a semi join; the qualifying-supplier set
+    (bounded by the supplier dim) broadcasts into the final semi. The
+    correlated form's empty-group semantics (NULL sum -> excluded) are
+    matched by the inner join. Quantities are integral doubles, summed
+    as exact longs; the half threshold is the cross-multiplied
+    2*availqty > sum."""
+    big = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+    )
+    qual = (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(big), F.col("ps_partkey") == F.col("p_partkey"), "semi"
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("sum_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(qual), F.col("s_suppkey") == F.col("ps_suppkey"), "semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+_SQL_Q20_POTENTIAL_PROMOTION = _PARTSUPP_SQL + """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  WHERE ps_partkey IN
+      (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+    AND ps_availqty * 2 > (
+      SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'))
+ORDER BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -5052,71 +5324,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query (SURVEY.md §2 + pipeline ops).
 
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
-    a window of entries from the FRONT (r2-r4 each covered exactly the
-    first 50), so entries are sequenced oldest-evidence-first. Round-5
-    derivation, mechanically from the union of CORRECTNESS_r01-r04
+    a window of entries from the FRONT (r2-r5 each covered exactly the
+    first 50), so entries are sequenced oldest-evidence-first. Round-6
+    derivation, mechanically from the union of CORRECTNESS_r01-r05
     (each query's MOST RECENT green row): (1) never driver-checked
-    (the round-5 additions); (2) last green in r01; (3) r02; (4) r03;
-    (5) r04, freshest last. The r05 window therefore re-greens the 11
-    r01-stale entries and (after the 11 round-5 additions) over half
-    of the r02 block — after it, no entry's latest driver check
-    predates r02. Re-derive each round from the updated
-    CORRECTNESS_r{N} union.
+    (the round-6 additions); (2) last green in r02 (the 24-entry tail
+    of the old r02 block that the r05 window didn't reach); (3) r03;
+    (4) r04; (5) r05, freshest last. The r06 window therefore
+    re-greens all r02-stale entries plus the front of the r03 block —
+    after it, no entry's latest driver check predates r03. Re-derive
+    each round from the updated CORRECTNESS_r{N} union.
     """
     return {
-        # --- (1) never driver-checked: round-5 additions (13) ---
-        "pagerank_copurchase": _q_pagerank_copurchase,
-        "heavy_hitters_docs": _q_heavy_hitters_docs,
-        "diverse_sample_embed": _q_diverse_sample_embed,
-        "winsorize_events": _q_winsorize_events,
-        "scoped_diff_orders": _q_scoped_diff_orders,
-        "heavy_hitters_by_source_docs": _q_heavy_hitters_by_source_docs,
-        "streaming_heavy_hitters": _q_streaming_heavy_hitters,
-        "cumulative_users_daily": _q_cumulative_users_daily,
-        "cc_star_docs": _q_cc_star_docs,
-        "srp_near_dup_embed": _q_srp_near_dup_embed,
-        "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
-        "srp_dedup_embed": _q_srp_dedup_embed,
-        "len_pctile_by_source_docs": _q_len_pctile_by_source_docs,
-        # --- (2) last driver-green in r01 — oldest evidence first (11) ---
-        "stratified_sample_docs": _q_stratified_sample_docs,
-        "embed_cosine_near_dup": _q_embed_cosine_near_dup,
-        "minhash_portable_docs": _q_minhash_portable_docs,
-        "simhash_portable_docs": _q_simhash_portable_docs,
-        "multimodal_payload_stats": _q_multimodal_payload_stats,
-        "multimodal_frames": _q_multimodal_frames,
-        "text_stats_docs": _q_text_stats_docs,
-        "pipeline_training_corpus": _q_pipeline_training_corpus,
-        "ngram_jaccard_docs": _q_ngram_jaccard_docs,
-        "streaming_events_hourly": _q_streaming_events_hourly,
-        "streaming_sessions": _q_streaming_sessions,
-        # --- (3) last driver-green in r02 (50) ---
-        "diff_orders_detail": _q_diff_orders_detail,
-        "diff_orders_flags": _q_diff_orders_flags,
-        "diff_orders_col_counts": _q_diff_orders_col_counts,
-        "diff_drilldown_status": _q_diff_drilldown_status,
-        "diff_lineitem_flags": _q_diff_lineitem_flags,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "q3_shipping_priority": _q_q3_shipping_priority,
-        "join_semi_customers": _q_join_semi,
-        "join_anti_customers": _q_join_anti,
-        "topk_orders_per_customer": _q_topk_orders_per_customer,
-        "agg_orders_by_segment": _q_agg_orders_by_segment,
-        "rollup_customers_by_region": _q_rollup_customers,
-        "setop_building_except_frequent": _q_setop_except,
-        "setop_automobile_with_orders": _q_setop_intersect,
-        "events_hourly": _q_events_hourly,
-        "agg_event_stats": _q_agg_event_stats,
-        "quantiles_event_value": _q_quantiles_event_value,
-        "window_user_lag": _q_window_user_lag,
-        "asof_click_view": _q_asof_click_view,
-        "window_user_running": _q_window_user_running,
-        "window_user_range_frame": _q_window_user_range_frame,
-        "range_join_click_error": _q_range_join_click_error,
-        "string_funcs_customer": _q_string_funcs,
-        "digest_orders": _q_digest_orders,
-        "zorder_key_events": _q_zorder_key_events,
-        "date_funcs_events": _q_date_funcs_events,
+        # --- (1) never driver-checked: round-6 additions go here ---
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
+        "q11_important_stock": _q_q11_important_stock,
+        "q16_supplier_cnt": _q_q16_supplier_cnt,
+        "q20_potential_promotion": _q_q20_potential_promotion,
+        # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
         "q18_large_orders": _q_q18_large_orders,
@@ -5141,7 +5366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_fingerprint_docs": _q_dedup_fingerprint_docs,
         "dedup_incremental_docs": _q_dedup_incremental_docs,
-        # --- (4) last driver-green in r03 (45) ---
+        # --- (3) last driver-green in r03 (45) ---
         "chunk_docs": _q_chunk_docs,
         "vocab_topk_docs": _q_vocab_topk_docs,
         "salted_join_events": _q_salted_join_events,
@@ -5187,7 +5412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "streaming_dedup_events": _q_streaming_dedup_events,
         "streaming_sliding_windows": _q_streaming_sliding_windows,
-        # --- (5) last driver-green in r04 — freshest evidence last (50) ---
+        # --- (4) last driver-green in r04 (50) ---
         "q7_volume_shipping": _q_q7_volume_shipping,
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
         "conversion_latency_events": _q_conversion_latency_events,
@@ -5238,6 +5463,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _q_ann_topk,
         "text_quality_docs": _q_text_quality_docs,
         "sample_split_docs": _q_sample_split_docs,
+        # --- (5) last driver-green in r05 — freshest evidence last (50) ---
+        "pagerank_copurchase": _q_pagerank_copurchase,
+        "heavy_hitters_docs": _q_heavy_hitters_docs,
+        "diverse_sample_embed": _q_diverse_sample_embed,
+        "winsorize_events": _q_winsorize_events,
+        "scoped_diff_orders": _q_scoped_diff_orders,
+        "heavy_hitters_by_source_docs": _q_heavy_hitters_by_source_docs,
+        "streaming_heavy_hitters": _q_streaming_heavy_hitters,
+        "cumulative_users_daily": _q_cumulative_users_daily,
+        "cc_star_docs": _q_cc_star_docs,
+        "srp_near_dup_embed": _q_srp_near_dup_embed,
+        "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
+        "srp_dedup_embed": _q_srp_dedup_embed,
+        "len_pctile_by_source_docs": _q_len_pctile_by_source_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "embed_cosine_near_dup": _q_embed_cosine_near_dup,
+        "minhash_portable_docs": _q_minhash_portable_docs,
+        "simhash_portable_docs": _q_simhash_portable_docs,
+        "multimodal_payload_stats": _q_multimodal_payload_stats,
+        "multimodal_frames": _q_multimodal_frames,
+        "text_stats_docs": _q_text_stats_docs,
+        "pipeline_training_corpus": _q_pipeline_training_corpus,
+        "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "streaming_events_hourly": _q_streaming_events_hourly,
+        "streaming_sessions": _q_streaming_sessions,
+        "diff_orders_detail": _q_diff_orders_detail,
+        "diff_orders_flags": _q_diff_orders_flags,
+        "diff_orders_col_counts": _q_diff_orders_col_counts,
+        "diff_drilldown_status": _q_diff_drilldown_status,
+        "diff_lineitem_flags": _q_diff_lineitem_flags,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "join_semi_customers": _q_join_semi,
+        "join_anti_customers": _q_join_anti,
+        "topk_orders_per_customer": _q_topk_orders_per_customer,
+        "agg_orders_by_segment": _q_agg_orders_by_segment,
+        "rollup_customers_by_region": _q_rollup_customers,
+        "setop_building_except_frequent": _q_setop_except,
+        "setop_automobile_with_orders": _q_setop_intersect,
+        "events_hourly": _q_events_hourly,
+        "agg_event_stats": _q_agg_event_stats,
+        "quantiles_event_value": _q_quantiles_event_value,
+        "window_user_lag": _q_window_user_lag,
+        "asof_click_view": _q_asof_click_view,
+        "window_user_running": _q_window_user_running,
+        "window_user_range_frame": _q_window_user_range_frame,
+        "range_join_click_error": _q_range_join_click_error,
+        "string_funcs_customer": _q_string_funcs,
+        "digest_orders": _q_digest_orders,
+        "zorder_key_events": _q_zorder_key_events,
+        "date_funcs_events": _q_date_funcs_events,
     }
 
 
@@ -5573,6 +5849,10 @@ FROM b GROUP BY 1
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q2_min_cost_supplier": _SQL_Q2_MIN_COST_SUPPLIER,
+        "q11_important_stock": _SQL_Q11_IMPORTANT_STOCK,
+        "q16_supplier_cnt": _SQL_Q16_SUPPLIER_CNT,
+        "q20_potential_promotion": _SQL_Q20_POTENTIAL_PROMOTION,
         "pagerank_copurchase": _SQL_PAGERANK_COPURCHASE,
         "heavy_hitters_docs": _SQL_HEAVY_HITTERS_DOCS,
         "diverse_sample_embed": _SQL_DIVERSE_SAMPLE_EMBED,

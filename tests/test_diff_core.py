@@ -710,3 +710,61 @@ class TestScopedDiff:
             for r in rows
         )
         assert k(semi) == k(lit)
+
+
+class TestScopedDiffAdviceFixes:
+    """Round-5 advice regressions: reserved-name guard and value_cols
+    scoping."""
+
+    def test_reserved_bucket_column_raises_up_front(self, spark):
+        from pyspark_datacol_diff_spark.operators.diff import scoped_diff
+
+        df = spark.createDataFrame(
+            [(1, "a", 0)], "pk long, s string, __bucket long"
+        )
+        with pytest.raises(ValueError, match="__bucket"):
+            scoped_diff(df, df, ["pk"])
+
+    def test_value_cols_scopes_the_row_diff(self, spark):
+        """A narrower value_cols restricts BOTH digests and the row
+        diff to the covered columns: differences in uncovered columns
+        are excluded by contract (not silently half-compared), and
+        covered-column differences are all reported."""
+        from pyspark.sql import functions as F
+
+        from pyspark_datacol_diff_spark.operators.diff import (
+            diff,
+            scoped_diff,
+        )
+
+        base = spark.createDataFrame(
+            [(i, f"a{i}", f"b{i}") for i in range(400)],
+            "pk long, cov string, uncov string",
+        )
+        s2 = base.withColumn(
+            "cov",
+            F.when(F.col("pk") % 39 == 0, F.lit("E")).otherwise(
+                F.col("cov")
+            ),
+        ).withColumn(
+            "uncov",
+            F.when(F.col("pk") % 7 == 0, F.lit("U")).otherwise(
+                F.col("uncov")
+            ),
+        )
+        scoped = scoped_diff(base, s2, ["pk"], value_cols=["cov"])
+        full_cov = diff(
+            base.select("pk", "cov"), s2.select("pk", "cov"), ["pk"]
+        )
+        k = lambda df: sorted(
+            (r["pk_s1"], r["Flag"], tuple(map(tuple, r["CompColArr"])))
+            for r in df.filter(F.col("Flag") != "NODIFF").collect()
+        )
+        assert k(scoped) == k(full_cov)
+        # no uncovered-column leakage in any reported mismatch
+        cols = {
+            c["col_name"]
+            for r in scoped.collect()
+            for c in r["CompColArr"]
+        }
+        assert cols <= {"cov"}

@@ -295,3 +295,31 @@ def test_merge_mg_summaries_validation(spark):
         merge_mg_summaries([], k=0)
     with pytest.raises(ValueError, match="at least one"):
         merge_mg_summaries([], k=3)
+
+
+def test_grouped_sketch_preserves_big_int_keys_with_nulls(spark):
+    """Round-5 advice: a NULLABLE bigint group key arrived as float64
+    via Arrow->pandas and lost exactness above 2^53. The mapInArrow
+    path must round-trip exact ints and None."""
+    from pyspark_datacol_diff_spark.operators.sketch import (
+        heavy_hitters_by,
+        misra_gries_sketch_by,
+    )
+
+    big = 2**53 + 1  # not representable as float64
+    df = spark.createDataFrame(
+        [(big, ["x", "x", "y"]), (None, ["z", "z"]), (big + 2, ["w"])],
+        "g bigint, items array<string>",
+    )
+    rows = misra_gries_sketch_by(df, "items", ["g"], k=4).collect()
+    keys = {r["g"] for r in rows}
+    assert keys == {big, None, big + 2}
+    assert all(r["g"] is None or isinstance(r["g"], int) for r in rows)
+    got = {
+        (r["g"], r["item"], r["cnt"])
+        for r in heavy_hitters_by(
+            df, "items", ["g"], phi_num=1, phi_den=2
+        ).collect()
+    }
+    assert (big, "x", 2) in got
+    assert (None, "z", 2) in got
