@@ -4716,8 +4716,11 @@ def _q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is bit-for-bit stable across partitionings and replays
     hash-exactly against the unrolled SQL oracle (the float variant's
     nondeterministic low bits cannot be oracled). Two shuffles per
-    round; per-round lineage truncation + retired-round block release
-    per the cluster-module iterative-loop contract."""
+    round; with only 3 fixed rounds the checkpoint interval covers the
+    whole loop (one job over 6 chained shuffles — lineage depth is
+    bounded by construction, so per-round eager materialization would
+    pay 2 extra jobs for nothing; the final round still checkpoints
+    and retires its blocks per the cluster-module contract)."""
     li = _t(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("s")
@@ -4742,7 +4745,7 @@ def _q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
-    r = CC.pagerank_exact(edges, iterations=3)
+    r = CC.pagerank_exact(edges, iterations=3, checkpoint_interval=3)
     return r.select(
         F.col("node").alias("part"), F.col("rank").alias("rank_scaled")
     )
@@ -5310,6 +5313,50 @@ ORDER BY s_name
 """
 
 
+def _q_diff_orders_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core diff under injected JOIN-KEY SKEW, measured rather than
+    asserted (round-5 verdict #7): s2's key is corrupted to a single
+    hot value (-1) on 20% of rows — the "fat-finger key collapse" a
+    reconciliation diff exists to catch — so one SMJ partition of the
+    full-outer join carries 20% of a snapshot. The hot key appears on
+    ONE side only (s1 keys stay unique), so output stays linear
+    (those rows surface as S2_ONLY; no m x n blowup) and the PK-unique
+    contract is violated exactly the way real corrupted feeds violate
+    it. AQE cannot skew-split a full-outer join (both sides are
+    preserved), so this entry pins what the plan actually does with
+    the hot partition — the 10x smoke records the growth. Output is
+    the 4-row flag census (the full join still executes end to end).
+    """
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s1 = o.filter(k % 101 != 0)
+    s2 = o.withColumn(
+        "o_orderstatus",
+        F.when(k % 13 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    ).withColumn("o_orderkey", F.when(k % 5 == 0, F.lit(-1)).otherwise(k))
+    return flag_counts(diff(s1, s2, ["o_orderkey"]))
+
+
+_SQL_DIFF_ORDERS_SKEWED = f"""
+WITH s1 AS (SELECT * FROM orders WHERE o_orderkey % 101 <> 0),
+s2 AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN -1 ELSE o_orderkey END
+         AS o_orderkey,
+       o_custkey,
+       CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+         AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+       FROM orders),
+j AS (SELECT s1.o_orderkey AS k1, s2.o_orderkey AS k2,
+             s1.o_custkey AS c1, s2.o_custkey AS c2,
+             s1.o_orderstatus AS st1, s2.o_orderstatus AS st2,
+             s1.o_totalprice AS tp1, s2.o_totalprice AS tp2,
+             s1.o_orderdate AS od1, s2.o_orderdate AS od2,
+             s1.o_orderpriority AS pr1, s2.o_orderpriority AS pr2
+      FROM s1 FULL OUTER JOIN s2 ON s1.o_orderkey = s2.o_orderkey)
+SELECT {_ORDERS_FLAG_SQL} AS "Flag", count(*) AS cnt FROM j GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5341,6 +5388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": _q_q11_important_stock,
         "q16_supplier_cnt": _q_q16_supplier_cnt,
         "q20_potential_promotion": _q_q20_potential_promotion,
+        "diff_orders_skewed": _q_diff_orders_skewed,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -5853,6 +5901,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_stock": _SQL_Q11_IMPORTANT_STOCK,
         "q16_supplier_cnt": _SQL_Q16_SUPPLIER_CNT,
         "q20_potential_promotion": _SQL_Q20_POTENTIAL_PROMOTION,
+        "diff_orders_skewed": _SQL_DIFF_ORDERS_SKEWED,
         "pagerank_copurchase": _SQL_PAGERANK_COPURCHASE,
         "heavy_hitters_docs": _SQL_HEAVY_HITTERS_DOCS,
         "diverse_sample_embed": _SQL_DIVERSE_SAMPLE_EMBED,

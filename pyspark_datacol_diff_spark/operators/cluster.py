@@ -56,7 +56,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -464,6 +464,55 @@ def drop_near_dups(
     )
 
 
+def _pagerank_frames(
+    edges: DataFrame, src_col: str, dst_col: str, deg_via_window: bool
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared PageRank setup: persisted ``(e, nodes, ew)`` frames.
+
+    The edge list is scanned several times before the loop even starts
+    (node set reads src and dst, degree attachment) — persist it so an
+    expensive upstream (pair mining feeds this in the dedup pipelines)
+    runs once, not once per derivation. nodes/ew are additionally
+    persisted in their own right: they are reused EVERY round, and the
+    callers unpersist everything in a ``finally`` so a failed
+    iteration (executor loss, skew OOM) doesn't leave blocks pinned
+    for the session's lifetime.
+
+    Degree attachment, two physical strategies:
+
+    - ``deg_via_window=True`` (default): ``count() over
+      partitionBy(src)`` — ONE exchange of the edge list, which also
+      leaves ``ew`` hash-partitioned on src for every round's join
+      (measured 5.9 -> 4.0 s on the sf0.1 co-purchase graph vs the
+      aggregate+join path). The trade: a mega-hub's out-edges must
+      co-locate in one window task — but the per-round src join
+      co-locates them identically, so this adds no NEW skew exposure
+      beyond what AQE's skew-join split could have fixed in the join.
+    - ``deg_via_window=False``: map-side-combined
+      ``groupBy(src).count()`` joined back — one extra exchange +
+      join, but every stage over the big side stays AQE-splittable.
+      Pick this when the graph has hub nodes whose single-task edge
+      lists would not fit an executor.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    if deg_via_window:
+        ew = e.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        ).persist()
+    else:
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        ew = e.join(out_deg, "src").persist()
+    return e, nodes, ew
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -471,6 +520,8 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
+    checkpoint_interval: int = 1,
+    deg_via_window: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the
     authority score for link graphs (document citation/link dedup
@@ -491,40 +542,38 @@ def pagerank(
     trade buys one fewer global aggregate + broadcast per round; use a
     mass-conserving implementation when fidelity to true PageRank
     matters rather than a cheap authority ordering.
-    Each round's rank frame is checkpointed (lineage truncation — see
-    the module docstring) and the previous round's blocks are freed,
-    like the components loop — same iterative-Spark pitfall
-    (exponential re-evaluation / unbounded storage growth), same fix.
+    Rank frames are checkpointed every ``checkpoint_interval`` rounds
+    (lineage truncation — see the module docstring) and the previous
+    checkpoint's blocks are freed, like the components loop — same
+    iterative-Spark pitfall (exponential re-evaluation / unbounded
+    storage growth), same fix. The FINAL round always checkpoints
+    eagerly (the ``finally`` unpersists the shared edge/node frames,
+    so the returned frame must already be materialized). An eager
+    checkpoint is a full job, so for SHORT fixed iteration counts a
+    larger interval collapses the loop into one job over a few chained
+    shuffles — measured 6.1 -> 4.7 s for 3 rounds on the sf0.1
+    co-purchase graph with interval >= iterations (and 4.7 -> 4.0 s
+    with the default windowed degree attachment — see
+    :func:`_pagerank_frames` for that trade); the default interval of
+    1 stays right for long runs, where unbounded lineage is the
+    bigger enemy.
 
     Returns ``(node, rank)`` — one row per node appearing anywhere in
     the edge list.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    # the edge list is scanned FOUR times before the loop even starts
-    # (node set reads src and dst, degree count, degree join) — persist
-    # it so an expensive upstream (pair mining feeds this in the dedup
-    # pipelines) runs once, not once per derivation (measured 8.1 ->
-    # 5.6 s on the sf0.1 co-purchase graph). nodes/ew are additionally
-    # persisted in their own right: they are reused EVERY round, and
-    # everything is unpersisted in a finally so a failed iteration
-    # (executor loss, skew OOM) doesn't leave blocks pinned for the
-    # session's lifetime
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
+    e, nodes, ew = _pagerank_frames(
+        edges, src_col, dst_col, deg_via_window
     )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ew = e.join(out_deg, "src").persist()
     try:
         ranks = nodes.withColumn("rank", F.lit(1.0))
         prev = None
-        for _ in range(iterations):
+        for i in range(iterations):
             contribs = ew.join(
                 ranks, ew["src"] == ranks["node"]
             ).select(
@@ -532,20 +581,18 @@ def pagerank(
                 (F.col("rank") / F.col("deg")).alias("c"),
             )
             summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
-            ranks = (
-                nodes.join(summed, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(1.0 - damping)
-                        + F.lit(damping) * F.coalesce("s", F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = nodes.join(summed, "node", "left").select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
             )
-            if prev is not None:
-                _free_ckpt(prev)  # retired round: never read again
-            prev = ranks
+            if i == iterations - 1 or (i + 1) % checkpoint_interval == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+                if prev is not None:
+                    _free_ckpt(prev)  # retired round: never read again
+                prev = ranks
     finally:
         ew.unpersist()
         nodes.unpersist()
@@ -562,6 +609,8 @@ def pagerank_exact(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 1_000_000,
+    checkpoint_interval: int = 1,
+    deg_via_window: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank in SCALED INTEGER arithmetic — the
     oracle-replayable variant of :func:`pagerank`. Ranks are longs in
@@ -586,9 +635,11 @@ def pagerank_exact(
 
     Same dataflow and scale shape as :func:`pagerank` (two shuffles
     per round — ranks-x-edges join keyed on src, then a dst-keyed
-    sum), same iterative-loop hygiene (per-round ``localCheckpoint``
-    lineage truncation, retired rounds freed via :func:`_free_ckpt`,
-    reused node/edge frames persisted and released in ``finally``).
+    sum), same iterative-loop hygiene (``localCheckpoint`` lineage
+    truncation every ``checkpoint_interval`` rounds with the final
+    round always eager, retired rounds freed via :func:`_free_ckpt`,
+    reused node/edge frames persisted and released in ``finally`` —
+    see :func:`pagerank` for the short-loop interval trade).
     Overflow bound: ``damping_num * total_mass`` must fit in int64,
     i.e. ``node_count * scale * damping_num < 2^63`` — at the default
     scale that is ~10^11 nodes, far past any dedup pair graph.
@@ -607,24 +658,18 @@ def pagerank_exact(
         raise ValueError(
             f"scale must be >= damping_den, got {scale} < {damping_den}"
         )
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
     reset = (scale * (damping_den - damping_num)) // damping_den
-    # persist the edge list before deriving nodes/degrees/ew — see the
-    # same move in :func:`pagerank`
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
+    e, nodes, ew = _pagerank_frames(
+        edges, src_col, dst_col, deg_via_window
     )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ew = e.join(out_deg, "src").persist()
     try:
         ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
         prev = None
-        for _ in range(iterations):
+        for i in range(iterations):
             contribs = ew.join(
                 ranks, ew["src"] == ranks["node"]
             ).select(
@@ -632,20 +677,18 @@ def pagerank_exact(
                 F.expr("rank div deg").alias("c"),
             )
             summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
-            ranks = (
-                nodes.join(summed, "node", "left")
-                .select(
-                    "node",
-                    F.expr(
-                        f"{reset}L + ({damping_num}L * coalesce(s, 0L)) "
-                        f"div {damping_den}L"
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = nodes.join(summed, "node", "left").select(
+                "node",
+                F.expr(
+                    f"{reset}L + ({damping_num}L * coalesce(s, 0L)) "
+                    f"div {damping_den}L"
+                ).alias("rank"),
             )
-            if prev is not None:
-                _free_ckpt(prev)  # retired round: never read again
-            prev = ranks
+            if i == iterations - 1 or (i + 1) % checkpoint_interval == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+                if prev is not None:
+                    _free_ckpt(prev)  # retired round: never read again
+                prev = ranks
     finally:
         ew.unpersist()
         nodes.unpersist()

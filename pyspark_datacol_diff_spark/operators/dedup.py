@@ -173,8 +173,20 @@ def ngram_jaccard_pairs(
         ).alias("id_b"),
     )
     inter = x2.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter_cnt"))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
+    # shuffle-hash, not sort-merge, for the two size attachments: the
+    # build side is the doc-grain size relation (ONE row per doc —
+    # partition-bounded at any corpus size), while sort-merge would
+    # SORT the pair stream twice (once per key). Those two sorts were
+    # the round-6 10x variance source: same SMJ plan measured 2.9-16 s
+    # run to run (sort spill under GC pressure), vs 4.2-5.9 s stable
+    # with the hash build. At 100 TB the pair stream is the one
+    # relation you never want to sort.
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a")
+    ).hint("shuffle_hash")
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b")
+    ).hint("shuffle_hash")
     jac = F.col("inter_cnt") / (
         F.col("size_a") + F.col("size_b") - F.col("inter_cnt")
     )

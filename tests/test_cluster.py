@@ -392,3 +392,33 @@ def test_pagerank_exact_validation(spark):
         pagerank_exact(e, damping_num=100, damping_den=100)
     with pytest.raises(ValueError, match="scale"):
         pagerank_exact(e, scale=10, damping_den=100)
+
+
+def test_pagerank_exact_strategy_knobs_are_result_invariant(spark):
+    """Round-6 plan knobs (checkpoint_interval, deg_via_window) are
+    PHYSICAL-only: every combination returns the identical exact-integer
+    ranking."""
+    import random as _rnd
+
+    from pyspark_datacol_diff_spark.operators.cluster import pagerank_exact
+
+    _rnd.seed(43)
+    edges = sorted(
+        {(_rnd.randint(0, 29), _rnd.randint(0, 29)) for _ in range(120)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    base = sorted(
+        (x["node"], x["rank"])
+        for x in pagerank_exact(e, iterations=3).collect()
+    )
+    for ci, win in ((3, True), (2, False), (1, False), (4, True)):
+        got = sorted(
+            (x["node"], x["rank"])
+            for x in pagerank_exact(
+                e, iterations=3, checkpoint_interval=ci, deg_via_window=win
+            ).collect()
+        )
+        assert got == base, (ci, win)
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        pagerank_exact(e, checkpoint_interval=0)
