@@ -5357,6 +5357,69 @@ SELECT {_ORDERS_FLAG_SQL} AS "Flag", count(*) AS cnt FROM j GROUP BY 1
 """
 
 
+def _q_kmeans_cells_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer fixed-iteration Lloyd k-means over the embeddings
+    (operators/similarity.py:kmeans_exact_assign) — the deterministic
+    IVF coarse-quantizer trainer. Quantized vectors, md5-ordered
+    seeds, exact squared-integer distances with first-min tie-break,
+    truncated-integer-division refits: every step replays bit-for-bit
+    in the unrolled SQL oracle (the pyspark.ml float fit cannot be
+    hash-oracled — partition-order low bits). Assignment is a
+    zero-shuffle centroid-literal projection; each refit is one
+    (cell, dim)-grain map-side-combined aggregate with an index-grain
+    (nlist x dim) driver collect."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.kmeans_exact_assign(e, nlist=4, iterations=2)
+
+
+def _sql_kmeans_cells_embed(
+    nlist: int = 4, iterations: int = 2, quant: int = 1_000_000,
+    dim: int = 64,
+) -> str:
+    """Unrolled-iteration DuckDB replay of kmeans_exact_assign: same
+    quantization, same md5 seed order, same tie-breaks, same truncated
+    integer division (DuckDB ``//`` and Spark ``div`` both truncate
+    toward zero; Python's floors, hence _tdiv on the driver)."""
+    parts = [f"""
+WITH q AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x * {quant}) AS BIGINT)) AS qv
+           FROM embeddings),
+seed AS (SELECT vec_id, qv,
+                row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+         FROM q
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {nlist}),
+c0 AS (SELECT cell, qv AS cv FROM seed)"""]
+    n_assign = iterations + 1  # refit loop + the final assignment
+    for k in range(1, n_assign + 1):
+        parts.append(f""",
+d{k} AS (SELECT q.vec_id, q.qv, c.cell,
+            list_aggregate(list_transform(list_zip(q.qv, c.cv),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+         FROM q CROSS JOIN c{k - 1} c),
+a{k} AS (SELECT vec_id, qv, cell FROM
+           (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d{k})
+         WHERE rn = 1)""")
+        if k <= iterations:
+            parts.append(f""",
+s{k} AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS n
+         FROM a{k} CROSS JOIN generate_series(1, {dim}) AS g(i)
+         GROUP BY cell, i),
+c{k} AS (SELECT c.cell, coalesce(m.cv, c.cv) AS cv
+         FROM c{k - 1} c LEFT JOIN
+           (SELECT cell, list(s // n ORDER BY i) AS cv
+            FROM s{k} GROUP BY cell) m USING (cell))""")
+    parts.append(
+        f"\nSELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a{n_assign}"
+    )
+    return "".join(parts)
+
+
+_SQL_KMEANS_CELLS_EMBED = _sql_kmeans_cells_embed()
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5389,6 +5452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_cnt": _q_q16_supplier_cnt,
         "q20_potential_promotion": _q_q20_potential_promotion,
         "diff_orders_skewed": _q_diff_orders_skewed,
+        "kmeans_cells_embed": _q_kmeans_cells_embed,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -5902,6 +5966,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_cnt": _SQL_Q16_SUPPLIER_CNT,
         "q20_potential_promotion": _SQL_Q20_POTENTIAL_PROMOTION,
         "diff_orders_skewed": _SQL_DIFF_ORDERS_SKEWED,
+        "kmeans_cells_embed": _SQL_KMEANS_CELLS_EMBED,
         "pagerank_copurchase": _SQL_PAGERANK_COPURCHASE,
         "heavy_hitters_docs": _SQL_HEAVY_HITTERS_DOCS,
         "diverse_sample_embed": _SQL_DIVERSE_SAMPLE_EMBED,

@@ -313,6 +313,33 @@ def ivf_topk(
             query_vec_col=query_vec_col, nprobe=nprobe,
             exclude_self=exclude_self, assign_method=assign_method,
         )
+    if fit_method == "exact":
+        # deterministic trainer (round 6): integer-exact Lloyd
+        # (:func:`kmeans_exact_assign`) — same index quality class as
+        # the ml fit, but the centroids are bit-reproducible across
+        # runs/partitionings/engines, so the whole IVF index build
+        # becomes replayable (the ml fit's float low bits are not)
+        quant = 1_000_000
+        cents: list = []
+        # the refit loop runs eagerly inside the call (bounded
+        # index-grain collects); the returned lazy assignment frame is
+        # not needed here — only the trained centroids are
+        kmeans_exact_assign(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            nlist=nlist,
+            iterations=max_iter,
+            quant=quant,
+            centroids_out=cents,
+        )
+        centroids = [[v / quant for v in c] for c in cents]
+        return _ivf_probe(
+            corpus, queries, k, centroids,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+            query_vec_col=query_vec_col, nprobe=nprobe,
+            exclude_self=exclude_self, assign_method=assign_method,
+        )
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -1398,3 +1425,133 @@ def srp_diverse_sample(
         )
         .select(F.col("sig").alias("bucket"), F.explode("ids").alias(id_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-integer k-means (round 6) — the deterministic coarse-quantizer
+# trainer the IVF path can replay cross-engine
+# ---------------------------------------------------------------------------
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH
+    Spark's ``div`` and DuckDB's ``//`` implement (Python's ``//``
+    floors, which differs on negative numerators)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def kmeans_exact_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 4,
+    iterations: int = 2,
+    quant: int = 1_000_000,
+    centroids_out: list | None = None,
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means in SCALED INTEGER arithmetic —
+    the oracle-replayable clustering that trains an IVF coarse
+    quantizer (:func:`ivf_topk`) deterministically. The float
+    ``pyspark.ml`` fit's partition-order-dependent low bits cannot be
+    hash-oracled; this variant is bit-for-bit stable across
+    partitionings and engines, exactly like
+    :func:`~..cluster.pagerank_exact` is for ranks:
+
+    - vectors quantize to ``floor(v * quant)`` longs (the SRP-family
+      convention — float→double widening is IEEE-identical in Spark
+      and DuckDB);
+    - seeds are the ``nlist`` corpus vectors with the smallest
+      ``md5(id)`` (hash-ordered, id tie-break — a deterministic random
+      pick both engines compute identically), cell = seed order;
+    - assignment is the argmin of EXACT squared integer distance, ties
+      to the smallest cell id (first-min ``array_position``);
+    - new centroids are element-wise ``sum div count`` (truncated
+      integer division; empty cells keep their previous centroid).
+
+    Scale shape: assignment is a ZERO-SHUFFLE projection (the nlist x
+    dim centroid literal folds into the plan, same as
+    :func:`assign_cells`); the per-iteration refit is one
+    map-side-combined (cell, dim)-grain aggregate whose output is
+    index-grain (nlist x dim rows ≤ KBs) — the only driver collect,
+    bounded by construction like the MG sketch. Overflow: requires
+    ``dim * (2 * quant * max|v|)^2 < 2^63`` — at quant 1e6 and unit-
+    normalized embeddings that is dims into the tens of thousands.
+
+    Returns ``(id_col, cell)``; pass ``centroids_out=[]`` to also
+    receive the final quantized centroid lists (e.g. to feed
+    :func:`ivf_topk` via a pre-trained path).
+
+    Reference scope note: the reference library has no clustering of
+    any kind (SURVEY.md §2.7); north-star extension surface.
+    """
+    if nlist < 1 or iterations < 1:
+        raise ValueError(
+            f"need nlist >= 1 and iterations >= 1, got {nlist}/{iterations}"
+        )
+    qdf = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x * F.lit(float(quant)))
+        ).alias("__qv"),
+    )
+    seeds = (
+        qdf.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"), id_col, "__qv"
+        )
+        .orderBy("__h", id_col)
+        .limit(nlist)
+        .collect()
+    )
+    if len(seeds) < nlist:
+        raise ValueError(
+            f"corpus has only {len(seeds)} vectors for nlist={nlist}"
+        )
+    centroids = [list(r["__qv"]) for r in seeds]
+    dim = len(centroids[0])
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        "__qv",
+                        F.array(*[F.lit(int(v)) for v in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for c in centroids
+            ]
+        )
+        # first-min position = smallest cell id on ties (both engines)
+        return frame.withColumn(
+            "cell",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+
+    for _ in range(iterations):
+        assigned = assign(qdf)
+        stats = (
+            assigned.select(
+                "cell", F.posexplode("__qv").alias("__d", "__v")
+            )
+            .groupBy("cell", "__d")
+            .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        sums: dict[int, list] = {}
+        cnts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r["cell"], [0] * dim)[r["__d"]] = r["__s"]
+            cnts[r["cell"]] = r["__n"]
+        centroids = [
+            [_tdiv(sums[c][d], cnts[c]) for d in range(dim)]
+            if c in cnts
+            else centroids[c]  # empty cell keeps its previous centroid
+            for c in range(nlist)
+        ]
+    if centroids_out is not None:
+        centroids_out.extend(centroids)
+    return assign(qdf).select(id_col, "cell")

@@ -406,7 +406,22 @@ def synth_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
     ``__spark_entry__``)."""
     spark = part.sparkSession
     replicas = spark.range(4).select(F.col("id").alias("__i"))
-    s_cnt = supplier.agg(F.count(F.lit(1)).alias("__s_cnt"))
+    # S < 4 would collide the 4 residues and silently break the
+    # (ps_partkey, ps_suppkey) primary key — fail loudly instead
+    # (plan-side assert: no extra job, checked when the count row
+    # materializes)
+    s_cnt = supplier.agg(F.count(F.lit(1)).alias("__s_cnt")).select(
+        F.when(
+            F.col("__s_cnt") >= 4, F.col("__s_cnt")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("synth_partsupp needs >= 4 suppliers, got "),
+                    F.col("__s_cnt").cast("string"),
+                )
+            )
+        ).alias("__s_cnt")
+    )
     suppkey = (F.col("p_partkey") * 4 + F.col("__i")) % F.col("__s_cnt")
     return (
         part.select("p_partkey")

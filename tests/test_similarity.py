@@ -776,3 +776,138 @@ def test_srp_diverse_sample_validation(spark):
     )
     with _pytest.raises(ValueError, match="per_bucket"):
         srp_diverse_sample(df, dim=1, per_bucket=0)
+
+
+class TestKmeansExact:
+    """Round-6: integer-exact Lloyd k-means (the deterministic IVF
+    trainer)."""
+
+    def _corpus(self, spark, n=40, dim=6, seed=7):
+        import random as _rnd
+
+        _rnd.seed(seed)
+        rows = [
+            (i, [round(_rnd.uniform(-0.3, 0.3), 6) for _ in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_partition_invariance_bitwise(self, spark):
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            kmeans_exact_assign,
+        )
+
+        df = self._corpus(spark)
+        a = sorted(
+            (r["vec_id"], r["cell"])
+            for r in kmeans_exact_assign(df, nlist=3, iterations=2).collect()
+        )
+        b = sorted(
+            (r["vec_id"], r["cell"])
+            for r in kmeans_exact_assign(
+                df.repartition(7), nlist=3, iterations=2
+            ).collect()
+        )
+        assert a == b
+        cells = {c for _, c in a}
+        assert cells <= {0, 1, 2} and len(cells) >= 2
+
+    def test_matches_pure_python_replay(self, spark):
+        """The operator's reason to exist: the quantized Lloyd recursion
+        replayed in pure Python (same seeds, tie-breaks, truncated
+        division) agrees exactly."""
+        import hashlib
+
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            _tdiv,
+            kmeans_exact_assign,
+        )
+
+        df = self._corpus(spark, n=30, dim=4)
+        rows = [
+            (r["vec_id"], list(r["embedding"]))
+            for r in df.collect()
+        ]
+        import math
+
+        qv = {
+            i: [math.floor(float(x) * 1_000_000) for x in v]
+            for i, v in rows
+        }
+        seeds = sorted(
+            qv, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:3]
+        cents = [list(qv[s]) for s in seeds]
+
+        def assign_all():
+            out = {}
+            for i, v in qv.items():
+                dists = [
+                    sum((a - b) * (a - b) for a, b in zip(v, c))
+                    for c in cents
+                ]
+                out[i] = dists.index(min(dists))
+            return out
+
+        for _ in range(2):
+            a = assign_all()
+            for c in range(3):
+                members = [qv[i] for i, cc in a.items() if cc == c]
+                if members:
+                    cents[c] = [
+                        _tdiv(sum(col), len(members))
+                        for col in zip(*members)
+                    ]
+        expect = assign_all()
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in kmeans_exact_assign(
+                df, nlist=3, iterations=2
+            ).collect()
+        }
+        assert got == expect
+
+    def test_validation_and_centroids_out(self, spark):
+        import pytest as _pt
+
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            kmeans_exact_assign,
+        )
+
+        df = self._corpus(spark, n=5, dim=3)
+        with _pt.raises(ValueError, match="nlist"):
+            kmeans_exact_assign(df, nlist=0)
+        with _pt.raises(ValueError, match="only"):
+            kmeans_exact_assign(df, nlist=10)
+        out: list = []
+        kmeans_exact_assign(
+            df, nlist=2, iterations=1, centroids_out=out
+        ).collect()
+        assert len(out) == 2 and all(len(c) == 3 for c in out)
+        assert all(isinstance(x, int) for c in out for x in c)
+
+    def test_ivf_exact_fit_path_recall(self, spark):
+        """fit_method='exact' trains via the integer Lloyd and probes
+        normally; with nprobe == nlist the result must equal the exact
+        brute-force top-k (the oracle-verifiable configuration)."""
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+        )
+
+        corpus = self._corpus(spark, n=50, dim=8)
+        queries = corpus.filter("vec_id % 10 = 0").select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        got = {
+            (r["qid"], r["neighbor_id"])
+            for r in ivf_topk(
+                corpus, queries, 3, nlist=4, nprobe=4,
+                fit_method="exact", max_iter=2,
+            ).collect()
+        }
+        exact = {
+            (r["qid"], r["neighbor_id"])
+            for r in cosine_topk(corpus, queries, 3).collect()
+        }
+        assert got == exact

@@ -348,3 +348,24 @@ def test_free_persistent_rdds_sees_checkpoint_blocks(spark):
     n = free_persistent_rdds(spark)
     assert n >= 1
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_synth_partsupp_pk_and_small_supplier_guard(spark):
+    """Round-6: synthesized partsupp — (ps_partkey, ps_suppkey) is a
+    primary key (4 distinct suppliers per part) and a supplier table
+    too small to guarantee it fails loudly, not silently."""
+    import pytest
+
+    from pyspark_datacol_diff_spark.sources import synth_partsupp
+
+    part = spark.createDataFrame([(i,) for i in range(8)], "p_partkey long")
+    supp = spark.createDataFrame([(i,) for i in range(5)], "s_suppkey long")
+    ps = synth_partsupp(part, supp).collect()
+    assert len(ps) == 32
+    assert len({(r["ps_partkey"], r["ps_suppkey"]) for r in ps}) == 32
+    assert all(0 <= r["ps_suppkey"] < 5 for r in ps)
+    assert all(1 <= r["ps_availqty"] <= 9999 for r in ps)
+    assert all(90000 <= r["ps_supplycost_cents"] < 182000 for r in ps)
+    tiny = spark.createDataFrame([(0,), (1,), (2,)], "s_suppkey long")
+    with pytest.raises(Exception, match="synth_partsupp needs"):
+        synth_partsupp(part, tiny).collect()
