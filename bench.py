@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     # lsh_near_dup_recall stays out: it deliberately runs the exact
     # O(n^2) verify next to the LSH path (a correctness gate, not a
     # throughput headline)
+    # new shapes in round 6:
+    "q2_min_cost_supplier",      # synthesized partsupp + window-min + TakeOrdered
+    "diff_orders_skewed",        # hot-key full-outer diff (20% on one key)
+    "kmeans_cells_embed",        # driver-coordinated integer Lloyd rounds
 ]
 
 

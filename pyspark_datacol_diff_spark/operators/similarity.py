@@ -1279,6 +1279,8 @@ def srp_signatures(
 
     def project(batches):
         for pdf in batches:
+            if not len(pdf):  # empty batch: the matmul below needs 2-D
+                continue
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             qv = np.floor(v * 1_000_000.0).astype(np.int64)  # (batch, dim)
             bits = (qv @ H.T) >= 0  # exact int64 matmul, (batch, P)
