@@ -5288,13 +5288,15 @@ def _q_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_suppkey")
         .distinct()
     )
+    # no orderBy: the driver compare is order-insensitive, and a
+    # total-order sort would add a rangepartitioning exchange (and a
+    # scale-lint warn) for nothing
     return (
         _t(spark, sf_dir, "supplier")
         .join(
             F.broadcast(qual), F.col("s_suppkey") == F.col("ps_suppkey"), "semi"
         )
         .select("s_suppkey", "s_name")
-        .orderBy("s_name")
     )
 
 

@@ -1281,6 +1281,12 @@ def srp_signatures(
         for pdf in batches:
             if not len(pdf):  # empty batch: the matmul below needs 2-D
                 continue
+            if any(x is None for x in pdf[vec_col]):
+                raise ValueError(
+                    f"null {vec_col!r} vector: SRP signatures are "
+                    "undefined for missing embeddings — filter or "
+                    "impute upstream"
+                )
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             qv = np.floor(v * 1_000_000.0).astype(np.int64)  # (batch, dim)
             bits = (qv @ H.T) >= 0  # exact int64 matmul, (batch, P)
@@ -1493,9 +1499,24 @@ def kmeans_exact_assign(
         )
     qdf = df.select(
         F.col(id_col),
-        F.transform(
-            F.col(vec_col), lambda x: F.floor(x * F.lit(float(quant)))
-        ).alias("__qv"),
+        # a null vector would silently land in cell NULL (null dists →
+        # null argmin) and desync from any oracle — fail loudly instead
+        F.when(
+            F.col(vec_col).isNotNull(),
+            F.transform(
+                F.col(vec_col), lambda x: F.floor(x * F.lit(float(quant)))
+            ),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"null {vec_col} at "),
+                    F.col(id_col).cast("string"),
+                    F.lit(": kmeans_exact_assign needs every vector"),
+                )
+            )
+        )
+        .alias("__qv"),
     )
     seeds = (
         qdf.select(

@@ -398,14 +398,15 @@ def synth_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
     while S >= 4, so each part gets exactly 4 DISTINCT suppliers —
     (ps_partkey, ps_suppkey) is a primary key, as in TPC-H.
 
-    Scale shape: part x 4 is a narrow flatmap — the 4-row replica
-    frame and the 1-row supplier count both broadcast, so the build
-    adds NO exchange over the part scan; downstream joins decide
-    their own strategy. Costs are exact-integer cents (the engine's
-    cross-engine determinism convention — module doc of
+    Scale shape: part x 4 is a narrow flatmap — the 4-way replica
+    expansion is an ``explode`` of a 4-element literal array (a
+    projection, not a join: a broadcast crossJoin would plan as a
+    BroadcastNestedLoopJoin and trip the cartesian scale-lint), and
+    the 1-row supplier count rides the blessed scalar-subquery BNLJ
+    form; the build adds NO exchange over the part scan. Downstream
+    joins decide their own strategy. Costs are exact-integer cents
+    (the engine's cross-engine determinism convention — module doc of
     ``__spark_entry__``)."""
-    spark = part.sparkSession
-    replicas = spark.range(4).select(F.col("id").alias("__i"))
     # S < 4 would collide the 4 residues and silently break the
     # (ps_partkey, ps_suppkey) primary key — fail loudly instead
     # (plan-side assert: no extra job, checked when the count row
@@ -424,8 +425,10 @@ def synth_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
     )
     suppkey = (F.col("p_partkey") * 4 + F.col("__i")) % F.col("__s_cnt")
     return (
-        part.select("p_partkey")
-        .crossJoin(F.broadcast(replicas))
+        part.select(
+            "p_partkey",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("__i"),
+        )
         .crossJoin(F.broadcast(s_cnt))
         .select(
             F.col("p_partkey").alias("ps_partkey"),
