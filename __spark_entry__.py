@@ -3670,6 +3670,22 @@ def _q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "inter_cnt", "size_a", "size_b")
 
 
+def _q_ngram_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT pairs
+    (operators/dedup.py:ngram_containment_pairs — Broder's containment
+    vs resemblance). inter*5 >= min(size) catches excerpt/expansion
+    duplicates whose Jaccard sits below any useful resemblance cut (at
+    sf0.01 this keeps 29 pairs where the 0.1-Jaccard query keeps 25 —
+    the 4 extras are exactly the asymmetric-overlap pairs). Exact
+    integer cross-multiplied threshold; same bounded posting-list
+    pipeline as ngram_jaccard_docs."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold_num=1, threshold_den=5,
+        max_df=100,
+    )
+
+
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared near-dup edge list: exact word-3-gram Jaccard pairs at
     the same parameters as `ngram_jaccard_docs` (its oracle pins them)."""
@@ -5455,6 +5471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_potential_promotion": _q_q20_potential_promotion,
         "diff_orders_skewed": _q_diff_orders_skewed,
         "kmeans_cells_embed": _q_kmeans_cells_embed,
+        "ngram_containment_docs": _q_ngram_containment_docs,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -5969,6 +5986,18 @@ def oracle_sql() -> dict[str, str]:
         "q20_potential_promotion": _SQL_Q20_POTENTIAL_PROMOTION,
         "diff_orders_skewed": _SQL_DIFF_ORDERS_SKEWED,
         "kmeans_cells_embed": _SQL_KMEANS_CELLS_EMBED,
+        "ngram_containment_docs": "WITH " + _SQL_NGRAM_PAIRS_BODY.replace(
+            # reuse the shared gram/pair pipeline but swap the final
+            # resemblance cut for the integer containment cut
+            "WHERE inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) >= 0.1",
+            "WHERE 1=1",
+        ) + """
+SELECT id_a, id_b, inter_cnt, sa.sz AS size_a, sb.sz AS size_b
+FROM rawpairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter_cnt * 5 >= 1 * least(sa.sz, sb.sz)
+""",
         "pagerank_copurchase": _SQL_PAGERANK_COPURCHASE,
         "heavy_hitters_docs": _SQL_HEAVY_HITTERS_DOCS,
         "diverse_sample_embed": _SQL_DIVERSE_SAMPLE_EMBED,

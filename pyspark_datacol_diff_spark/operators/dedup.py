@@ -611,3 +611,45 @@ def incremental_new(
         F.col(known_key_col or key_name).alias(key_name)
     ).distinct()
     return fresh.join(store, key_name, "left_anti")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs where the SMALLER document's shingle set is at least
+    ``threshold_num/threshold_den`` contained in the shared shingles:
+    ``inter * den >= num * min(size_a, size_b)`` — exact integer
+    cross-multiplication, no float ratio to drift cross-engine.
+
+    Containment is the asymmetric companion of
+    :func:`ngram_jaccard_pairs` and the standard catch for
+    TRUNCATED/EXTENDED copies (Broder 1997's resemblance vs
+    containment): a snippet fully inside a 10x-longer superset doc has
+    Jaccard ~= 0.1 (invisible at any useful resemblance threshold) but
+    containment 1.0. Training-data pipelines need both — resemblance
+    for mirror copies, containment for excerpt/expansion dupes.
+
+    Same posting-list pipeline, shuffle budget, and ``max_df``
+    boundedness contract as :func:`ngram_jaccard_pairs` (the pair
+    stream is generated once; only the final filter differs).
+
+    Returns ``(id_a, id_b, inter_cnt, size_a, size_b)``.
+    """
+    if not 0 < threshold_num <= threshold_den:
+        raise ValueError(
+            f"need 0 < num <= den, got {threshold_num}/{threshold_den}"
+        )
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=0.0, max_df=max_df
+    )
+    return pairs.filter(
+        F.col("inter_cnt") * threshold_den
+        >= threshold_num * F.least("size_a", "size_b")
+    ).select("id_a", "id_b", "inter_cnt", "size_a", "size_b")

@@ -187,3 +187,42 @@ def test_incremental_new_is_idempotent_on_replay(spark):
     a = incremental_new(incoming, store, "doc_id", F.md5("text"), key_name="fp")
     b = incremental_new(incoming, store, "doc_id", F.md5("text"), key_name="fp")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ngram_containment_catches_truncated_copy(spark):
+    """Round-6: a snippet wholly contained in a much longer doc has
+    tiny Jaccard (invisible to resemblance dedup) but containment 1.0
+    — the operator's reason to exist. Exact integer threshold."""
+    from pyspark_datacol_diff_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(200)]
+    long_doc = " ".join(words)
+    snippet = " ".join(words[:20])          # fully contained prefix
+    other = " ".join(f"x{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, snippet), (3, other)],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in cont          # snippet contained in long doc
+    assert (1, 2) not in jac       # jaccard ~= 18/198, misses it
+    assert not any(3 in p for p in cont)
+    import pytest
+    with pytest.raises(ValueError, match="num"):
+        ngram_containment_pairs(
+            df, "doc_id", "text", threshold_num=0, threshold_den=5
+        )
