@@ -5390,18 +5390,37 @@ def _q_kmeans_cells_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_exact_assign(e, nlist=4, iterations=2)
 
 
-def _sql_kmeans_cells_embed(
-    nlist: int = 4, iterations: int = 2, quant: int = 1_000_000,
-    dim: int = 64,
-) -> str:
-    """Unrolled-iteration DuckDB replay of kmeans_exact_assign: same
-    quantization, same md5 seed order, same tie-breaks, same truncated
-    integer division (DuckDB ``//`` and Spark ``div`` both truncate
-    toward zero; Python's floors, hence _tdiv on the driver)."""
+def _q_kmeans_cosine_pairs_embed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-bucketed embedding near-dup pairs
+    (operators/similarity.py:kmeans_bucketed_cosine_pairs) — the third
+    embedding-dedup formulation next to exact O(n^2) cosine_pairs and
+    SRP-LSH banding: the integer-exact Lloyd cells bound the pair
+    space (one cell-keyed equi-join, never all-pairs), and the cosine
+    threshold is decided WITHOUT floats via a DECIMAL(38,0) square
+    comparison over the same quantized vectors the assignment scored.
+    Replays hash-identically in DuckDB HUGEINT."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.kmeans_bucketed_cosine_pairs(
+        e, nlist=4, iterations=2, sim_num=2, sim_den=5
+    )
+
+
+def _kmeans_cte_parts(
+    nlist: int, iterations: int, quant: int, dim: int,
+) -> tuple[list, int]:
+    """Shared unrolled-iteration CTE chain replaying
+    kmeans_exact_assign in DuckDB: same quantization, same md5 seed
+    order, same tie-breaks, same truncated integer division (DuckDB
+    ``//`` and Spark ``div`` both truncate toward zero; Python's
+    floors, hence _tdiv on the driver). Returns (cte_sql_parts,
+    n_assign) where ``a{n_assign}`` is the final (vec_id, qv, cell)
+    assignment — consumers append their own final SELECT."""
     parts = [f"""
 WITH q AS (SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(floor(x * {quant}) AS BIGINT)) AS qv
+               x -> CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS qv
            FROM embeddings),
 seed AS (SELECT vec_id, qv,
                 row_number() OVER (
@@ -5429,13 +5448,47 @@ c{k} AS (SELECT c.cell, coalesce(m.cv, c.cv) AS cv
          FROM c{k - 1} c LEFT JOIN
            (SELECT cell, list(s // n ORDER BY i) AS cv
             FROM s{k} GROUP BY cell) m USING (cell))""")
+    return parts, n_assign
+
+
+def _sql_kmeans_cells_embed(
+    nlist: int = 4, iterations: int = 2, quant: int = 1_000_000,
+    dim: int = 64,
+) -> str:
+    parts, n_assign = _kmeans_cte_parts(nlist, iterations, quant, dim)
     parts.append(
         f"\nSELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a{n_assign}"
     )
     return "".join(parts)
 
 
+def _sql_kmeans_cosine_pairs_embed(
+    nlist: int = 4, iterations: int = 2, quant: int = 1_000_000,
+    dim: int = 64, sim_num: int = 2, sim_den: int = 5,
+) -> str:
+    """Cell-bucketed exact-integer cosine pairs on top of the same
+    unrolled kmeans chain: the threshold replays Spark's DECIMAL(38,0)
+    square comparison in DuckDB HUGEINT (both 128-bit exact)."""
+    parts, n_assign = _kmeans_cte_parts(nlist, iterations, quant, dim)
+    parts.append(f""",
+f AS (SELECT vec_id, qv, cell,
+        CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum')
+             AS BIGINT) AS n2
+      FROM a{n_assign}),
+pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_aggregate(list_transform(list_zip(a.qv, b.qv),
+           z -> z[1] * z[2]), 'sum') AS BIGINT) AS dot_q,
+         a.n2 AS na2, b.n2 AS nb2
+       FROM f a JOIN f b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, dot_q, na2, nb2 FROM pr
+WHERE dot_q >= 0
+  AND CAST(dot_q AS HUGEINT) * dot_q * {sim_den * sim_den}
+      >= {sim_num * sim_num} * CAST(na2 AS HUGEINT) * nb2""")
+    return "".join(parts)
+
+
 _SQL_KMEANS_CELLS_EMBED = _sql_kmeans_cells_embed()
+_SQL_KMEANS_COSINE_PAIRS_EMBED = _sql_kmeans_cosine_pairs_embed()
 
 
 # ---------------------------------------------------------------------------
@@ -5472,6 +5525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_orders_skewed": _q_diff_orders_skewed,
         "kmeans_cells_embed": _q_kmeans_cells_embed,
         "ngram_containment_docs": _q_ngram_containment_docs,
+        "kmeans_cosine_pairs_embed": _q_kmeans_cosine_pairs_embed,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -5986,6 +6040,7 @@ def oracle_sql() -> dict[str, str]:
         "q20_potential_promotion": _SQL_Q20_POTENTIAL_PROMOTION,
         "diff_orders_skewed": _SQL_DIFF_ORDERS_SKEWED,
         "kmeans_cells_embed": _SQL_KMEANS_CELLS_EMBED,
+        "kmeans_cosine_pairs_embed": _SQL_KMEANS_COSINE_PAIRS_EMBED,
         "ngram_containment_docs": "WITH " + _SQL_NGRAM_PAIRS_BODY.replace(
             # reuse the shared gram/pair pipeline but swap the final
             # resemblance cut for the integer containment cut

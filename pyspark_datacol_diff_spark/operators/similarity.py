@@ -1457,6 +1457,7 @@ def kmeans_exact_assign(
     iterations: int = 2,
     quant: int = 1_000_000,
     centroids_out: list | None = None,
+    vector_out_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration Lloyd k-means in SCALED INTEGER arithmetic —
     the oracle-replayable clustering that trains an IVF coarse
@@ -1577,4 +1578,98 @@ def kmeans_exact_assign(
         ]
     if centroids_out is not None:
         centroids_out.extend(centroids)
+    if vector_out_col is not None:
+        # downstream consumers (the bucketed cosine pairs) reuse the
+        # SAME quantized vectors the assignment scored, so pair math
+        # and cell membership stay one consistent integer universe
+        return assign(qdf).select(
+            id_col, "cell", F.col("__qv").alias(vector_out_col)
+        )
     return assign(qdf).select(id_col, "cell")
+
+
+def kmeans_bucketed_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 4,
+    iterations: int = 2,
+    quant: int = 1_000_000,
+    sim_num: int = 2,
+    sim_den: int = 5,
+) -> DataFrame:
+    """Embedding near-dup pairs with the pair space bounded by
+    :func:`kmeans_exact_assign` cells — the CLUSTER-BUCKETED scale
+    path of embedding-cosine dedup, next to the exact
+    (:func:`cosine_pairs`, O(n^2)) and SRP-LSH
+    (:func:`srp_near_dup_pairs`, banded) formulations. Pairs are
+    enumerated only WITHIN a cell (one cell-keyed shuffle; cell sizes
+    bound the per-key quadratic term the way ``max_df`` bounds posting
+    lists), so recall misses cross-cell pairs by contract — the same
+    trade every IVF/LSH candidate miner makes; raise ``nlist`` slower
+    than corpus growth, or union multiple clusterings, to tighten it.
+
+    Similarity is EXACT-INTEGER cosine over the same quantized vectors
+    the assignment scored: ``dot_q = sum(qa_i * qb_i)``,
+    ``cos_q = dot_q / sqrt(na2 * nb2)``, thresholded WITHOUT sqrt or
+    floats as ``dot_q >= 0 AND dot_q^2 * sim_den^2 >= sim_num^2 * na2
+    * nb2`` — squares computed in DECIMAL(38,0) (dot_q can reach
+    ~dim * quant^2 ~ 2^41; its square overflows int64, and 38 digits
+    hold it with room). Every emitted column is an exact int64, so the
+    result replays hash-identically in any engine with 128-bit
+    comparison arithmetic.
+
+    Returns ``(id_a, id_b, dot_q, na2, nb2)``.
+    """
+    if not 0 < sim_num <= sim_den:
+        raise ValueError(f"need 0 < num <= den, got {sim_num}/{sim_den}")
+    assigned = kmeans_exact_assign(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        nlist=nlist,
+        iterations=iterations,
+        quant=quant,
+        vector_out_col="__qv",
+    ).withColumn(
+        "__n2",
+        F.aggregate(
+            F.transform("__qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        "cell",
+        F.col("__qv").alias("__qa"),
+        F.col("__n2").alias("na2"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        "cell",
+        F.col("__qv").alias("__qb"),
+        F.col("__n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__qa", "__qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dec = lambda c: c.cast("decimal(20,0)")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot_q", dot)
+        .filter(
+            (F.col("dot_q") >= 0)
+            & (
+                dec(F.col("dot_q")) * dec(F.col("dot_q"))
+                * F.lit(sim_den * sim_den)
+                >= F.lit(sim_num * sim_num)
+                * dec(F.col("na2")) * dec(F.col("nb2"))
+            )
+        )
+        .select("id_a", "id_b", "dot_q", "na2", "nb2")
+    )

@@ -911,3 +911,103 @@ class TestKmeansExact:
             for r in cosine_topk(corpus, queries, 3).collect()
         }
         assert got == exact
+
+
+class TestKmeansBucketedCosinePairs:
+    """Round-6: cluster-bucketed embedding near-dup pairs (the third
+    embedding-dedup formulation next to exact cosine_pairs and
+    SRP-LSH)."""
+
+    def _corpus_with_dupes(self, spark, n=30, dim=6, seed=11):
+        import random as _rnd
+
+        _rnd.seed(seed)
+        rows = []
+        for i in range(n):
+            v = [round(_rnd.uniform(-0.3, 0.3), 6) for _ in range(dim)]
+            rows.append((i, v))
+            if i % 7 == 0:  # a near-identical twin: high cosine, same cell
+                rows.append(
+                    (1000 + i, [round(x + 0.0005, 6) for x in v])
+                )
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_matches_pure_python_replay(self, spark):
+        """Pairs, dots and norms replay exactly from the quantized
+        Lloyd recursion: same cells, within-cell pairs only, integer
+        cosine threshold decided in unbounded Python int arithmetic."""
+        import hashlib
+        import math
+
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            _tdiv,
+            kmeans_bucketed_cosine_pairs,
+        )
+
+        df = self._corpus_with_dupes(spark)
+        qv = {
+            r["vec_id"]: [
+                math.floor(float(x) * 1_000_000) for x in r["embedding"]
+            ]
+            for r in df.collect()
+        }
+        seeds = sorted(
+            qv, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:3]
+        cents = [list(qv[s]) for s in seeds]
+
+        def assign_all():
+            return {
+                i: min(
+                    range(3),
+                    key=lambda c: (
+                        sum((a - b) * (a - b) for a, b in zip(v, cents[c])),
+                        c,
+                    ),
+                )
+                for i, v in qv.items()
+            }
+
+        for _ in range(2):
+            a = assign_all()
+            for c in range(3):
+                members = [qv[i] for i, cc in a.items() if cc == c]
+                if members:
+                    cents[c] = [
+                        _tdiv(sum(col), len(members)) for col in zip(*members)
+                    ]
+        cell = assign_all()
+        n2 = {i: sum(x * x for x in v) for i, v in qv.items()}
+        expect = set()
+        ids = sorted(qv)
+        for ia in ids:
+            for ib in ids:
+                if ia < ib and cell[ia] == cell[ib]:
+                    dot = sum(a * b for a, b in zip(qv[ia], qv[ib]))
+                    if dot >= 0 and dot * dot * 25 >= 4 * n2[ia] * n2[ib]:
+                        expect.add((ia, ib, dot, n2[ia], n2[ib]))
+        got = {
+            (r["id_a"], r["id_b"], r["dot_q"], r["na2"], r["nb2"])
+            for r in kmeans_bucketed_cosine_pairs(
+                df, nlist=3, iterations=2, sim_num=2, sim_den=5
+            ).collect()
+        }
+        assert got == expect
+        # the planted twins must survive the threshold
+        twin_pairs = {(i, 1000 + i) for i in range(0, 30, 7)}
+        assert twin_pairs <= {(a, b) for a, b, *_ in got}
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pt
+
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            kmeans_bucketed_cosine_pairs,
+        )
+
+        df = self._corpus_with_dupes(spark, n=8)
+        with _pt.raises(ValueError, match="num"):
+            kmeans_bucketed_cosine_pairs(df, sim_num=0)
+        with _pt.raises(ValueError, match="num"):
+            kmeans_bucketed_cosine_pairs(df, sim_num=6, sim_den=5)
