@@ -4260,6 +4260,33 @@ def _q_multimodal_sniff_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_audio_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-payload audio round-trip
+    (operators/multimodal.py:synth_pcm_wav + pcm_features): synthesize
+    a COMPLETE spec-exact mono 16-bit PCM WAV per document (44-byte
+    canonical header + formulaic data chunk — the stdlib ``wave``
+    module opens it), then DECODE the samples back out of the bytes
+    and extract exact-integer audio features (energy, peak, zero
+    crossings) — all fixed-stride byte arithmetic in native Column
+    expressions: one projection, zero UDFs, zero shuffle. The oracle
+    recomputes the features FORMULAICALLY (never touching bytes), so
+    any corruption in the binary construct or the decode shows up as
+    a hash mismatch — the audio analogue of multimodal_sniff_parse,
+    extended from headers to the full data plane."""
+    d = _t(spark, sf_dir, "documents")
+    sr = (F.lit(8000) + (F.col("doc_id") % 6) * 8000).cast("long")
+    n = (F.col("n_chars") % 96 + 8).cast("long")
+    pay = d.select(
+        "doc_id",
+        MM.synth_pcm_wav(F.col("doc_id"), n, sr).alias("payload"),
+    )
+    return pay.select(
+        "doc_id", MM.pcm_features("payload").alias("f")
+    ).select("doc_id", "f.*")
+
+
 def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic importance sampling
     (operators/sampling.weighted_sample): each document kept with
@@ -5526,6 +5553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells_embed": _q_kmeans_cells_embed,
         "ngram_containment_docs": _q_ngram_containment_docs,
         "kmeans_cosine_pairs_embed": _q_kmeans_cosine_pairs_embed,
+        "multimodal_audio_features": _q_multimodal_audio_features,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7222,6 +7250,26 @@ SELECT doc_id,
        CASE WHEN doc_id % 3 = 1 THEN CAST(n_chars % 2 + 1 AS INTEGER) END AS n_channels,
        CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (n_chars % 6) * 8000 AS INTEGER) END AS sample_rate
 FROM documents
+""",
+        # formulaic recompute — never touches bytes; the Spark side went
+        # bytes -> parse -> features, so construct/decode bugs mismatch
+        "multimodal_audio_features": """
+WITH base AS (
+  SELECT doc_id, n_chars % 96 + 8 AS n,
+         list_transform(range(0, n_chars % 96 + 8),
+           i -> (doc_id * 31 + i * 1031) % 4096 - 2048) AS s
+  FROM documents)
+SELECT doc_id,
+       CAST(8000 + (doc_id % 6) * 8000 AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_aggregate(list_transform(s, x -> x * x), 'sum')
+            AS BIGINT) AS energy,
+       CAST(list_aggregate(list_transform(s, x -> abs(x)), 'max')
+            AS BIGINT) AS peak_abs,
+       CAST(coalesce(list_aggregate(list_transform(list_zip(s, s[2:], true),
+              z -> CASE WHEN z[1] * z[2] < 0 THEN 1 ELSE 0 END), 'sum'), 0)
+            AS BIGINT) AS zero_cross
+FROM base
 """,
         "streaming_sessions": """
 WITH d AS (

@@ -671,3 +671,141 @@ def attach_png_payload(
             )
 
     return df.select(id_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# PCM audio: full-payload synthesis + in-plan decode + feature extraction
+#
+# The image modality got its real in-container decode via the stdlib PNG
+# codec above; this is the AUDIO counterpart — and unlike image decode
+# (zlib inflate, inherently per-buffer Python), 16-bit PCM "decode" is
+# just fixed-stride byte arithmetic, so the ENTIRE path (WAV container
+# synthesis, sample extraction, feature math) stays in native Column
+# expressions: one projection, zero UDFs, zero shuffle. Reference scope
+# note: the reference library has no media handling of any kind
+# (SURVEY.md §2.7); this is north-star extension surface.
+# ---------------------------------------------------------------------------
+
+
+def _le_hex(c: Column, nbytes: int) -> Column:
+    """Little-endian fixed-width hex rendering of a non-negative long —
+    the string building block for LE binary constructs (unhex once at
+    the end, not per field)."""
+    h = F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+    return F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+    )
+
+
+def _le_int16_at(p: Column, pos: Column) -> Column:
+    """Signed little-endian int16 read at DYNAMIC 1-based byte offset
+    ``pos`` (``_le_uint`` handles static offsets): hex the 2-byte slice,
+    swap the byte pairs, parse, then two's-complement fold."""
+    h = F.hex(F.substring(p, pos, F.lit(2)))
+    u = F.conv(
+        F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)), 16, 10
+    ).cast("long")
+    return F.when(u >= 32768, u - 65536).otherwise(u)
+
+
+def pcm_sample(seed: Column, i: Column) -> Column:
+    """The deterministic sample formula shared by synthesis and oracles:
+    ``((seed * 31 + i * 1031) % 4096) - 2048`` — full int16-safe swing
+    with a fast-oscillating step (1031 is odd, coprime with 4096) so
+    short clips still show sign flips; exact in any 64-bit engine."""
+    return (seed * 31 + i * 1031) % 4096 - 2048
+
+
+def synth_pcm_wav(
+    seed: Column, n_samples: Column, sample_rate: Column
+) -> Column:
+    """A COMPLETE spec-exact mono 16-bit PCM WAV as binary: canonical
+    44-byte RIFF/WAVE/fmt/data header plus a data chunk whose samples
+    follow :func:`pcm_sample` (seed, i). Every size field is real
+    (riff_size = 36 + 2n, byte_rate = 2 * rate, block_align = 2,
+    data_size = 2n), so the payload opens in any WAV reader — the unit
+    test round-trips it through the stdlib ``wave`` module. Built as
+    one hex-string fold + a single ``unhex``: a pure projection.
+    """
+    n = n_samples.cast("long")
+    data_hex = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), n - 1),
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc,
+            _le_hex(
+                F.when(
+                    pcm_sample(seed, i) < 0, pcm_sample(seed, i) + 65536
+                ).otherwise(pcm_sample(seed, i)),
+                2,
+            ),
+        ),
+    )
+    return F.concat(
+        F.unhex(F.lit(RIFF_MAGIC_HEX)),
+        F.unhex(_le_hex(F.lit(36).cast("long") + n * 2, 4)),
+        F.unhex(F.lit(WAVE_TAG_HEX)),
+        F.unhex(F.lit("666D7420")),  # "fmt "
+        F.unhex(F.lit("10000000")),  # fmt chunk size 16
+        F.unhex(F.lit("0100")),      # PCM
+        F.unhex(F.lit("0100")),      # mono
+        F.unhex(_le_hex(sample_rate, 4)),
+        F.unhex(_le_hex(sample_rate.cast("long") * 2, 4)),  # byte rate
+        F.unhex(F.lit("0200")),      # block align
+        F.unhex(F.lit("1000")),      # 16 bits
+        F.unhex(F.lit("64617461")),  # "data"
+        F.unhex(_le_hex(n * 2, 4)),
+        F.unhex(data_hex),
+    )
+
+
+def pcm_features(payload: Column | str) -> Column:
+    """Decode a canonical mono 16-bit PCM WAV and extract exact-integer
+    audio features, all in one Column expression — the REAL audio
+    decode path (fixed-stride byte arithmetic needs no codec):
+
+    - ``sample_rate``, ``n_samples`` from the header (LE fields);
+    - ``energy``     = sum(s_i^2)           (int64-exact: n * 2048^2);
+    - ``peak_abs``   = max(|s_i|);
+    - ``zero_cross`` = #{i : s_{i-1} * s_i < 0} (strict sign flips).
+
+    NULL struct for anything that is not a canonical mono/16-bit PCM
+    WAV (wrong magic, wrong layout, compressed) — the caller's schema
+    stays total. Scale shape: a pure projection over bounded-length
+    payloads; features shuffle as 4 longs, the payload never does.
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+    is_pcm16_mono = (
+        (F.substring(p, 1, 4) == F.unhex(F.lit(RIFF_MAGIC_HEX)))
+        & (F.substring(p, 9, 4) == F.unhex(F.lit(WAVE_TAG_HEX)))
+        & (F.substring(p, 13, 4) == F.unhex(F.lit("666D7420")))
+        & (_le_uint(p, 21, 2) == 1)   # PCM
+        & (_le_uint(p, 23, 2) == 1)   # mono
+        & (_le_uint(p, 35, 2) == 16)  # 16-bit
+        & (F.substring(p, 37, 4) == F.unhex(F.lit("64617461")))
+        & (F.octet_length(p) >= 44)
+    )
+    n = (_le_uint(p, 41, 4) / 2).cast("long")
+    samples = F.transform(
+        F.sequence(F.lit(0).cast("long"), n - 1),
+        lambda i: _le_int16_at(p, (F.lit(45) + i * 2).cast("int")),
+    )
+    feats = F.struct(
+        _le_uint(p, 25, 4).cast("int").alias("sample_rate"),
+        n.alias("n_samples"),
+        F.aggregate(
+            samples, F.lit(0).cast("long"), lambda acc, s: acc + s * s
+        ).alias("energy"),
+        F.array_max(F.transform(samples, F.abs)).alias("peak_abs"),
+        F.aggregate(
+            F.zip_with(
+                F.slice(samples, 1, (n - 1).cast("int")),
+                F.slice(samples, 2, (n - 1).cast("int")),
+                lambda a, b: F.when(a * b < 0, 1).otherwise(0),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("zero_cross"),
+    )
+    null_t = "struct<sample_rate:int,n_samples:bigint,energy:bigint,peak_abs:bigint,zero_cross:bigint>"
+    return F.when(is_pcm16_mono, feats).otherwise(F.lit(None).cast(null_t))

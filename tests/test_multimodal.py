@@ -261,3 +261,69 @@ class TestPngCodec:
             got, n = feats[i]
             assert n == 192
             assert np.allclose(got, hist.astype(np.float32))
+
+
+class TestPcmAudio:
+    """Round-6: full-payload PCM WAV synthesis + in-plan decode +
+    exact-integer feature extraction (the audio data plane, all native
+    Column expressions)."""
+
+    def _pay(self, spark, n_rows=6):
+        return spark.range(n_rows).select(
+            F.col("id"),
+            MM.synth_pcm_wav(
+                F.col("id"),
+                F.lit(30) + F.col("id") * 7,
+                (F.lit(8000) + F.col("id") * 8000).cast("long"),
+            ).alias("payload"),
+        )
+
+    def test_container_opens_in_stdlib_wave(self, spark):
+        """The synthesized payload is a REAL WAV: python's wave module
+        (an independent RIFF parser) reads back the exact header fields
+        and sample values."""
+        import io
+        import struct
+        import wave
+
+        for r in self._pay(spark).collect():
+            i = r["id"]
+            w = wave.open(io.BytesIO(bytes(r["payload"])))
+            n = 30 + i * 7
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getframerate() == 8000 + i * 8000
+            assert w.getnframes() == n
+            got = struct.unpack(f"<{n}h", w.readframes(n))
+            expect = tuple(
+                ((i * 31 + j * 1031) % 4096) - 2048 for j in range(n)
+            )
+            assert got == expect
+
+    def test_features_match_pure_python(self, spark):
+        feats = {
+            r["id"]: r["f"]
+            for r in self._pay(spark)
+            .select("id", MM.pcm_features("payload").alias("f"))
+            .collect()
+        }
+        any_cross = False
+        for i, f in feats.items():
+            n = 30 + i * 7
+            s = [((i * 31 + j * 1031) % 4096) - 2048 for j in range(n)]
+            assert f["sample_rate"] == 8000 + i * 8000
+            assert f["n_samples"] == n
+            assert f["energy"] == sum(x * x for x in s)
+            assert f["peak_abs"] == max(abs(x) for x in s)
+            zc = sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+            assert f["zero_cross"] == zc
+            any_cross = any_cross or zc > 0
+        assert any_cross  # the formula must actually exercise sign flips
+
+    def test_non_wav_payload_yields_null_struct(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not a wav at all, just bytes"))],
+            "id long, payload binary",
+        )
+        row = df.select(MM.pcm_features("payload").alias("f")).collect()[0]
+        assert row["f"] is None
