@@ -2485,6 +2485,25 @@ def _q_range_join_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("event_id", "user_id", "err_id")
 
 
+def _q_max_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneously-open intervals per hour
+    (operators/range_join.py:interval_max_concurrency) — the classic
+    sweep-line, distributed: each event opens a half-open interval
+    [ts, ts + floor(value) seconds); intervals explode to +1/-1 deltas,
+    the prefix sum runs per-day-bucketed (running_total's two-phase
+    scan — no global sort-window over the corpus), and per-hour peaks
+    combine point maxima with the level carried in from the previous
+    hour via one lag over the calendar-bounded hour-grain relation."""
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        F.col("ts").alias("s"),
+        F.timestamp_add(
+            "SECOND", F.floor("value").cast("int"), F.col("ts")
+        ).alias("en"),
+    )
+    return RJ.interval_max_concurrency(iv, "s", "en", grain="hour")
+
+
 def _q_window_user_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function breadth: lag, running decimal sum (exact cents),
     3-row rolling max, row_number — one shuffle on user_id serves all
@@ -5554,6 +5573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment_docs": _q_ngram_containment_docs,
         "kmeans_cosine_pairs_embed": _q_kmeans_cosine_pairs_embed,
         "multimodal_audio_features": _q_multimodal_audio_features,
+        "max_concurrency_events": _q_max_concurrency_events,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7270,6 +7290,22 @@ SELECT doc_id,
               z -> CASE WHEN z[1] * z[2] < 0 THEN 1 ELSE 0 END), 'sum'), 0)
             AS BIGINT) AS zero_cross
 FROM base
+""",
+        "max_concurrency_events": """
+WITH iv AS (
+  SELECT ts AS s,
+         ts + CAST(floor(value) AS BIGINT) * INTERVAL 1 SECOND AS e
+  FROM events),
+d AS (SELECT s AS t, 1 AS dd FROM iv UNION ALL SELECT e, -1 FROM iv),
+r AS (SELECT t, sum(dd) OVER (ORDER BY t) AS run FROM d),
+h AS (SELECT date_trunc('hour', t) AS grain_start,
+             max(run) AS peak, arg_max(run, t) AS exit_level
+      FROM r GROUP BY 1)
+SELECT grain_start,
+       CAST(greatest(
+         coalesce(lag(exit_level) OVER (ORDER BY grain_start), 0),
+         peak) AS BIGINT) AS max_concurrency
+FROM h
 """,
         "streaming_sessions": """
 WITH d AS (

@@ -85,3 +85,71 @@ def test_plan_has_no_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+class TestIntervalMaxConcurrency:
+    """Round-6: distributed sweep-line peak-concurrency."""
+
+    def _df(self, spark, rows):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        data = [
+            (base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=e))
+            for s, e in rows
+        ]
+        return spark.createDataFrame(data, "s timestamp, en timestamp")
+
+    def _run(self, spark, rows, grain="hour"):
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            interval_max_concurrency,
+        )
+
+        df = self._df(spark, rows)
+        return {
+            str(r["grain_start"]): r["max_concurrency"]
+            for r in interval_max_concurrency(
+                df, "s", "en", grain=grain
+            ).collect()
+        }
+
+    def test_basic_overlap_and_carry_in(self, spark):
+        # hour 0: three intervals, two overlap -> peak 2
+        # one interval spans into hour 1 where only a short one starts:
+        # at the short one's start the spanner is still open -> peak 2,
+        # but hour 1's own points alone would only ever see 2 anyway;
+        # the carry-in case: hour 2 has a single point while TWO
+        # spanners from hour 1 are still open at its entry
+        rows = [
+            (0, 10), (5, 15), (20, 30),          # hour 0: peak 2
+            (50, 130), (55, 135),                # span hours 0->2
+            (70, 80),                            # hour 1 point: 3 open
+            (125, 126),                          # hour 2: 2 spanners open
+        ]
+        got = self._run(spark, rows)
+        assert got["2024-01-01 00:00:00"] == 2
+        assert got["2024-01-01 01:00:00"] == 3
+        assert got["2024-01-01 02:00:00"] == 3  # carried level >= points
+        # brute-force the whole step function as ground truth
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        ivs = [
+            (base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=e))
+            for s, e in rows
+        ]
+        pts = sorted({t for iv in ivs for t in iv})
+        expect: dict = {}
+        for t in pts + [t.replace(minute=0, second=0) for t in pts]:
+            c = sum(1 for s, e in ivs if s <= t < e)
+            h = str(t.replace(minute=0, second=0, microsecond=0))
+            expect[h] = max(expect.get(h, 0), c)
+        assert {h: v for h, v in got.items()} == expect
+
+    def test_half_open_touching_intervals_do_not_overlap(self, spark):
+        got = self._run(spark, [(0, 30), (30, 59)])
+        assert got == {"2024-01-01 00:00:00": 1}
+
+    def test_zero_length_interval_never_registers(self, spark):
+        got = self._run(spark, [(10, 10), (20, 40)])
+        assert got == {"2024-01-01 00:00:00": 1}
