@@ -896,6 +896,36 @@ FROM m
 """
 
 
+def _q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit
+    (operators/quality.py:benford_first_digit) over order totals by
+    status — the classic fraud/synthetic-data distribution screen.
+    EXACT-INTEGER end to end: the first significant digit comes from
+    the DECIMAL(18,4)-scaled integer's string rendering (never float
+    log10 — last-ulp engine drift), and the per-digit share is ppm via
+    truncated int64 division. One map-side-combined aggregate + a
+    broadcast totals join; at most 9 rows per group."""
+    o = _t(spark, sf_dir, "orders")
+    return QA.benford_first_digit(
+        o, "o_totalprice", group_by=["o_orderstatus"]
+    )
+
+
+_SQL_BENFORD_ORDERS = """
+WITH d AS (
+  SELECT o_orderstatus,
+         CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                * 10000 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) > 0),
+c AS (SELECT o_orderstatus, digit, count(*) AS n FROM d GROUP BY 1, 2),
+t AS (SELECT o_orderstatus, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.o_orderstatus, c.digit, CAST(c.n AS BIGINT) AS n,
+       CAST((c.n * 1000000) // t.tot AS BIGINT) AS ppm
+FROM c JOIN t USING (o_orderstatus)
+"""
+
+
 def _q_dq_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality report (operators/quality.py): five
     named row-level rules over orders evaluated in ONE map-combined
@@ -5574,6 +5604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cosine_pairs_embed": _q_kmeans_cosine_pairs_embed,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "max_concurrency_events": _q_max_concurrency_events,
+        "benford_orders": _q_benford_orders,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7291,6 +7322,7 @@ SELECT doc_id,
             AS BIGINT) AS zero_cross
 FROM base
 """,
+        "benford_orders": _SQL_BENFORD_ORDERS,
         "max_concurrency_events": """
 WITH iv AS (
   SELECT ts AS s,

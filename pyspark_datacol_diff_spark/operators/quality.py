@@ -178,3 +178,72 @@ def winsorize(
         F.least(F.greatest(v, F.col("__lo")), F.col("__hi")),
     )
     return joined.withColumn(out_col, clamped).drop("__lo", "__hi")
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_by: list[str] | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column
+    — the Benford's-law audit (fraud/synthetic-data screening: organic
+    magnitudes follow ``P(d) = log10(1 + 1/d)``; fabricated ones
+    usually don't). Distribution checks like this one are the classic
+    cross-row data-quality rule that :func:`check_rules` deliberately
+    excludes.
+
+    EXACT-INTEGER contract: the first digit comes from the DECIMAL
+    rendering, never from float logs — ``v -> CAST(v AS
+    DECIMAL(18,scale)) * 10^scale`` is an exact integer in any engine,
+    and the leading character of an integer's decimal string is
+    engine-independent (float ``log10``/`pow`` paths differ in last
+    ulps across engines; strings of ints never do). Non-positive and
+    NULL values are excluded (they have no first significant digit).
+
+    Returns one row per (group, digit): ``(*group_by, digit, n,
+    ppm)`` where ``ppm = n * 1_000_000 div group_total`` (truncated
+    integer division — exact, comparable against Benford's 301030 /
+    176091 / ... expectations without emitting a float).
+
+    Scale shape: one projection + one map-side-combined aggregate on
+    (group, digit) — at most ``9 * |groups|`` output rows; the ppm join
+    back to group totals is a window-free groupBy-then-broadcast-join
+    on the group key (bounded by |groups| * 9 rows, broadcast side
+    |groups| rows).
+    """
+    gb = list(group_by or [])
+    e = (
+        F.col(value_col).cast(f"decimal(18,{scale})")
+        * F.lit(10 ** scale).cast("decimal(18,0)")
+    ).cast("long")
+    digits = (
+        df.select(*gb, e.alias("__e"))
+        .filter(F.col("__e") > 0)
+        .select(
+            *gb,
+            F.substring(F.col("__e").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+        .groupBy(*gb, "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # branch point (totals re-read it): bounded at 9 * |groups| rows,
+        # persisting avoids a second full scan of the input
+        .persist()
+    )
+    totals = digits.groupBy(*gb).agg(F.sum("n").alias("__tot"))
+    joined = (
+        digits.join(F.broadcast(totals), gb)
+        if gb
+        else digits.crossJoin(F.broadcast(totals))
+    )
+    return joined.select(
+        *gb,
+        "digit",
+        "n",
+        # SQL DIV: exact int64 division (a float `/` then cast could
+        # round a just-below-integer quotient up before truncation)
+        F.expr("(n * CAST(1000000 AS BIGINT)) DIV __tot").alias("ppm"),
+    )

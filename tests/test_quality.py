@@ -184,3 +184,64 @@ def test_winsorize_nonidentifier_column_name(spark):
     out = winsorize(df, "event value", keys=["g"], lower=0.0, upper=0.5)
     vals = sorted(r["event value_winsorized"] for r in out.collect())
     assert vals == [1, 1]
+
+
+class TestBenfordFirstDigit:
+    """Round-6: exact-integer first-significant-digit audit."""
+
+    def test_matches_pure_python(self, spark):
+        from decimal import Decimal
+
+        from pyspark_datacol_diff_spark.operators.quality import (
+            benford_first_digit,
+        )
+
+        vals = [
+            ("a", 185.22), ("a", 9.64), ("a", 0.07), ("a", 106.03),
+            ("a", 1.0), ("b", 23.5), ("b", 2999.99), ("b", 0.0001),
+            ("b", 250.0), ("b", 25.0), ("b", None), ("b", -5.0),
+            ("b", 0.0),
+        ]
+        df = spark.createDataFrame(vals, "g string, v double")
+        got = {
+            (r["g"], r["digit"]): (r["n"], r["ppm"])
+            for r in benford_first_digit(df, "v", group_by=["g"]).collect()
+        }
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for g, v in vals:
+            if v is None:
+                continue
+            e = int(Decimal(str(v)).quantize(Decimal("0.0001")) * 10000)
+            if e > 0:
+                cnt[(g, int(str(e)[0]))] += 1
+        tot = Counter()
+        for (g, _), n in cnt.items():
+            tot[g] += n
+        expect = {
+            k: (n, n * 1_000_000 // tot[k[0]]) for k, n in cnt.items()
+        }
+        assert got == expect
+        # ppm shares per group sum to <= 1e6 (truncation) and > 9e5
+        for g in ("a", "b"):
+            s = sum(p for (gg, _), (_, p) in got.items() if gg == g)
+            assert 900_000 < s <= 1_000_000
+
+    def test_ungrouped_and_all_nonpositive(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            benford_first_digit,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (19.0,), (950.0,)], "v double"
+        )
+        got = {
+            r["digit"]: (r["n"], r["ppm"])
+            for r in benford_first_digit(df, "v").collect()
+        }
+        assert got == {1: (2, 666666), 9: (1, 333333)}
+        empty = benford_first_digit(
+            spark.createDataFrame([(-1.0,), (0.0,)], "v double"), "v"
+        )
+        assert empty.count() == 0
