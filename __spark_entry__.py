@@ -4877,6 +4877,98 @@ SELECT node AS part, rank AS rank_scaled FROM r3
 """
 
 
+def _q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED integer-exact PageRank
+    (operators/cluster.py:pagerank_exact with seed_pred) over the same
+    co-purchase graph as pagerank_copurchase: initial mass and the
+    per-round reset land only on the seed parts (partkey % 20 == 0),
+    so ranks measure proximity to the seed set — the seed-document
+    expansion ordering of a training-data pipeline (grow a curated
+    seed corpus along the similarity/link graph) rather than global
+    authority. Identical dataflow and checkpoint hygiene; the seed
+    predicate is engine-portable integer arithmetic, so the unrolled
+    SQL oracle replays every round hash-exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("s")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(s, (x, i) -> "
+                    "transform(slice(s, i + 2, size(s)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    r = CC.pagerank_exact(
+        edges,
+        iterations=3,
+        checkpoint_interval=3,
+        seed_pred=lambda n: n % 20 == 0,
+    )
+    return r.select(
+        F.col("node").alias("part"), F.col("rank").alias("rank_scaled")
+    )
+
+
+def _sql_ppr_copurchase(
+    iterations: int = 3, scale: int = 1_000_000,
+    dnum: int = 85, dden: int = 100, seed_sql: str = "{n}node % 20 = 0",
+) -> str:
+    """Unrolled personalized-PageRank replay: same edge build as
+    _SQL_PAGERANK_COPURCHASE, seed-gated init and reset. ``{n}`` in
+    ``seed_sql`` becomes the table qualifier where one is needed."""
+    reset = (scale * (dden - dnum)) // dden
+    seed_r0 = seed_sql.replace("{n}", "")
+    seed_rk = seed_sql.replace("{n}", "n.")
+    parts = ["""
+WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT p1 AS src, p2 AS dst FROM prs
+          UNION ALL SELECT p2, p1 FROM prs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),"""]
+    parts.append(f"""
+r0 AS (SELECT node,
+              CAST(CASE WHEN {seed_r0} THEN {scale} ELSE 0 END AS BIGINT)
+                AS rank
+       FROM nodes)""")
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+c{k} AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+       FROM edges e JOIN r{k - 1} r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r{k} AS (SELECT n.node,
+              CAST(CASE WHEN {seed_rk} THEN {reset} ELSE 0 END
+                   + ({dnum} * coalesce(c{k}.s, 0)) // {dden} AS BIGINT)
+                AS rank
+       FROM nodes n LEFT JOIN c{k} ON n.node = c{k}.node)""")
+    parts.append(
+        f"\nSELECT node AS part, rank AS rank_scaled FROM r{iterations}"
+    )
+    return "".join(parts)
+
+
+_SQL_PPR_COPURCHASE = _sql_ppr_copurchase()
+
+
 def _q_heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram heavy hitters (operators/sketch.py:heavy_hitters)
     — every word bigram covering >= 0.1% of all bigram occurrences,
@@ -5479,7 +5571,7 @@ def _q_kmeans_cosine_pairs_embed(
     Replays hash-identically in DuckDB HUGEINT."""
     e = _t(spark, sf_dir, "embeddings")
     return SIM.kmeans_bucketed_cosine_pairs(
-        e, nlist=4, iterations=2, sim_num=2, sim_den=5
+        e, nlist=8, iterations=2, sim_num=2, sim_den=5
     )
 
 
@@ -5564,7 +5656,7 @@ WHERE dot_q >= 0
 
 
 _SQL_KMEANS_CELLS_EMBED = _sql_kmeans_cells_embed()
-_SQL_KMEANS_COSINE_PAIRS_EMBED = _sql_kmeans_cosine_pairs_embed()
+_SQL_KMEANS_COSINE_PAIRS_EMBED = _sql_kmeans_cosine_pairs_embed(nlist=8)
 
 
 # ---------------------------------------------------------------------------
@@ -5605,6 +5697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": _q_multimodal_audio_features,
         "max_concurrency_events": _q_max_concurrency_events,
         "benford_orders": _q_benford_orders,
+        "ppr_copurchase": _q_ppr_copurchase,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7323,6 +7416,7 @@ SELECT doc_id,
 FROM base
 """,
         "benford_orders": _SQL_BENFORD_ORDERS,
+        "ppr_copurchase": _SQL_PPR_COPURCHASE,
         "max_concurrency_events": """
 WITH iv AS (
   SELECT ts AS s,

@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "q2_min_cost_supplier",      # synthesized partsupp + window-min + TakeOrdered
     "diff_orders_skewed",        # hot-key full-outer diff (20% on one key)
     "kmeans_cells_embed",        # driver-coordinated integer Lloyd rounds
+    "kmeans_cosine_pairs_embed",  # Lloyd-cell-bucketed cosine pair join
+    "max_concurrency_events",    # sweep-line: two-phase prefix scan
+    "multimodal_audio_features",  # heavy per-row byte-decode projection
 ]
 
 

@@ -611,6 +611,7 @@ def pagerank_exact(
     scale: int = 1_000_000,
     checkpoint_interval: int = 1,
     deg_via_window: bool = True,
+    seed_pred=None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in SCALED INTEGER arithmetic — the
     oracle-replayable variant of :func:`pagerank`. Ranks are longs in
@@ -618,6 +619,15 @@ def pagerank_exact(
     ``rank div out_degree`` (integer division) to each out-neighbor
     and receives ``(scale * (damping_den - damping_num)) div
     damping_den + (damping_num * incoming_sum) div damping_den``.
+
+    ``seed_pred`` (a callable ``node Column -> boolean Column``) turns
+    this into PERSONALIZED PageRank: initial mass and the per-round
+    reset land ONLY on nodes satisfying the predicate (NULL counts as
+    non-seed), so ranks measure proximity to the seed set — the
+    seed-relevance ordering (crawl frontiers, seed-document expansion
+    in a training-data pipeline) rather than global authority. Same
+    dataflow, same exact-integer replayability; the predicate itself
+    must be engine-portable for the oracle to unroll it.
 
     Why a second variant exists: the float formulation's per-node sums
     run in nondeterministic partition order, so its low bits vary
@@ -667,7 +677,20 @@ def pagerank_exact(
         edges, src_col, dst_col, deg_via_window
     )
     try:
-        ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+        if seed_pred is None:
+            base = nodes
+            ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+            reset_expr = f"{reset}L"
+        else:
+            base = nodes.withColumn("__seed", seed_pred(F.col("node")))
+            ranks = base.select(
+                "node",
+                F.when(F.col("__seed"), F.lit(scale))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("rank"),
+            )
+            reset_expr = f"(CASE WHEN __seed THEN {reset}L ELSE 0L END)"
         prev = None
         for i in range(iterations):
             contribs = ew.join(
@@ -677,10 +700,10 @@ def pagerank_exact(
                 F.expr("rank div deg").alias("c"),
             )
             summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
-            ranks = nodes.join(summed, "node", "left").select(
+            ranks = base.join(summed, "node", "left").select(
                 "node",
                 F.expr(
-                    f"{reset}L + ({damping_num}L * coalesce(s, 0L)) "
+                    f"{reset_expr} + ({damping_num}L * coalesce(s, 0L)) "
                     f"div {damping_den}L"
                 ).alias("rank"),
             )

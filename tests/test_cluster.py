@@ -422,3 +422,43 @@ def test_pagerank_exact_strategy_knobs_are_result_invariant(spark):
         assert got == base, (ci, win)
     with pytest.raises(ValueError, match="checkpoint_interval"):
         pagerank_exact(e, checkpoint_interval=0)
+
+
+class TestPersonalizedPagerank:
+    """Round-6: seed-gated exact-integer PageRank."""
+
+    def test_seed_proximity_and_unreachable_zero(self, spark):
+        from pyspark.sql import functions as F
+
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            pagerank_exact,
+        )
+
+        # component A: 1 -> 2 -> 3 (seeded at 1); component B: 10 <-> 11
+        # (no seeds) — B must end at exactly 0 mass
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)],
+            "src long, dst long",
+        )
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_exact(
+                edges, iterations=3, seed_pred=lambda n: n == F.lit(1)
+            ).collect()
+        }
+        assert got[10] == 0 and got[11] == 0
+        assert got[1] > 0 and got[2] > 0 and got[3] > 0
+        # pure-python replay of the seeded integer recursion
+        nodes = [1, 2, 3, 10, 11]
+        out = {1: [2], 2: [3], 3: [1], 10: [11], 11: [10]}
+        rank = {n: 1_000_000 if n == 1 else 0 for n in nodes}
+        for _ in range(3):
+            inc = {n: 0 for n in nodes}
+            for s, ds in out.items():
+                for d in ds:
+                    inc[d] += rank[s] // len(ds)
+            rank = {
+                n: (150_000 if n == 1 else 0) + (85 * inc[n]) // 100
+                for n in nodes
+            }
+        assert got == rank

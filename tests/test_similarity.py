@@ -1011,3 +1011,26 @@ class TestKmeansBucketedCosinePairs:
             kmeans_bucketed_cosine_pairs(df, sim_num=0)
         with _pt.raises(ValueError, match="num"):
             kmeans_bucketed_cosine_pairs(df, sim_num=6, sim_den=5)
+        with _pt.raises(ValueError, match="engine"):
+            kmeans_bucketed_cosine_pairs(df, engine="cuda")
+
+    def test_gemm_and_column_engines_bit_identical(self, spark):
+        """The GEMM fast path and the pure-Column formulation are two
+        executions of ONE integer definition — every pair, dot and
+        norm must agree exactly (the float prefilter's margin recheck
+        is what makes the boundary cases safe)."""
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            kmeans_bucketed_cosine_pairs,
+        )
+
+        df = self._corpus_with_dupes(spark, n=40, dim=8, seed=3)
+        out = {}
+        for eng in ("gemm", "column"):
+            out[eng] = sorted(
+                tuple(r)
+                for r in kmeans_bucketed_cosine_pairs(
+                    df, nlist=3, iterations=2, sim_num=3, sim_den=5,
+                    engine=eng,
+                ).collect()
+            )
+        assert out["gemm"] == out["column"] and len(out["gemm"]) > 0
