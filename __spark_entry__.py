@@ -5649,7 +5649,7 @@ pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          a.n2 AS na2, b.n2 AS nb2
        FROM f a JOIN f b ON a.cell = b.cell AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, dot_q, na2, nb2 FROM pr
-WHERE dot_q >= 0
+WHERE na2 > 0 AND nb2 > 0 AND dot_q >= 0
   AND CAST(dot_q AS HUGEINT) * dot_q * {sim_den * sim_den}
       >= {sim_num * sim_num} * CAST(na2 AS HUGEINT) * nb2""")
     return "".join(parts)

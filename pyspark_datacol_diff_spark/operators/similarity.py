@@ -1617,10 +1617,13 @@ def kmeans_bucketed_cosine_pairs(
     floats as ``dot_q >= 0 AND dot_q^2 * sim_den^2 >= sim_num^2 * na2
     * nb2`` (dot_q can reach ~dim * quant^2 ~ 2^41; its square
     overflows int64, so the comparison runs in 128-bit-capable
-    arithmetic). Every emitted column is an exact int64, so the result
-    replays hash-identically in any engine with 128-bit comparison
-    arithmetic — and BOTH engines below are pinned to the same answer
-    by test.
+    arithmetic). Zero-norm vectors (all components quantize to 0) have
+    no cosine direction and are excluded from pairing — without the
+    guard the threshold ``dot^2 * den^2 >= num^2 * 0`` is trivially
+    true and a zero vector would pair with its whole cell. Every
+    emitted column is an exact int64, so the result replays
+    hash-identically in any engine with 128-bit comparison arithmetic
+    — and BOTH engines below are pinned to the same answer by test.
 
     ``engine`` picks the pair-scoring execution:
 
@@ -1696,12 +1699,15 @@ def kmeans_bucketed_cosine_pairs(
                 np.float64
             )
             tol = 1e-9 * np.maximum(np.maximum(np.abs(lhs), rhs), 1.0)
-            keep = (lhs - rhs) > tol
+            keep = ((lhs - rhs) > tol) & (a2 > 0) & (b2 > 0)
             for j in np.nonzero(np.abs(lhs - rhs) <= tol)[0]:
                 dj = int(d[j])
-                keep[j] = dj * abs(dj) * dd * dd >= nn * nn * int(
-                    a2[j]
-                ) * int(b2[j])
+                keep[j] = (
+                    a2[j] > 0
+                    and b2[j] > 0
+                    and dj * abs(dj) * dd * dd
+                    >= nn * nn * int(a2[j]) * int(b2[j])
+                )
             if not keep.any():
                 return empty
             ids = pdf[id_col].to_numpy()
@@ -1745,10 +1751,14 @@ def kmeans_bucketed_cosine_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dot_q", dot)
         .filter(
-            dec(F.col("dot_q")) * dec(F.abs(F.col("dot_q")))
-            * F.lit(sim_den * sim_den)
-            >= F.lit(sim_num * sim_num)
-            * dec(F.col("na2")) * dec(F.col("nb2"))
+            (F.col("na2") > 0)
+            & (F.col("nb2") > 0)
+            & (
+                dec(F.col("dot_q")) * dec(F.abs(F.col("dot_q")))
+                * F.lit(sim_den * sim_den)
+                >= F.lit(sim_num * sim_num)
+                * dec(F.col("na2")) * dec(F.col("nb2"))
+            )
         )
         .select("id_a", "id_b", "dot_q", "na2", "nb2")
     )

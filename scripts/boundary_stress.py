@@ -107,6 +107,15 @@ QUERIES = [
     # first-seen ties under duplicate timestamps + the ISO-week
     # boundary event exercise the acquisition curve's min-date grain
     "cumulative_users_daily",
+    # round-6 additions: duplicate timestamps are THE sweep-line tie
+    # case (RANGE-frame simultaneous +1/-1), sub-1s values make
+    # zero-length intervals; the zero/boundary vectors hit the pair
+    # miner's zero-norm guard and Lloyd's ties; empty docs floor the
+    # audio n_samples formula; benford sees the stressed value column
+    "max_concurrency_events",
+    "kmeans_cosine_pairs_embed",
+    "multimodal_audio_features",
+    "benford_orders",
 ]
 
 

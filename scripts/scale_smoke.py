@@ -91,6 +91,13 @@ QUERIES = [
     # AQE's skew-split reach, so the hot-partition growth is measured
     # here rather than asserted (round-5 verdict #7)
     "diff_orders_skewed",
+    # round-6 additions: the Lloyd-cell-bucketed GEMM pair miner (cell
+    # sizes grow with the corpus at fixed nlist, so the per-cell
+    # quadratic term is the claim under measurement) and the sweep-line
+    # two-phase prefix scan (per-day parallel windows + bounded gathers
+    # — the no-global-sort-window claim at volume)
+    "kmeans_cosine_pairs_embed",
+    "max_concurrency_events",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those

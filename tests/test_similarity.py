@@ -1014,6 +1014,29 @@ class TestKmeansBucketedCosinePairs:
         with _pt.raises(ValueError, match="engine"):
             kmeans_bucketed_cosine_pairs(df, engine="cuda")
 
+    def test_zero_norm_vector_never_pairs(self, spark):
+        """A zero-quantized vector has no cosine direction: without the
+        norm guard the threshold 0 >= 0 fires and it pairs with its
+        whole cell. Both engines must exclude it."""
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            kmeans_bucketed_cosine_pairs,
+        )
+
+        rows = [(i, [0.2] * 4) for i in range(6)]
+        rows.append((99, [0.0] * 4))  # quantizes to the zero vector
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        for eng in ("gemm", "column"):
+            ids = {
+                x
+                for r in kmeans_bucketed_cosine_pairs(
+                    df, nlist=2, iterations=1, engine=eng
+                ).collect()
+                for x in (r["id_a"], r["id_b"])
+            }
+            assert 99 not in ids and ids  # dupes still pair
+
     def test_gemm_and_column_engines_bit_identical(self, spark):
         """The GEMM fast path and the pure-Column formulation are two
         executions of ONE integer definition — every pair, dot and
