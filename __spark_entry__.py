@@ -918,11 +918,34 @@ WITH d AS (
                 * 10000 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
   FROM orders
   WHERE CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) > 0),
-c AS (SELECT o_orderstatus, digit, count(*) AS n FROM d GROUP BY 1, 2),
-t AS (SELECT o_orderstatus, sum(n) AS tot FROM c GROUP BY 1)
-SELECT c.o_orderstatus, c.digit, CAST(c.n AS BIGINT) AS n,
-       CAST((c.n * 1000000) // t.tot AS BIGINT) AS ppm
-FROM c JOIN t USING (o_orderstatus)
+c AS (SELECT o_orderstatus, digit, count(*) AS n FROM d GROUP BY 1, 2)
+SELECT o_orderstatus, digit, CAST(n AS BIGINT) AS n,
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY o_orderstatus)
+            AS BIGINT) AS ppm
+FROM c
+"""
+
+
+def _q_gini_event_mix_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity (operators/quality.py:
+    gini_impurity): Gini impurity of each user's event-type mix — the
+    exact-rational alternative to Shannon entropy (whose float logs
+    carry engine-specific low bits): ``(T^2 - sum(c_i^2)) * 1e6 div
+    T^2``, a polynomial in the counts, integer end to end. Two
+    map-side-combined aggregates; the second moves one row per
+    (user, event_type)."""
+    e = _t(spark, sf_dir, "events")
+    return QA.gini_impurity(e, ["user_id"], "event_type")
+
+
+_SQL_GINI_EVENT_MIX_USERS = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2)
+SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+       CAST(sum(c * c) AS BIGINT) AS sum_sq,
+       CAST(((sum(c) * sum(c) - sum(c * c)) * 1000000)
+            // (sum(c) * sum(c)) AS BIGINT) AS gini_ppm
+FROM c GROUP BY user_id
 """
 
 
@@ -5698,6 +5721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_concurrency_events": _q_max_concurrency_events,
         "benford_orders": _q_benford_orders,
         "ppr_copurchase": _q_ppr_copurchase,
+        "gini_event_mix_users": _q_gini_event_mix_users,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7417,6 +7441,7 @@ FROM base
 """,
         "benford_orders": _SQL_BENFORD_ORDERS,
         "ppr_copurchase": _SQL_PPR_COPURCHASE,
+        "gini_event_mix_users": _SQL_GINI_EVENT_MIX_USERS,
         "max_concurrency_events": """
 WITH iv AS (
   SELECT ts AS s,

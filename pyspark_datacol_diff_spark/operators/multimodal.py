@@ -783,7 +783,9 @@ def pcm_features(payload: Column | str) -> Column:
         & (_le_uint(p, 23, 2) == 1)   # mono
         & (_le_uint(p, 35, 2) == 16)  # 16-bit
         & (F.substring(p, 37, 4) == F.unhex(F.lit("64617461")))
-        & (F.octet_length(p) >= 44)
+        # a data chunk the payload doesn't actually contain (truncated
+        # file) must yield the NULL struct, not NULL-poisoned features
+        & (F.octet_length(p) >= F.lit(44) + _le_uint(p, 41, 4))
     )
     n = (_le_uint(p, 41, 4) / 2).cast("long")
     samples = F.transform(

@@ -205,13 +205,16 @@ def benford_first_digit(
     Returns one row per (group, digit): ``(*group_by, digit, n,
     ppm)`` where ``ppm = n * 1_000_000 div group_total`` (truncated
     integer division — exact, comparable against Benford's 301030 /
-    176091 / ... expectations without emitting a float).
+    176091 / ... expectations without emitting a float). A NULL group
+    key is a group like any other (the :func:`winsorize` convention) —
+    window partitioning groups NULLs together in every engine.
 
     Scale shape: one projection + one map-side-combined aggregate on
-    (group, digit) — at most ``9 * |groups|`` output rows; the ppm join
-    back to group totals is a window-free groupBy-then-broadcast-join
-    on the group key (bounded by |groups| * 9 rows, broadcast side
-    |groups| rows).
+    (group, digit) — at most ``9 * |groups|`` output rows; the group
+    totals come from a window over that digit-grain relation (a second
+    exchange of <= 9 * |groups| rows, never of the input). The
+    ungrouped variant broadcasts its 1-row total instead — a window
+    there would mean a SinglePartition exchange.
     """
     gb = list(group_by or [])
     e = (
@@ -229,21 +232,59 @@ def benford_first_digit(
         )
         .groupBy(*gb, "digit")
         .agg(F.count(F.lit(1)).alias("n"))
-        # branch point (totals re-read it): bounded at 9 * |groups| rows,
-        # persisting avoids a second full scan of the input
-        .persist()
     )
-    totals = digits.groupBy(*gb).agg(F.sum("n").alias("__tot"))
-    joined = (
-        digits.join(F.broadcast(totals), gb)
-        if gb
-        else digits.crossJoin(F.broadcast(totals))
+    # SQL DIV: exact int64 division (a float `/` then cast could round
+    # a just-below-integer quotient up before truncation)
+    ppm = F.expr("(n * CAST(1000000 AS BIGINT)) DIV __tot").alias("ppm")
+    if gb:
+        from pyspark.sql import Window
+
+        tot = F.sum("n").over(Window.partitionBy(*gb)).alias("__tot")
+        return digits.select(*gb, "digit", "n", tot).select(
+            *gb, "digit", "n", ppm
+        )
+    digits = digits.persist()  # branch point: total re-reads it (<= 9 rows)
+    totals = digits.groupBy().agg(F.sum("n").alias("__tot"))
+    return digits.crossJoin(F.broadcast(totals)).select("digit", "n", ppm)
+
+
+def gini_impurity(
+    df: DataFrame,
+    group_cols: list[str],
+    label_col: str,
+    *,
+    ppm_col: str = "gini_ppm",
+) -> DataFrame:
+    """Per-group Gini impurity of a label distribution — the
+    EXACT-RATIONAL diversity score (``1 - sum(p_i^2)``): 0 when a
+    group is pure (one label), approaching 1 as labels spread.
+    Shannon entropy measures the same thing through float logarithms
+    whose low bits differ across engines; Gini is a polynomial in the
+    counts, so it stays in integer arithmetic end to end:
+    ``gini_ppm = (T^2 - sum(c_i^2)) * 1_000_000 div T^2`` with
+    per-label counts ``c_i`` and group total ``T`` — exact in any
+    64-bit engine while ``T < ~3e9`` per group (T^2 must fit int64;
+    per-entity behavioral groups are orders of magnitude below that).
+    NULL labels count as their own label class, like SQL GROUP BY.
+
+    Returns ``(*group_cols, n, sum_sq, gini_ppm)`` — the raw moments
+    ride along so callers can re-aggregate exactly.
+
+    Scale shape: two map-side-combined aggregates back to back
+    ((group, label) grain then group grain) — the first shuffle does
+    the heavy reduction, the second moves one row per (group, label).
+    """
+    counts = df.groupBy(*group_cols, label_col).agg(
+        F.count(F.lit(1)).alias("__c")
     )
-    return joined.select(
-        *gb,
-        "digit",
+    return counts.groupBy(*group_cols).agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("sum_sq"),
+    ).select(
+        *group_cols,
         "n",
-        # SQL DIV: exact int64 division (a float `/` then cast could
-        # round a just-below-integer quotient up before truncation)
-        F.expr("(n * CAST(1000000 AS BIGINT)) DIV __tot").alias("ppm"),
+        "sum_sq",
+        F.expr(
+            "((n * n - sum_sq) * CAST(1000000 AS BIGINT)) DIV (n * n)"
+        ).alias(ppm_col),
     )

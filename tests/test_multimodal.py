@@ -327,3 +327,21 @@ class TestPcmAudio:
         )
         row = df.select(MM.pcm_features("payload").alias("f")).collect()[0]
         assert row["f"] is None
+
+    def test_truncated_payload_yields_null_struct(self, spark):
+        """A data-chunk size the payload doesn't contain (cut-off file)
+        must produce the NULL struct, never NULL-poisoned features."""
+        full = self._pay(spark, n_rows=1).collect()[0]["payload"]
+        cut = bytes(full)[: len(full) - 10]
+        df = spark.createDataFrame(
+            [(1, bytearray(cut)), (2, bytearray(bytes(full)))],
+            "id long, payload binary",
+        )
+        rows = {
+            r["id"]: r["f"]
+            for r in df.select(
+                "id", MM.pcm_features("payload").alias("f")
+            ).collect()
+        }
+        assert rows[1] is None
+        assert rows[2] is not None and rows[2]["energy"] is not None

@@ -245,3 +245,33 @@ class TestBenfordFirstDigit:
             spark.createDataFrame([(-1.0,), (0.0,)], "v double"), "v"
         )
         assert empty.count() == 0
+
+
+class TestGiniImpurity:
+    """Round-6: exact-rational diversity score."""
+
+    def test_matches_pure_python_and_edges(self, spark):
+        from collections import Counter
+
+        from pyspark_datacol_diff_spark.operators.quality import (
+            gini_impurity,
+        )
+
+        rows = [
+            ("u1", "click"), ("u1", "click"), ("u1", "view"),
+            ("u2", "click"),                       # pure -> gini 0
+            ("u3", "a"), ("u3", "b"), ("u3", "c"), # max spread
+            ("u4", None), ("u4", None), ("u4", "x"),  # NULL is a class
+        ]
+        df = spark.createDataFrame(rows, "user string, etype string")
+        got = {
+            r["user"]: (r["n"], r["sum_sq"], r["gini_ppm"])
+            for r in gini_impurity(df, ["user"], "etype").collect()
+        }
+        for u in ("u1", "u2", "u3", "u4"):
+            cnt = Counter(e for uu, e in rows if uu == u)
+            t = sum(cnt.values())
+            ss = sum(c * c for c in cnt.values())
+            assert got[u] == (t, ss, (t * t - ss) * 1_000_000 // (t * t))
+        assert got["u2"][2] == 0
+        assert got["u3"][2] == 666666
