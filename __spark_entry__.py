@@ -2763,6 +2763,49 @@ FROM per_user GROUP BY 1
 """
 
 
+def _q_twap_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly time-weighted average value
+    (operators/incremental.py:time_weighted_avg): each event's value
+    holds until the user's next event, holding segments split exactly
+    at hour boundaries — TWAP / metering integration, where plain AVG
+    would overweight bursty minutes. Exact-integer end to end (e4
+    values x epoch-microsecond durations; truncated-division quotient)
+    with event_id as the simultaneous-observation tiebreak, so the
+    oracle replays hash-exactly. One keyed window + one calendar-
+    bounded explode + one map-side-combined aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return INC.time_weighted_avg(
+        e, "ts", "value", keys=["user_id"], tiebreak_col="event_id",
+        grain="hour",
+    )
+
+
+_SQL_TWAP_USER_HOURLY = """
+WITH s AS (
+  SELECT user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vq,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+seg AS (SELECT * FROM s WHERE nxt IS NOT NULL AND nxt > ts),
+cells AS (
+  SELECT user_id, ts, vq, nxt, unnest(generate_series(
+           date_trunc('hour', ts), date_trunc('hour', nxt),
+           INTERVAL 1 HOUR)) AS grain_start
+  FROM seg),
+ov AS (
+  SELECT user_id, grain_start, vq,
+         least(epoch_us(nxt), epoch_us(grain_start + INTERVAL 1 HOUR))
+           - greatest(epoch_us(ts), epoch_us(grain_start)) AS us
+  FROM cells)
+SELECT user_id, grain_start,
+       CAST(sum(us) AS BIGINT) AS covered_us,
+       CAST(sum(vq * us) AS BIGINT) AS num_e4us,
+       CAST(sum(vq * us) // sum(us) AS BIGINT) AS twap_q
+FROM ov WHERE us > 0
+GROUP BY 1, 2
+"""
+
+
 def _q_resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densification (gap filling): per user, one row per
     HOUR between their first and last event, zero-filled where nothing
@@ -5722,6 +5765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders": _q_benford_orders,
         "ppr_copurchase": _q_ppr_copurchase,
         "gini_event_mix_users": _q_gini_event_mix_users,
+        "twap_user_hourly": _q_twap_user_hourly,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7442,6 +7486,7 @@ FROM base
         "benford_orders": _SQL_BENFORD_ORDERS,
         "ppr_copurchase": _SQL_PPR_COPURCHASE,
         "gini_event_mix_users": _SQL_GINI_EVENT_MIX_USERS,
+        "twap_user_hourly": _SQL_TWAP_USER_HOURLY,
         "max_concurrency_events": """
 WITH iv AS (
   SELECT ts AS s,

@@ -238,3 +238,95 @@ def forward_fill(
             f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
         )
     return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    keys: list[str],
+    tiebreak_col: str,
+    grain: str = "hour",
+    scale: int = 4,
+) -> DataFrame:
+    """Per-key time-weighted average per ``grain`` cell — the TWAP /
+    metering aggregate: each observation's value HOLDS from its
+    timestamp until the key's next observation
+    (:func:`forward_fill`'s step-function semantics, integrated over
+    time), and each holding segment is split exactly across the grain
+    cells it crosses. A plain AVG weights by observation COUNT and
+    overstates bursty periods; this weights by holding TIME.
+
+    EXACT-INTEGER contract: values quantize to ``10^scale`` units via
+    DECIMAL (the repo's cents convention), durations are epoch
+    MICROSECOND differences (int64), so the per-cell moments are exact
+    integer sums: ``num_e{scale}us = sum(value_q * overlap_us)``,
+    ``covered_us = sum(overlap_us)``, and ``twap_q = num div covered``
+    (truncated). Magnitude bound: ``max|value_q| * grain_us`` must fit
+    int64 — at scale 4 and hour grain that is values into the 10^8
+    range. ``tiebreak_col`` (a unique column, e.g. the event id) makes
+    the within-timestamp order deterministic: simultaneous
+    observations produce zero-length segments in EVERY engine instead
+    of engine-dependent lead() order.
+
+    Returns ``(*keys, grain_start, covered_us, num_e{scale}us,
+    twap_q)`` for every grain cell a segment touches. The last
+    observation per key extrapolates nowhere (no segment after it).
+
+    Scale shape: one keyed window (lead), one explode bounded by the
+    calendar cells each segment crosses, one map-side-combined
+    (key, cell) aggregate — no global sort, no driver round-trip.
+    """
+    from pyspark.sql import Window
+
+    if grain not in ("hour", "day"):
+        raise ValueError(f"grain must be 'hour' or 'day', got {grain!r}")
+    step_us = 3_600_000_000 if grain == "hour" else 86_400_000_000
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
+    vq = (
+        F.col(value_col).cast(f"decimal(18,{scale})")
+        * F.lit(10 ** scale).cast(f"decimal(18,0)")
+    ).cast("long")
+    seg = (
+        df.select(
+            *keys,
+            F.col(ts_col).alias("__ts"),
+            vq.alias("__vq"),
+            F.lead(ts_col).over(w).alias("__nxt"),
+        )
+        .filter(F.col("__nxt").isNotNull() & (F.col("__nxt") > F.col("__ts")))
+    )
+    cells = seg.select(
+        *keys,
+        "__ts",
+        "__vq",
+        "__nxt",
+        F.explode(
+            F.sequence(
+                F.date_trunc(grain, "__ts"),
+                F.date_trunc(grain, "__nxt"),
+                F.expr(f"interval 1 {grain}"),
+            )
+        ).alias("grain_start"),
+    )
+    overlap = F.least(
+        F.unix_micros("__nxt"), F.unix_micros("grain_start") + F.lit(step_us)
+    ) - F.greatest(F.unix_micros("__ts"), F.unix_micros("grain_start"))
+    num_col = f"num_e{scale}us"
+    return (
+        cells.withColumn("__us", overlap)
+        .filter(F.col("__us") > 0)
+        .groupBy(*keys, "grain_start")
+        .agg(
+            F.sum("__us").alias("covered_us"),
+            F.sum(F.col("__vq") * F.col("__us")).alias(num_col),
+        )
+        .select(
+            *keys,
+            "grain_start",
+            "covered_us",
+            num_col,
+            F.expr(f"{num_col} DIV covered_us").alias("twap_q"),
+        )
+    )

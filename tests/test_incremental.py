@@ -291,3 +291,72 @@ def test_forward_fill_rejects_keyless_and_empty(spark):
         forward_fill(df, [], ["s"], ["x"])
     with pytest.raises(ValueError, match="non-empty"):
         forward_fill(df, ["u"], [], ["x"])
+
+
+class TestTimeWeightedAvg:
+    """Round-6: exact-integer TWAP with grain-cell splitting."""
+
+    def test_hand_computed_with_hour_split_and_ties(self, spark):
+        import datetime as dt
+
+        from pyspark_datacol_diff_spark.operators.incremental import (
+            time_weighted_avg,
+        )
+
+        b = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def t(minutes):
+            return b + dt.timedelta(minutes=minutes)
+
+        rows = [
+            # u1: 10.0 held 00:00->00:30, 20.0 held 00:30->01:30
+            # (crosses the hour), 5.0 terminal (no segment)
+            (1, 1, t(0), 10.0),
+            (2, 1, t(30), 20.0),
+            (3, 1, t(90), 5.0),
+            # u2: two simultaneous observations (tie) then one more:
+            # the tie segment is zero-length, only the later value holds
+            (4, 2, t(0), 100.0),
+            (5, 2, t(0), 200.0),
+            (6, 2, t(10), 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        got = {
+            (r["user_id"], str(r["grain_start"])): (
+                r["covered_us"], r["num_e4us"], r["twap_q"]
+            )
+            for r in time_weighted_avg(
+                df, "ts", "value", keys=["user_id"],
+                tiebreak_col="event_id",
+            ).collect()
+        }
+        m = 60 * 1_000_000  # minute in micros
+        h0, h1 = "2024-01-01 00:00:00", "2024-01-01 01:00:00"
+        # u1 hour 0: 10.0 x 30min + 20.0 x 30min -> twap 15.0
+        assert got[(1, h0)] == (
+            60 * m, 100_000 * 30 * m + 200_000 * 30 * m, 150_000
+        )
+        # u1 hour 1: 20.0 x 30min alone
+        assert got[(1, h1)] == (30 * m, 200_000 * 30 * m, 200_000)
+        # u2 hour 0: tie -> only 200.0 holds for 10 min
+        assert got[(2, h0)] == (10 * m, 2_000_000 * 10 * m, 2_000_000)
+        assert len(got) == 3  # terminal observations extrapolate nowhere
+
+    def test_grain_validation(self, spark):
+        import pytest as _pt
+
+        from pyspark_datacol_diff_spark.operators.incremental import (
+            time_weighted_avg,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1, None, 1.0)],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        with _pt.raises(ValueError, match="grain"):
+            time_weighted_avg(
+                df, "ts", "value", keys=["user_id"],
+                tiebreak_col="event_id", grain="minute",
+            )
