@@ -5035,6 +5035,62 @@ r{k} AS (SELECT n.node,
 _SQL_PPR_COPURCHASE = _sql_ppr_copurchase()
 
 
+def _q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling (operators/cluster.py:kcore_peel)
+    over the co-purchase graph: 4 peel rounds at k=3 strip low-support
+    tendrils, leaving the dense co-occurrence core (the graph-curation
+    step before community/authority work). Fixed rounds keep the job
+    count data-independent and the SQL oracle an unrolled round per
+    peel; each round is one map-side-combined degree aggregate + two
+    semi joins against the shrinking survivor set."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("s")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(s, (x, i) -> "
+                    "transform(slice(s, i + 2, size(s)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    r = CC.kcore_peel(pairs, src_col="p1", dst_col="p2", k=3, rounds=4)
+    return r.select(F.col("node").alias("part"), "degree")
+
+
+def _sql_kcore_copurchase(k: int = 3, rounds: int = 4) -> str:
+    parts = ["""
+WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e0 AS (SELECT p1 AS s, p2 AS d FROM prs
+       UNION ALL SELECT p2, p1 FROM prs)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS (SELECT s, count(*) AS deg FROM e{r - 1} GROUP BY s),
+k{r} AS (SELECT s FROM d{r} WHERE deg >= {k}),
+e{r} AS (SELECT e.s, e.d FROM e{r - 1} e
+         JOIN k{r} a ON e.s = a.s JOIN k{r} b ON e.d = b.s)""")
+    parts.append(f"""
+SELECT s AS part, CAST(count(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY s""")
+    return "".join(parts)
+
+
+_SQL_KCORE_COPURCHASE = _sql_kcore_copurchase()
+
+
 def _q_heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram heavy hitters (operators/sketch.py:heavy_hitters)
     — every word bigram covering >= 0.1% of all bigram occurrences,
@@ -5766,6 +5822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_copurchase": _q_ppr_copurchase,
         "gini_event_mix_users": _q_gini_event_mix_users,
         "twap_user_hourly": _q_twap_user_hourly,
+        "kcore_copurchase": _q_kcore_copurchase,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7487,6 +7544,7 @@ FROM base
         "ppr_copurchase": _SQL_PPR_COPURCHASE,
         "gini_event_mix_users": _SQL_GINI_EVENT_MIX_USERS,
         "twap_user_hourly": _SQL_TWAP_USER_HOURLY,
+        "kcore_copurchase": _SQL_KCORE_COPURCHASE,
         "max_concurrency_events": """
 WITH iv AS (
   SELECT ts AS s,

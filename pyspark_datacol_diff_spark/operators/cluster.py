@@ -793,3 +793,62 @@ def triangle_counts(
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded-round k-core peeling over an undirected graph: each
+    round drops every node whose CURRENT degree is below ``k``, then
+    drops edges touching a dropped node; after ``rounds`` rounds the
+    survivors are a SUPERSET of the true k-core that shrinks toward it
+    monotonically (the true core is the fixpoint; each round can only
+    remove non-core nodes, never core ones). Fixed rounds keep the
+    operator oracle-replayable (an unrolled SQL round per peel) and
+    the job count data-independent — the same bounded-iteration
+    contract as :func:`pagerank_exact`; raise ``rounds`` for deeper
+    chains of hanging tendrils. Dense-core extraction is the graph
+    curation step that strips low-support noise off a near-dup /
+    co-occurrence graph before community work.
+
+    Input edges are canonicalized exactly like the CC family
+    (undirected, deduplicated, self-loops dropped), so a multi-edge
+    counts once toward degree. Returns ``(node, degree)`` for the
+    surviving nodes with their degree inside the surviving subgraph.
+
+    Scale shape per round: one map-side-combined degree aggregate +
+    two broadcast-eligible semi joins of the edge list against the
+    (shrinking) survivor set — no windows, no driver data round-trip.
+    Each round's edge frame is ``localCheckpoint``-ed (lineage
+    TRUNCATED — persist chaining re-plans the whole nested join tree
+    each round, the exact blow-up the module docstring documents) and
+    the retired round's blocks are freed via :func:`_free_ckpt`, the
+    CC loop's storage hygiene.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"need k >= 1 and rounds >= 1, got {k}/{rounds}")
+    e = _canonical(
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    )
+    # undirected degree: count each edge from both endpoints
+    prev = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = prev.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("s")
+        nxt = (
+            prev.join(keep, "s", "semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "semi")
+            .localCheckpoint(eager=True)
+        )
+        _free_ckpt(prev)  # retired round: never read again
+        prev = nxt
+    return prev.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

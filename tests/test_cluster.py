@@ -462,3 +462,67 @@ class TestPersonalizedPagerank:
                 for n in nodes
             }
         assert got == rank
+
+
+class TestKcorePeel:
+    """Round-6: bounded-round k-core peeling."""
+
+    def test_converged_peel_matches_python_fixpoint(self, spark):
+        import random
+
+        from pyspark_datacol_diff_spark.operators.cluster import kcore_peel
+
+        random.seed(5)
+        edges = {(random.randrange(30), random.randrange(30))
+                 for _ in range(70)}
+        edges = {(a, b) for a, b in edges if a != b}
+        canon = {(min(a, b), max(a, b)) for a, b in edges}
+
+        def py_kcore(k, rounds):
+            es = set(canon)
+            for _ in range(rounds):
+                deg = {}
+                for a, b in es:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                keep = {n for n, d in deg.items() if d >= k}
+                es = {(a, b) for a, b in es if a in keep and b in keep}
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            return deg
+
+        df = spark.createDataFrame(sorted(canon), "src long, dst long")
+        for k, rounds in ((2, 8), (3, 8), (4, 8)):
+            got = {
+                r["node"]: r["degree"]
+                for r in kcore_peel(df, k=k, rounds=rounds).collect()
+            }
+            assert got == py_kcore(k, rounds), (k, rounds)
+        # fewer rounds = superset of more rounds (monotone shrink)
+        few = {r["node"] for r in kcore_peel(df, k=3, rounds=1).collect()}
+        many = {r["node"] for r in kcore_peel(df, k=3, rounds=8).collect()}
+        assert many <= few
+
+    def test_multiedges_and_selfloops_canonicalized(self, spark):
+        from pyspark_datacol_diff_spark.operators.cluster import kcore_peel
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (1, 3)],
+            "src long, dst long",
+        )
+        got = {
+            r["node"]: r["degree"]
+            for r in kcore_peel(df, k=2, rounds=2).collect()
+        }
+        assert got == {1: 2, 2: 2, 3: 2}  # multi-edge counts once
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from pyspark_datacol_diff_spark.operators.cluster import kcore_peel
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with _pt.raises(ValueError, match="k >= 1"):
+            kcore_peel(df, k=0)
