@@ -2806,6 +2806,54 @@ GROUP BY 1, 2
 """
 
 
+def _q_scd2_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension enrichment (operators/asof.py:scd2_join over
+    sources.synth_scd2_customer): every order joined to the customer
+    VERSION whose half-open validity window contains o_orderdate —
+    the standard warehouse type-2 lookup. The synthesized 3-version
+    history has per-key breakpoints inside the orders date range, so
+    each customer's orders genuinely split across versions. One keyed
+    equi-join with the validity predicate inside it (fan-out bounded
+    by the 3-version history, never a range explosion); the dim build
+    is a narrow explode over the customer scan."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    dim = SRC.synth_scd2_customer(c)
+    return ASOF.scd2_join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        dim,
+        on=[("o_custkey", "c_custkey")],
+        ts_col="o_orderdate",
+    )
+
+
+_SQL_SCD2_ENRICH_ORDERS = """
+WITH dim AS (
+  SELECT c_custkey, TIMESTAMP '1992-01-01' AS valid_from,
+         TIMESTAMP '1997-01-01' + (c_custkey % 300) * INTERVAL 1 DAY
+           AS valid_to,
+         c_mktsegment || '/v0' AS segment,
+         (c_custkey % 1000 + 1) * 100 AS credit_limit
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         TIMESTAMP '1997-01-01' + (c_custkey % 300) * INTERVAL 1 DAY,
+         TIMESTAMP '1999-06-01' + (c_custkey % 200) * INTERVAL 1 DAY,
+         c_mktsegment || '/v1', (c_custkey % 1000 + 1) * 200
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         TIMESTAMP '1999-06-01' + (c_custkey % 200) * INTERVAL 1 DAY,
+         TIMESTAMP '9999-01-01', c_mktsegment || '/v2',
+         (c_custkey % 1000 + 1) * 300
+  FROM customer)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       d.segment, CAST(d.credit_limit AS BIGINT) AS credit_limit
+FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.valid_from AND o.o_orderdate < d.valid_to
+"""
+
+
 def _q_resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densification (gap filling): per user, one row per
     HOUR between their first and last event, zero-filled where nothing
@@ -5823,6 +5871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_event_mix_users": _q_gini_event_mix_users,
         "twap_user_hourly": _q_twap_user_hourly,
         "kcore_copurchase": _q_kcore_copurchase,
+        "scd2_enrich_orders": _q_scd2_enrich_orders,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7545,6 +7594,7 @@ FROM base
         "gini_event_mix_users": _SQL_GINI_EVENT_MIX_USERS,
         "twap_user_hourly": _SQL_TWAP_USER_HOURLY,
         "kcore_copurchase": _SQL_KCORE_COPURCHASE,
+        "scd2_enrich_orders": _SQL_SCD2_ENRICH_ORDERS,
         "max_concurrency_events": """
 WITH iv AS (
   SELECT ts AS s,

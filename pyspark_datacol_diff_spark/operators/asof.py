@@ -95,3 +95,49 @@ def asof_join(
             *[F.col(f"__asof_m.{c}").alias(c) for c in carried],
         )
     )
+
+
+def scd2_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list,
+    ts_col: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+    include_validity: bool = False,
+) -> DataFrame:
+    """Enrich facts from a type-2 slowly-changing dimension: each fact
+    row joins the dimension VERSION whose half-open validity interval
+    ``[valid_from, valid_to)`` contains the fact's event time — the
+    standard warehouse SCD2 lookup. ``on`` lists the business keys as
+    strings (same name both sides) or ``(fact_col, dim_col)`` pairs.
+
+    With contiguous, non-overlapping versions per key (the SCD2
+    invariant — the caller's contract, as in every warehouse), each
+    fact matches AT MOST one version; ``how="inner"`` drops facts
+    outside all validity windows, ``how="left"`` keeps them with NULL
+    attributes.
+
+    Scale shape: ONE equi-join on the business keys with the validity
+    predicate evaluated inside the join — per-key fan-out before the
+    filter is bounded by that key's version count (SCD2 histories are
+    shallow — single digits), so this is strictly a keyed shuffle
+    join, never a range/nested-loop explosion. Version-heavy keys at
+    100 TB would call for the bucketed range join instead
+    (:func:`~.range_join.bounded_range_join`).
+    """
+    pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in on]
+    f, d = fact.alias("__f"), dim.alias("__d")
+    cond = (F.col(f"__f.{ts_col}") >= F.col(f"__d.{valid_from}")) & (
+        F.col(f"__f.{ts_col}") < F.col(f"__d.{valid_to}")
+    )
+    for fk, dk in pairs:
+        cond = (F.col(f"__f.{fk}") == F.col(f"__d.{dk}")) & cond
+    dim_keys = {dk for _, dk in pairs}
+    skip = dim_keys if include_validity else (
+        dim_keys | {valid_from, valid_to}
+    )
+    attrs = [F.col(f"__d.{c}") for c in dim.columns if c not in skip]
+    return f.join(d, cond, how).select("__f.*", *attrs)

@@ -448,3 +448,63 @@ def synth_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
             ).alias("ps_supplycost_cents"),
         )
     )
+
+
+def synth_scd2_customer(customer: DataFrame) -> DataFrame:
+    """Deterministic SCD2 (type-2 slowly-changing-dimension) customer
+    history synthesized from the driver's ``customer`` table (it ships
+    no history table): exactly 3 versions per customer with HALF-OPEN
+    ``[valid_from, valid_to)`` validity, contiguous and gap-free per
+    key:
+
+      v0: 1992-01-01                            (before any order)
+      v1: 1997-01-01 + (c_custkey % 300) days
+      v2: 1999-06-01 + (c_custkey % 200) days
+      valid_to       = next version's valid_from; v2 -> 9999-01-01
+      segment        = c_mktsegment || '/v' || i
+      credit_limit   = (c_custkey % 1000 + 1) * 100 * (i + 1)
+
+    All breakpoints and attributes are integer/date arithmetic, so any
+    engine rebuilds the table bit-for-bit from the same input — the
+    synth_partsupp convention. The two mid-history breakpoints land
+    INSIDE the orders date range (1995..2001) and vary per key, so a
+    validity join against orders genuinely splits each customer's
+    orders across versions.
+
+    Scale shape: a 3-way ``explode`` of a literal struct array — a
+    narrow flatmap over the customer scan, no exchange, no join.
+    """
+    day = F.expr("interval 1 day")
+    v1_from = F.to_timestamp(F.lit("1997-01-01")) + (
+        F.col("c_custkey") % 300
+    ) * day
+    v2_from = F.to_timestamp(F.lit("1999-06-01")) + (
+        F.col("c_custkey") % 200
+    ) * day
+    bounds = [
+        (F.to_timestamp(F.lit("1992-01-01")), v1_from),
+        (v1_from, v2_from),
+        (v2_from, F.to_timestamp(F.lit("9999-01-01"))),
+    ]
+    versions = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                lo.alias("valid_from"),
+                hi.alias("valid_to"),
+            )
+            for i, (lo, hi) in enumerate(bounds)
+        ]
+    )
+    v = F.explode(versions).alias("v")
+    return customer.select("c_custkey", "c_mktsegment", v).select(
+        "c_custkey",
+        F.col("v.valid_from").alias("valid_from"),
+        F.col("v.valid_to").alias("valid_to"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("/v"), F.col("v.i").cast("string")
+        ).alias("segment"),
+        (
+            (F.col("c_custkey") % 1000 + 1) * 100 * (F.col("v.i") + 1)
+        ).cast("long").alias("credit_limit"),
+    )

@@ -143,3 +143,64 @@ def test_asof_carries_nearest_row_atomically(spark):
     ).collect()[0]
     assert row["tag_r"] == "near"
     assert row["price_r"] is None  # NOT 100 from the older row
+
+
+class TestScd2Join:
+    """Round-6: type-2 slowly-changing-dimension lookup."""
+
+    def _dim(self, spark):
+        import datetime as dt
+
+        rows = [
+            # key 1: two contiguous versions split at 2000-01-01
+            (1, dt.datetime(1990, 1, 1), dt.datetime(2000, 1, 1), "old"),
+            (1, dt.datetime(2000, 1, 1), dt.datetime(9999, 1, 1), "new"),
+            # key 2: one version ending before some facts
+            (2, dt.datetime(1990, 1, 1), dt.datetime(1995, 1, 1), "only"),
+        ]
+        return spark.createDataFrame(
+            rows, "k long, valid_from timestamp, valid_to timestamp, attr string"
+        )
+
+    def _fact(self, spark):
+        import datetime as dt
+
+        rows = [
+            (10, 1, dt.datetime(1999, 12, 31, 23, 59, 59)),  # -> old
+            (11, 1, dt.datetime(2000, 1, 1)),  # boundary -> new (half-open)
+            (12, 2, dt.datetime(1994, 6, 1)),  # -> only
+            (13, 2, dt.datetime(1996, 1, 1)),  # outside every window
+        ]
+        return spark.createDataFrame(rows, "fid long, k long, ts timestamp")
+
+    def test_half_open_lookup_inner_and_left(self, spark):
+        from pyspark_datacol_diff_spark.operators.asof import scd2_join
+
+        inner = {
+            r["fid"]: r["attr"]
+            for r in scd2_join(
+                self._fact(spark), self._dim(spark), on=["k"], ts_col="ts"
+            ).collect()
+        }
+        assert inner == {10: "old", 11: "new", 12: "only"}
+        left = {
+            r["fid"]: r["attr"]
+            for r in scd2_join(
+                self._fact(spark), self._dim(spark), on=["k"],
+                ts_col="ts", how="left",
+            ).collect()
+        }
+        assert left == {10: "old", 11: "new", 12: "only", 13: None}
+
+    def test_include_validity_and_key_pairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from pyspark_datacol_diff_spark.operators.asof import scd2_join
+
+        fact = self._fact(spark).withColumnRenamed("k", "fk")
+        out = scd2_join(
+            fact, self._dim(spark), on=[("fk", "k")], ts_col="ts",
+            include_validity=True,
+        )
+        assert {"valid_from", "valid_to"} <= set(out.columns)
+        assert out.filter(F.col("fid") == 10).collect()[0]["attr"] == "old"
