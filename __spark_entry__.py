@@ -4168,6 +4168,91 @@ SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _q_knn_eval_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification accuracy — the standard
+    embedding-quality eval: for each probe vector (the ann family's
+    deterministic vec_id % 25 subset, keeping the broadcast-query
+    contract), take its exact top-5 cosine neighbors (self excluded),
+    majority-vote their labels (ties to the smallest label), and score
+    against the probe's own label. Emits per-label exact counts and
+    accuracy ppm (truncated int division). Rank ordering rides the
+    ann_topk_cosine conventions (sim DESC, neighbor_id tiebreak), so
+    the float path hash-replays; votes and accuracy are pure integer
+    arithmetic on top."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    q = probes.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    topk = SIM.cosine_topk(emb, q, 5).select("qid", "neighbor_id")
+    nb = topk.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
+        ),
+        "neighbor_id",
+    )
+    votes = nb.groupBy("qid", "nlabel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pred = votes.groupBy("qid").agg(
+        # max struct = highest count, then smallest label (negated)
+        F.max(F.struct(F.col("cnt"), (-F.col("nlabel")).alias("neg")))
+        .alias("m")
+    ).select("qid", (-F.col("m.neg")).alias("pred"))
+    scored = pred.join(
+        probes.select(
+            F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+        ),
+        "qid",
+    )
+    return scored.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(
+            F.when(F.col("pred") == F.col("qlabel"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    ).select(
+        "label",
+        "n_eval",
+        "n_correct",
+        F.expr(
+            "(n_correct * CAST(1000000 AS BIGINT)) DIV n_eval"
+        ).alias("acc_ppm"),
+    )
+
+
+_SQL_KNN_EVAL_EMBED = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+                  label AS qlabel
+           FROM embeddings WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id, e.label AS nlabel,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, nlabel,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored),
+votes AS (
+  SELECT qid, nlabel, count(*) AS cnt FROM ranked
+  WHERE rank <= 5 GROUP BY 1, 2),
+pred AS (
+  SELECT qid, nlabel AS pred FROM
+    (SELECT qid, nlabel,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY cnt DESC, nlabel) AS rn
+     FROM votes) WHERE rn = 1),
+j AS (SELECT q.qlabel, p.pred FROM pred p JOIN q ON p.qid = q.qid)
+SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST((sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS acc_ppm
+FROM j GROUP BY qlabel
+"""
+
+
 def _q_minhash_portable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures with the engine-portable md5 gram hash, emitted
     wide (one column per hash) so the DuckDB oracle replays the exact
@@ -5872,6 +5957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_user_hourly": _q_twap_user_hourly,
         "kcore_copurchase": _q_kcore_copurchase,
         "scd2_enrich_orders": _q_scd2_enrich_orders,
+        "knn_eval_embed": _q_knn_eval_embed,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7595,6 +7681,7 @@ FROM base
         "twap_user_hourly": _SQL_TWAP_USER_HOURLY,
         "kcore_copurchase": _SQL_KCORE_COPURCHASE,
         "scd2_enrich_orders": _SQL_SCD2_ENRICH_ORDERS,
+        "knn_eval_embed": _SQL_KNN_EVAL_EMBED,
         "max_concurrency_events": """
 WITH iv AS (
   SELECT ts AS s,

@@ -728,18 +728,21 @@ def synth_pcm_wav(
     one hex-string fold + a single ``unhex``: a pure projection.
     """
     n = n_samples.cast("long")
-    data_hex = F.aggregate(
-        F.sequence(F.lit(0).cast("long"), n - 1),
-        F.lit(""),
-        lambda acc, i: F.concat(
-            acc,
-            _le_hex(
+    # transform + array_join, not an aggregate fold: the fold's
+    # accumulator re-concats a growing string per element (O(n^2)
+    # copies per row); building the n pieces then joining once is
+    # linear
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda i: _le_hex(
                 F.when(
                     pcm_sample(seed, i) < 0, pcm_sample(seed, i) + 65536
                 ).otherwise(pcm_sample(seed, i)),
                 2,
             ),
         ),
+        "",
     )
     return F.concat(
         F.unhex(F.lit(RIFF_MAGIC_HEX)),

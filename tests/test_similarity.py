@@ -1057,3 +1057,35 @@ class TestKmeansBucketedCosinePairs:
                 ).collect()
             )
         assert out["gemm"] == out["column"] and len(out["gemm"]) > 0
+
+
+class TestKnnEvalConventions:
+    """Round-6: majority-vote kNN eval building blocks (the registry
+    query composes cosine_topk + integer vote aggregation)."""
+
+    def test_vote_and_accuracy_on_separable_clusters(self, spark):
+        """Two well-separated direction clusters: every probe's
+        neighbors share its cluster, so leave-one-out accuracy is 100%
+        for both labels; a deliberately mislabeled vector scores 0 for
+        its own probe but cannot flip its neighbors' majorities."""
+        import __spark_entry__ as E
+
+        rows = []
+        for i in range(10):
+            rows.append((i * 25, [1.0, 0.01 * i, 0.0], 0))   # cluster A
+            rows.append((i * 25 + 7, [1.0, 0.01 * i + 0.005, 0.0], 0))
+            rows.append((i * 25 + 13, [0.0, 0.01 * i, 1.0], 1))  # cluster B
+            rows.append((i * 25 + 19, [0.0, 0.01 * i + 0.005, 1.0], 1))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(os.path.join(d, "embeddings.parquet"))
+            out = {
+                r["label"]: (r["n_eval"], r["n_correct"], r["acc_ppm"])
+                for r in E._q_knn_eval_embed(spark, d).collect()
+            }
+        # probes are vec_id % 25 == 0 -> the 10 cluster-A anchors
+        assert out == {0: (10, 10, 1000000)}
