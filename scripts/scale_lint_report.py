@@ -40,6 +40,12 @@ DECLARED_EXACT = {
         "int8 exact MIPS baseline against a broadcast bounded query "
         "set; scale path is ann_ivf_topk"
     ),
+    "knn_eval_embed": (
+        "leave-one-out kNN accuracy over the SAME broadcast-bounded "
+        "exact top-k scan as ann_topk_cosine (O(n*q), q = the vec_id "
+        "% 25 probe subset by contract); a production eval at larger "
+        "probe counts would swap in ann_ivf_topk's cell-bounded scan"
+    ),
     "embed_cosine_near_dup": (
         "exact O(n^2) cosine pair verify — the ground-truth baseline "
         "the LSH path (lsh_near_dup_recall) is gated against"
