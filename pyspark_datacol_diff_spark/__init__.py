@@ -37,6 +37,7 @@ from .operators.diff import (
     resolve_compare_cols,
     standardize,
     suffix_columns,
+    schema_diff,
     validate_schemas,
 )
 from .operators.fuzzy import fuzzy_join, fuzzy_join_multi
@@ -98,6 +99,7 @@ __all__ = [
     "standardize",
     "suffix_columns",
     "table_digest",
+    "schema_diff",
     "validate_schemas",
 ]
 

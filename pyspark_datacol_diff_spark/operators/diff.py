@@ -113,6 +113,46 @@ def validate_schemas(
         logger.warning("validate_schemas: dtype divergence (%s)", detail)
 
 
+def schema_diff(s1: DataFrame, s2: DataFrame) -> DataFrame:
+    """Structural diff of two schemas as a REPORT (the reporting
+    counterpart of :func:`validate_schemas`, which raises): one row per
+    column that differs — ``(column, status, type_s1, type_s2)`` with
+    status in ``{'only_in_s1', 'only_in_s2', 'type_changed'}``; an
+    empty result means the schemas agree. Matching is case-insensitive
+    (the engine's column-identity convention, F13); ``column`` reports
+    the side-1 spelling where one exists. Types compare by full
+    ``simpleString`` — nested struct/array/map element changes count
+    as a type change of the top-level column, which is how a reader's
+    projection would experience them.
+
+    Driver-side by design: a schema is metadata (hundreds of fields,
+    not rows), so this builds a schema-sized local DataFrame — no jobs,
+    no scans; pair it with ``sources.read_parquet_evolving`` when
+    reconciling landed generations.
+    """
+    f1 = {f.name.lower(): f for f in s1.schema.fields}
+    f2 = {f.name.lower(): f for f in s2.schema.fields}
+    rows = []
+    for c in sorted(set(f1) | set(f2)):
+        a, b = f1.get(c), f2.get(c)
+        if a is None:
+            rows.append((b.name, "only_in_s2", None, b.dataType.simpleString()))
+        elif b is None:
+            rows.append((a.name, "only_in_s1", a.dataType.simpleString(), None))
+        elif a.dataType != b.dataType:
+            rows.append(
+                (
+                    a.name,
+                    "type_changed",
+                    a.dataType.simpleString(),
+                    b.dataType.simpleString(),
+                )
+            )
+    return s1.sparkSession.createDataFrame(
+        rows, "column string, status string, type_s1 string, type_s2 string"
+    )
+
+
 def suffix_columns(df: DataFrame, suffix: str) -> DataFrame:
     """Rename every column ``c`` -> ``c + suffix`` in ONE Project node.
 

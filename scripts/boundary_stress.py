@@ -116,6 +116,16 @@ QUERIES = [
     "kmeans_cosine_pairs_embed",
     "multimodal_audio_features",
     "benford_orders",
+    # duplicate timestamps are the TWAP tiebreak case (zero-length
+    # segments must vanish identically in both engines); the stressed
+    # orders' NULL/epoch dates walk scd2's half-open version windows;
+    # gini sees the injected event-type mix edges. (knn_eval_embed and
+    # the ann family stay out: a stressed ZERO vector makes cosine
+    # NaN-ordered — engine-dependent by construction, same reason
+    # ann_topk_cosine is excluded.)
+    "twap_user_hourly",
+    "gini_event_mix_users",
+    "scd2_enrich_orders",
 ]
 
 

@@ -98,6 +98,13 @@ QUERIES = [
     # — the no-global-sort-window claim at volume)
     "kmeans_cosine_pairs_embed",
     "max_concurrency_events",
+    # late round-6 additions: bounded-round peeling over the pair graph
+    # (per-round degree agg + shrinking semi joins at volume), the
+    # TWAP window+explode+aggregate chain, and the SCD2 version-bounded
+    # fan-out join
+    "kcore_copurchase",
+    "twap_user_hourly",
+    "scd2_enrich_orders",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those

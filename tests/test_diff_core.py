@@ -768,3 +768,38 @@ class TestScopedDiffAdviceFixes:
             for c in r["CompColArr"]
         }
         assert cols <= {"cov"}
+
+
+class TestSchemaDiff:
+    """Round-6: structural schema diff report."""
+
+    def test_report_covers_all_three_statuses(self, spark):
+        from pyspark_datacol_diff_spark.operators.diff import schema_diff
+
+        s1 = spark.createDataFrame(
+            [], "a long, b string, C double, nested struct<x:int,y:string>"
+        )
+        s2 = spark.createDataFrame(
+            [], "a long, b int, d string, nested struct<x:int,y:long>"
+        )
+        got = {
+            r["column"]: (r["status"], r["type_s1"], r["type_s2"])
+            for r in schema_diff(s1, s2).collect()
+        }
+        assert got == {
+            "b": ("type_changed", "string", "int"),
+            "C": ("only_in_s1", "double", None),
+            "d": ("only_in_s2", None, "string"),
+            "nested": (
+                "type_changed",
+                "struct<x:int,y:string>",
+                "struct<x:int,y:bigint>",
+            ),
+        }
+
+    def test_case_insensitive_match_and_empty_on_agreement(self, spark):
+        from pyspark_datacol_diff_spark.operators.diff import schema_diff
+
+        s1 = spark.createDataFrame([], "Col long, other string")
+        s2 = spark.createDataFrame([], "col long, OTHER string")
+        assert schema_diff(s1, s2).count() == 0
