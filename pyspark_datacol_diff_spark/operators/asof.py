@@ -129,6 +129,20 @@ def scd2_join(
     (:func:`~.range_join.bounded_range_join`).
     """
     pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in on]
+    dim_keys_early = {dk for _, dk in pairs}
+    attr_names = {
+        c
+        for c in dim.columns
+        if c not in dim_keys_early
+        and (include_validity or c not in (valid_from, valid_to))
+    }
+    clash = attr_names & set(fact.columns)
+    if clash:
+        # a dim attribute named like a fact column would silently emit
+        # duplicate output columns — rename one side first
+        raise ValueError(
+            f"dim attribute(s) {sorted(clash)} collide with fact columns"
+        )
     f, d = fact.alias("__f"), dim.alias("__d")
     cond = (F.col(f"__f.{ts_col}") >= F.col(f"__d.{valid_from}")) & (
         F.col(f"__f.{ts_col}") < F.col(f"__d.{valid_to}")

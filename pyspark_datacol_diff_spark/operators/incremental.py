@@ -282,6 +282,10 @@ def time_weighted_avg(
 
     if grain not in ("hour", "day"):
         raise ValueError(f"grain must be 'hour' or 'day', got {grain!r}")
+    if not keys:
+        # an empty partitioning would plan the lead() as a
+        # SinglePartition window — the whole input on one task
+        raise ValueError("keys must name at least one partition column")
     step_us = 3_600_000_000 if grain == "hour" else 86_400_000_000
     w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
     vq = (

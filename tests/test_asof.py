@@ -204,3 +204,12 @@ class TestScd2Join:
         )
         assert {"valid_from", "valid_to"} <= set(out.columns)
         assert out.filter(F.col("fid") == 10).collect()[0]["attr"] == "old"
+
+    def test_attr_name_collision_raises(self, spark):
+        import pytest as _pt
+
+        from pyspark_datacol_diff_spark.operators.asof import scd2_join
+
+        fact = self._fact(spark).withColumnRenamed("fid", "attr")
+        with _pt.raises(ValueError, match="collide"):
+            scd2_join(fact, self._dim(spark), on=["k"], ts_col="ts")

@@ -360,3 +360,19 @@ class TestTimeWeightedAvg:
                 df, "ts", "value", keys=["user_id"],
                 tiebreak_col="event_id", grain="minute",
             )
+
+    def test_empty_keys_rejected(self, spark):
+        import pytest as _pt
+
+        from pyspark_datacol_diff_spark.operators.incremental import (
+            time_weighted_avg,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1, None, 1.0)],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        with _pt.raises(ValueError, match="keys"):
+            time_weighted_avg(
+                df, "ts", "value", keys=[], tiebreak_col="event_id"
+            )
