@@ -376,3 +376,68 @@ class TestTimeWeightedAvg:
             time_weighted_avg(
                 df, "ts", "value", keys=[], tiebreak_col="event_id"
             )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=10_000), # offset seconds
+            st.integers(min_value=0, max_value=99_999), # value cents*100
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+)
+def test_twap_matches_python_integrator(spark, obs):
+    """Property: for ANY observation set (duplicate timestamps and
+    hour-crossing gaps included), the per-(user, hour) moments equal a
+    brute-force Python step-function integration using the same
+    total order (ts, event_id)."""
+    import datetime as dt
+
+    from pyspark_datacol_diff_spark.operators.incremental import (
+        time_weighted_avg,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (eid, u, base + dt.timedelta(seconds=s), c / 10_000.0)
+        for eid, (u, s, c) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["grain_start"]): (r["covered_us"], r["num_e4us"])
+        for r in time_weighted_avg(
+            df, "ts", "value", keys=["user_id"], tiebreak_col="event_id"
+        ).collect()
+    }
+    from decimal import Decimal
+
+    expect: dict = {}
+    by_user: dict = {}
+    for eid, u, ts, v in rows:
+        by_user.setdefault(u, []).append((ts, eid, v))
+    for u, lst in by_user.items():
+        lst.sort(key=lambda t: (t[0], t[1]))
+        for (ts, _, v), (nxt, _, _) in zip(lst, lst[1:]):
+            if nxt <= ts:
+                continue
+            vq = int(Decimal(str(v)).quantize(Decimal("0.0001")) * 10000)
+            cur = ts
+            while cur < nxt:
+                cell = cur.replace(minute=0, second=0, microsecond=0)
+                cell_end = cell + dt.timedelta(hours=1)
+                seg_end = min(nxt, cell_end)
+                us = int((seg_end - cur).total_seconds() * 1_000_000)
+                c_us, c_num = expect.get((u, cell), (0, 0))
+                expect[(u, cell)] = (c_us + us, c_num + vq * us)
+                cur = seg_end
+    assert got == expect

@@ -153,3 +153,66 @@ class TestIntervalMaxConcurrency:
     def test_zero_length_interval_never_registers(self, spark):
         got = self._run(spark, [(10, 10), (20, 40)])
         assert got == {"2024-01-01 00:00:00": 1}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7200),  # start second
+            st.integers(min_value=0, max_value=3600),  # duration seconds
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_max_concurrency_matches_brute_force(spark, ivs):
+    """Property: for ANY interval set (zero-length, touching, and
+    hour-spanning included), per-hour peaks equal a brute-force
+    half-open step-function evaluation at every boundary and hour
+    entry."""
+    import datetime as dt
+
+    from pyspark_datacol_diff_spark.operators.range_join import (
+        interval_max_concurrency,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (
+            base + dt.timedelta(seconds=s),
+            base + dt.timedelta(seconds=s + d),
+        )
+        for s, d in ivs
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, en timestamp")
+    got = {
+        r["grain_start"]: r["max_concurrency"]
+        for r in interval_max_concurrency(df, "s", "en").collect()
+    }
+
+    def conc(t):
+        return sum(1 for a, b in rows if a <= t < b)
+
+    expect: dict = {}
+    pts = {t for iv in rows for t in iv}
+    pts |= {t.replace(minute=0, second=0, microsecond=0) for t in pts}
+    for t in pts:
+        h = t.replace(minute=0, second=0, microsecond=0)
+        expect[h] = max(expect.get(h, 0), conc(t))
+    # only hours containing a boundary event are emitted
+    emitted = {
+        t.replace(minute=0, second=0, microsecond=0)
+        for iv in rows
+        for t in iv
+    }
+    expect = {h: v for h, v in expect.items() if h in emitted}
+    assert got == expect
