@@ -926,6 +926,43 @@ FROM c
 """
 
 
+def _q_cusum_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential changepoint scores (operators/quality.py:cusum) over
+    per-type hourly event counts: the one-sided CUSUM drift detector —
+    ``s_i = max(0, s_{i-1} + (n_i - drift))`` — computed WITHOUT
+    recursion via the closed form ``S_i - min(0, running min of S)``
+    (two running windows sharing one keyed sort), exact int64 end to
+    end. Grain cells with no events are skipped (resample first to
+    densify); alarms flag sustained rate shifts, not isolated spikes."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return QA.cusum(
+        hourly, ["event_type"], "hour", "n", drift=6, threshold=15
+    )
+
+
+_SQL_CUSUM_HOURLY_EVENTS = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, hour, n,
+         sum(n - 6) OVER (PARTITION BY event_type ORDER BY hour) AS S
+  FROM h),
+m AS (
+  SELECT event_type, hour, n, S,
+         least(CAST(0 AS BIGINT),
+               min(S) OVER (PARTITION BY event_type ORDER BY hour)) AS mn
+  FROM s)
+SELECT event_type, hour, CAST(n AS BIGINT) AS value,
+       CAST(S - mn AS BIGINT) AS cusum,
+       (S - mn) > 15 AS alarm
+FROM m
+"""
+
+
 def _q_gini_event_mix_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral diversity (operators/quality.py:
     gini_impurity): Gini impurity of each user's event-type mix — the
@@ -5958,6 +5995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_copurchase": _q_kcore_copurchase,
         "scd2_enrich_orders": _q_scd2_enrich_orders,
         "knn_eval_embed": _q_knn_eval_embed,
+        "cusum_hourly_events": _q_cusum_hourly_events,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7682,6 +7720,7 @@ FROM base
         "kcore_copurchase": _SQL_KCORE_COPURCHASE,
         "scd2_enrich_orders": _SQL_SCD2_ENRICH_ORDERS,
         "knn_eval_embed": _SQL_KNN_EVAL_EMBED,
+        "cusum_hourly_events": _SQL_CUSUM_HOURLY_EVENTS,
         "max_concurrency_events": """
 WITH iv AS (
   SELECT ts AS s,

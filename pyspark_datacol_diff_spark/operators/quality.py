@@ -288,3 +288,64 @@ def gini_impurity(
             "((n * n - sum_sq) * CAST(1000000 AS BIGINT)) DIV (n * n)"
         ).alias(ppm_col),
     )
+
+
+def cusum(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    *,
+    drift: int,
+    threshold: int,
+) -> DataFrame:
+    """One-sided CUSUM changepoint/anomaly scores per key — the
+    classic sequential drift detector: ``s_i = max(0, s_{i-1} +
+    (x_i - drift))``, alarming where ``s_i > threshold`` (a sustained
+    upward shift accumulates; isolated spikes decay). The recursion
+    looks window-inexpressible, but the closed form
+    ``s_i = S_i - min(0, min_{j<=i} S_j)`` over the prefix sums
+    ``S_i = sum_{1..i}(x - drift)`` turns it into two standard
+    RUNNING windows (sum + min) on one keyed partition — exact int64
+    end to end, no recursion, no UDF.
+
+    ``order_col`` must be unique per key (give it a grain — hourly
+    counts, daily totals); ties would make the RANGE-frame prefix
+    ambiguous, so the window orders by ``order_col`` alone and the
+    caller owns that contract (aggregate to the grain first).
+
+    Returns the input keys + ``(order_col, value, cusum, alarm)``.
+
+    Scale shape: one keyed window partition per key — sized by the
+    series length per key (a calendar grain bounds it), not by the
+    data; both running aggregates share the single sort/exchange.
+    """
+    from pyspark.sql import Window
+
+    if not keys:
+        raise ValueError("keys must name at least one partition column")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # nested window functions (min over a running sum) need staging:
+    # project S first, then window over the projected column — both
+    # windows share the one keyed sort/exchange
+    staged = df.select(
+        *keys, order_col, F.col(value_col).alias("value")
+    ).withColumn(
+        "__S",
+        F.sum(F.col("value").cast("long") - F.lit(drift)).over(w),
+    )
+    out = staged.withColumn(
+        "cusum",
+        F.col("__S") - F.least(F.lit(0).cast("long"), F.min("__S").over(w)),
+    )
+    return out.select(
+        *keys,
+        order_col,
+        "value",
+        "cusum",
+        (F.col("cusum") > threshold).alias("alarm"),
+    )

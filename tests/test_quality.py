@@ -275,3 +275,74 @@ class TestGiniImpurity:
             assert got[u] == (t, ss, (t * t - ss) * 1_000_000 // (t * t))
         assert got["u2"][2] == 0
         assert got["u3"][2] == 666666
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+class TestCusum:
+    """Round-6: one-sided CUSUM via the running-sum/running-min
+    closed form."""
+
+    def test_matches_recursion_and_resets(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import cusum
+
+        series = {
+            "a": [5, 5, 9, 9, 2, 2, 2, 30, 1, 1],
+            "b": [0, 0, 0, 0, 0],
+        }
+        rows = [
+            (k, i, v) for k, vs in series.items() for i, v in enumerate(vs)
+        ]
+        df = spark.createDataFrame(rows, "k string, t long, x long")
+        got = {
+            (r["k"], r["t"]): (r["cusum"], r["alarm"])
+            for r in cusum(
+                df, ["k"], "t", "x", drift=4, threshold=10
+            ).collect()
+        }
+        for k, vs in series.items():
+            s = 0
+            for i, v in enumerate(vs):
+                s = max(0, s + v - 4)
+                assert got[(k, i)] == (s, s > 10), (k, i)
+
+    def test_empty_keys_rejected(self, spark):
+        import pytest as _pt
+
+        from pyspark_datacol_diff_spark.operators.quality import cusum
+
+        df = spark.createDataFrame([(1, 1)], "t long, x long")
+        with _pt.raises(ValueError, match="keys"):
+            cusum(df, [], "t", "x", drift=0, threshold=1)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    ),
+    drift=st.integers(min_value=-5, max_value=5),
+)
+def test_cusum_closed_form_equals_recursion(spark, vals, drift):
+    from pyspark_datacol_diff_spark.operators.quality import cusum
+
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, t long, x long"
+    )
+    got = [
+        r["cusum"]
+        for r in cusum(df, ["k"], "t", "x", drift=drift, threshold=0)
+        .orderBy("t")
+        .collect()
+    ]
+    s, exp = 0, []
+    for v in vals:
+        s = max(0, s + v - drift)
+        exp.append(s)
+    assert got == exp
