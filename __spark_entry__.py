@@ -1851,6 +1851,43 @@ WHERE abs(length(p_name) - length(noisy_name)) <= 1
 """
 
 
+def _q_sorted_neighborhood_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood ER candidates
+    (operators/fuzzy.py:sorted_neighborhood_pairs): part names paired
+    with their next 3 neighbors in per-block sorted order (block =
+    first character — the window is keyed, never a global sort), then
+    levenshtein-verified at distance <= 4. The complementary blocking
+    pass to fuzzy_join's prefix equality: near-keys that sort
+    adjacently pair even when a 4-char prefix block would split them.
+    One sorted exchange + a projection; no self-join."""
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_partkey", "p_name")
+    return FZ.sorted_neighborhood_pairs(
+        names, "p_partkey", "p_name", window=3, max_dist=4
+    )
+
+
+_SQL_SORTED_NEIGHBORHOOD_PARTS = """
+WITH b AS (
+  SELECT p_partkey AS id_a, p_name AS key_a,
+         substring(p_name, 1, 1) AS blk
+  FROM part),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY key_a, id_a)
+            AS rn
+  FROM b),
+p AS (
+  SELECT a.id_a, c.id_a AS id_b, a.key_a, c.key_a AS key_b
+  FROM r a JOIN r c
+    ON a.blk = c.blk AND c.rn BETWEEN a.rn + 1 AND a.rn + 3)
+SELECT id_a, id_b, key_a, key_b,
+       CAST(levenshtein(key_a, key_b) AS INTEGER) AS dist
+FROM p WHERE levenshtein(key_a, key_b) <= 4
+"""
+
+
 def _q_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two order snapshots
     (operators/diff.py:distribution_drift) — the statistical complement
@@ -5996,6 +6033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_enrich_orders": _q_scd2_enrich_orders,
         "knn_eval_embed": _q_knn_eval_embed,
         "cusum_hourly_events": _q_cusum_hourly_events,
+        "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7721,6 +7759,7 @@ FROM base
         "scd2_enrich_orders": _SQL_SCD2_ENRICH_ORDERS,
         "knn_eval_embed": _SQL_KNN_EVAL_EMBED,
         "cusum_hourly_events": _SQL_CUSUM_HOURLY_EVENTS,
+        "sorted_neighborhood_parts": _SQL_SORTED_NEIGHBORHOOD_PARTS,
         "max_concurrency_events": """
 WITH iv AS (
   SELECT ts AS s,

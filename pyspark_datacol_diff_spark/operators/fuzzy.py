@@ -140,3 +140,90 @@ def fuzzy_join_multi(
     for kc, mc in zip(key_cols, map_cols):
         keyed = keyed.withColumn(kc, F.to_json(F.col(mc)))
     return keyed.dropDuplicates(dedup_cols + key_cols).drop(*key_cols)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    block_fn=None,
+    window: int = 3,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation — the OTHER classic
+    entity-resolution blocking (Hernandez & Stolfo, SIGMOD'95): sort
+    records by a key and pair each with its next ``window`` neighbors
+    in that order. Where equality blocking (:func:`fuzzy_join`) misses
+    pairs whose blocking keys differ, the sorted order catches
+    near-keys that sort adjacently (shared prefixes, transposed
+    suffixes); production systems union both candidate sets.
+
+    Distributed shape: the textbook method's GLOBAL sort is its known
+    scale flaw, so the sort is scoped INSIDE a ``block_fn`` partition
+    (default: the key's first character) — one keyed window per block
+    (never SinglePartition), with candidates generated by ``lead(id,
+    o)`` for o in 1..window: a projection over the one sorted
+    exchange, no self-join at all. Pairs whose keys sort more than
+    ``window`` apart within a block — or into different blocks — are
+    missed BY CONTRACT (the recall/cost dial every ER blocking has).
+
+    The within-block order is ``(key, id)`` — the unique id tiebreak
+    makes candidate sets deterministic under duplicate keys. With
+    ``max_dist`` set, surviving pairs are verified by ``levenshtein``
+    (JVM codegen) and the distance is emitted; otherwise every
+    neighborhood pair returns with distance NULL.
+
+    Returns ``(id_a, id_b, key_a, key_b, dist)`` with ``id_a`` the
+    earlier row in sort order.
+    """
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if block_fn is None:
+        block_fn = lambda c: F.substring(c, 1, 1)
+    base = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(key_col).alias("key_a"),
+    ).withColumn("__blk", block_fn(F.col("key_a")))
+    # window expressions must sit at the top of a Project — stage the
+    # per-offset leads as columns (one shared sort: every lead uses the
+    # same window spec), then array+explode them into candidate pairs
+    w = Window.partitionBy("__blk").orderBy("key_a", "id_a")
+    staged = base.select(
+        "id_a",
+        "key_a",
+        *[
+            c
+            for o in range(1, window + 1)
+            for c in (
+                F.lead("id_a", o).over(w).alias(f"__ib{o}"),
+                F.lead("key_a", o).over(w).alias(f"__kb{o}"),
+            )
+        ],
+    )
+    partners = F.array(
+        *[
+            F.struct(
+                F.col(f"__ib{o}").alias("id_b"),
+                F.col(f"__kb{o}").alias("key_b"),
+            )
+            for o in range(1, window + 1)
+        ]
+    )
+    pairs = (
+        staged.withColumn("__p", F.explode(partners))
+        .filter(F.col("__p.id_b").isNotNull())
+        .select(
+            "id_a",
+            F.col("__p.id_b").alias("id_b"),
+            "key_a",
+            F.col("__p.key_b").alias("key_b"),
+        )
+    )
+    if max_dist is None:
+        return pairs.withColumn("dist", F.lit(None).cast("int"))
+    return pairs.withColumn(
+        "dist", F.levenshtein("key_a", "key_b")
+    ).filter(F.col("dist") <= max_dist)

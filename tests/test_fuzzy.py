@@ -193,3 +193,60 @@ def test_multi_pass_distinct_matches_differing_only_in_map_survive(spark):
     right1 = spark.createDataFrame([("acme corp",)], "cand string")
     rows1 = fuzzy_join_multi(left1, right1, "name", "cand", max_dist=1).collect()
     assert len(rows1) == 1
+
+
+class TestSortedNeighborhood:
+    """Round-6: sorted-neighborhood ER candidate generation."""
+
+    def test_pairs_match_brute_force_window(self, spark):
+        from pyspark_datacol_diff_spark.operators.fuzzy import (
+            sorted_neighborhood_pairs,
+        )
+
+        rows = [
+            (1, "apple"), (2, "appla"), (3, "apricot"), (4, "avocado"),
+            (5, "banana"), (6, "bananna"), (7, "berry"),
+            (8, "apple"),  # duplicate key: id tiebreak decides order
+        ]
+        df = spark.createDataFrame(rows, "rid long, name string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in sorted_neighborhood_pairs(
+                df, "rid", "name", window=2
+            ).collect()
+        }
+        # brute force: per block (first char), sort by (key, id), pair
+        # each row with its next 2 neighbors
+        from collections import defaultdict
+
+        blocks = defaultdict(list)
+        for rid, name in rows:
+            blocks[name[0]].append((name, rid))
+        expect = set()
+        for b in blocks.values():
+            b.sort()
+            for i, (_, ra) in enumerate(b):
+                for o in (1, 2):
+                    if i + o < len(b):
+                        expect.add((ra, b[i + o][1]))
+        assert got == expect
+        # dist filter keeps only true near-matches
+        close = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in sorted_neighborhood_pairs(
+                df, "rid", "name", window=2, max_dist=1
+            ).collect()
+        }
+        assert close[(2, 1)] == 1 and close[(1, 8)] == 0
+        assert all(d <= 1 for d in close.values())
+
+    def test_window_validation(self, spark):
+        import pytest as _pt
+
+        from pyspark_datacol_diff_spark.operators.fuzzy import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "rid long, name string")
+        with _pt.raises(ValueError, match="window"):
+            sorted_neighborhood_pairs(df, "rid", "name", window=0)
