@@ -5298,6 +5298,73 @@ FROM e{rounds} GROUP BY s""")
 _SQL_KCORE_COPURCHASE = _sql_kcore_copurchase()
 
 
+def _q_khop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS (operators/cluster.py:khop_reachable) from seed
+    parts (partkey % 50 == 0) over the symmetrized co-purchase graph,
+    2 hops: the crawl-frontier / seed-expansion primitive with min-hop
+    labels. Frontier pattern — per hop one keyed semi join + one anti
+    join, frontier derived from the checkpointed visited union (the
+    retired-round lineage trap is pinned by test); fixed hops keep the
+    job count data-independent and the oracle an unrolled round per
+    hop."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("s")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(s, (x, i) -> "
+                    "transform(slice(s, i + 2, size(s)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    r = CC.khop_reachable(edges, lambda n: n % 50 == 0, hops=2)
+    return r.select(F.col("node").alias("part"), "hop")
+
+
+def _sql_khop_copurchase(hops: int = 2, seed_sql: str = "node % 50 = 0") -> str:
+    parts = ["""
+WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT p1 AS src, p2 AS dst FROM prs
+          UNION ALL SELECT p2, p1 FROM prs),
+nodes AS (SELECT DISTINCT src AS node FROM edges)"""]
+    parts.append(f""",
+v0 AS (SELECT node, 0 AS hop FROM nodes WHERE {seed_sql}),
+f0 AS (SELECT node FROM v0)""")
+    for i in range(1, hops + 1):
+        parts.append(f""",
+f{i} AS (SELECT DISTINCT e.dst AS node FROM edges e
+       WHERE e.src IN (SELECT node FROM f{i - 1})
+         AND e.dst NOT IN (SELECT node FROM v{i - 1})),
+v{i} AS (SELECT node, hop FROM v{i - 1}
+       UNION ALL SELECT node, {i} FROM f{i})""")
+    parts.append(
+        f"\nSELECT node AS part, CAST(hop AS INTEGER) AS hop FROM v{hops}"
+    )
+    return "".join(parts)
+
+
+_SQL_KHOP_COPURCHASE = _sql_khop_copurchase()
+
+
 def _q_heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram heavy hitters (operators/sketch.py:heavy_hitters)
     — every word bigram covering >= 0.1% of all bigram occurrences,
@@ -6034,6 +6101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_eval_embed": _q_knn_eval_embed,
         "cusum_hourly_events": _q_cusum_hourly_events,
         "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
+        "khop_copurchase": _q_khop_copurchase,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7760,6 +7828,7 @@ FROM base
         "knn_eval_embed": _SQL_KNN_EVAL_EMBED,
         "cusum_hourly_events": _SQL_CUSUM_HOURLY_EVENTS,
         "sorted_neighborhood_parts": _SQL_SORTED_NEIGHBORHOOD_PARTS,
+        "khop_copurchase": _SQL_KHOP_COPURCHASE,
         "max_concurrency_events": """
 WITH iv AS (
   SELECT ts AS s,

@@ -852,3 +852,63 @@ def kcore_peel(
     return prev.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+
+
+def khop_reachable(
+    edges: DataFrame,
+    seed_pred,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    hops: int = 3,
+) -> DataFrame:
+    """Bounded-hop BFS over a directed graph: every node reachable from
+    the seed set (``seed_pred``: node Column -> boolean Column, the
+    :func:`pagerank_exact` convention) within ``hops`` edges, labeled
+    with its MINIMUM hop distance (seeds are hop 0). The frontier
+    pattern — expand, subtract visited, accumulate — is the iterative
+    shape CC/k-core/PageRank don't exercise: per round one semi join
+    (edges x frontier on src) and one anti join (candidates x visited),
+    both keyed; the frontier and visited frames localCheckpoint per
+    round with retired rounds freed (the cluster-module loop hygiene).
+    Bounded hops keep the job count data-independent and the oracle an
+    unrolled round per hop — the crawl-frontier / seed-expansion
+    primitive (grow a curated corpus along the link graph, depth
+    capped).
+
+    Returns ``(node, hop)`` — one row per reachable node, hop in
+    [0, hops].
+    """
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).persist()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(seed_pred(F.col("node")))
+    visited = seeds.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    try:
+        for i in range(1, hops + 1):
+            nxt = (
+                e.join(
+                    frontier.select(F.col("node").alias("s")), "s", "semi"
+                )
+                .select(F.col("d").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "anti")
+            )
+            new_rows = nxt.withColumn("hop", F.lit(i))
+            nv = visited.unionByName(new_rows).localCheckpoint(eager=True)
+            _free_ckpt(visited)
+            visited = nv
+            # derive the next frontier from the CHECKPOINTED union —
+            # new_rows' lineage still references the freed prior round
+            frontier = visited.filter(F.col("hop") == i).select("node")
+        return visited
+    finally:
+        e.unpersist()

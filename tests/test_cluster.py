@@ -526,3 +526,54 @@ class TestKcorePeel:
         df = spark.createDataFrame([(1, 2)], "src long, dst long")
         with _pt.raises(ValueError, match="k >= 1"):
             kcore_peel(df, k=0)
+
+
+class TestKhopReachable:
+    """Round-6: bounded-hop BFS frontier expansion."""
+
+    def test_min_hop_labels_and_python_bfs(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            khop_reachable,
+        )
+
+        random.seed(9)
+        edges = {(random.randrange(25), random.randrange(25))
+                 for _ in range(60)}
+        edges = {(a, b) for a, b in edges if a != b}
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {
+            r["node"]: r["hop"]
+            for r in khop_reachable(
+                df, lambda n: n % 7 == 0, hops=3
+            ).collect()
+        }
+        # python BFS over the same directed graph
+        nodes = {n for e in edges for n in e}
+        seeds = {n for n in nodes if n % 7 == 0}
+        dist = {n: 0 for n in seeds}
+        frontier = set(seeds)
+        for h in (1, 2, 3):
+            nxt = {
+                b for a, b in edges if a in frontier and b not in dist
+            }
+            for n in nxt:
+                dist[n] = h
+            frontier = nxt
+        assert got == dist
+
+    def test_hops_validation(self, spark):
+        import pytest as _pt
+
+        from pyspark.sql import functions as F
+
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            khop_reachable,
+        )
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with _pt.raises(ValueError, match="hops"):
+            khop_reachable(df, lambda n: n == F.lit(1), hops=0)
