@@ -126,6 +126,12 @@ QUERIES = [
     "twap_user_hourly",
     "gini_event_mix_users",
     "scd2_enrich_orders",
+    # duplicate-timestamp bursts land in one hour bucket — the CUSUM
+    # prefix windows must agree through the tied aggregate. (part and
+    # lineitem ship UNstressed copies, so sorted_neighborhood_parts /
+    # khop_copurchase here would just duplicate plain parity — omitted
+    # like pagerank_copurchase.)
+    "cusum_hourly_events",
 ]
 
 
