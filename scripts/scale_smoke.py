@@ -105,6 +105,10 @@ QUERIES = [
     "kcore_copurchase",
     "twap_user_hourly",
     "scd2_enrich_orders",
+    # final round-6 wave: frontier BFS over the pair graph (semi+anti
+    # joins per hop at volume) and the closed-form CUSUM windows
+    "khop_copurchase",
+    "cusum_hourly_events",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those
