@@ -5298,6 +5298,88 @@ FROM e{rounds} GROUP BY s""")
 _SQL_KCORE_COPURCHASE = _sql_kcore_copurchase()
 
 
+def _q_wpagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGE-WEIGHTED integer-exact PageRank
+    (operators/cluster.py:pagerank_exact with weight_col) over the
+    co-purchase graph, weighted by co-order counts: each edge carries
+    ``(rank * n_orders) div W_out`` so frequently-co-bought parts pull
+    proportionally more authority than the uniform walk gives them.
+    Same dataflow, same per-round hygiene; the plan-side positive-
+    weight guard and integer arithmetic keep the unrolled SQL oracle
+    hash-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("s")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(s, (x, i) -> "
+                    "transform(slice(s, i + 2, size(s)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"), "n_orders"
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("src"), F.col("p1").alias("dst"), "n_orders"
+        )
+    )
+    r = CC.pagerank_exact(
+        edges, iterations=3, checkpoint_interval=3, weight_col="n_orders"
+    )
+    return r.select(
+        F.col("node").alias("part"), F.col("rank").alias("rank_scaled")
+    )
+
+
+def _sql_wpagerank_copurchase(
+    iterations: int = 3, scale: int = 1_000_000,
+    dnum: int = 85, dden: int = 100,
+) -> str:
+    reset = (scale * (dden - dnum)) // dden
+    parts = ["""
+WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT p1 AS src, p2 AS dst, n AS w FROM prs
+          UNION ALL SELECT p2, p1, n FROM prs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg
+        FROM edges GROUP BY src)"""]
+    parts.append(f""",
+r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)""")
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+c{k} AS (SELECT e.dst AS node,
+              CAST(sum((r.rank * e.w) // d.deg) AS BIGINT) AS s
+       FROM edges e JOIN r{k - 1} r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r{k} AS (SELECT n.node,
+              CAST({reset} + ({dnum} * coalesce(c{k}.s, 0)) // {dden}
+                   AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN c{k} ON n.node = c{k}.node)""")
+    parts.append(
+        f"\nSELECT node AS part, rank AS rank_scaled FROM r{iterations}"
+    )
+    return "".join(parts)
+
+
+_SQL_WPAGERANK_COPURCHASE = _sql_wpagerank_copurchase()
+
+
 def _q_khop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop BFS (operators/cluster.py:khop_reachable) from seed
     parts (partkey % 50 == 0) over the symmetrized co-purchase graph,
@@ -6102,6 +6184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_hourly_events": _q_cusum_hourly_events,
         "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
         "khop_copurchase": _q_khop_copurchase,
+        "wpagerank_copurchase": _q_wpagerank_copurchase,
         # --- (2) last driver-green in r02 — oldest evidence first (24) ---
         "array_funcs_lineitem": _q_array_funcs_lineitem,
         "q9_profit_by_nation": _q_q9_profit_by_nation,
@@ -7829,6 +7912,7 @@ FROM base
         "cusum_hourly_events": _SQL_CUSUM_HOURLY_EVENTS,
         "sorted_neighborhood_parts": _SQL_SORTED_NEIGHBORHOOD_PARTS,
         "khop_copurchase": _SQL_KHOP_COPURCHASE,
+        "wpagerank_copurchase": _SQL_WPAGERANK_COPURCHASE,
         "max_concurrency_events": """
 WITH iv AS (
   SELECT ts AS s,

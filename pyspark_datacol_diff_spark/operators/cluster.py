@@ -465,7 +465,8 @@ def drop_near_dups(
 
 
 def _pagerank_frames(
-    edges: DataFrame, src_col: str, dst_col: str, deg_via_window: bool
+    edges: DataFrame, src_col: str, dst_col: str, deg_via_window: bool,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared PageRank setup: persisted ``(e, nodes, ew)`` frames.
 
@@ -494,9 +495,29 @@ def _pagerank_frames(
       Pick this when the graph has hub nodes whose single-task edge
       lists would not fit an executor.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        # a non-positive or NULL weight breaks the rank-division
+        # semantics silently — fail loudly, plan-side (the kmeans
+        # null-vector convention)
+        cols.append(
+            F.when(
+                F.col(weight_col) > 0, F.col(weight_col).cast("long")
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("pagerank weights must be positive, got "),
+                        F.col(weight_col).cast("string"),
+                    )
+                )
+            )
+            .alias("w")
+        )
+    e = edges.select(*cols).persist()
+    agg = (
+        F.sum("w") if weight_col is not None else F.count(F.lit(1))
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -505,10 +526,10 @@ def _pagerank_frames(
     )
     if deg_via_window:
         ew = e.withColumn(
-            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+            "deg", agg.over(Window.partitionBy("src"))
         ).persist()
     else:
-        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        out_deg = e.groupBy("src").agg(agg.alias("deg"))
         ew = e.join(out_deg, "src").persist()
     return e, nodes, ew
 
@@ -612,6 +633,7 @@ def pagerank_exact(
     checkpoint_interval: int = 1,
     deg_via_window: bool = True,
     seed_pred=None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in SCALED INTEGER arithmetic — the
     oracle-replayable variant of :func:`pagerank`. Ranks are longs in
@@ -628,6 +650,15 @@ def pagerank_exact(
     in a training-data pipeline) rather than global authority. Same
     dataflow, same exact-integer replayability; the predicate itself
     must be engine-portable for the oracle to unroll it.
+
+    ``weight_col`` makes the walk EDGE-WEIGHTED: each edge receives
+    ``(rank * w) div W_out`` instead of ``rank div out_degree`` (W_out
+    = the source's total outgoing weight) — co-occurrence counts,
+    similarity scores (pre-quantized to ints), link multiplicities.
+    Weights must be POSITIVE integers (a plan-side guard raises on
+    NULL/non-positive); overflow bound tightens to ``max_rank *
+    max_weight < 2^63`` — at default scale, weights into the tens of
+    thousands on million-node graphs.
 
     Why a second variant exists: the float formulation's per-node sums
     run in nondeterministic partition order, so its low bits vary
@@ -674,7 +705,10 @@ def pagerank_exact(
         )
     reset = (scale * (damping_den - damping_num)) // damping_den
     e, nodes, ew = _pagerank_frames(
-        edges, src_col, dst_col, deg_via_window
+        edges, src_col, dst_col, deg_via_window, weight_col
+    )
+    contrib_expr = (
+        "(rank * w) div deg" if weight_col is not None else "rank div deg"
     )
     try:
         if seed_pred is None:
@@ -697,7 +731,7 @@ def pagerank_exact(
                 ranks, ew["src"] == ranks["node"]
             ).select(
                 F.col("dst").alias("node"),
-                F.expr("rank div deg").alias("c"),
+                F.expr(contrib_expr).alias("c"),
             )
             summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
             ranks = base.join(summed, "node", "left").select(

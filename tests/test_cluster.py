@@ -577,3 +577,47 @@ class TestKhopReachable:
         df = spark.createDataFrame([(1, 2)], "src long, dst long")
         with _pt.raises(ValueError, match="hops"):
             khop_reachable(df, lambda n: n == F.lit(1), hops=0)
+
+
+class TestWeightedPagerank:
+    """Round-6: edge-weighted exact-integer PageRank."""
+
+    def test_weighted_matches_python_and_guards(self, spark):
+        import pytest as _pt
+        from pyspark.sql import functions as F
+
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            pagerank_exact,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2, 9), (1, 3, 1), (3, 1, 2), (2, 1, 5)],
+            "src long, dst long, w long",
+        )
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_exact(
+                edges, iterations=2, weight_col="w"
+            ).collect()
+        }
+        rank = {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+        out = {1: [(2, 9), (3, 1)], 3: [(1, 2)], 2: [(1, 5)]}
+        W = {s: sum(w for _, w in ds) for s, ds in out.items()}
+        for _ in range(2):
+            inc = {n: 0 for n in rank}
+            for s, ds in out.items():
+                for d, w in ds:
+                    inc[d] += (rank[s] * w) // W[s]
+            rank = {n: 150_000 + (85 * inc[n]) // 100 for n in rank}
+        assert got == rank
+        # heavier edge pulls more authority than the uniform walk
+        uniform = {
+            r["node"]: r["rank"]
+            for r in pagerank_exact(edges, iterations=2).collect()
+        }
+        assert got[2] > uniform[2]
+        bad = spark.createDataFrame(
+            [(1, 2, 0)], "src long, dst long, w long"
+        )
+        with _pt.raises(Exception, match="positive"):
+            pagerank_exact(bad, iterations=1, weight_col="w").collect()
