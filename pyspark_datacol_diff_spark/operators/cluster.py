@@ -497,17 +497,28 @@ def _pagerank_frames(
     """
     cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
     if weight_col is not None:
-        # a non-positive or NULL weight breaks the rank-division
-        # semantics silently — fail loudly, plan-side (the kmeans
-        # null-vector convention)
+        # a non-positive, NULL, or fractional weight breaks the
+        # rank-division semantics silently — fail loudly, plan-side
+        # (the kmeans null-vector convention). The guard validates the
+        # POST-cast value AND integrality: a weight in (0, 1) passes a
+        # pre-cast `> 0` check yet truncates to 0, giving deg=0 and a
+        # DIVIDE_BY_ZERO (ANSI) or silently dropped contributions.
+        w_long = F.col(weight_col).cast("long")
         cols.append(
             F.when(
-                F.col(weight_col) > 0, F.col(weight_col).cast("long")
+                (w_long >= 1)
+                & (
+                    w_long.cast("double")
+                    == F.col(weight_col).cast("double")
+                ),
+                w_long,
             )
             .otherwise(
                 F.raise_error(
                     F.concat(
-                        F.lit("pagerank weights must be positive, got "),
+                        F.lit(
+                            "pagerank weights must be positive integers, got "
+                        ),
                         F.col(weight_col).cast("string"),
                     )
                 )

@@ -132,6 +132,24 @@ def schema_diff(s1: DataFrame, s2: DataFrame) -> DataFrame:
     """
     f1 = {f.name.lower(): f for f in s1.schema.fields}
     f2 = {f.name.lower(): f for f in s2.schema.fields}
+    # case-insensitive identity is only well-defined when each side is
+    # itself case-unambiguous: two columns in ONE schema differing only
+    # by case would silently collapse in the dict (last wins) and the
+    # report could omit a real structural difference — raise instead.
+    for side, schema, folded in (("s1", s1.schema, f1), ("s2", s2.schema, f2)):
+        if len(schema.fields) != len(folded):
+            seen: dict[str, str] = {}
+            dupes = []
+            for f in schema.fields:
+                k = f.name.lower()
+                if k in seen:
+                    dupes.append(f"{seen[k]!r}/{f.name!r}")
+                seen[k] = f.name
+            raise InvalidArgumentError(
+                f"schema_diff: {side} has case-folded duplicate column "
+                f"names ({', '.join(dupes)}); case-insensitive matching "
+                "is ambiguous — rename one side first"
+            )
     rows = []
     for c in sorted(set(f1) | set(f2)):
         a, b = f1.get(c), f2.get(c)

@@ -774,7 +774,12 @@ def pcm_features(payload: Column | str) -> Column:
 
     NULL struct for anything that is not a canonical mono/16-bit PCM
     WAV (wrong magic, wrong layout, compressed) — the caller's schema
-    stays total. Scale shape: a pure projection over bounded-length
+    stays total. A spec-valid but EMPTY data chunk (data_size=0) is
+    likewise non-feature-bearing and yields the NULL struct: the
+    predicate requires n >= 1, and the slice lengths are clamped to
+    >= 0 so a zero-sample row can never abort the job (it used to
+    raise INVALID_PARAMETER_VALUE.LENGTH via slice(samples, 1, -1)).
+    Scale shape: a pure projection over bounded-length
     payloads; features shuffle as 4 longs, the payload never does.
     """
     p = F.col(payload) if isinstance(payload, str) else payload
@@ -789,10 +794,16 @@ def pcm_features(payload: Column | str) -> Column:
         # a data chunk the payload doesn't actually contain (truncated
         # file) must yield the NULL struct, not NULL-poisoned features
         & (F.octet_length(p) >= F.lit(44) + _le_uint(p, 41, 4))
+        # data_size=0 is spec-valid but carries no samples: NULL struct
+        & (_le_uint(p, 41, 4) >= 2)
     )
     n = (_le_uint(p, 41, 4) / 2).cast("long")
+    # clamped pair length: never negative even if feats is ever
+    # evaluated against a degenerate payload (defense in depth on top
+    # of the n >= 1 predicate above)
+    pair_len = F.greatest(n - 1, F.lit(0).cast("long")).cast("int")
     samples = F.transform(
-        F.sequence(F.lit(0).cast("long"), n - 1),
+        F.sequence(F.lit(0).cast("long"), F.greatest(n - 1, F.lit(0).cast("long"))),
         lambda i: _le_int16_at(p, (F.lit(45) + i * 2).cast("int")),
     )
     feats = F.struct(
@@ -804,8 +815,8 @@ def pcm_features(payload: Column | str) -> Column:
         F.array_max(F.transform(samples, F.abs)).alias("peak_abs"),
         F.aggregate(
             F.zip_with(
-                F.slice(samples, 1, (n - 1).cast("int")),
-                F.slice(samples, 2, (n - 1).cast("int")),
+                F.slice(samples, 1, pair_len),
+                F.slice(samples, 2, pair_len),
                 lambda a, b: F.when(a * b < 0, 1).otherwise(0),
             ),
             F.lit(0).cast("long"),

@@ -243,7 +243,11 @@ def benford_first_digit(
         return digits.select(*gb, "digit", "n", tot).select(
             *gb, "digit", "n", ppm
         )
-    digits = digits.persist()  # branch point: total re-reads it (<= 9 rows)
+    # branch point: the total re-reads it (<= 9 rows, trivial pinned
+    # footprint). Returned lazily, so the persist cannot be released
+    # here; callers that are done with the result should
+    # ``spark.catalog.clearCache()`` (the ngram_jaccard_pairs contract).
+    digits = digits.persist()
     totals = digits.groupBy().agg(F.sum("n").alias("__tot"))
     return digits.crossJoin(F.broadcast(totals)).select("digit", "n", ppm)
 

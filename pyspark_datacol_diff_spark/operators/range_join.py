@@ -153,6 +153,14 @@ def interval_max_concurrency(
             # RANGE-frame ties share one __run value, so max_by is stable
             F.max_by("__run", "__t").alias("__level_at_exit"),
         )
+        # branch point: the day-exit gather below materializes this
+        # eagerly and the returned frame re-reads it — without the
+        # cache the whole prefix-scan pipeline runs twice. The result
+        # is returned lazily, so the persist cannot be released here;
+        # callers that are done with the result should
+        # ``spark.catalog.clearCache()`` (the ngram_jaccard_pairs
+        # contract). Size is calendar-bounded (one row per grain cell),
+        # so the pinned footprint is tiny.
         .persist()
     )
     # cross-day seam: the last exit level of each present day, gathered

@@ -1650,6 +1650,7 @@ def kmeans_bucketed_cosine_pairs(
         raise ValueError(f"need 0 < num <= den, got {sim_num}/{sim_den}")
     if engine not in ("gemm", "column"):
         raise ValueError(f"unknown engine {engine!r}")
+    from pyspark.storagelevel import StorageLevel
     assigned = kmeans_exact_assign(
         df,
         id_col=id_col,
@@ -1665,8 +1666,14 @@ def kmeans_bucketed_cosine_pairs(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
-    ).persist()  # branch point: both join sides read it — without this
-    # the nlist x dim assignment folds run twice, once per side
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # branch point: both join sides read it — without this the
+    # nlist x dim assignment folds run twice, once per side. The
+    # result is returned lazily, so the persist cannot be released
+    # here; callers that are done with the result should
+    # ``spark.catalog.clearCache()`` (the ngram_jaccard_pairs
+    # contract). MEMORY_AND_DISK: the frame is corpus-sized
+    # (quantized vectors + norms) and must spill, not evict.
     if engine == "gemm":
         import numpy as np
         import pandas as pd

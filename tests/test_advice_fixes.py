@@ -437,3 +437,101 @@ def test_session_stats_oracle_boundary_gap(spark):
         """
     ).fetchone()[0]
     assert spark_sessions == oracle_sessions == 4
+
+
+# ---------------------------------------------------------------------------
+# round-7 advisor findings (ADVICE.md r06)
+# ---------------------------------------------------------------------------
+
+
+def _wav_header(n_samples: int, rate: int = 8000) -> bytes:
+    """Spec-exact canonical mono 16-bit PCM WAV header (44 bytes) with a
+    data chunk of ``n_samples`` zero samples appended."""
+    import struct
+
+    data = b"\x00\x00" * n_samples
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_pcm_features_zero_sample_wav_is_null_not_abort(spark):
+    """r06 medium: a spec-valid WAV with data_size=0 used to abort the
+    whole job (slice(samples, 1, -1) raises); the totality contract says
+    non-feature-bearing payloads yield the NULL struct instead."""
+    from pyspark_datacol_diff_spark.operators import multimodal as MM
+
+    rows = [
+        (1, bytearray(_wav_header(0))),   # degenerate: zero samples
+        (2, bytearray(_wav_header(3))),   # tiny but feature-bearing
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", MM.pcm_features("payload").alias("f")).collect()
+    }
+    assert got[1] is None                      # degenerate row: NULL struct
+    assert got[2] is not None                  # neighbours unaffected
+    assert got[2]["n_samples"] == 3
+    assert got[2]["energy"] == 0               # all-zero samples
+    assert got[2]["zero_cross"] == 0
+
+
+def test_pagerank_exact_rejects_fractional_weights(spark):
+    """r06 low: a weight in (0, 1) passed the pre-cast positivity guard
+    and truncated to 0 (deg=0 -> DIVIDE_BY_ZERO / dropped mass). The
+    guard now validates the post-cast value and integrality."""
+    from pyspark_datacol_diff_spark.operators.cluster import pagerank_exact
+
+    frac = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 1, 1.0)], "src long, dst long, w double"
+    )
+    with pytest.raises(Exception, match="positive integer"):
+        pagerank_exact(frac, iterations=1, weight_col="w").collect()
+    nonint = spark.createDataFrame(
+        [(1, 2, 2.5), (2, 1, 1.0)], "src long, dst long, w double"
+    )
+    with pytest.raises(Exception, match="positive integer"):
+        pagerank_exact(nonint, iterations=1, weight_col="w").collect()
+    # integral doubles are fine: same answer as the long-typed column
+    okd = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0), (3, 1, 2.0), (2, 1, 5.0)],
+        "src long, dst long, w double",
+    )
+    okl = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1), (3, 1, 2), (2, 1, 5)],
+        "src long, dst long, w long",
+    )
+    rd = {r["node"]: r["rank"]
+          for r in pagerank_exact(okd, iterations=2, weight_col="w").collect()}
+    rl = {r["node"]: r["rank"]
+          for r in pagerank_exact(okl, iterations=2, weight_col="w").collect()}
+    assert rd == rl
+
+
+def test_schema_diff_raises_on_case_folded_duplicates(spark):
+    """r06 low: two columns in ONE schema differing only by case used to
+    collapse silently (dict last-wins) and the report could omit a real
+    difference; ambiguity now raises."""
+    from pyspark_datacol_diff_spark.errors import InvalidArgumentError
+    from pyspark_datacol_diff_spark.operators.diff import schema_diff
+
+    amb = spark.createDataFrame([(1, 2)], "id long, x long").selectExpr(
+        "id", "x as Value", "x as value"
+    )
+    clean = spark.createDataFrame([(1, 2)], "id long, value long")
+    with pytest.raises(InvalidArgumentError, match="case-folded"):
+        schema_diff(amb, clean)
+    with pytest.raises(InvalidArgumentError, match="case-folded"):
+        schema_diff(clean, amb)
+    # unambiguous schemas still report as before
+    other = spark.createDataFrame([(1, "a")], "id long, value string")
+    rows = {r["column"]: r["status"] for r in schema_diff(clean, other).collect()}
+    assert rows == {"value": "type_changed"}
