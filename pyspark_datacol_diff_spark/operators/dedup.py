@@ -115,19 +115,27 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with word-n-gram Jaccard >= threshold.
 
-    Posting-list pipeline: shingle -> explode -> group by shingle into a
-    sorted posting list (ONE pass over the corpus, one shuffle) -> emit
-    the i<j doc pairs of each list via posexplode + suffix-slice explode
-    -> count pair occurrences (= intersection size) -> join per-doc
-    sizes -> Jaccard filter. A naive inverted-index self-join re-scans
-    and re-shingles the corpus for both join sides (~2x the work,
-    measured).
+    Posting-list pipeline, SIZE-ENRICHED (round 7): shingle -> explode
+    -> group by shingle into a posting list (ONE pass over the corpus,
+    one shuffle) -> re-key the posting ENTRIES by doc to attach each
+    doc's shingle-set size with a window count -> regroup into sorted
+    ``(id, sz)`` struct lists -> emit the i<j doc pairs of each list
+    via posexplode + suffix-slice explode, sizes riding along -> count
+    pair occurrences (= intersection size) -> Jaccard filter.
 
-    The posting list is ``persist()``-ed at the branch point: both the
-    pair stream and the per-doc sizes consume it, and without the cache
-    Spark recomputes the whole shingle+shuffle pipeline once per
-    consumer (3x measured; 8s -> 2.5s at sf0.1). Callers that are done
-    with the result can ``spark.catalog.clearCache()``.
+    Carrying the sizes INSIDE the posting lists replaces the former
+    two shuffled-hash size joins whose probe side was the full distinct-
+    pair relation (1.13M rows x 2 exchanges at sf0.1; the round-6 SMJ
+    variance fix made those joins stable but dearer) with two doc- and
+    gram-grain shuffles of the posting ENTRIES (~260k rows at sf0.1,
+    corpus-shingle-bounded at any scale — strictly smaller than the
+    pair relation whenever pairs amplify, which is exactly when it
+    matters). The pair stream shuffles 2 extra longs per row and the
+    plan loses the persist entirely: the pipeline is single-pass, no
+    branch point, no pinned blocks, no caller-side clearCache contract.
+
+    A naive inverted-index self-join re-scans and re-shingles the
+    corpus for both join sides (~2x the work, measured).
 
     ``max_df`` drops posting lists longer than ``max_df`` — REQUIRED at
     scale: a shingle in d docs emits d(d-1)/2 pairs and max_df bounds
@@ -137,10 +145,12 @@ def ngram_jaccard_pairs(
 
     Returns ``(id_a, id_b, inter_cnt, size_a, size_b, jaccard)``.
     """
-    from pyspark.storagelevel import StorageLevel
-
     from ..sources import balance_partitions
 
+    # grams shuffle as raw strings: an xxhash64 pre-key was A/B-measured
+    # SLOWER at sf0.1 (1.9 vs 1.6 s median — the hash projection costs
+    # more than the narrower shuffle saves at 3-word gram widths), and
+    # exact strings keep the gram-identity semantics collision-free.
     inv = balance_partitions(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, n)).alias("g"),
@@ -148,52 +158,44 @@ def ngram_jaccard_pairs(
     posting = inv.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
     if max_df is not None:
         posting = posting.filter(F.size("ids") <= max_df)
-    posting = posting.select(F.array_sort("ids").alias("ids")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # per-doc size = number of (pruned) posting entries mentioning the
+    # doc; a window count keyed by doc co-locates exactly one row per
+    # (gram, doc) incidence — bounded by the doc's own shingle count
+    entries = posting.select("g", F.explode("ids").alias("id")).withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
     )
-    sizes = (
-        posting.select(F.explode("ids").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("sz"))
+    enriched = entries.groupBy("g").agg(
+        F.array_sort(F.collect_list(F.struct("id", "sz"))).alias("ids")
     )
 
     # pairs (ids[i], ids[j>i]) without materializing the full pair array:
     # posexplode each sorted list, then explode the suffix after position
     # i — generator output streams through codegen, per-row allocation is
-    # one slice instead of a flattened d(d-1)/2 struct array.
-    x1 = posting.select("ids", F.posexplode("ids").alias("i", "id_a"))
+    # one slice instead of a flattened d(d-1)/2 struct array. Structs
+    # sort by (id, sz) = by id (ids unique per list), so id_a < id_b.
+    x1 = enriched.select("ids", F.posexplode("ids").alias("i", "a"))
     x2 = x1.select(
-        "id_a",
+        F.col("a.id").alias("id_a"),
+        F.col("a.sz").alias("size_a"),
         F.explode(
             F.slice(
                 "ids",
                 F.col("i") + 2,
                 F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)),
             )
-        ).alias("id_b"),
+        ).alias("b"),
     )
-    inter = x2.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter_cnt"))
-    # shuffle-hash, not sort-merge, for the two size attachments: the
-    # build side is the doc-grain size relation (ONE row per doc —
-    # partition-bounded at any corpus size), while sort-merge would
-    # SORT the pair stream twice (once per key). Those two sorts were
-    # the round-6 10x variance source: same SMJ plan measured 2.9-16 s
-    # run to run (sort spill under GC pressure), vs 4.2-5.9 s stable
-    # with the hash build. At 100 TB the pair stream is the one
-    # relation you never want to sort.
-    sa = sizes.select(
-        F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a")
-    ).hint("shuffle_hash")
-    sb = sizes.select(
-        F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b")
-    ).hint("shuffle_hash")
+    inter = x2.groupBy(
+        "id_a",
+        F.col("b.id").alias("id_b"),
+        "size_a",
+        F.col("b.sz").alias("size_b"),
+    ).agg(F.count(F.lit(1)).alias("inter_cnt"))
     jac = F.col("inter_cnt") / (
         F.col("size_a") + F.col("size_b") - F.col("inter_cnt")
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter_cnt", "size_a", "size_b", "jaccard")
     )
