@@ -746,6 +746,81 @@ GROUP BY 1
 """
 
 
+def _copurchase_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_orders: int = 2,
+    cap: int | None = None,
+) -> DataFrame:
+    """Shared co-purchase pair builder for the whole graph family
+    (pair mining, pagerank/ppr/wpagerank, k-core, k-hop): part pairs
+    co-occurring in >= ``min_orders`` orders as ``(p1 < p2,
+    n_orders)``.
+
+    Scalable shape is basket-explode, NOT a fact self-join: each order
+    reduces to its sorted distinct item array (ONE order-keyed shuffle
+    — collect_set deduplicates per order with map-side partial sets),
+    ordered pairs (i < j) come from a per-row nested ``transform``
+    over that array, and the pair counts hash-aggregate on the pair
+    key.
+
+    The basket frame is REPARTITIONED to defaultParallelism before
+    the explode: AQE coalesces the basket aggregate's output by its
+    BYTE size (a few MB -> 3-4 partitions), blind to the ~50x row
+    amplification of the pair expansion that follows — measured as a
+    single-straggler stage on every graph query. One cheap shuffle of
+    the small basket relation buys full-width parallelism for the
+    quadratic stage (the same reasoning as sources.balance_partitions,
+    applied to a mid-plan amplification point).
+
+    ``cap`` bounds per-basket work on hot baskets: only each order's
+    ``cap`` smallest part ids enter the pair expansion, so per-row
+    cost is min(s, cap)^2 and a mega-basket cannot dominate a task.
+    BIAS NOTE: pairs containing only items beyond an order's first
+    ``cap`` (sorted ascending) are undercounted — acceptable for
+    graph curation on real basket tables, mirrored exactly in the
+    capped oracle via a rank <= cap predicate. TPC-H orders carry <=
+    7 lines so the uncapped default is exact there.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.array_sort(F.collect_set("l_partkey"))
+    if cap is not None:
+        s = F.slice(s, 1, cap)
+    baskets = li.groupBy("l_orderkey").agg(s.alias("s"))
+    baskets = baskets.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(s, (x, i) -> "
+                    "transform(slice(s, i + 2, size(s)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+    )
+
+
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, *, weighted: bool = False
+) -> DataFrame:
+    """Symmetrized co-purchase edge list (src, dst[, n_orders]) over
+    the shared pair relation — the input every graph-family query
+    feeds to its operator."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    cols_a = [F.col("p1").alias("src"), F.col("p2").alias("dst")]
+    cols_b = [F.col("p2").alias("src"), F.col("p1").alias("dst")]
+    if weighted:
+        cols_a.append(F.col("n_orders"))
+        cols_b.append(F.col("n_orders"))
+    return pairs.select(*cols_a).unionByName(pairs.select(*cols_b))
+
+
 def _q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: part pairs co-occurring in >= 2
     orders. The scalable shape is basket-explode, NOT a fact self-join:
@@ -761,25 +836,19 @@ def _q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_df) before the pair expansion. The DuckDB oracle takes the
     classic self-join route — two independent formulations agreeing is
     the point."""
-    li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("s")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(s, (x, i) -> "
-                "transform(slice(s, i + 2, size(s)), "
-                "y -> struct(x AS p1, y AS p2))))"
-            )
-        ).alias("pr")
-    )
-    return (
-        pairs.select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
+    return _copurchase_pairs(spark, sf_dir)
+
+
+def _q_copurchase_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-basket-capped pair mining (_copurchase_pairs with cap=5):
+    only each order's 5 smallest part ids enter the quadratic pair
+    expansion, bounding per-basket work at min(s, cap)^2 — the guard a
+    real basket table needs before someone points the graph family at
+    power-law baskets (the VERDICT r06 skewed-basket demand). The bias
+    is deterministic (pairs wholly beyond the cap are dropped) and
+    mirrored exactly in the oracle's rank-<=-cap predicate, so the
+    driver hash-verifies the capped semantics end to end."""
+    return _copurchase_pairs(spark, sf_dir, cap=5)
 
 
 _SQL_COPURCHASE_PAIRS = """
@@ -787,6 +856,23 @@ WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT p1, p2, count(*) AS n_orders
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+_SQL_COPURCHASE_PAIRS_CAPPED = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ranked AS (
+  SELECT l_orderkey, l_partkey,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_partkey) AS rn
+  FROM items),
+capped AS (SELECT l_orderkey, l_partkey FROM ranked WHERE rn <= 5),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM capped a JOIN capped b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 )
 SELECT p1, p2, count(*) AS n_orders
@@ -5086,30 +5172,7 @@ def _q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by construction, so per-round eager materialization would
     pay 2 extra jobs for nothing; the final round still checkpoints
     and retires its blocks per the cluster-module contract)."""
-    li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("s")
-    )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(s, (x, i) -> "
-                    "transform(slice(s, i + 2, size(s)), "
-                    "y -> struct(x AS p1, y AS p2))))"
-                )
-            ).alias("pr")
-        )
-        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
-    edges = pairs.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     r = CC.pagerank_exact(edges, iterations=3, checkpoint_interval=3)
     return r.select(
         F.col("node").alias("part"), F.col("rank").alias("rank_scaled")
@@ -5161,30 +5224,7 @@ def _q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     authority. Identical dataflow and checkpoint hygiene; the seed
     predicate is engine-portable integer arithmetic, so the unrolled
     SQL oracle replays every round hash-exactly."""
-    li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("s")
-    )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(s, (x, i) -> "
-                    "transform(slice(s, i + 2, size(s)), "
-                    "y -> struct(x AS p1, y AS p2))))"
-                )
-            ).alias("pr")
-        )
-        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
-    edges = pairs.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     r = CC.pagerank_exact(
         edges,
         iterations=3,
@@ -5250,25 +5290,7 @@ def _q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     count data-independent and the SQL oracle an unrolled round per
     peel; each round is one map-side-combined degree aggregate + two
     semi joins against the shrinking survivor set."""
-    li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("s")
-    )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(s, (x, i) -> "
-                    "transform(slice(s, i + 2, size(s)), "
-                    "y -> struct(x AS p1, y AS p2))))"
-                )
-            ).alias("pr")
-        )
-        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     r = CC.kcore_peel(pairs, src_col="p1", dst_col="p2", k=3, rounds=4)
     return r.select(F.col("node").alias("part"), "degree")
 
@@ -5307,32 +5329,7 @@ def _q_wpagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same dataflow, same per-round hygiene; the plan-side positive-
     weight guard and integer arithmetic keep the unrolled SQL oracle
     hash-exact."""
-    li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("s")
-    )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(s, (x, i) -> "
-                    "transform(slice(s, i + 2, size(s)), "
-                    "y -> struct(x AS p1, y AS p2))))"
-                )
-            ).alias("pr")
-        )
-        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
-    edges = pairs.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst"), "n_orders"
-    ).unionByName(
-        pairs.select(
-            F.col("p2").alias("src"), F.col("p1").alias("dst"), "n_orders"
-        )
-    )
+    edges = _copurchase_edges(spark, sf_dir, weighted=True)
     r = CC.pagerank_exact(
         edges, iterations=3, checkpoint_interval=3, weight_col="n_orders"
     )
@@ -5389,30 +5386,7 @@ def _q_khop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     retired-round lineage trap is pinned by test); fixed hops keep the
     job count data-independent and the oracle an unrolled round per
     hop."""
-    li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("s")
-    )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(s, (x, i) -> "
-                    "transform(slice(s, i + 2, size(s)), "
-                    "y -> struct(x AS p1, y AS p2))))"
-                )
-            ).alias("pr")
-        )
-        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
-    edges = pairs.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     r = CC.khop_reachable(edges, lambda n: n % 50 == 0, hops=2)
     return r.select(F.col("node").alias("part"), "hop")
 
@@ -6259,6 +6233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (4) last driver-green in r04 (50) ---
         "q7_volume_shipping": _q_q7_volume_shipping,
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
+        "copurchase_pairs_capped": _q_copurchase_pairs_capped,
         "conversion_latency_events": _q_conversion_latency_events,
         "order_backlog_weekly": _q_order_backlog_weekly,
         "dq_rules_orders": _q_dq_rules_orders,
@@ -7254,6 +7229,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "q8_market_share": _SQL_Q8_MARKET_SHARE,
         "q7_volume_shipping": _SQL_Q7_VOLUME_SHIPPING,
         "copurchase_pairs_lineitem": _SQL_COPURCHASE_PAIRS,
+        "copurchase_pairs_capped": _SQL_COPURCHASE_PAIRS_CAPPED,
         "conversion_latency_events": _SQL_CONVERSION_LATENCY_EVENTS,
         "order_backlog_weekly": _SQL_ORDER_BACKLOG_WEEKLY,
         "dq_rules_orders": _SQL_DQ_RULES_ORDERS,

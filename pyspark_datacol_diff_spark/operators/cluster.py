@@ -531,21 +531,23 @@ def _pagerank_frames(
     iteration (executor loss, skew OOM) doesn't leave blocks pinned
     for the session's lifetime.
 
-    Degree attachment, two physical strategies:
+    Degree attachment, two physical strategies. The round-7 src
+    repartition (below) changed which one wins: with ``e`` already
+    hash-partitioned on src, both paths read co-located input, and the
+    aggregate+join formulation is the NEW DEFAULT.
 
-    - ``deg_via_window=True`` (default): ``count() over
-      partitionBy(src)`` — ONE exchange of the edge list, which also
-      leaves ``ew`` hash-partitioned on src for every round's join
-      (measured 5.9 -> 4.0 s on the sf0.1 co-purchase graph vs the
-      aggregate+join path). The trade: a mega-hub's out-edges must
-      co-locate in one window task — but the per-round src join
-      co-locates them identically, so this adds no NEW skew exposure
-      beyond what AQE's skew-join split could have fixed in the join.
-    - ``deg_via_window=False``: map-side-combined
-      ``groupBy(src).count()`` joined back — one extra exchange +
-      join, but every stage over the big side stays AQE-splittable.
-      Pick this when the graph has hub nodes whose single-task edge
-      lists would not fit an executor.
+    - ``deg_via_window=False`` (default): map-side-combined
+      ``groupBy(src).count()`` joined back — both sides read the
+      src-partitioned persisted ``e`` with no further exchange, and
+      every stage over the big side stays AQE-splittable (a mega-hub
+      never has to fit one window task). Measured 4.6 -> 2.9 s on the
+      sf0.1 co-purchase graph (iters=3) vs the window path once the
+      src repartition landed.
+    - ``deg_via_window=True``: ``count() over partitionBy(src)`` —
+      the round-6 winner when the window's exchange doubled as the
+      only src partitioning; kept for graphs where the single extra
+      join materially hurts, with the documented trade that a
+      mega-hub's out-edges must co-locate in one window task.
     """
     cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
     if weight_col is not None:
@@ -577,7 +579,17 @@ def _pagerank_frames(
             )
             .alias("w")
         )
-    e = edges.select(*cols).persist()
+    # hash-repartition by src BEFORE persisting: (a) the degree window
+    # and every round's ranks-x-edges join need src partitioning — this
+    # shuffle is the one they would each have paid anyway, paid once;
+    # (b) upstream unions/explodes CONCATENATE partition lists (a
+    # doubled co-purchase edge list arrived as 128 partitions of a
+    # 7k-edge graph), and persist/localCheckpoint pin that count for
+    # every round's stages — measured ~400 tasks/round of pure
+    # scheduling. AQE can still coalesce this repartition's output
+    # (REPARTITION_BY_COL allows coalescing), so tiny graphs collapse
+    # to a handful of tasks while huge ones keep full width.
+    e = edges.select(*cols).repartition("src").persist()
     agg = (
         F.sum("w") if weight_col is not None else F.count(F.lit(1))
     )
@@ -605,7 +617,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_interval: int = 1,
-    deg_via_window: bool = True,
+    deg_via_window: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the
     authority score for link graphs (document citation/link dedup
@@ -694,7 +706,7 @@ def pagerank_exact(
     damping_den: int = 100,
     scale: int = 1_000_000,
     checkpoint_interval: int = 1,
-    deg_via_window: bool = True,
+    deg_via_window: bool = False,
     seed_pred=None,
     weight_col: str | None = None,
 ) -> DataFrame:
@@ -775,12 +787,21 @@ def pagerank_exact(
     )
     try:
         if seed_pred is None:
-            base = nodes
+            zeros = nodes.select(
+                "node",
+                F.lit(0).cast("long").alias("c"),
+                F.lit(True).alias("__in_base"),
+            )
             ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
             reset_expr = f"{reset}L"
         else:
-            base = nodes.withColumn("__seed", seed_pred(F.col("node")))
-            ranks = base.select(
+            seeded = nodes.withColumn("__seed", seed_pred(F.col("node")))
+            zeros = seeded.select(
+                "node",
+                F.lit(0).cast("long").alias("c"),
+                F.col("__seed").alias("__in_base"),
+            )
+            ranks = seeded.select(
                 "node",
                 F.when(F.col("__seed"), F.lit(scale))
                 .otherwise(F.lit(0))
@@ -790,17 +811,31 @@ def pagerank_exact(
             reset_expr = f"(CASE WHEN __seed THEN {reset}L ELSE 0L END)"
         prev = None
         for i in range(iterations):
+            # shuffle_hash on the rank side: ew is persisted already
+            # hash-partitioned on src, so a hash build from the
+            # node-grain rank frame probes it with ZERO exchange or
+            # sort of the edge list — sort-merge would re-sort the big
+            # side every round.
             contribs = ew.join(
-                ranks, ew["src"] == ranks["node"]
+                ranks.hint("shuffle_hash"), ew["src"] == ranks["node"]
             ).select(
                 F.col("dst").alias("node"),
                 F.expr(contrib_expr).alias("c"),
+                F.lit(None).cast("boolean").alias("__in_base"),
             )
-            summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
-            ranks = base.join(summed, "node", "left").select(
+            # union-then-aggregate instead of aggregate-then-left-join:
+            # the zero-contribution row per node keeps every node in
+            # the result AND carries the seed flag (max ignores the
+            # contrib rows' NULLs), folding what was [groupBy + join
+            # base] — two shuffles — into ONE node-keyed aggregate.
+            merged = zeros.unionByName(contribs)
+            agg_cols = [F.sum("c").alias("s")]
+            if seed_pred is not None:
+                agg_cols.append(F.max("__in_base").alias("__seed"))
+            ranks = merged.groupBy("node").agg(*agg_cols).select(
                 "node",
                 F.expr(
-                    f"{reset_expr} + ({damping_num}L * coalesce(s, 0L)) "
+                    f"{reset_expr} + ({damping_num}L * s) "
                     f"div {damping_den}L"
                 ).alias("rank"),
             )
