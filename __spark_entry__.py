@@ -5173,7 +5173,9 @@ def _q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay 2 extra jobs for nothing; the final round still checkpoints
     and retires its blocks per the cluster-module contract)."""
     edges = _copurchase_edges(spark, sf_dir)
-    r = CC.pagerank_exact(edges, iterations=3, checkpoint_interval=3)
+    r = CC.pagerank_exact(
+        edges, iterations=3, checkpoint_interval=3, symmetric=True
+    )
     return r.select(
         F.col("node").alias("part"), F.col("rank").alias("rank_scaled")
     )
@@ -5230,6 +5232,7 @@ def _q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=3,
         checkpoint_interval=3,
         seed_pred=lambda n: n % 20 == 0,
+        symmetric=True,
     )
     return r.select(
         F.col("node").alias("part"), F.col("rank").alias("rank_scaled")
@@ -5331,7 +5334,11 @@ def _q_wpagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact."""
     edges = _copurchase_edges(spark, sf_dir, weighted=True)
     r = CC.pagerank_exact(
-        edges, iterations=3, checkpoint_interval=3, weight_col="n_orders"
+        edges,
+        iterations=3,
+        checkpoint_interval=3,
+        weight_col="n_orders",
+        symmetric=True,
     )
     return r.select(
         F.col("node").alias("part"), F.col("rank").alias("rank_scaled")

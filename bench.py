@@ -93,6 +93,13 @@ BENCH_QUERIES = [
     "kmeans_cosine_pairs_embed",  # Lloyd-cell-bucketed cosine pair join
     "max_concurrency_events",    # sweep-line: two-phase prefix scan
     "multimodal_audio_features",  # heavy per-row byte-decode projection
+    # round 7: the graph family is the cost center (3 of r06's 5 most
+    # expensive operators) — headline visibility is what caught the
+    # round-6 pair-graph drift, so these now ride the bench instead of
+    # entering only through SCALETEST
+    "pagerank_copurchase",       # 3 exact-integer rank rounds
+    "kcore_copurchase",          # 4 peel rounds, semi/anti survivor joins
+    "khop_copurchase",           # bounded-hop BFS frontier expansion
 ]
 
 

@@ -518,7 +518,7 @@ def drop_near_dups(
 
 def _pagerank_frames(
     edges: DataFrame, src_col: str, dst_col: str, deg_via_window: bool,
-    weight_col: str | None = None,
+    weight_col: str | None = None, symmetric: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared PageRank setup: persisted ``(e, nodes, ew)`` frames.
 
@@ -593,12 +593,18 @@ def _pagerank_frames(
     agg = (
         F.sum("w") if weight_col is not None else F.count(F.lit(1))
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    if symmetric:
+        # caller asserts every edge appears in both directions (the
+        # symmetrized co-purchase graphs), so distinct sources ARE the
+        # node set — half the scan, one union branch fewer
+        nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
     if deg_via_window:
         ew = e.withColumn(
             "deg", agg.over(Window.partitionBy("src"))
@@ -618,6 +624,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_interval: int = 1,
     deg_via_window: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the
     authority score for link graphs (document citation/link dedup
@@ -664,7 +671,7 @@ def pagerank(
             f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
         )
     e, nodes, ew = _pagerank_frames(
-        edges, src_col, dst_col, deg_via_window
+        edges, src_col, dst_col, deg_via_window, symmetric=symmetric
     )
     try:
         ranks = nodes.withColumn("rank", F.lit(1.0))
@@ -709,6 +716,7 @@ def pagerank_exact(
     deg_via_window: bool = False,
     seed_pred=None,
     weight_col: str | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in SCALED INTEGER arithmetic — the
     oracle-replayable variant of :func:`pagerank`. Ranks are longs in
@@ -780,7 +788,8 @@ def pagerank_exact(
         )
     reset = (scale * (damping_den - damping_num)) // damping_den
     e, nodes, ew = _pagerank_frames(
-        edges, src_col, dst_col, deg_via_window, weight_col
+        edges, src_col, dst_col, deg_via_window, weight_col,
+        symmetric=symmetric,
     )
     contrib_expr = (
         "(rank * w) div deg" if weight_col is not None else "rank div deg"
@@ -974,9 +983,20 @@ def kcore_peel(
     for _ in range(rounds):
         deg = prev.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("s")
+        # shuffle_hash on the survivor side: a checkpointed frame
+        # reports no size stats, so Catalyst defaults both semi joins
+        # to sort-merge — re-SORTING the full edge frame twice per
+        # round (the same stats-blind-SMJ class as the round-6
+        # pair-stream fix; measured in the 10x smoke as the kcore
+        # ratio outlier). The node-grain survivor set is the build
+        # side and only shrinks.
         nxt = (
-            prev.join(keep, "s", "semi")
-            .join(keep.select(F.col("s").alias("d")), "d", "semi")
+            prev.join(keep.hint("shuffle_hash"), "s", "semi")
+            .join(
+                keep.select(F.col("s").alias("d")).hint("shuffle_hash"),
+                "d",
+                "semi",
+            )
             .localCheckpoint(eager=True)
         )
         _free_ckpt(prev)  # retired round: never read again
@@ -1026,13 +1046,25 @@ def khop_reachable(
     frontier = visited.select("node")
     try:
         for i in range(1, hops + 1):
+            # shuffle_hash on the node-grain sides: frontier/visited
+            # come off checkpoints (no size stats), so Catalyst would
+            # otherwise sort-merge both joins — sorting the edge frame
+            # every hop (the kcore stats-blind-SMJ class).
             nxt = (
                 e.join(
-                    frontier.select(F.col("node").alias("s")), "s", "semi"
+                    frontier.select(F.col("node").alias("s")).hint(
+                        "shuffle_hash"
+                    ),
+                    "s",
+                    "semi",
                 )
                 .select(F.col("d").alias("node"))
                 .distinct()
-                .join(visited.select("node"), "node", "anti")
+                .join(
+                    visited.select("node").hint("shuffle_hash"),
+                    "node",
+                    "anti",
+                )
             )
             new_rows = nxt.withColumn("hop", F.lit(i))
             nv = visited.unionByName(new_rows).localCheckpoint(eager=True)

@@ -109,6 +109,11 @@ QUERIES = [
     # joins per hop at volume) and the closed-form CUSUM windows
     "khop_copurchase",
     "cusum_hourly_events",
+    # round-7 addition: the hot-basket-capped pair miner — the skewed-
+    # basket guard's scale claim (per-basket work bounded at
+    # min(s, cap)^2, so a 10x corpus with the same basket-size
+    # distribution scales in rows, not in squared basket size)
+    "copurchase_pairs_capped",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those
@@ -193,11 +198,30 @@ def synth(spark, k_replicas: int) -> str:
             elif t == "lineitem":
                 # suppkey offset keeps the supplier FK consistent with
                 # the replicated supplier table below, so the bloom
-                # semi join's match rate is scale-invariant
-                rep = rep.withColumn(
-                    "l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000)
-                ).withColumn(
-                    "l_suppkey", F.col("l_suppkey") + F.lit(k * 10_000_000)
+                # semi join's match rate is scale-invariant. partkey is
+                # ALSO offset (round-7 fix): without it every replica
+                # repeats the same part baskets, the co-purchase pair
+                # counts multiply by k, and nearly all ~1.2M raw pairs
+                # cross the n_orders >= 2 threshold — the "10x" graph
+                # the kcore/khop/pagerank smoke ran on was actually
+                # 335x (3.5k -> 1.2M edges), which is what their
+                # 3.0-3.4 ratios were really measuring. Replica-
+                # distinct keys are the documented convention for
+                # every other table (suffixed doc text, rotated
+                # embeddings, offset users).
+                rep = (
+                    rep.withColumn(
+                        "l_orderkey",
+                        F.col("l_orderkey") + F.lit(k * 100_000_000),
+                    )
+                    .withColumn(
+                        "l_suppkey",
+                        F.col("l_suppkey") + F.lit(k * 10_000_000),
+                    )
+                    .withColumn(
+                        "l_partkey",
+                        F.col("l_partkey") + F.lit(k * 10_000_000),
+                    )
                 )
             elif t == "supplier":
                 rep = rep.withColumn(
