@@ -6132,71 +6132,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query (SURVEY.md §2 + pipeline ops).
 
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
-    a window of entries from the FRONT (r2-r5 each covered exactly the
-    first 50), so entries are sequenced oldest-evidence-first. Round-6
-    derivation, mechanically from the union of CORRECTNESS_r01-r05
-    (each query's MOST RECENT green row): (1) never driver-checked
-    (the round-6 additions); (2) last green in r02 (the 24-entry tail
-    of the old r02 block that the r05 window didn't reach); (3) r03;
-    (4) r04; (5) r05, freshest last. The r06 window therefore
-    re-greens all r02-stale entries plus the front of the r03 block —
-    after it, no entry's latest driver check predates r03. Re-derive
-    each round from the updated CORRECTNESS_r{N} union.
+    a window of entries from the FRONT (r2-r6 each covered exactly the
+    first 50), so entries are sequenced oldest-evidence-first. Round-7
+    derivation, mechanically from the union of CORRECTNESS_r01-r06
+    (each query's MOST RECENT green row; relative order preserved
+    within a group): (1) never driver-checked (the round-7 additions —
+    currently copurchase_pairs_capped); (2) latest green in r03 (the
+    40-entry block the r06 window did not reach); (3) r04; (4) r05;
+    (5) r06, freshest last. The r07 window therefore re-greens the
+    whole r03-stale block plus the front of the r04 block — after it,
+    no entry's latest driver check predates r04. Re-derive each round
+    from the updated CORRECTNESS_r{N} union.
     """
     return {
-        # --- (1) never driver-checked: round-6 additions go here ---
-        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
-        "q11_important_stock": _q_q11_important_stock,
-        "q16_supplier_cnt": _q_q16_supplier_cnt,
-        "q20_potential_promotion": _q_q20_potential_promotion,
-        "diff_orders_skewed": _q_diff_orders_skewed,
-        "kmeans_cells_embed": _q_kmeans_cells_embed,
-        "ngram_containment_docs": _q_ngram_containment_docs,
-        "kmeans_cosine_pairs_embed": _q_kmeans_cosine_pairs_embed,
-        "multimodal_audio_features": _q_multimodal_audio_features,
-        "max_concurrency_events": _q_max_concurrency_events,
-        "benford_orders": _q_benford_orders,
-        "ppr_copurchase": _q_ppr_copurchase,
-        "gini_event_mix_users": _q_gini_event_mix_users,
-        "twap_user_hourly": _q_twap_user_hourly,
-        "kcore_copurchase": _q_kcore_copurchase,
-        "scd2_enrich_orders": _q_scd2_enrich_orders,
-        "knn_eval_embed": _q_knn_eval_embed,
-        "cusum_hourly_events": _q_cusum_hourly_events,
-        "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
-        "khop_copurchase": _q_khop_copurchase,
-        "wpagerank_copurchase": _q_wpagerank_copurchase,
-        # --- (2) last driver-green in r02 — oldest evidence first (24) ---
-        "array_funcs_lineitem": _q_array_funcs_lineitem,
-        "q9_profit_by_nation": _q_q9_profit_by_nation,
-        "q18_large_orders": _q_q18_large_orders,
-        "q17_small_quantity": _q_q17_small_quantity,
-        "q13_custdist": _q_q13_custdist,
-        "q5_local_supplier": _q_q5_local_supplier,
-        "q4_order_priority": _q_q4_order_priority,
-        "q12_late_lines_by_status": _q_q12_late_lines_by_status,
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
-        "q6_forecast_revenue": _q_q6_forecast_revenue,
-        "q10_returned_items": _q_q10_returned_items,
-        "q14_promo_effect": _q_q14_promo_effect,
-        "q21_waiting_supplier": _q_q21_waiting_supplier,
-        "q22_idle_balances": _q_q22_idle_balances,
-        "pivot_orders_status": _q_pivot_orders_status,
-        "map_user_profile": _q_map_user_profile,
-        "window_rank_funcs": _q_window_rank_funcs,
-        "unpivot_lineitem": _q_unpivot_lineitem,
-        "groupingsets_events": _q_groupingsets_events,
-        "json_events_props": _q_json_events_props,
-        "cube_orders_status_priority": _q_cube_orders,
-        "dedup_exact_docs": _q_dedup_exact_docs,
-        "dedup_fingerprint_docs": _q_dedup_fingerprint_docs,
-        "dedup_incremental_docs": _q_dedup_incremental_docs,
-        # --- (3) last driver-green in r03 (45) ---
-        "chunk_docs": _q_chunk_docs,
-        "vocab_topk_docs": _q_vocab_topk_docs,
-        "salted_join_events": _q_salted_join_events,
-        "funnel_events": _q_funnel_events,
-        "span_dedup_docs": _q_span_dedup_docs,
+        # --- never driver-checked (round-7 additions) ---
+        "copurchase_pairs_capped": _q_copurchase_pairs_capped,
+        # --- latest green r03 ---
         "session_window_events": _q_session_window_events,
         "ann_topk_quantized": _q_ann_topk_quantized,
         "decontaminate_docs": _q_decontaminate_docs,
@@ -6237,10 +6188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "streaming_dedup_events": _q_streaming_dedup_events,
         "streaming_sliding_windows": _q_streaming_sliding_windows,
-        # --- (4) last driver-green in r04 (50) ---
+        # --- latest green r04 ---
         "q7_volume_shipping": _q_q7_volume_shipping,
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
-        "copurchase_pairs_capped": _q_copurchase_pairs_capped,
         "conversion_latency_events": _q_conversion_latency_events,
         "order_backlog_weekly": _q_order_backlog_weekly,
         "dq_rules_orders": _q_dq_rules_orders,
@@ -6289,7 +6239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _q_ann_topk,
         "text_quality_docs": _q_text_quality_docs,
         "sample_split_docs": _q_sample_split_docs,
-        # --- (5) last driver-green in r05 — freshest evidence last (50) ---
+        # --- latest green r05 ---
         "pagerank_copurchase": _q_pagerank_copurchase,
         "heavy_hitters_docs": _q_heavy_hitters_docs,
         "diverse_sample_embed": _q_diverse_sample_embed,
@@ -6340,6 +6290,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digest_orders": _q_digest_orders,
         "zorder_key_events": _q_zorder_key_events,
         "date_funcs_events": _q_date_funcs_events,
+        # --- latest green r06 (freshest last) ---
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
+        "q11_important_stock": _q_q11_important_stock,
+        "q16_supplier_cnt": _q_q16_supplier_cnt,
+        "q20_potential_promotion": _q_q20_potential_promotion,
+        "diff_orders_skewed": _q_diff_orders_skewed,
+        "kmeans_cells_embed": _q_kmeans_cells_embed,
+        "ngram_containment_docs": _q_ngram_containment_docs,
+        "kmeans_cosine_pairs_embed": _q_kmeans_cosine_pairs_embed,
+        "multimodal_audio_features": _q_multimodal_audio_features,
+        "max_concurrency_events": _q_max_concurrency_events,
+        "benford_orders": _q_benford_orders,
+        "ppr_copurchase": _q_ppr_copurchase,
+        "gini_event_mix_users": _q_gini_event_mix_users,
+        "twap_user_hourly": _q_twap_user_hourly,
+        "kcore_copurchase": _q_kcore_copurchase,
+        "scd2_enrich_orders": _q_scd2_enrich_orders,
+        "knn_eval_embed": _q_knn_eval_embed,
+        "cusum_hourly_events": _q_cusum_hourly_events,
+        "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
+        "khop_copurchase": _q_khop_copurchase,
+        "wpagerank_copurchase": _q_wpagerank_copurchase,
+        "array_funcs_lineitem": _q_array_funcs_lineitem,
+        "q9_profit_by_nation": _q_q9_profit_by_nation,
+        "q18_large_orders": _q_q18_large_orders,
+        "q17_small_quantity": _q_q17_small_quantity,
+        "q13_custdist": _q_q13_custdist,
+        "q5_local_supplier": _q_q5_local_supplier,
+        "q4_order_priority": _q_q4_order_priority,
+        "q12_late_lines_by_status": _q_q12_late_lines_by_status,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q10_returned_items": _q_q10_returned_items,
+        "q14_promo_effect": _q_q14_promo_effect,
+        "q21_waiting_supplier": _q_q21_waiting_supplier,
+        "q22_idle_balances": _q_q22_idle_balances,
+        "pivot_orders_status": _q_pivot_orders_status,
+        "map_user_profile": _q_map_user_profile,
+        "window_rank_funcs": _q_window_rank_funcs,
+        "unpivot_lineitem": _q_unpivot_lineitem,
+        "groupingsets_events": _q_groupingsets_events,
+        "json_events_props": _q_json_events_props,
+        "cube_orders_status_priority": _q_cube_orders,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "dedup_fingerprint_docs": _q_dedup_fingerprint_docs,
+        "dedup_incremental_docs": _q_dedup_incremental_docs,
+        "chunk_docs": _q_chunk_docs,
+        "vocab_topk_docs": _q_vocab_topk_docs,
+        "salted_join_events": _q_salted_join_events,
+        "funnel_events": _q_funnel_events,
+        "span_dedup_docs": _q_span_dedup_docs,
     }
 
 
