@@ -851,6 +851,195 @@ def _q_copurchase_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _copurchase_pairs(spark, sf_dir, cap=5)
 
 
+def _q_copurchase_triples_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frequent ITEMSET mining one level deeper than pairs: part
+    triples co-occurring in >= 2 orders, enumerated inside each
+    hot-basket-capped basket (cap=5 -> at most C(5,3)=10 triples per
+    order, the bound that makes cubic per-basket work safe on power-law
+    baskets). Same basket-explode shape as _copurchase_pairs — one
+    order-keyed shuffle, per-row nested transforms, triple-keyed hash
+    aggregate; the oracle takes the classic 3-way self-join route, so
+    two independent formulations must agree."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.slice(F.array_sort(F.collect_set("l_partkey")), 1, 5).alias("s")
+    )
+    baskets = baskets.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(flatten(transform(s, (x, i) -> "
+                    "transform(slice(s, i + 2, size(s)), (y, j) -> "
+                    "transform(slice(s, i + j + 3, size(s)), "
+                    "z -> struct(x AS p1, y AS p2, z AS p3))))))"
+                )
+            ).alias("tr")
+        )
+        .select("tr.p1", "tr.p2", "tr.p3")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+_SQL_COPURCHASE_TRIPLES_CAPPED = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ranked AS (
+  SELECT l_orderkey, l_partkey,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_partkey) AS rn
+  FROM items),
+capped AS (SELECT l_orderkey, l_partkey FROM ranked WHERE rn <= 5),
+triples AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3
+  FROM capped a
+  JOIN capped b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+  JOIN capped c ON b.l_orderkey = c.l_orderkey
+               AND b.l_partkey < c.l_partkey
+)
+SELECT p1, p2, p3, count(*) AS n_orders
+FROM triples GROUP BY 1, 2, 3 HAVING count(*) >= 2
+"""
+
+
+def _q_ttr_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio (operators/corpus.py:
+    type_token_ratio) — lexical diversity as exact integers (types,
+    tokens, ttr_ppm via integer DIV): the cheap repetitive-boilerplate
+    signal next to repetition_docs/text_quality_docs. One explode +
+    two-level aggregate; shuffle is per-source-vocabulary-sized."""
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    return CP.type_token_ratio(d, "text", ["source"])
+
+
+_SQL_TTR_BY_SOURCE_DOCS = r"""
+WITH tok AS (
+  SELECT source, lower(t.tok) AS token
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+  WHERE t.tok != ''),
+per AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) * 1000000 // sum(cnt) AS BIGINT) AS ttr_ppm
+FROM per GROUP BY source
+"""
+
+
+def _q_decayed_score_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially TIME-DECAYED activity score
+    (operators/incremental.py:decayed_sum): half-life one day,
+    computed as exact integer right-shifts (round(value*100) DIV
+    2^age_days, age anchored at the data's own max date) — the
+    freshness/recency weighting a ranking pipeline wants, with none of
+    the float pow() drift that breaks hash oracles. One map-combined
+    aggregate + a 1-row broadcast anchor."""
+    e = _t(spark, sf_dir, "events")
+    return INC.decayed_sum(e, ["user_id"], "ts", "value")
+
+
+_SQL_DECAYED_SCORE_USERS = """
+WITH anc AS (SELECT max(CAST(ts AS DATE)) AS a FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(
+         CAST(round(value * 100) AS BIGINT) //
+         (CAST(1 AS BIGINT) << greatest(
+            least(datediff('day', CAST(ts AS DATE), a), 62), 0))
+       ) AS BIGINT) AS decayed_q
+FROM events, anc
+GROUP BY user_id
+"""
+
+
+def _q_er_score_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution SCORING over sorted-neighborhood candidates
+    (the verify stage after fuzzy.py:sorted_neighborhood_pairs
+    generates them): each candidate part pair gets an integer
+    Fellegi-Sunter-style agreement weight — 4 for brand, 3 for type,
+    2 for size, 1 for exact price cents — and pairs scoring >= 4
+    survive.
+    Candidates ride the one per-block sorted exchange; attributes
+    attach with two keyed joins against the part dimension (id-keyed,
+    broadcast-eligible); the score itself is pure Column arithmetic.
+    Exact integers end to end."""
+    p = _t(spark, sf_dir, "part")
+    cand = FZ.sorted_neighborhood_pairs(
+        p.select("p_partkey", "p_name"), "p_partkey", "p_name", window=3
+    ).select("id_a", "id_b")
+    attrs = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.expr("CAST(bround(p_retailprice * 100) AS BIGINT)").alias(
+            "p_cents"
+        ),
+    )
+    a = attrs.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("p_cents").alias("cents_a"),
+    )
+    b = attrs.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_type").alias("type_b"),
+        F.col("p_size").alias("size_b"),
+        F.col("p_cents").alias("cents_b"),
+    )
+    score = (
+        F.when(F.col("brand_a") == F.col("brand_b"), 4).otherwise(0)
+        + F.when(F.col("type_a") == F.col("type_b"), 3).otherwise(0)
+        + F.when(F.col("size_a") == F.col("size_b"), 2).otherwise(0)
+        + F.when(F.col("cents_a") == F.col("cents_b"), 1).otherwise(0)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("score", score.cast("long"))
+        .filter(F.col("score") >= 4)
+        .select("id_a", "id_b", "score")
+    )
+
+
+_SQL_ER_SCORE_PARTS = """
+WITH b AS (
+  SELECT p_partkey AS id_a, p_name AS key_a,
+         substring(p_name, 1, 1) AS blk
+  FROM part),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY key_a, id_a)
+            AS rn
+  FROM b),
+cand AS (
+  SELECT a.id_a, c.id_a AS id_b
+  FROM r a JOIN r c
+    ON a.blk = c.blk AND c.rn BETWEEN a.rn + 1 AND a.rn + 3),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         (CASE WHEN pa.p_brand = pb.p_brand THEN 4 ELSE 0 END
+          + CASE WHEN pa.p_type = pb.p_type THEN 3 ELSE 0 END
+          + CASE WHEN pa.p_size = pb.p_size THEN 2 ELSE 0 END
+          + CASE WHEN CAST(round(pa.p_retailprice * 100) AS BIGINT)
+                 = CAST(round(pb.p_retailprice * 100) AS BIGINT)
+            THEN 1 ELSE 0 END
+         ) AS score
+  FROM cand
+  JOIN part pa ON cand.id_a = pa.p_partkey
+  JOIN part pb ON cand.id_b = pb.p_partkey)
+SELECT id_a, id_b, CAST(score AS BIGINT) AS score
+FROM scored WHERE score >= 4
+"""
+
+
 _SQL_COPURCHASE_PAIRS = """
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
@@ -4695,6 +4884,31 @@ def _q_multimodal_audio_features(
     ).select("doc_id", "f.*")
 
 
+def _q_multimodal_audio_decimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Integer audio DECIMATION on real encoded bytes
+    (operators/multimodal.py:pcm_features(stride=4)): the same
+    synthesize-then-decode round-trip as multimodal_audio_features,
+    but only every 4th sample is read out of the data chunk — the
+    cheap exact downsampling a feature pipeline runs before an
+    expensive model stage (no low-pass, plain decimation by contract).
+    Still one projection, zero UDFs, zero shuffle; the oracle replays
+    the strided index set closed-form (sample j = formula(doc_id,
+    4*j)), so a stride bug anywhere in the byte arithmetic is a hash
+    mismatch."""
+    d = _t(spark, sf_dir, "documents")
+    sr = (F.lit(8000) + (F.col("doc_id") % 6) * 8000).cast("long")
+    n = (F.col("n_chars") % 96 + 8).cast("long")
+    pay = d.select(
+        "doc_id",
+        MM.synth_pcm_wav(F.col("doc_id"), n, sr).alias("payload"),
+    )
+    return pay.select(
+        "doc_id", MM.pcm_features("payload", stride=4).alias("f")
+    ).select("doc_id", "f.*")
+
+
 def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic importance sampling
     (operators/sampling.weighted_sample): each document kept with
@@ -6147,6 +6361,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (round-7 additions) ---
         "copurchase_pairs_capped": _q_copurchase_pairs_capped,
+        "copurchase_triples_capped": _q_copurchase_triples_capped,
+        "ttr_by_source_docs": _q_ttr_by_source_docs,
+        "decayed_score_users": _q_decayed_score_users,
+        "er_score_parts": _q_er_score_parts,
+        "multimodal_audio_decimate": _q_multimodal_audio_decimate,
         # --- latest green r03 ---
         "session_window_events": _q_session_window_events,
         "ann_topk_quantized": _q_ann_topk_quantized,
@@ -7238,6 +7457,29 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "q7_volume_shipping": _SQL_Q7_VOLUME_SHIPPING,
         "copurchase_pairs_lineitem": _SQL_COPURCHASE_PAIRS,
         "copurchase_pairs_capped": _SQL_COPURCHASE_PAIRS_CAPPED,
+        "copurchase_triples_capped": _SQL_COPURCHASE_TRIPLES_CAPPED,
+        "ttr_by_source_docs": _SQL_TTR_BY_SOURCE_DOCS,
+        "decayed_score_users": _SQL_DECAYED_SCORE_USERS,
+        "er_score_parts": _SQL_ER_SCORE_PARTS,
+        "multimodal_audio_decimate": """
+WITH base AS (
+  SELECT doc_id, n_chars % 96 + 8 AS n_raw,
+         (n_chars % 96 + 8 + 3) // 4 AS n,
+         list_transform(range(0, (n_chars % 96 + 8 + 3) // 4),
+           i -> (doc_id * 31 + (i * 4) * 1031) % 4096 - 2048) AS s
+  FROM documents)
+SELECT doc_id,
+       CAST(8000 + (doc_id % 6) * 8000 AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_aggregate(list_transform(s, x -> x * x), 'sum')
+            AS BIGINT) AS energy,
+       CAST(list_aggregate(list_transform(s, x -> abs(x)), 'max')
+            AS BIGINT) AS peak_abs,
+       CAST(coalesce(list_aggregate(list_transform(list_zip(s, s[2:], true),
+              z -> CASE WHEN z[1] * z[2] < 0 THEN 1 ELSE 0 END), 'sum'), 0)
+            AS BIGINT) AS zero_cross
+FROM base
+""",
         "conversion_latency_events": _SQL_CONVERSION_LATENCY_EVENTS,
         "order_backlog_weekly": _SQL_ORDER_BACKLOG_WEEKLY,
         "dq_rules_orders": _SQL_DQ_RULES_ORDERS,

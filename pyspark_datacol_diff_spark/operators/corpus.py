@@ -697,3 +697,45 @@ def token_rarity_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.min("__gc").alias("min_tok_count"),
         F.sum((F.col("__gc") == 1).cast("long")).alias("n_hapax"),
     )
+
+
+def type_token_ratio(
+    df: DataFrame,
+    text_col: str,
+    by: list[str],
+    *,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-group TYPE-TOKEN RATIO — lexical diversity of a corpus slice
+    (low TTR = repetitive boilerplate, the classic cheap signal next to
+    the repetition/quality scores): distinct tokens (types) vs total
+    tokens, emitted as exact integers plus ``ttr_ppm = types * 1e6 DIV
+    tokens`` so the ratio replays bit-for-bit in any engine.
+
+    Scale shape: explode -> ONE two-level aggregate — (by, token)
+    counts first (map-side combine collapses repeats before the
+    shuffle; shuffle is vocabulary-per-group-sized, not corpus-sized),
+    then per-group type/token totals from the compact relation. Caveat
+    the literature knows: raw TTR falls with corpus size, so compare
+    like-sized slices (or feed same-size samples).
+
+    Returns ``(*by, n_types, n_tokens, ttr_ppm)``.
+    """
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    per_tok = (
+        df.select(*by, F.explode(tokens(t)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(*by, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_tok.groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+        .withColumn(
+            "ttr_ppm",
+            F.expr("n_types * CAST(1000000 AS BIGINT) DIV n_tokens"),
+        )
+    )

@@ -334,3 +334,66 @@ def time_weighted_avg(
             F.expr(f"{num_col} DIV covered_us").alias("twap_q"),
         )
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    anchor_sql: str | None = None,
+    value_scale: int = 100,
+    max_shift: int = 62,
+    out_col: str = "decayed_q",
+) -> DataFrame:
+    """Per-key EXPONENTIALLY TIME-DECAYED sum with half-life = 1 day,
+    computed in EXACT integer arithmetic: each event contributes
+    ``round(value * value_scale) >> age_days`` (integer right shift =
+    floor division by 2^age, applied via DIV so negative values floor
+    identically cross-engine), so yesterday's events count half, the
+    day before a quarter — the recency weighting a ranking/freshness
+    score wants, without the nondeterministic float pow() accumulation
+    a hash oracle can't replay.
+
+    ``anchor_sql`` is the "now" the age is measured from, as an
+    engine-portable SQL date expression. Default: the data's own
+    ``max(date(ts))`` attached as a 1-row broadcast — deterministic
+    for a fixed dataset, no wall clock in the plan. Ages beyond
+    ``max_shift`` clamp (a 2^-62 weight is 0 for any realistic value),
+    keeping the shift in int64 range; negative ages (events after the
+    anchor) clamp to 0 — full weight.
+
+    Quantization: bround (round-half-even) at ``value_scale`` — both
+    Spark's bround and DuckDB's round() on DOUBLE round half to even,
+    so the oracle replays bit-for-bit.
+
+    Scale shape: one map-side-combined aggregate over ``keys``; the
+    default anchor is one scalar aggregate broadcast to every row.
+
+    Returns ``(*keys, n_events, decayed_q)`` — ``decayed_q`` in units
+    of ``1/value_scale``.
+    """
+    if anchor_sql is None:
+        anc = df.agg(F.max(F.to_date(ts_col)).alias("__anchor"))
+        base = df.crossJoin(F.broadcast(anc))
+        anchor_expr = "__anchor"
+    else:
+        base = df
+        anchor_expr = anchor_sql
+    age = (
+        f"greatest(least(datediff({anchor_expr}, to_date({ts_col})), "
+        f"{max_shift}), 0)"
+    )
+    contrib = F.expr(
+        f"CAST(bround({value_col} * {value_scale}) AS BIGINT) DIV "
+        f"shiftleft(CAST(1 AS BIGINT), CAST({age} AS INT))"
+    )
+    return (
+        base.withColumn("__c", contrib)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__c").alias(out_col),
+        )
+    )

@@ -762,7 +762,7 @@ def synth_pcm_wav(
     )
 
 
-def pcm_features(payload: Column | str) -> Column:
+def pcm_features(payload: Column | str, *, stride: int = 1) -> Column:
     """Decode a canonical mono 16-bit PCM WAV and extract exact-integer
     audio features, all in one Column expression — the REAL audio
     decode path (fixed-stride byte arithmetic needs no codec):
@@ -781,7 +781,17 @@ def pcm_features(payload: Column | str) -> Column:
     raise INVALID_PARAMETER_VALUE.LENGTH via slice(samples, 1, -1)).
     Scale shape: a pure projection over bounded-length
     payloads; features shuffle as 4 longs, the payload never does.
+
+    ``stride > 1`` DECIMATES the signal before feature extraction —
+    only samples at indices 0, stride, 2*stride, ... are read
+    (``n_samples`` reports the decimated count), the cheap integer
+    downsampling a feature pipeline runs before an expensive model
+    stage. No low-pass filter is applied (plain decimation, aliasing
+    and all) — the point is exact, engine-replayable arithmetic, and
+    the oracle replays the strided index set closed-form.
     """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     p = F.col(payload) if isinstance(payload, str) else payload
     is_pcm16_mono = (
         (F.substring(p, 1, 4) == F.unhex(F.lit(RIFF_MAGIC_HEX)))
@@ -797,14 +807,19 @@ def pcm_features(payload: Column | str) -> Column:
         # data_size=0 is spec-valid but carries no samples: NULL struct
         & (_le_uint(p, 41, 4) >= 2)
     )
-    n = (_le_uint(p, 41, 4) / 2).cast("long")
+    n_raw = (_le_uint(p, 41, 4) / 2).cast("long")
+    # decimated sample count: ceil(n_raw / stride) — the number of
+    # indices 0, stride, 2*stride, ... below n_raw
+    n = ((n_raw + (stride - 1)) / stride).cast("long")
     # clamped pair length: never negative even if feats is ever
     # evaluated against a degenerate payload (defense in depth on top
     # of the n >= 1 predicate above)
     pair_len = F.greatest(n - 1, F.lit(0).cast("long")).cast("int")
     samples = F.transform(
         F.sequence(F.lit(0).cast("long"), F.greatest(n - 1, F.lit(0).cast("long"))),
-        lambda i: _le_int16_at(p, (F.lit(45) + i * 2).cast("int")),
+        lambda i: _le_int16_at(
+            p, (F.lit(45) + i * (2 * stride)).cast("int")
+        ),
     )
     feats = F.struct(
         _le_uint(p, 25, 4).cast("int").alias("sample_rate"),

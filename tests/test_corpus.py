@@ -552,3 +552,27 @@ def test_shingle_overlap_releases_cache(spark):
     for _ in range(calls):
         shingle_overlap(df, "src", "text", n=3).collect()
     assert n_cached() - base <= calls
+
+
+class TestTypeTokenRatio:
+    """Round-7: per-group lexical diversity as exact integers."""
+
+    def test_hand_computed(self, spark):
+        from pyspark_datacol_diff_spark.operators.corpus import (
+            type_token_ratio,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", "x x x y"),          # 2 types / 4 tokens
+                ("a", "y z"),              # +1 type (z), +2 tokens
+                ("b", "Q q"),              # lowercased: 1 type / 2 tokens
+            ],
+            "source string, text string",
+        )
+        got = {
+            r["source"]: (r["n_types"], r["n_tokens"], r["ttr_ppm"])
+            for r in type_token_ratio(df, "text", ["source"]).collect()
+        }
+        assert got["a"] == (3, 6, 500_000)
+        assert got["b"] == (1, 2, 500_000)

@@ -441,3 +441,51 @@ def test_twap_matches_python_integrator(spark, obs):
                 expect[(u, cell)] = (c_us + us, c_num + vq * us)
                 cur = seg_end
     assert got == expect
+
+
+class TestDecayedSum:
+    """Round-7: exact bit-shift exponential decay (half-life = 1 day)."""
+
+    def test_matches_pure_python(self, spark):
+        import datetime as dt
+
+        from pyspark_datacol_diff_spark.operators.incremental import (
+            decayed_sum,
+        )
+
+        base = dt.datetime(2024, 3, 10, 12, 0, 0)
+        rows = [
+            (1, base, 10.00),                          # age 0: full
+            (1, base - dt.timedelta(days=1), 10.00),   # age 1: half
+            (1, base - dt.timedelta(days=2), 10.01),   # age 2: quarter
+            (2, base - dt.timedelta(days=70), 8.00),   # clamped to 62
+            (2, base, 0.005),                          # bround half-even
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        got = {
+            r["user_id"]: (r["n_events"], r["decayed_q"])
+            for r in decayed_sum(df, ["user_id"], "ts", "value").collect()
+        }
+        # user 1: 1000 + 1000//2 + 1001//4 = 1000+500+250
+        assert got[1] == (3, 1750)
+        # user 2: 800 >> 62 = 0; bround(0.5) = 0 (half to even)
+        assert got[2] == (2, 0)
+
+    def test_explicit_anchor(self, spark):
+        import datetime as dt
+
+        from pyspark_datacol_diff_spark.operators.incremental import (
+            decayed_sum,
+        )
+
+        rows = [(1, dt.datetime(2024, 3, 9, 6, 0), 4.0)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        r = decayed_sum(
+            df, ["user_id"], "ts", "value",
+            anchor_sql="DATE'2024-03-11'",
+        ).collect()[0]
+        assert r["decayed_q"] == 100  # 400 >> 2

@@ -345,3 +345,55 @@ class TestPcmAudio:
         }
         assert rows[1] is None
         assert rows[2] is not None and rows[2]["energy"] is not None
+
+
+class TestPcmDecimation:
+    """Round-7: strided sample read (integer decimation) on real bytes."""
+
+    def test_stride_matches_python_decimation(self, spark):
+        from pyspark.sql import functions as F
+
+        from pyspark_datacol_diff_spark.operators import multimodal as MM
+
+        n, seed, rate, stride = 37, 5, 8000, 4
+        df = spark.createDataFrame([(seed,)], "seed long").select(
+            "seed",
+            MM.synth_pcm_wav(
+                F.col("seed"), F.lit(n).cast("long"), F.lit(rate)
+            ).alias("payload"),
+        )
+        f = df.select(
+            MM.pcm_features("payload", stride=stride).alias("f")
+        ).collect()[0]["f"]
+        s = [
+            ((seed * 31 + j * 1031) % 4096) - 2048
+            for j in range(0, n, stride)
+        ]
+        assert f["n_samples"] == len(s) == (n + stride - 1) // stride
+        assert f["energy"] == sum(x * x for x in s)
+        assert f["peak_abs"] == max(abs(x) for x in s)
+        assert f["zero_cross"] == sum(
+            1 for a, b in zip(s, s[1:]) if a * b < 0
+        )
+
+    def test_stride_one_is_identity(self, spark):
+        from pyspark.sql import functions as F
+
+        from pyspark_datacol_diff_spark.operators import multimodal as MM
+
+        df = spark.createDataFrame([(3,)], "seed long").select(
+            MM.synth_pcm_wav(
+                F.col("seed"), F.lit(20).cast("long"), F.lit(8000)
+            ).alias("payload"),
+        )
+        a = df.select(MM.pcm_features("payload").alias("f")).collect()[0]
+        b = df.select(
+            MM.pcm_features("payload", stride=1).alias("f")
+        ).collect()[0]
+        assert a == b
+
+    def test_bad_stride_raises(self, spark):
+        from pyspark_datacol_diff_spark.operators import multimodal as MM
+
+        with pytest.raises(ValueError, match="stride"):
+            MM.pcm_features("payload", stride=0)
