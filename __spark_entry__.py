@@ -1010,6 +1010,95 @@ def _q_er_score_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mutual_knn_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph construction
+    (operators/similarity.py:mutual_knn_pairs): reciprocal top-5
+    cosine edges over the vec_id % 5 node subset — the kNN-graph
+    symmetrization step that drops one-way hub edges before
+    clustering. Rank ordering rides the ann family's (sim DESC, id)
+    convention so the float path hash-replays; the mutuality join runs
+    on the compact ids-only edge list."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return SIM.mutual_knn_pairs(emb, 5)
+
+
+_SQL_MUTUAL_KNN_EMBED = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id % 5 = 0),
+scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_cosine_similarity(b.e, a.e) AS sim
+  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, nid) AS rk
+  FROM scored),
+knn AS (SELECT qid, nid FROM ranked WHERE rk <= 5)
+SELECT a.qid AS id_a, a.nid AS id_b
+FROM knn a JOIN knn b ON a.qid = b.nid AND a.nid = b.qid
+WHERE a.qid < a.nid
+"""
+
+
+def _q_labelprop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round semi-supervised label propagation
+    (operators/cluster.py:label_propagation) over the co-purchase
+    graph: parts with partkey % 10 == 0 are seeded with label
+    partkey % 7; two clamped rounds spread labels by exact-integer
+    majority vote (ties to the smallest label) — the seed-expansion
+    classifier a curation pipeline runs to grow a small labeled set
+    along the co-occurrence graph. The oracle unrolls both rounds."""
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.filter(F.col("node") % 10 == 0).select(
+        "node", (F.col("node") % 7).alias("label")
+    )
+    r = CC.label_propagation(edges, seeds, rounds=2)
+    return r.select(
+        F.col("node").alias("part"),
+        F.col("label").cast("long").alias("label"),
+        F.col("round").cast("long").alias("round"),
+    )
+
+
+def _sql_labelprop_copurchase(rounds: int = 2) -> str:
+    parts = ["""
+WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT p1 AS src, p2 AS dst FROM prs
+          UNION ALL SELECT p2, p1 FROM prs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node % 7 AS label, 0 AS round FROM nodes
+       WHERE node % 10 = 0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+v{r} AS (
+  SELECT e.dst AS node, l.label, count(*) AS cnt
+  FROM edges e JOIN l{r - 1} l ON e.src = l.node
+  WHERE e.dst NOT IN (SELECT node FROM l{r - 1})
+  GROUP BY 1, 2),
+w{r} AS (
+  SELECT node, label, {r} AS round FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rn
+    FROM v{r}) WHERE rn = 1),
+l{r} AS (SELECT * FROM l{r - 1} UNION ALL SELECT * FROM w{r})""")
+    parts.append(f"""
+SELECT node AS part, CAST(label AS BIGINT) AS label,
+       CAST(round AS BIGINT) AS round
+FROM l{rounds}""")
+    return "".join(parts)
+
+
+_SQL_LABELPROP_COPURCHASE = _sql_labelprop_copurchase()
+
+
 _SQL_ER_SCORE_PARTS = """
 WITH b AS (
   SELECT p_partkey AS id_a, p_name AS key_a,
@@ -6366,6 +6455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_score_users": _q_decayed_score_users,
         "er_score_parts": _q_er_score_parts,
         "multimodal_audio_decimate": _q_multimodal_audio_decimate,
+        "mutual_knn_embed": _q_mutual_knn_embed,
+        "labelprop_copurchase": _q_labelprop_copurchase,
         # --- latest green r03 ---
         "session_window_events": _q_session_window_events,
         "ann_topk_quantized": _q_ann_topk_quantized,
@@ -7461,6 +7552,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "ttr_by_source_docs": _SQL_TTR_BY_SOURCE_DOCS,
         "decayed_score_users": _SQL_DECAYED_SCORE_USERS,
         "er_score_parts": _SQL_ER_SCORE_PARTS,
+        "mutual_knn_embed": _SQL_MUTUAL_KNN_EMBED,
+        "labelprop_copurchase": _SQL_LABELPROP_COPURCHASE,
         "multimodal_audio_decimate": """
 WITH base AS (
   SELECT doc_id, n_chars % 96 + 8 AS n_raw,

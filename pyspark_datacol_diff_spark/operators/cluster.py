@@ -1076,3 +1076,76 @@ def khop_reachable(
         return visited
     finally:
         e.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    rounds: int = 2,
+) -> DataFrame:
+    """Bounded-round SEMI-SUPERVISED label propagation over a directed
+    edge list: seed nodes carry fixed labels; each round every still-
+    unlabeled node adopts the MAJORITY label among its already-labeled
+    in-neighbors (ties -> smallest label), and newly labeled nodes
+    propagate in later rounds. The seed-expansion primitive for
+    classifying a corpus from a small labeled set along a similarity /
+    co-occurrence graph — the labeled cousin of :func:`khop_reachable`
+    (which tracks reachability, not label competition).
+
+    Deterministic and oracle-replayable by construction: fixed round
+    count, exact integer vote counts, total tie order (count DESC,
+    label ASC). Seed labels never change (the clamped formulation).
+
+    Scale shape per round: one edges x labels equi-join keyed on src
+    (shuffle_hash on the node-grain label side — the frame comes off
+    unioned lineage with no stats, the kcore stats-blind-SMJ class),
+    one (node, label) vote aggregate, one max-struct majority pick,
+    one anti join against the labeled set. ``rounds`` is small and
+    user-bounded, so lineage stays shallow without checkpointing.
+
+    Returns ``(node, label, round)`` — every node labeled within
+    ``rounds`` rounds, seeds at round 0.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    labeled = seeds.select(
+        F.col(node_col).alias("node"),
+        F.col(label_col).alias("label"),
+        F.lit(0).alias("round"),
+    )
+    for r in range(1, rounds + 1):
+        votes = (
+            e.join(
+                labeled.select(
+                    F.col("node").alias("s"), "label"
+                ).hint("shuffle_hash"),
+                "s",
+            )
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .join(labeled.select("node").hint("shuffle_hash"), "node", "anti")
+        )
+        winner = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"),
+                        (-F.col("label")).alias("neg"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "node",
+                (-F.col("m.neg")).alias("label"),
+                F.lit(r).alias("round"),
+            )
+        )
+        labeled = labeled.unionByName(winner)
+    return labeled

@@ -1799,3 +1799,38 @@ def kmeans_bucketed_cosine_pairs(
         )
         .select("id_a", "id_b", "dot_q", "na2", "nb2")
     )
+
+
+def mutual_knn_pairs(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MUTUAL k-nearest-neighbor pairs: (id_a < id_b) such that each is
+    in the other's exact top-k cosine neighborhood — the standard
+    kNN-graph symmetrization that keeps only reciprocal edges (one-way
+    neighbors are usually hub artifacts; mutual edges are the
+    high-precision backbone clustering/dedup pipelines build on).
+
+    Composition: :func:`cosine_topk` (broadcast queries x corpus scan,
+    norms hoisted, rank window) produces the directed kNN edge list —
+    n*k rows, ids only — then one self-join on the swapped orientation
+    keeps reciprocated pairs. The join is over the COMPACT edge list
+    (never the vectors), keyed on both ids; id_a < id_b on the output
+    dedups each mutual pair to one row.
+
+    Returns ``(id_a, id_b)``.
+    """
+    q = df.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    edges = cosine_topk(
+        df, q, k, id_col=id_col, vec_col=vec_col
+    ).select(F.col("qid").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    fwd = edges.filter(F.col("id_a") < F.col("id_b"))
+    rev = edges.filter(F.col("id_a") > F.col("id_b")).select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    )
+    return fwd.join(rev, ["id_a", "id_b"], "semi")

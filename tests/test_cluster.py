@@ -621,3 +621,49 @@ class TestWeightedPagerank:
         )
         with _pt.raises(Exception, match="positive"):
             pagerank_exact(bad, iterations=1, weight_col="w").collect()
+
+
+class TestLabelPropagation:
+    """Round-7: bounded-round clamped majority-vote label spread."""
+
+    def test_hand_computed_votes_and_clamping(self, spark):
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            label_propagation,
+        )
+
+        # 1 and 2 are seeds (labels 10, 20); 3 hears both (tie ->
+        # smaller label); 4 hears 3 only in round 2; seed 2 also hears
+        # 1 but must stay clamped at its own label
+        edges = spark.createDataFrame(
+            [(1, 3), (2, 3), (1, 2), (3, 4)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame(
+            [(1, 10), (2, 20)], "node long, label long"
+        )
+        got = {
+            r["node"]: (r["label"], r["round"])
+            for r in label_propagation(edges, seeds, rounds=2).collect()
+        }
+        assert got == {
+            1: (10, 0),
+            2: (20, 0),   # clamped: the 1->2 edge must not relabel it
+            3: (10, 1),   # tie 10 vs 20 -> smallest
+            4: (10, 2),   # second round via 3
+        }
+
+    def test_majority_beats_tiebreak(self, spark):
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            label_propagation,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 9), (2, 9), (3, 9)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame(
+            [(1, 50), (2, 50), (3, 7)], "node long, label long"
+        )
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, seeds, rounds=1).collect()
+        }
+        assert got[9] == 50  # 2 votes beat the smaller label's 1

@@ -1123,3 +1123,57 @@ class TestKnnEvalConventions:
             }
         # probes are vec_id % 25 == 0 -> the 10 cluster-A anchors
         assert out == {0: (10, 10, 1000000)}
+
+
+class TestMutualKnn:
+    """Round-7: reciprocal top-k edge symmetrization."""
+
+    def test_mutuality_against_brute_force(self, spark):
+        import math
+        import random as _rnd
+
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            mutual_knn_pairs,
+        )
+
+        _rnd.seed(7)
+        rows = [
+            (i, [round(_rnd.uniform(-1, 1), 6) for _ in range(5)])
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in mutual_knn_pairs(df, 3).collect()
+        )
+        vecs = {i: [float(x) for x in v] for i, v in rows}
+        # replay through float32 like the Spark path reads them
+        import struct as _st
+        vecs = {
+            i: [_st.unpack("f", _st.pack("f", x))[0] for x in v]
+            for i, v in vecs.items()
+        }
+
+        def sim(a, b):
+            d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            na = math.sqrt(sum(x * x for x in vecs[a]))
+            nb = math.sqrt(sum(x * x for x in vecs[b]))
+            return d / (na * nb)
+
+        knn = {
+            i: {
+                j
+                for j in sorted(
+                    (j for j in vecs if j != i),
+                    key=lambda j: (-sim(i, j), j),
+                )[:3]
+            }
+            for i in vecs
+        }
+        want = sorted(
+            (a, b)
+            for a in vecs
+            for b in vecs
+            if a < b and b in knn[a] and a in knn[b]
+        )
+        assert got == want and len(want) > 0
