@@ -132,6 +132,18 @@ QUERIES = [
     # khop_copurchase here would just duplicate plain parity — omitted
     # like pagerank_copurchase.)
     "cusum_hourly_events",
+    # round-7 additions: empty/one-token/exact-duplicate docs walk the
+    # TTR tokenizer (token != '' filter + integer DIV at tiny
+    # denominators); duplicate timestamps + stressed values hit the
+    # decay's bround/shift at the age boundary; the decimated audio
+    # path re-walks the empty-doc n_samples floor through the stride
+    # ceil. (mutual_knn_embed stays out with the ann family: the
+    # stressed zero vector makes cosine NaN-ordered. er_score_parts /
+    # labelprop / triples read only UNstressed part/lineitem copies —
+    # omitted like khop_copurchase.)
+    "ttr_by_source_docs",
+    "decayed_score_users",
+    "multimodal_audio_decimate",
 ]
 
 
