@@ -906,6 +906,41 @@ FROM triples GROUP BY 1, 2, 3 HAVING count(*) >= 2
 """
 
 
+def _q_prefix_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity join
+    (operators/dedup.py:prefix_jaccard_pairs — the AllPairs/PPJoin
+    candidate bound): word-3-gram-set Jaccard >= 0.6 pairs over the
+    FULL shingle universe, no max_df frequency cut — the exact-full-
+    semantics high-threshold companion to ngram_jaccard_docs (whose
+    max_df prunes hot shingles by contract). The oracle is the
+    brute-force posting-list SQL, so a missed prefix candidate is a
+    missing row the hash catches."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.prefix_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6
+    ).select("id_a", "id_b", "inter_cnt", "size_a", "size_b")
+
+
+_SQL_PREFIX_JACCARD_DOCS = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      FROM w, unnest(range(1, len(ws) - 1)) t(i)),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_cnt
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(inter_cnt AS BIGINT) AS inter_cnt,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b
+FROM inter
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE inter_cnt / (sa.sz + sb.sz - inter_cnt) >= 0.6
+"""
+
+
 def _q_ttr_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source type-token ratio (operators/corpus.py:
     type_token_ratio) — lexical diversity as exact integers (types,
@@ -6456,6 +6491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_score_parts": _q_er_score_parts,
         "multimodal_audio_decimate": _q_multimodal_audio_decimate,
         "mutual_knn_embed": _q_mutual_knn_embed,
+        "prefix_jaccard_docs": _q_prefix_jaccard_docs,
         "labelprop_copurchase": _q_labelprop_copurchase,
         # --- latest green r03 ---
         "session_window_events": _q_session_window_events,
@@ -7553,6 +7589,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "decayed_score_users": _SQL_DECAYED_SCORE_USERS,
         "er_score_parts": _SQL_ER_SCORE_PARTS,
         "mutual_knn_embed": _SQL_MUTUAL_KNN_EMBED,
+        "prefix_jaccard_docs": _SQL_PREFIX_JACCARD_DOCS,
         "labelprop_copurchase": _SQL_LABELPROP_COPURCHASE,
         "multimodal_audio_decimate": """
 WITH base AS (

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "pagerank_copurchase",       # 3 exact-integer rank rounds
     "kcore_copurchase",          # 4 peel rounds, semi/anti survivor joins
     "khop_copurchase",           # bounded-hop BFS frontier expansion
+    "prefix_jaccard_docs",       # AllPairs prefix-filtered set-sim join
 ]
 
 

@@ -655,3 +655,128 @@ def ngram_containment_pairs(
         F.col("inter_cnt") * threshold_den
         >= threshold_num * F.least("size_a", "size_b")
     ).select("id_a", "id_b", "inter_cnt", "size_a", "size_b")
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with word-n-gram-SET Jaccard >= threshold via
+    PREFIX FILTERING (Bayardo/Ma/Srikant "Scaling Up All Pairs
+    Similarity Search", WWW'07; the AllPairs/PPJoin candidate bound) —
+    the second exact set-similarity path next to the posting-list
+    pipeline of :func:`ngram_jaccard_pairs`, with a candidate set that
+    shrinks as the THRESHOLD rises instead of relying on a ``max_df``
+    frequency cut:
+
+    order every document's distinct shingles by ascending global
+    frequency (rarest first; gram-string tiebreak — a total order, so
+    every engine derives the identical prefix). Two sets with Jaccard
+    >= t must share at least one element among each one's first
+    ``|s| - ceil(t * |s|) + 1`` elements in that order — so only the
+    PREFIX of each document is exploded into the inverted index, and
+    candidate pairs are generated per prefix-gram posting list
+    exactly like :func:`ngram_jaccard_pairs` (posexplode +
+    suffix-slice, i < j). Frequent grams land at the END of the order,
+    so the posting lists that would explode quadratically are
+    precisely the ones the prefix bound keeps OUT of the index —
+    which is why NO ``max_df`` cut is needed here: the result is
+    exact Jaccard over the FULL shingle universe, the semantics the
+    frequency-pruned pipeline deliberately trades away. The trade
+    runs the other way on selectivity: prefix length grows as the
+    threshold falls (plen ~ (1-t)|s|), so this path is for HIGH
+    thresholds (near-duplicate verification), the posting pipeline
+    for low ones (candidate mining).
+
+    The frequency order rides each gram as the composite sort key
+    ``(global_cnt, gram)`` — no global integer rank, hence no
+    SinglePartition window anywhere; the one frequency join is
+    gram-keyed shuffle-hash, never broadcast.
+
+    Candidates are then verified EXACTLY: one distinct on the
+    candidate pair stream, the full sorted token arrays join back (two
+    keyed joins over the — post-filter small — candidate relation),
+    and the intersection is ``array_intersect`` on the token arrays.
+    The emitted ``jaccard`` is a ratio of exact ints, so the result
+    hash-replays against a brute-force posting-list oracle; a
+    candidate-generation bug (a missed prefix) is a missing row the
+    hash catches, never a wrong number.
+
+    Returns ``(id_a, id_b, inter_cnt, size_a, size_b, jaccard)`` —
+    the :func:`ngram_jaccard_pairs` output contract.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from ..sources import balance_partitions
+
+    toks = balance_partitions(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    docs = (
+        toks.join(vocab.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cnt", "tok"))
+            ).alias("order")
+        )
+        .select(
+            "doc_id",
+            F.transform("order", lambda x: x["tok"]).alias("toks"),
+        )
+        .withColumn("sz", F.size("toks"))
+        .withColumn(
+            "plen",
+            F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz")).cast("int")
+            + F.lit(1),
+        )
+    )
+    pre = docs.select(
+        "doc_id", F.explode(F.slice("toks", 1, F.col("plen"))).alias("ptok")
+    )
+    posting = pre.groupBy("ptok").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    x1 = posting.select("ids", F.posexplode("ids").alias("i", "id_a"))
+    cand = (
+        x1.select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    "ids",
+                    F.col("i") + 2,
+                    F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)),
+                )
+            ).alias("id_b"),
+        )
+        .distinct()
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("__ta"),
+        F.col("sz").alias("size_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("__tb"),
+        F.col("sz").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    jac = F.col("inter_cnt") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter_cnt")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter_cnt", inter.cast("long"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter_cnt", "size_a", "size_b", "jaccard")
+    )

@@ -144,6 +144,10 @@ QUERIES = [
     "ttr_by_source_docs",
     "decayed_score_users",
     "multimodal_audio_decimate",
+    # empty/one-token docs produce empty shingle sets (absent from the
+    # join universe on both sides); exact-duplicate docs sit AT the
+    # jaccard=1 boundary of the prefix filter's >= threshold
+    "prefix_jaccard_docs",
 ]
 
 

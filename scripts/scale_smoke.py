@@ -114,6 +114,10 @@ QUERIES = [
     # min(s, cap)^2, so a 10x corpus with the same basket-size
     # distribution scales in rows, not in squared basket size)
     "copurchase_pairs_capped",
+    # round-7: prefix-filtered exact set similarity — the claim under
+    # measurement is that the prefix bound (not a max_df cut) keeps
+    # the inverted index subquadratic at 10x corpus
+    "prefix_jaccard_docs",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those

@@ -226,3 +226,63 @@ def test_ngram_containment_catches_truncated_copy(spark):
         ngram_containment_pairs(
             df, "doc_id", "text", threshold_num=0, threshold_den=5
         )
+
+
+class TestPrefixJaccard:
+    """Round-7: AllPairs/PPJoin prefix-filtered exact set similarity."""
+
+    def test_matches_brute_force_full_universe(self, spark):
+        from pyspark_datacol_diff_spark.operators.dedup import (
+            prefix_jaccard_pairs,
+        )
+
+        docs = [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),      # high overlap with 1
+            (3, "p q r s t u v w"),
+            (4, "p q r s t u v w"),      # exact dup of 3
+            (5, "a b c p q r"),          # mixed, low overlap
+            (6, "zz"),                   # too short for 3-grams
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for thr in (0.5, 0.8):
+            got = {
+                (r["id_a"], r["id_b"]): (
+                    r["inter_cnt"], r["size_a"], r["size_b"]
+                )
+                for r in prefix_jaccard_pairs(
+                    df, "doc_id", "text", n=3, threshold=thr
+                ).collect()
+            }
+            # brute force in python
+            def grams(t):
+                ws = t.split()
+                return {
+                    " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+                }
+
+            want = {}
+            gs = {i: grams(t) for i, t in docs}
+            for i in gs:
+                for j in gs:
+                    if i < j and gs[i] and gs[j]:
+                        inter = len(gs[i] & gs[j])
+                        union = len(gs[i] | gs[j])
+                        if union and inter / union >= thr:
+                            want[(i, j)] = (
+                                inter, len(gs[i]), len(gs[j])
+                            )
+            assert got == want and len(want) > 0
+
+    def test_threshold_validation(self, spark):
+        from pyspark_datacol_diff_spark.operators.dedup import (
+            prefix_jaccard_pairs,
+        )
+
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="threshold"):
+            prefix_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
+        with _pytest.raises(ValueError, match="threshold"):
+            prefix_jaccard_pairs(df, "doc_id", "text", threshold=1.5)
