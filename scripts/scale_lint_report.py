@@ -74,6 +74,14 @@ DECLARED_EXACT = {
         "ground-truth top-k it is measured against is the same "
         "deliberate O(n*q) baseline as ann_topk_cosine"
     ),
+    "mutual_knn_embed": (
+        "kNN-graph construction over the deliberately bounded vec_id "
+        "% 5 node subset: the directed edge list comes from the same "
+        "broadcast-bounded exact top-k scan as ann_topk_cosine (O(n*q) "
+        "with q = n_subset by contract); at larger node counts swap "
+        "the edge source for ann_ivf_topk's cell-bounded scan — the "
+        "mutuality join itself is ids-only and subquadratic"
+    ),
 }
 
 
