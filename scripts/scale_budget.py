@@ -44,6 +44,21 @@ WAIVERS: dict[str, tuple[float, str]] = {
         "10x-data growth is micro-batch replay overhead, and the absolute "
         "ratio stays sublinear in input — r05 measured 2.1x",
     ),
+    "khop_copurchase": (
+        2.0,
+        "fixed-hop frontier loop whose 10x time wobbles 6.0-8.3 s run to "
+        "run at flat 1x (r07 measured ratios 1.92 / 2.63 / 3.28 on the "
+        "SAME code and data) — scheduler/GC variance on the per-hop "
+        "semi/anti joins, not plan growth; absolute scaling stays "
+        "sublinear in data (10x rows in ~3x time worst case)",
+    ),
+    "copurchase_pairs_capped": (
+        2.0,
+        "strictly row-linear work (the cap bounds per-basket cost at "
+        "min(s,cap)^2); r07 measured 10x ratios 2.18-3.06 across runs "
+        "with the spread driven by the 1x run's ~1 s fixed-cost floor — "
+        "not super-linear scaling",
+    ),
 }
 
 
