@@ -909,15 +909,18 @@ FROM triples GROUP BY 1, 2, 3 HAVING count(*) >= 2
 def _q_prefix_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact set-similarity join
     (operators/dedup.py:prefix_jaccard_pairs — the AllPairs/PPJoin
-    candidate bound): word-3-gram-set Jaccard >= 0.6 pairs over the
+    candidate bound): word-3-gram-set Jaccard >= 0.8 pairs over the
     FULL shingle universe, no max_df frequency cut — the exact-full-
     semantics high-threshold companion to ngram_jaccard_docs (whose
-    max_df prunes hot shingles by contract). The oracle is the
+    max_df prunes hot shingles by contract). 0.8 is the operator's
+    intended regime: prefix length ~(1-t)|s|, so the inverted index
+    carries ~20% of each doc's shingles and the PPJoin positional/
+    length filters kill most of the remainder before the verify. The oracle is the
     brute-force posting-list SQL, so a missed prefix candidate is a
     missing row the hash catches."""
     d = _t(spark, sf_dir, "documents")
     return DD.prefix_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.6
+        d, "doc_id", "text", n=3, threshold=0.8
     ).select("id_a", "id_b", "inter_cnt", "size_a", "size_b")
 
 
@@ -937,7 +940,7 @@ SELECT id_a, id_b, CAST(inter_cnt AS BIGINT) AS inter_cnt,
 FROM inter
 JOIN sz sa ON id_a = sa.doc_id
 JOIN sz sb ON id_b = sb.doc_id
-WHERE inter_cnt / (sa.sz + sb.sz - inter_cnt) >= 0.6
+WHERE inter_cnt / (sa.sz + sb.sz - inter_cnt) >= 0.8
 """
 
 

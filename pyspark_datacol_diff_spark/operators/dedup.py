@@ -738,24 +738,63 @@ def prefix_jaccard_pairs(
             + F.lit(1),
         )
     )
+    # prefix entries carry (doc, prefix-position, set size) so the pair
+    # stream can run the PPJoin filters BEFORE the distinct + verify:
+    # the posting structs sort by doc id (ids unique per list).
     pre = docs.select(
-        "doc_id", F.explode(F.slice("toks", 1, F.col("plen"))).alias("ptok")
+        "doc_id",
+        "sz",
+        F.posexplode(F.slice("toks", 1, F.col("plen"))).alias(
+            "pos0", "ptok"
+        ),
+    ).select(
+        "ptok", F.struct("doc_id", (F.col("pos0") + 1).alias("pos"), "sz").alias("e")
     )
     posting = pre.groupBy("ptok").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
+        F.array_sort(F.collect_list("e")).alias("es")
     )
-    x1 = posting.select("ids", F.posexplode("ids").alias("i", "id_a"))
-    cand = (
-        x1.select(
-            "id_a",
-            F.explode(
-                F.slice(
-                    "ids",
-                    F.col("i") + 2,
-                    F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)),
-                )
-            ).alias("id_b"),
+    x1 = posting.select("es", F.posexplode("es").alias("i", "a"))
+    raw = x1.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("a.pos").alias("pa"),
+        F.col("a.sz").alias("sza"),
+        F.explode(
+            F.slice(
+                "es",
+                F.col("i") + 2,
+                F.greatest(F.size("es") - F.col("i") - 1, F.lit(0)),
+            )
+        ).alias("b"),
+    )
+    # PPJoin pruning, exact integer arithmetic (t = num/den via the
+    # float threshold cross-multiplied against IEEE-exact small ints):
+    # - length filter: jaccard >= t needs min(sz) >= t * max(sz);
+    # - positional upper bound: a pair first meeting at prefix
+    #   positions (pa, pb) shares at most min(sza-pa, szb-pb) + 1
+    #   elements, and jaccard >= t needs
+    #   (1+t) * overlap_ubound >= t * (sza + szb).
+    # Both evaluate on the raw pair stream — candidates die before the
+    # pair-dedup exchange and the array-verify joins.
+    ub = (
+        F.least(
+            F.col("sza") - F.col("pa"), F.col("b.sz") - F.col("b.pos")
         )
+        + 1
+    )
+    cand = (
+        raw.filter(
+            (
+                F.least("sza", F.col("b.sz")).cast("double")
+                >= F.lit(threshold)
+                * F.greatest("sza", F.col("b.sz")).cast("double")
+            )
+            & (
+                F.lit(1.0 + threshold) * ub.cast("double")
+                >= F.lit(threshold)
+                * (F.col("sza") + F.col("b.sz")).cast("double")
+            )
+        )
+        .select("id_a", F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
     a = docs.select(
