@@ -1048,6 +1048,61 @@ def _q_er_score_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_attribution_user_clicks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution
+    (operators/range_join.py:position_attribution): each user's click
+    stream sessionizes at 30-min inactivity (gaps-and-islands — one
+    keyed window sort, tiebreak by event_id under duplicate
+    timestamps), then every session's 1,000,000 ppm of credit splits
+    40/20/40 first/middles/last in EXACT integer arithmetic with the
+    middle pool's division remainder folded into the first touch — so
+    per-session credits always sum to exactly 1e6 (float attribution
+    never adds up; this replays hash-identically). No joins, no
+    session-grain shuffle back."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    r = RJ.position_attribution(
+        e, ["user_id"], "ts", gap_minutes=30, tiebreak_cols=["event_id"]
+    )
+    return r.select(
+        "user_id",
+        "event_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        F.col("touch_no").cast("long").alias("touch_no"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        "credit_ppm",
+    )
+
+
+_SQL_ATTRIBUTION_USER_CLICKS = """
+WITH c AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'click'),
+b AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(brk) OVER w AS session_no
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT user_id, event_id, session_no,
+             row_number() OVER w2 AS touch_no,
+             count(*) OVER (PARTITION BY user_id, session_no) AS n
+      FROM s WINDOW w2 AS (PARTITION BY user_id, session_no
+                           ORDER BY ts, event_id))
+SELECT user_id, event_id,
+       CAST(session_no AS BIGINT) AS session_no,
+       CAST(touch_no AS BIGINT) AS touch_no,
+       CAST(n AS BIGINT) AS n_touches,
+       CAST(CASE WHEN n = 1 THEN 1000000
+                 WHEN n = 2 THEN 500000
+                 WHEN touch_no = 1
+                   THEN 400000 + (200000 - (200000 // (n - 2)) * (n - 2))
+                 WHEN touch_no = n THEN 400000
+                 ELSE 200000 // (n - 2) END AS BIGINT) AS credit_ppm
+FROM p
+"""
+
+
 def _q_mutual_knn_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN graph construction
     (operators/similarity.py:mutual_knn_pairs): reciprocal top-5
@@ -6495,6 +6550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_decimate": _q_multimodal_audio_decimate,
         "mutual_knn_embed": _q_mutual_knn_embed,
         "prefix_jaccard_docs": _q_prefix_jaccard_docs,
+        "attribution_user_clicks": _q_attribution_user_clicks,
         "labelprop_copurchase": _q_labelprop_copurchase,
         # --- latest green r03 ---
         "session_window_events": _q_session_window_events,
@@ -7593,6 +7649,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "er_score_parts": _SQL_ER_SCORE_PARTS,
         "mutual_knn_embed": _SQL_MUTUAL_KNN_EMBED,
         "prefix_jaccard_docs": _SQL_PREFIX_JACCARD_DOCS,
+        "attribution_user_clicks": _SQL_ATTRIBUTION_USER_CLICKS,
         "labelprop_copurchase": _SQL_LABELPROP_COPURCHASE,
         "multimodal_audio_decimate": """
 WITH base AS (

@@ -195,3 +195,87 @@ def interval_max_concurrency(
             F.col("__peak_at_points"),
         ).cast("long").alias(out_col),
     )
+
+
+def position_attribution(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    gap_minutes: int = 30,
+    total_ppm: int = 1_000_000,
+    first_pct: int = 40,
+    last_pct: int = 40,
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "credit_ppm",
+) -> DataFrame:
+    """POSITION-BASED (U-shaped) multi-touch attribution in exact
+    integer ppm: sessionize each key's touch stream by ``gap_minutes``
+    inactivity (the gaps-and-islands shape — lag + cumulative break
+    sum, one keyed sort), then allocate each session's ``total_ppm``
+    credit 40/20/40 (first / middles / last, configurable) with every
+    division exact and every remainder accounted:
+
+    - 1 touch: all of ``total_ppm``;
+    - 2 touches: an exact half each (+ remainder to the first);
+    - n >= 3: ``first_pct``% to the first, ``last_pct``% to the last,
+      the middle pool split by integer division over the n-2 middles
+      with the pool's remainder going to the FIRST touch — so every
+      session's credits sum to exactly ``total_ppm`` (property-
+      testable, engine-replayable; float attribution never adds up).
+
+    Scale shape: one keyed window sort (partition by key) computes the
+    session break, the running session id, and — within a second
+    window over (key, session) — the position and size; everything
+    else is a projection. No joins, no session-grain shuffle back.
+
+    Returns the input columns plus ``(session_no, touch_no,
+    n_touches, credit_ppm)``.
+    """
+    from pyspark.sql import Window
+
+    # duplicate timestamps make a ts-only order nondeterministic (the
+    # boundary sweep's tie case) — callers pass a unique tiebreak
+    order = [ts_col, *(tiebreak_cols or [])]
+    wk = Window.partitionBy(*key_cols).orderBy(*order)
+    brk = F.when(
+        F.lag(ts_col).over(wk).isNull()
+        | (
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.lag(ts_col).over(wk))
+            > gap_minutes * 60_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sess = df.withColumn("__brk", brk).withColumn(
+        "session_no", F.sum("__brk").over(wk)
+    )
+    ws = Window.partitionBy(*key_cols, "session_no").orderBy(*order)
+    wsz = Window.partitionBy(*key_cols, "session_no")
+    sess = (
+        sess.withColumn("touch_no", F.row_number().over(ws))
+        .withColumn("n_touches", F.count(F.lit(1)).over(wsz))
+        .drop("__brk")
+    )
+    first_c = total_ppm * first_pct // 100
+    last_c = total_ppm * last_pct // 100
+    mid_pool = total_ppm - first_c - last_c
+    half = total_ppm // 2
+    n = F.col("n_touches")
+    mid_each = F.expr(f"{mid_pool}L DIV (n_touches - 2)")
+    mid_rem = F.lit(mid_pool) - mid_each * (n - 2)
+    credit = (
+        F.when(n == 1, F.lit(total_ppm))
+        .when(
+            n == 2,
+            F.when(F.col("touch_no") == 1, total_ppm - half).otherwise(
+                half
+            ),
+        )
+        .otherwise(
+            F.when(F.col("touch_no") == 1, F.lit(first_c) + mid_rem)
+            .when(F.col("touch_no") == n, F.lit(last_c))
+            .otherwise(mid_each)
+        )
+    )
+    return sess.withColumn(out_col, credit.cast("long"))

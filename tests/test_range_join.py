@@ -216,3 +216,81 @@ def test_max_concurrency_matches_brute_force(spark, ivs):
     }
     expect = {h: v for h, v in expect.items() if h in emitted}
     assert got == expect
+
+
+class TestPositionAttribution:
+    """Round-7: exact-integer U-shaped multi-touch attribution."""
+
+    def test_hand_computed_sessions_and_credits(self, spark):
+        import datetime as dt
+
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            position_attribution,
+        )
+
+        base = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [
+            # user 1: one 3-touch session then a gap then a singleton
+            (1, 1, base),
+            (1, 2, base + dt.timedelta(minutes=10)),
+            (1, 3, base + dt.timedelta(minutes=20)),
+            (1, 4, base + dt.timedelta(minutes=70)),
+            # user 2: 5 touches -> middle pool 200000 // 3 = 66666 r2
+            (2, 10, base),
+            (2, 11, base + dt.timedelta(minutes=1)),
+            (2, 12, base + dt.timedelta(minutes=2)),
+            (2, 13, base + dt.timedelta(minutes=3)),
+            (2, 14, base + dt.timedelta(minutes=4)),
+            # user 3: exact 30:00 gap -> SAME session (strict >)
+            (3, 20, base),
+            (3, 21, base + dt.timedelta(minutes=30)),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp"
+        )
+        out = {
+            (r["user_id"], r["event_id"]): (
+                r["session_no"], r["touch_no"], r["n_touches"],
+                r["credit_ppm"],
+            )
+            for r in position_attribution(
+                df, ["user_id"], "ts", tiebreak_cols=["event_id"]
+            ).collect()
+        }
+        assert out[(1, 1)] == (1, 1, 3, 400_000)  # n=3: rem is 0
+        assert out[(1, 2)] == (1, 2, 3, 200_000)
+        assert out[(1, 3)] == (1, 3, 3, 400_000)
+        assert out[(1, 4)] == (2, 1, 1, 1_000_000)
+        assert out[(2, 10)] == (1, 1, 5, 400_000 + 2)      # 200000 % 3
+        assert out[(2, 11)] == (1, 2, 5, 66_666)
+        assert out[(2, 14)] == (1, 5, 5, 400_000)
+        assert out[(3, 20)][0] == out[(3, 21)][0] == 1     # same session
+        assert out[(3, 20)][3] + out[(3, 21)][3] == 1_000_000
+
+    def test_credits_always_sum_to_total(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            position_attribution,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (u, u * 100 + i, base + dt.timedelta(minutes=i))
+            for u in range(1, 8)
+            for i in range(u)  # session sizes 1..7
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp"
+        )
+        sums = (
+            position_attribution(
+                df, ["user_id"], "ts", tiebreak_cols=["event_id"]
+            )
+            .groupBy("user_id", "session_no")
+            .agg(F.sum("credit_ppm").alias("s"))
+            .collect()
+        )
+        assert all(r["s"] == 1_000_000 for r in sums) and len(sums) == 7
