@@ -1103,6 +1103,62 @@ FROM p
 """
 
 
+def _q_common_neighbors_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Common-neighbor link prediction
+    (operators/cluster.py:common_neighbor_candidates) over the
+    co-purchase graph: for every non-adjacent part pair sharing
+    co-purchase neighbors, count the shared neighbors and keep each
+    part's top-5 (count DESC, id ASC) — the "bought alongside the same
+    parts" recommender candidate stage. Neighbor lists gathered per
+    node with a degree cap of 100 before the quadratic wedge
+    expansion (the hot-basket move), existing edges removed with one
+    anti join; exact integers end to end, oracle replays the cap via
+    a rank <= 100 predicate."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    r = CC.common_neighbor_candidates(
+        pairs, src_col="p1", dst_col="p2", k=5, max_degree=100
+    )
+    return r.select(
+        F.col("node").alias("part"), "candidate", "common_cnt", "rank"
+    )
+
+
+_SQL_COMMON_NEIGHBORS_COPURCHASE = """
+WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und AS (SELECT p1 AS s, p2 AS d FROM prs
+        UNION ALL SELECT p2, p1 FROM prs),
+capped AS (
+  SELECT s, d FROM (
+    SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) AS rn
+    FROM und) WHERE rn <= 100),
+wedges AS (
+  SELECT a.d AS u, b.d AS v
+  FROM capped a JOIN capped b ON a.s = b.s AND a.d < b.d),
+cn AS (SELECT u, v, count(*) AS common_cnt FROM wedges GROUP BY 1, 2),
+cand AS (
+  SELECT cn.u, cn.v, cn.common_cnt FROM cn
+  LEFT JOIN prs ON cn.u = prs.p1 AND cn.v = prs.p2
+  WHERE prs.p1 IS NULL),
+orient AS (SELECT u AS node, v AS candidate, common_cnt FROM cand
+           UNION ALL SELECT v, u, common_cnt FROM cand),
+ranked AS (
+  SELECT node, candidate, common_cnt,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY common_cnt DESC, candidate) AS rank
+  FROM orient)
+SELECT node AS part, candidate, CAST(common_cnt AS BIGINT) AS common_cnt,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def _q_mutual_knn_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN graph construction
     (operators/similarity.py:mutual_knn_pairs): reciprocal top-5
@@ -6551,6 +6607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_knn_embed": _q_mutual_knn_embed,
         "prefix_jaccard_docs": _q_prefix_jaccard_docs,
         "attribution_user_clicks": _q_attribution_user_clicks,
+        "common_neighbors_copurchase": _q_common_neighbors_copurchase,
         "labelprop_copurchase": _q_labelprop_copurchase,
         # --- latest green r03 ---
         "session_window_events": _q_session_window_events,
@@ -7650,6 +7707,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "mutual_knn_embed": _SQL_MUTUAL_KNN_EMBED,
         "prefix_jaccard_docs": _SQL_PREFIX_JACCARD_DOCS,
         "attribution_user_clicks": _SQL_ATTRIBUTION_USER_CLICKS,
+        "common_neighbors_copurchase": _SQL_COMMON_NEIGHBORS_COPURCHASE,
         "labelprop_copurchase": _SQL_LABELPROP_COPURCHASE,
         "multimodal_audio_decimate": """
 WITH base AS (

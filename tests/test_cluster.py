@@ -667,3 +667,47 @@ class TestLabelPropagation:
             for r in label_propagation(edges, seeds, rounds=1).collect()
         }
         assert got[9] == 50  # 2 votes beat the smaller label's 1
+
+
+class TestCommonNeighborCandidates:
+    """Round-7: common-neighbor link prediction with degree cap."""
+
+    def test_hand_computed_counts_and_topk(self, spark):
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            common_neighbor_candidates,
+        )
+
+        # square 1-2-3-4 (cycle): each diagonal pair (1,3) and (2,4)
+        # shares exactly its two cycle neighbors; adjacent pairs are
+        # excluded by the anti join
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+        )
+        got = {
+            (r["node"], r["candidate"]): (r["common_cnt"], r["rank"])
+            for r in common_neighbor_candidates(edges, k=5).collect()
+        }
+        assert got == {
+            (1, 3): (2, 1), (3, 1): (2, 1),
+            (2, 4): (2, 1), (4, 2): (2, 1),
+        }
+
+    def test_degree_cap_bounds_and_biases_deterministically(self, spark):
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            common_neighbor_candidates,
+        )
+
+        # hub 0 connected to 1..6: every spoke pair shares {0}
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 7)], "src long, dst long"
+        )
+        full = common_neighbor_candidates(edges, k=10).collect()
+        assert {r["common_cnt"] for r in full} == {1}
+        assert len(full) == 30  # 15 spoke pairs, both orientations
+        # cap=3 keeps only the hub's 3 smallest neighbors -> C(3,2)
+        capped = common_neighbor_candidates(
+            edges, k=10, max_degree=3
+        ).collect()
+        assert len(capped) == 6  # 3 pairs x 2 orientations
+        nodes = {r["node"] for r in capped}
+        assert nodes == {1, 2, 3}
