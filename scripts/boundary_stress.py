@@ -148,6 +148,11 @@ QUERIES = [
     # join universe on both sides); exact-duplicate docs sit AT the
     # jaccard=1 boundary of the prefix filter's >= threshold
     "prefix_jaccard_docs",
+    # duplicate timestamps are THE attribution tie case (the explicit
+    # event_id tiebreak must pick the same first/last touch in both
+    # engines); the injected exact 30:00 gap walks the strict-> session
+    # break comparator
+    "attribution_user_clicks",
 ]
 
 
