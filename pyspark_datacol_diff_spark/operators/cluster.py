@@ -1100,6 +1100,9 @@ def label_propagation(
     Deterministic and oracle-replayable by construction: fixed round
     count, exact integer vote counts, total tie order (count DESC,
     label ASC). Seed labels never change (the clamped formulation).
+    Labels must be NUMERIC: the tie order rides a (cnt, -label)
+    max-struct, and the negation rejects string labels loudly at
+    analysis time (map string labels to codes first).
 
     Scale shape per round: one edges x labels equi-join keyed on src
     (shuffle_hash on the node-grain label side — the frame comes off
@@ -1184,6 +1187,11 @@ def common_neighbor_candidates(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if max_degree is not None and max_degree < 2:
+        raise ValueError(
+            f"max_degree must be >= 2 (a 1-neighbor cap generates no "
+            f"wedges at all), got {max_degree}"
+        )
     e = _canonical(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
     )

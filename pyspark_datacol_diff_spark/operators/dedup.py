@@ -711,6 +711,8 @@ def prefix_jaccard_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     from ..sources import balance_partitions
 
     toks = balance_partitions(df).select(

@@ -232,6 +232,13 @@ def position_attribution(
     Returns the input columns plus ``(session_no, touch_no,
     n_touches, credit_ppm)``.
     """
+    if gap_minutes < 1:
+        raise ValueError(f"gap_minutes must be >= 1, got {gap_minutes}")
+    if not (0 <= first_pct and 0 <= last_pct and first_pct + last_pct <= 100):
+        raise ValueError(
+            "first_pct/last_pct must be non-negative and sum to <= 100, "
+            f"got {first_pct}/{last_pct}"
+        )
     from pyspark.sql import Window
 
     # duplicate timestamps make a ts-only order nondeterministic (the

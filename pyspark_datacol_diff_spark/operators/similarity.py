@@ -1823,6 +1823,8 @@ def mutual_knn_pairs(
 
     Returns ``(id_a, id_b)``.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     q = df.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     )

@@ -711,3 +711,16 @@ class TestCommonNeighborCandidates:
         assert len(capped) == 6  # 3 pairs x 2 orientations
         nodes = {r["node"] for r in capped}
         assert nodes == {1, 2, 3}
+
+    def test_common_neighbor_validation(self, spark):
+        import pytest as _pt
+
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            common_neighbor_candidates,
+        )
+
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with _pt.raises(ValueError, match="k must"):
+            common_neighbor_candidates(edges, k=0)
+        with _pt.raises(ValueError, match="max_degree"):
+            common_neighbor_candidates(edges, k=1, max_degree=1)

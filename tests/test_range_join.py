@@ -294,3 +294,20 @@ class TestPositionAttribution:
             .collect()
         )
         assert all(r["s"] == 1_000_000 for r in sums) and len(sums) == 7
+
+    def test_attribution_validation(self, spark):
+        import pytest as _pt
+
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            position_attribution,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1, None)], "user_id long, event_id long, ts timestamp"
+        )
+        with _pt.raises(ValueError, match="gap_minutes"):
+            position_attribution(df, ["user_id"], "ts", gap_minutes=0)
+        with _pt.raises(ValueError, match="first_pct"):
+            position_attribution(
+                df, ["user_id"], "ts", first_pct=70, last_pct=70
+            )
