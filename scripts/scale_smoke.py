@@ -118,6 +118,12 @@ QUERIES = [
     # measurement is that the prefix bound (not a max_df cut) keeps
     # the inverted index subquadratic at 10x corpus
     "prefix_jaccard_docs",
+    # late round-7 additions (recorded in SCALETEST_r08 onward — they
+    # landed after this round's artifact run): keyed-window attribution
+    # (pure projection after one sort) and the degree-capped wedge
+    # expansion
+    "attribution_user_clicks",
+    "common_neighbors_copurchase",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those
