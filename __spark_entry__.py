@@ -972,8 +972,10 @@ FROM per GROUP BY source
 def _q_decayed_score_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially TIME-DECAYED activity score
     (operators/incremental.py:decayed_sum): half-life one day,
-    computed as exact integer right-shifts (round(value*100) DIV
-    2^age_days, age anchored at the data's own max date) — the
+    computed as exact integer ARITHMETIC right-shifts
+    (shiftright(round(value*100), age_days) — FLOOR division by 2^age,
+    the convention both engines' shifts share on negative values; age
+    anchored at the data's own max date) — the
     freshness/recency weighting a ranking pipeline wants, with none of
     the float pow() drift that breaks hash oracles. One map-combined
     aggregate + a 1-row broadcast anchor."""
@@ -981,14 +983,24 @@ def _q_decayed_score_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return INC.decayed_sum(e, ["user_id"], "ts", "value")
 
 
-_SQL_DECAYED_SCORE_USERS = """
+# round-HALF-EVEN replay of Spark's bround(x): DuckDB's round() on
+# DOUBLE rounds half AWAY from zero (round(-0.5) = -1, round(0.5) = 1)
+# — a divergence the r08 negative-value boundary rows caught — so exact
+# halves are resolved to the even neighbor explicitly; (f%2+2)%2 maps
+# negative odd floors to 1 (DuckDB % keeps the dividend sign).
+_SQL_BROUND = (
+    "CASE WHEN ({x}) - floor({x}) = 0.5 THEN "
+    "CAST(floor({x}) AS BIGINT) + (CAST(floor({x}) AS BIGINT) % 2 + 2) % 2 "
+    "ELSE CAST(round({x}) AS BIGINT) END"
+)
+
+_SQL_DECAYED_SCORE_USERS = f"""
 WITH anc AS (SELECT max(CAST(ts AS DATE)) AS a FROM events)
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(
-         CAST(round(value * 100) AS BIGINT) //
-         (CAST(1 AS BIGINT) << greatest(
-            least(datediff('day', CAST(ts AS DATE), a), 62), 0))
+         {_SQL_BROUND.format(x="value * 100")} >> greatest(
+            least(datediff('day', CAST(ts AS DATE), a), 62), 0)
        ) AS BIGINT) AS decayed_q
 FROM events, anc
 GROUP BY user_id

@@ -349,12 +349,20 @@ def decayed_sum(
 ) -> DataFrame:
     """Per-key EXPONENTIALLY TIME-DECAYED sum with half-life = 1 day,
     computed in EXACT integer arithmetic: each event contributes
-    ``round(value * value_scale) >> age_days`` (integer right shift =
-    floor division by 2^age, applied via DIV so negative values floor
-    identically cross-engine), so yesterday's events count half, the
-    day before a quarter — the recency weighting a ranking/freshness
-    score wants, without the nondeterministic float pow() accumulation
-    a hash oracle can't replay.
+    ``round(value * value_scale) >> age_days`` — a literal ARITHMETIC
+    right shift (``shiftright`` in Spark, ``>>`` in DuckDB), i.e. FLOOR
+    division by 2^age. The convention is pinned deliberately (r08):
+    truncating integer division (Spark ``DIV`` / DuckDB ``//``) rounds
+    toward zero instead, and the two conventions diverge on negative
+    odd scaled values (floor(-5/2) = -3 vs trunc = -2). Floor is the
+    shift-consistent choice — ``(x >> a) >> b == x >> (a + b)`` holds,
+    so a decayed sum decayed again composes exactly; both engines'
+    arithmetic shifts floor identically (verified: Spark
+    ``shiftright(-5, 1)`` = DuckDB ``(-5)::BIGINT >> 1`` = -3). So
+    yesterday's events count half, the day before a quarter — the
+    recency weighting a ranking/freshness score wants, without the
+    nondeterministic float pow() accumulation a hash oracle can't
+    replay.
 
     ``anchor_sql`` is the "now" the age is measured from, as an
     engine-portable SQL date expression. Default: the data's own
@@ -364,9 +372,12 @@ def decayed_sum(
     keeping the shift in int64 range; negative ages (events after the
     anchor) clamp to 0 — full weight.
 
-    Quantization: bround (round-half-even) at ``value_scale`` — both
-    Spark's bround and DuckDB's round() on DOUBLE round half to even,
-    so the oracle replays bit-for-bit.
+    Quantization: bround (round-half-even) at ``value_scale``. NOTE:
+    DuckDB's round() on DOUBLE rounds half AWAY from zero (round(-0.5)
+    = -1 where bround gives 0) — caught by the r08 negative-value
+    boundary rows — so a replaying oracle must spell out half-even
+    explicitly (see ``_SQL_BROUND`` in the registry) rather than call
+    round().
 
     Scale shape: one map-side-combined aggregate over ``keys``; the
     default anchor is one scalar aggregate broadcast to every row.
@@ -386,8 +397,8 @@ def decayed_sum(
         f"{max_shift}), 0)"
     )
     contrib = F.expr(
-        f"CAST(bround({value_col} * {value_scale}) AS BIGINT) DIV "
-        f"shiftleft(CAST(1 AS BIGINT), CAST({age} AS INT))"
+        f"shiftright(CAST(bround({value_col} * {value_scale}) AS BIGINT), "
+        f"CAST({age} AS INT))"
     )
     return (
         base.withColumn("__c", contrib)

@@ -216,6 +216,17 @@ def synth(out: str) -> None:
     add(b + dt.timedelta(hours=1, seconds=4), u3, "error", -0.01)      # below lo
     # exact ISO week boundary (Monday 00:00) for date_trunc('week')
     add(dt.datetime(2024, 1, 8, 0, 0, 0), u3, "signup", 1.0)
+    # NEGATIVE values (r08): the decayed-sum floor-vs-truncate boundary.
+    # The table's anchor (max date, ~Jan 30) puts these ~29-31 days old,
+    # so each negative scaled value shifts to -1 under the pinned
+    # arithmetic-shift (floor) convention but to 0 under truncating
+    # DIV / // — any engine-side convention drift flips the hash here.
+    # -0.005 also walks bround's round-half-even at a negative half.
+    u4 = 9_000_004
+    add(b - dt.timedelta(days=1), u4, "refund", -0.05)   # -5 >> 30 = -1
+    add(b - dt.timedelta(days=2), u4, "refund", -0.01)   # -1 >> 31 = -1
+    add(b - dt.timedelta(days=1), u4, "refund", -0.005)  # bround -> 0
+    add(b, u4, "refund", -1.27)                          # -127 >> 29 = -1
     con.execute(
         "CREATE TABLE inj (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
         "event_type VARCHAR, value DOUBLE, props VARCHAR)"

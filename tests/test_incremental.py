@@ -489,3 +489,34 @@ class TestDecayedSum:
             anchor_sql="DATE'2024-03-11'",
         ).collect()[0]
         assert r["decayed_q"] == 100  # 400 >> 2
+
+    def test_negative_values_floor_not_truncate(self, spark):
+        """r08 regression (VERDICT r07 #6): the decay convention on
+        NEGATIVE values is pinned to FLOOR (arithmetic shift) — the
+        convention Spark shiftright and DuckDB >> share — never
+        truncating DIV, which rounds toward zero and diverges on any
+        negative odd scaled value (floor(-5/2) = -3, trunc = -2)."""
+        import datetime as dt
+
+        from pyspark_datacol_diff_spark.operators.incremental import (
+            decayed_sum,
+        )
+
+        base = dt.datetime(2024, 3, 10, 12, 0, 0)
+        rows = [
+            (1, base - dt.timedelta(days=1), -0.05),   # -5 >> 1 = -3
+            (2, base - dt.timedelta(days=2), -0.01),   # -1 >> 2 = -1
+            (3, base - dt.timedelta(days=1), -0.005),  # bround -> 0
+            (4, base, -1.27),                          # age 0: -127
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        got = {
+            r["user_id"]: r["decayed_q"]
+            for r in decayed_sum(
+                df, ["user_id"], "ts", "value",
+                anchor_sql="DATE'2024-03-10'",
+            ).collect()
+        }
+        assert got == {1: -3, 2: -1, 3: 0, 4: -127}
