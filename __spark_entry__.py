@@ -782,27 +782,15 @@ def _copurchase_pairs(
     graph curation on real basket tables, mirrored exactly in the
     capped oracle via a rank <= cap predicate. TPC-H orders carry <=
     7 lines so the uncapped default is exact there.
+
+    Promoted to the package in r08 (VERDICT r07 #8): delegates to
+    operators/cooccur.py:basket_pairs, the public face library users
+    call for the same hot-basket-guarded mining.
     """
     li = _t(spark, sf_dir, "lineitem")
-    s = F.array_sort(F.collect_set("l_partkey"))
-    if cap is not None:
-        s = F.slice(s, 1, cap)
-    baskets = li.groupBy("l_orderkey").agg(s.alias("s"))
-    baskets = baskets.repartition(spark.sparkContext.defaultParallelism)
-    return (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(s, (x, i) -> "
-                    "transform(slice(s, i + 2, size(s)), "
-                    "y -> struct(x AS p1, y AS p2))))"
-                )
-            ).alias("pr")
-        )
-        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= min_orders)
+    return CO.basket_pairs(
+        li, "l_orderkey", "l_partkey",
+        min_count=min_orders, cap=cap, count_col="n_orders",
     )
 
 
@@ -812,13 +800,10 @@ def _copurchase_edges(
     """Symmetrized co-purchase edge list (src, dst[, n_orders]) over
     the shared pair relation — the input every graph-family query
     feeds to its operator."""
-    pairs = _copurchase_pairs(spark, sf_dir)
-    cols_a = [F.col("p1").alias("src"), F.col("p2").alias("dst")]
-    cols_b = [F.col("p2").alias("src"), F.col("p1").alias("dst")]
-    if weighted:
-        cols_a.append(F.col("n_orders"))
-        cols_b.append(F.col("n_orders"))
-    return pairs.select(*cols_a).unionByName(pairs.select(*cols_b))
+    return CO.symmetric_edges(
+        _copurchase_pairs(spark, sf_dir),
+        weight_cols=["n_orders"] if weighted else None,
+    )
 
 
 def _q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,27 +846,12 @@ def _q_copurchase_triples_capped(
     baskets). Same basket-explode shape as _copurchase_pairs — one
     order-keyed shuffle, per-row nested transforms, triple-keyed hash
     aggregate; the oracle takes the classic 3-way self-join route, so
-    two independent formulations must agree."""
+    two independent formulations must agree. Promoted to the package
+    in r08: delegates to operators/cooccur.py:basket_triples."""
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.slice(F.array_sort(F.collect_set("l_partkey")), 1, 5).alias("s")
-    )
-    baskets = baskets.repartition(spark.sparkContext.defaultParallelism)
-    return (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(flatten(transform(s, (x, i) -> "
-                    "transform(slice(s, i + 2, size(s)), (y, j) -> "
-                    "transform(slice(s, i + j + 3, size(s)), "
-                    "z -> struct(x AS p1, y AS p2, z AS p3))))))"
-                )
-            ).alias("tr")
-        )
-        .select("tr.p1", "tr.p2", "tr.p3")
-        .groupBy("p1", "p2", "p3")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
+    return CO.basket_triples(
+        li, "l_orderkey", "l_partkey",
+        min_count=2, cap=5, count_col="n_orders",
     )
 
 

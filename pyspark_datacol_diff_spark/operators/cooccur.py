@@ -75,3 +75,137 @@ def cooccurrence_stats(
         .crossJoin(F.broadcast(totals))
         .select("item_a", "item_b", "n_ab", "n_a", "n_b", "n_groups")
     )
+
+
+def basket_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_count: int = 2,
+    cap: int | None = None,
+    count_col: str = "n_groups",
+) -> DataFrame:
+    """Market-basket PAIR mining with the hot-basket cap — the public
+    face of the co-purchase substrate the graph family (pagerank,
+    k-core, k-hop, label propagation, link prediction) builds on.
+
+    Scalable shape is basket-explode, NOT a fact self-join: each group
+    reduces to its sorted distinct item array (ONE group-keyed shuffle
+    — ``collect_set`` deduplicates per group with map-side partial
+    sets), ordered pairs (i < j) come from a per-row nested
+    ``transform`` over that array, and pair counts hash-aggregate on
+    the pair key. The basket frame is repartitioned to
+    ``defaultParallelism`` before the explode: AQE coalesces the
+    basket aggregate's output by its BYTE size, blind to the ~50x row
+    amplification of the pair expansion that follows — one cheap
+    shuffle of the small basket relation buys full-width parallelism
+    for the quadratic stage.
+
+    ``cap`` bounds per-basket work on hot baskets: only each group's
+    ``cap`` smallest item ids enter the pair expansion, so per-row
+    cost is min(s, cap)^2 and a mega-basket cannot dominate a task.
+    BIAS CONTRACT: pairs containing only items beyond a group's first
+    ``cap`` (ascending item order) are undercounted — deterministic,
+    and replayable in SQL as a rank <= cap predicate. Real power-law
+    basket tables (web sessions, user histories) should always set it.
+
+    Returns ``(p1, p2, <count_col>)`` with ``p1 < p2``.
+
+    Reference scope note: north-star extension — the reference library
+    has no aggregation beyond its diff summary
+    (``/root/reference/find_datacol_diff.py``).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if cap is not None and cap < 2:
+        raise ValueError(f"cap must be >= 2 to form any pair, got {cap}")
+    s = F.array_sort(F.collect_set(item_col))
+    if cap is not None:
+        s = F.slice(s, 1, cap)
+    baskets = df.groupBy(group_col).agg(s.alias("s"))
+    baskets = baskets.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(s, (x, i) -> "
+                    "transform(slice(s, i + 2, size(s)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .filter(F.col(count_col) >= min_count)
+    )
+
+
+def basket_triples(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_count: int = 2,
+    cap: int | None = 5,
+    count_col: str = "n_groups",
+) -> DataFrame:
+    """Frequent ITEMSET mining one level deeper than
+    :func:`basket_pairs`: item triples co-occurring in >= ``min_count``
+    groups, enumerated inside each (capped) basket. Per-basket work is
+    C(min(s, cap), 3) — cubic in basket size, which is why ``cap``
+    DEFAULTS ON here (5 -> at most 10 triples per basket); pass
+    ``cap=None`` only for basket tables with a hard small-basket bound
+    (TPC-H orders carry <= 7 lines). Same basket-explode shape and
+    bias contract as the pair miner.
+
+    Returns ``(p1, p2, p3, <count_col>)`` with ``p1 < p2 < p3``.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if cap is not None and cap < 3:
+        raise ValueError(f"cap must be >= 3 to form any triple, got {cap}")
+    s = F.array_sort(F.collect_set(item_col))
+    if cap is not None:
+        s = F.slice(s, 1, cap)
+    baskets = df.groupBy(group_col).agg(s.alias("s"))
+    baskets = baskets.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(flatten(transform(s, (x, i) -> "
+                    "transform(slice(s, i + 2, size(s)), (y, j) -> "
+                    "transform(slice(s, i + j + 3, size(s)), "
+                    "z -> struct(x AS p1, y AS p2, z AS p3))))))"
+                )
+            ).alias("tr")
+        )
+        .select("tr.p1", "tr.p2", "tr.p3")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .filter(F.col(count_col) >= min_count)
+    )
+
+
+def symmetric_edges(
+    pairs: DataFrame,
+    *,
+    p1_col: str = "p1",
+    p2_col: str = "p2",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_cols: list[str] | None = None,
+) -> DataFrame:
+    """Symmetrize an undirected pair relation (p1 < p2) into the
+    directed ``(src, dst[, weights...])`` edge list the graph
+    operators (pagerank_exact, kcore_peel, khop_reachable,
+    label_propagation) consume — each pair emitted in both
+    orientations via one union of two projections, no shuffle."""
+    cols_a = [F.col(p1_col).alias(src_col), F.col(p2_col).alias(dst_col)]
+    cols_b = [F.col(p2_col).alias(src_col), F.col(p1_col).alias(dst_col)]
+    for w in weight_cols or []:
+        cols_a.append(F.col(w))
+        cols_b.append(F.col(w))
+    return pairs.select(*cols_a).unionByName(pairs.select(*cols_b))
