@@ -1448,6 +1448,52 @@ def _tdiv(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
+def _int_sq_dists(qv: Column, centroids: list[list[int]]) -> Column:
+    """Array of EXACT squared integer distances from a quantized vector
+    to each centroid (index = cell id) — the shared scoring expression
+    of the integer-exact Lloyd family; pure Column, folds the nlist x
+    dim centroid literals into the plan."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(int(v)) for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+
+
+def _int_cell_argmin(qv: Column, centroids: list[list[int]]) -> Column:
+    """Nearest-cell id by exact integer distance, ties to the SMALLEST
+    cell id (first-min ``array_position`` — the convention every
+    replaying SQL oracle mirrors as ``ORDER BY dist, cell LIMIT 1``)."""
+    dists = _int_sq_dists(qv, centroids)
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _int_probe_cells(
+    qv: Column, centroids: list[list[int]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest cell ids by exact integer distance,
+    total-ordered by (distance, cell id) — the IVF probe list as a pure
+    Column expression (array_sort on (d, c) structs sorts
+    lexicographically, so the tie order is engine-replayable)."""
+    ranked = F.array_sort(
+        F.zip_with(
+            _int_sq_dists(qv, centroids),
+            F.array(*[F.lit(i).cast("int") for i in range(len(centroids))]),
+            lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["c"])
+
+
 def kmeans_exact_assign(
     df: DataFrame,
     *,
@@ -1535,24 +1581,9 @@ def kmeans_exact_assign(
     dim = len(centroids[0])
 
     def assign(frame: DataFrame) -> DataFrame:
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        "__qv",
-                        F.array(*[F.lit(int(v)) for v in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                for c in centroids
-            ]
-        )
         # first-min position = smallest cell id on ties (both engines)
         return frame.withColumn(
-            "cell",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+            "cell", _int_cell_argmin(F.col("__qv"), centroids)
         )
 
     for _ in range(iterations):
@@ -1807,30 +1838,128 @@ def mutual_knn_pairs(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "exact",
+    nlist: int = 8,
+    nprobe: int = 3,
+    iterations: int = 2,
+    quant: int = 1_000_000,
 ) -> DataFrame:
     """MUTUAL k-nearest-neighbor pairs: (id_a < id_b) such that each is
-    in the other's exact top-k cosine neighborhood — the standard
-    kNN-graph symmetrization that keeps only reciprocal edges (one-way
-    neighbors are usually hub artifacts; mutual edges are the
-    high-precision backbone clustering/dedup pipelines build on).
+    in the other's top-k cosine neighborhood — the standard kNN-graph
+    symmetrization that keeps only reciprocal edges (one-way neighbors
+    are usually hub artifacts; mutual edges are the high-precision
+    backbone clustering/dedup pipelines build on).
 
-    Composition: :func:`cosine_topk` (broadcast queries x corpus scan,
-    norms hoisted, rank window) produces the directed kNN edge list —
-    n*k rows, ids only — then one self-join on the swapped orientation
-    keeps reciprocated pairs. The join is over the COMPACT edge list
-    (never the vectors), keyed on both ids; id_a < id_b on the output
-    dedups each mutual pair to one row.
+    ``method="exact"`` (the declared verification baseline):
+    :func:`cosine_topk` (broadcast queries x corpus scan, norms
+    hoisted, rank window) produces the directed kNN edge list — n*k
+    rows, ids only — then one self-join on the swapped orientation
+    keeps reciprocated pairs. O(n^2) pair scoring with the corpus
+    broadcast against itself — exact, and NOT the 100 TB path.
+
+    ``method="ivf"`` (the production path, r08 — VERDICT r07 #2):
+    directed edges come from an integer-exact IVF index instead of the
+    all-pairs scan. :func:`kmeans_exact_assign` trains ``nlist``
+    bit-replayable Lloyd cells over the quantized vectors; every
+    vector's cell assignment AND every query's ``nprobe`` probe list
+    (:func:`_int_probe_cells`, total-ordered by (int distance, cell))
+    are pure zero-shuffle projections over the plan-folded centroid
+    literals; candidates come from ONE cell-keyed equi-join (probe
+    explode x assignment — never a crossJoin), scored by cosine over
+    the SAME quantized integers the assignment used (exact int64 dot /
+    IEEE-double norms — both engines derive identical floats from
+    identical ints, so the (sim DESC, id) top-k rank replays), then
+    the same reciprocal semi-join. Recall < 1 by construction (a true
+    neighbor in an unprobed cell is missed); raise ``nprobe`` toward
+    ``nlist`` to trade compute for recall — gate it like
+    ``hard_negatives_ivf_recall`` does.
+
+    Zero-norm vectors are excluded from the IVF path by contract
+    (cosine is undefined; NaN ordering is engine-dependent).
 
     Returns ``(id_a, id_b)``.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    q = df.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    if method == "exact":
+        q = df.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        )
+        edges = cosine_topk(
+            df, q, k, id_col=id_col, vec_col=vec_col
+        ).select(
+            F.col("qid").alias("id_a"), F.col("neighbor_id").alias("id_b")
+        )
+        return _reciprocal_pairs(edges)
+    if method != "ivf":
+        raise ValueError(f"method must be 'exact' or 'ivf', got {method!r}")
+    if not 1 <= nprobe <= nlist:
+        raise ValueError(f"need 1 <= nprobe <= nlist, got {nprobe}/{nlist}")
+    cents: list = []
+    kmeans_exact_assign(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        nlist=nlist,
+        iterations=iterations,
+        quant=quant,
+        centroids_out=cents,
     )
-    edges = cosine_topk(
-        df, q, k, id_col=id_col, vec_col=vec_col
-    ).select(F.col("qid").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    sq = F.aggregate(
+        F.col("__qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x * F.lit(float(quant)))
+        ).alias("__qv"),
+    ).withColumn("__n2", sq).filter(F.col("__n2") > 0)
+    corpus = base.select(
+        F.col("__id").alias("nid"),
+        F.col("__qv").alias("nqv"),
+        F.col("__n2").alias("nb2"),
+        _int_cell_argmin(F.col("__qv"), cents).alias("cell"),
+    )
+    probes = base.select(
+        F.col("__id").alias("qid"),
+        F.col("__qv").alias("qqv"),
+        F.col("__n2").alias("na2"),
+        F.explode(_int_probe_cells(F.col("__qv"), cents, nprobe)).alias(
+            "cell"
+        ),
+    )
+    dot_q = F.aggregate(
+        F.zip_with("qqv", "nqv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        probes.join(corpus, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            (
+                dot_q.cast("double")
+                / F.sqrt(
+                    F.col("na2").cast("double") * F.col("nb2").cast("double")
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("id_a"), F.col("nid").alias("id_b"))
+    )
+    return _reciprocal_pairs(edges)
+
+
+def _reciprocal_pairs(edges: DataFrame) -> DataFrame:
+    """Keep only MUTUAL directed edges, one row per unordered pair:
+    the (id_a < id_b) orientation semi-joined against the swapped
+    orientation — over the compact ids-only edge list, never vectors."""
     fwd = edges.filter(F.col("id_a") < F.col("id_b"))
     rev = edges.filter(F.col("id_a") > F.col("id_b")).select(
         F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")

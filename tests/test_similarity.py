@@ -1177,3 +1177,120 @@ class TestMutualKnn:
             if a < b and b in knn[a] and a in knn[b]
         )
         assert got == want and len(want) > 0
+
+
+class TestMutualKnnIvf:
+    """Round-8: the IVF production path (VERDICT r07 #1) — bucketed
+    candidates from integer-exact Lloyd cells, no crossJoin."""
+
+    def _df(self, spark, n=24, dim=6):
+        import random as _rnd
+
+        _rnd.seed(11)
+        rows = [
+            (i, [round(_rnd.uniform(-1, 1), 6) for _ in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_full_probe_equals_exact(self, spark):
+        """nprobe == nlist probes every cell, so the candidate set is
+        all pairs and the IVF result must equal the exact baseline
+        (quantized-int cosine at 1e6 preserves the ranking on this
+        well-separated random set)."""
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            mutual_knn_pairs,
+        )
+
+        df = self._df(spark)
+        exact = sorted(
+            (r["id_a"], r["id_b"])
+            for r in mutual_knn_pairs(df, 3).collect()
+        )
+        full = sorted(
+            (r["id_a"], r["id_b"])
+            for r in mutual_knn_pairs(
+                df, 3, method="ivf", nlist=4, nprobe=4, iterations=2
+            ).collect()
+        )
+        assert full == exact and len(exact) > 0
+
+    def test_partial_probe_is_subset_with_recall(self, spark):
+        """nprobe < nlist may miss cross-cell neighbors but every pair
+        it emits must be a true mutual-kNN pair of the probed candidate
+        universe — on this set the pruned result stays a high-recall
+        SUBSET-or-equal of the exact pairs is NOT guaranteed pairwise
+        (rank shifts when a true neighbor is unprobed can promote a
+        lower neighbor), so the contract tested is recall >= 50%."""
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            mutual_knn_pairs,
+        )
+
+        df = self._df(spark, n=40)
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in mutual_knn_pairs(df, 3).collect()
+        }
+        ivf = {
+            (r["id_a"], r["id_b"])
+            for r in mutual_knn_pairs(
+                df, 3, method="ivf", nlist=4, nprobe=3, iterations=2
+            ).collect()
+        }
+        assert len(ivf & exact) * 2 >= len(exact)
+
+    def test_zero_vector_excluded(self, spark):
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            mutual_knn_pairs,
+        )
+
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 0.0, 0.0]),  # zero vector: excluded by contract
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in mutual_knn_pairs(
+                df, 1, method="ivf", nlist=1, nprobe=1, iterations=1
+            ).collect()
+        }
+        assert got == {(1, 2)}
+
+    def test_validation(self, spark):
+        import pytest
+
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            mutual_knn_pairs,
+        )
+
+        df = self._df(spark, n=6)
+        with pytest.raises(ValueError, match="method"):
+            mutual_knn_pairs(df, 3, method="hnsw")
+        with pytest.raises(ValueError, match="nprobe"):
+            mutual_knn_pairs(df, 3, method="ivf", nlist=4, nprobe=5)
+        with pytest.raises(ValueError, match="k must"):
+            mutual_knn_pairs(df, 0)
+
+    def test_no_cartesian_in_ivf_plan(self, spark):
+        """The Done criterion from VERDICT r07 #1: the production
+        path's plan carries no CartesianProduct / nested-loop join —
+        candidates come from the cell-keyed equi-join."""
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            mutual_knn_pairs,
+        )
+
+        df = self._df(spark)
+        plan = (
+            mutual_knn_pairs(df, 3, method="ivf", nlist=4, nprobe=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
