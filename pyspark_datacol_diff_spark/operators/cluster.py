@@ -1101,8 +1101,12 @@ def label_propagation(
     count, exact integer vote counts, total tie order (count DESC,
     label ASC). Seed labels never change (the clamped formulation).
     Labels must be NUMERIC: the tie order rides a (cnt, -label)
-    max-struct, and the negation rejects string labels loudly at
-    analysis time (map string labels to codes first).
+    max-struct, and an explicit dtype guard rejects non-numeric label
+    columns at CALL time with a TypeError (map string labels to codes
+    first). The guard is deliberate (r08 fresh-lens fix): without it
+    the negation only fails at RUNTIME mid-task under ANSI mode, and
+    under a caller session with ANSI off it would silently cast
+    strings to NULL and corrupt the vote order instead of failing.
 
     Scale shape per round: one edges x labels equi-join keyed on src
     (shuffle_hash on the node-grain label side — the frame comes off
@@ -1116,6 +1120,15 @@ def label_propagation(
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from pyspark.sql.types import NumericType
+
+    label_type = seeds.schema[label_col].dataType
+    if not isinstance(label_type, NumericType):
+        raise TypeError(
+            f"label column {label_col!r} must be numeric for the "
+            f"(cnt, -label) tie order, got {label_type.simpleString()}; "
+            "map string labels to integer codes first"
+        )
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
     labeled = seeds.select(
         F.col(node_col).alias("node"),

@@ -698,9 +698,19 @@ def prefix_jaccard_pairs(
     gram-keyed shuffle-hash, never broadcast.
 
     Candidates are then verified EXACTLY: one distinct on the
-    candidate pair stream, the full sorted token arrays join back (two
-    keyed joins over the — post-filter small — candidate relation),
-    and the intersection is ``array_intersect`` on the token arrays.
+    candidate pair stream, the full token arrays join back (two keyed
+    joins over the — post-filter small — candidate relation), and the
+    intersection is ``array_intersect`` on the token arrays. The
+    verify-side arrays are deliberately built from the RAW token
+    stream (one doc-keyed aggregate), NOT from the frequency-ordered
+    ``docs`` relation: intersection and size are order-invariant, so
+    re-deriving ``docs`` there would pay the vocabulary join and the
+    per-doc struct sort two more times for an ordering nobody reads
+    (r08 — the relation was evaluated 3x before; the 1x spread and the
+    10x time both came down). The verify joins are shuffle-hash by
+    hint: their build sides are wide array rows off unioned lineage
+    with no stats (the kcore stats-blind-SMJ class), and sort-merge
+    would SORT the token arrays.
     The emitted ``jaccard`` is a ratio of exact ints, so the result
     hash-replays against a brute-force posting-list oracle; a
     candidate-generation bug (a missed prefix) is a missing row the
@@ -799,23 +809,24 @@ def prefix_jaccard_pairs(
         .select("id_a", F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    a = docs.select(
+    vsets = toks.groupBy("doc_id").agg(F.collect_list("tok").alias("vt"))
+    a = vsets.select(
         F.col("doc_id").alias("id_a"),
-        F.col("toks").alias("__ta"),
-        F.col("sz").alias("size_a"),
+        F.col("vt").alias("__ta"),
+        F.size("vt").alias("size_a"),
     )
-    b = docs.select(
+    b = vsets.select(
         F.col("doc_id").alias("id_b"),
-        F.col("toks").alias("__tb"),
-        F.col("sz").alias("size_b"),
+        F.col("vt").alias("__tb"),
+        F.size("vt").alias("size_b"),
     )
     inter = F.size(F.array_intersect("__ta", "__tb"))
     jac = F.col("inter_cnt") / (
         F.col("size_a") + F.col("size_b") - F.col("inter_cnt")
     )
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .withColumn("inter_cnt", inter.cast("long"))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
