@@ -1172,6 +1172,141 @@ WHERE a.qid < a.nid
 """
 
 
+def _q_assoc_rules_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association rules over the co-purchase baskets
+    (operators/cooccur.py:association_rules riding the r08-promoted
+    basket_pairs public API): both directed rules per surviving pair
+    with exact truncating-ppm confidence and a DECIMAL(38,0)-DIV lift
+    (same 128-bit truncation semantics as DuckDB HUGEINT //) — the
+    market-basket recommendation score. Pair support from the shared
+    basket-explode miner; item marginals and the basket total
+    broadcast onto the pair relation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return CO.association_rules(li, "l_orderkey", "l_partkey")
+
+
+_SQL_ASSOC_RULES_COPURCHASE = """
+WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_ab
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+marg AS (SELECT l_partkey AS item, count(*) AS n_item FROM base GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_groups FROM base),
+orient AS (SELECT p1 AS antecedent, p2 AS consequent, n_ab FROM prs
+           UNION ALL SELECT p2, p1, n_ab FROM prs)
+SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ma.n_item AS BIGINT) AS n_ante,
+       CAST(mc.n_item AS BIGINT) AS n_cons,
+       CAST(n_ab * 1000000 // ma.n_item AS BIGINT) AS confidence_ppm,
+       CAST(n_ab::HUGEINT * n_groups * 1000000 //
+            (ma.n_item::HUGEINT * mc.n_item) AS BIGINT) AS lift_ppm
+FROM orient
+JOIN marg ma ON orient.antecedent = ma.item
+JOIN marg mc ON orient.consequent = mc.item
+CROSS JOIN tot
+"""
+
+
+def _q_markov_transitions_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (operators/range_join.py:transition_counts): consecutive
+    event-type steps per user ordered by (ts, event_id), counted, and
+    row-normalized in exact truncating ppm — the next-event-prediction
+    / journey-drop-off primitive next to event_paths (which collects
+    whole paths) and pmi_event_pairs (unordered co-occurrence). One
+    keyed window sort; the aggregate is state-pair-grain; totals
+    broadcast back."""
+    e = _t(spark, sf_dir, "events")
+    return RJ.transition_counts(
+        e, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
+    )
+
+
+_SQL_MARKOV_TRANSITIONS_EVENTS = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_state,
+         event_type AS to_state
+  FROM events),
+counts AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM steps WHERE from_state IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (SELECT from_state, sum(n) AS n_from FROM counts GROUP BY 1)
+SELECT counts.from_state, to_state, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // n_from AS BIGINT) AS p_ppm
+FROM counts JOIN tot ON counts.from_state = tot.from_state
+"""
+
+
+def _q_ra_link_pred_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Resource-allocation link prediction
+    (operators/cluster.py:resource_allocation_candidates — Zhou/Lü/
+    Zhang's degree-discounted common-neighbor index, exact integer
+    ppm): each wedge center contributes 1e6 DIV deg(center), so a
+    shared rare neighbor outvotes a shared hub — the ranking upgrade
+    over raw common_neighbors_copurchase on the same capped wedge
+    machinery (full degree for the discount, max_degree=100 slice for
+    the quadratic expansion, anti join vs existing edges, top-5 per
+    node by (ra_ppm DESC, candidate))."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    r = CC.resource_allocation_candidates(
+        pairs, src_col="p1", dst_col="p2", k=5, max_degree=100
+    )
+    return r.select(
+        F.col("node").alias("part"), "candidate", "ra_ppm",
+        "common_cnt", "rank",
+    )
+
+
+_SQL_RA_LINK_PRED_COPURCHASE = """
+WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und AS (SELECT p1 AS s, p2 AS d FROM prs
+        UNION ALL SELECT p2, p1 FROM prs),
+deg AS (SELECT s, count(DISTINCT d) AS deg FROM und GROUP BY s),
+capped AS (
+  SELECT s, d FROM (
+    SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) AS rn
+    FROM und) WHERE rn <= 100),
+wedges AS (
+  SELECT a.s AS c, a.d AS u, b.d AS v
+  FROM capped a JOIN capped b ON a.s = b.s AND a.d < b.d),
+ra AS (SELECT u, v,
+         sum(1000000 // deg.deg) AS ra_ppm,
+         count(*) AS common_cnt
+       FROM wedges JOIN deg ON wedges.c = deg.s
+       GROUP BY 1, 2),
+cand AS (
+  SELECT ra.u, ra.v, ra.ra_ppm, ra.common_cnt FROM ra
+  LEFT JOIN prs ON ra.u = prs.p1 AND ra.v = prs.p2
+  WHERE prs.p1 IS NULL),
+orient AS (SELECT u AS node, v AS candidate, ra_ppm, common_cnt FROM cand
+           UNION ALL SELECT v, u, ra_ppm, common_cnt FROM cand),
+ranked AS (
+  SELECT node, candidate, ra_ppm, common_cnt,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY ra_ppm DESC, candidate) AS rank
+  FROM orient)
+SELECT node AS part, candidate, CAST(ra_ppm AS BIGINT) AS ra_ppm,
+       CAST(common_cnt AS BIGINT) AS common_cnt,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def _q_mutual_knn_ivf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN graph via the IVF PRODUCTION path (r08 — VERDICT r07
     #1/#2: the one embedding family whose only edge source was the
@@ -6684,6 +6819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked (round-8 additions) ---
         "mutual_knn_ivf_embed": _q_mutual_knn_ivf_embed,
         "mutual_knn_ivf_recall": _q_mutual_knn_ivf_recall,
+        "ra_link_pred_copurchase": _q_ra_link_pred_copurchase,
+        "markov_transitions_events": _q_markov_transitions_events,
+        "assoc_rules_copurchase": _q_assoc_rules_copurchase,
         # --- never driver-checked (round-7 additions) ---
         "copurchase_pairs_capped": _q_copurchase_pairs_capped,
         "copurchase_triples_capped": _q_copurchase_triples_capped,
@@ -7794,6 +7932,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "mutual_knn_embed": _SQL_MUTUAL_KNN_EMBED,
         "mutual_knn_ivf_embed": _SQL_MUTUAL_KNN_IVF_EMBED,
         "mutual_knn_ivf_recall": _SQL_MUTUAL_KNN_IVF_RECALL,
+        "ra_link_pred_copurchase": _SQL_RA_LINK_PRED_COPURCHASE,
+        "markov_transitions_events": _SQL_MARKOV_TRANSITIONS_EVENTS,
+        "assoc_rules_copurchase": _SQL_ASSOC_RULES_COPURCHASE,
         "prefix_jaccard_docs": _SQL_PREFIX_JACCARD_DOCS,
         "attribution_user_clicks": _SQL_ATTRIBUTION_USER_CLICKS,
         "common_neighbors_copurchase": _SQL_COMMON_NEIGHBORS_COPURCHASE,

@@ -1261,3 +1261,117 @@ def common_neighbor_candidates(
         .filter(F.col("rank") <= k)
         .select("node", "candidate", "common_cnt", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def resource_allocation_candidates(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 5,
+    max_degree: int | None = 100,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """LINK PREDICTION by the RESOURCE-ALLOCATION index (Zhou, Lü &
+    Zhang, Eur. Phys. J. B 2009) in EXACT integer ppm: for every
+    non-adjacent pair sharing neighbors, score
+    ``sum over shared neighbors w of (ppm_scale DIV deg(w))`` — the
+    degree-discounted refinement of plain common-neighbor counting
+    (a shared hub says far less than a shared rare neighbor; RA and
+    its log-discounted cousin Adamic-Adar dominate raw counts on
+    recommendation benchmarks, and RA's reciprocal discount needs no
+    float log, so the score replays bit-for-bit in any engine).
+
+    Scale shape is :func:`common_neighbor_candidates` with the wedge
+    CENTER's weight riding the expansion: per-node neighbor lists
+    (one keyed shuffle), ``max_degree`` slice before the quadratic
+    wedge expansion (same deterministic-bias contract — but the
+    DISCOUNT uses the center's FULL degree, computed on the unsliced
+    set, so a capped hub still discounts as the hub it is), wedge
+    pairs hash-aggregate on the pair key carrying ``sum(w_ppm)``, one
+    anti join against existing edges, per-node top-``k`` by
+    (ra_ppm DESC, candidate ASC).
+
+    Returns ``(node, candidate, ra_ppm, common_cnt, rank)``.
+
+    Reference scope note: no graph operators exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_degree is not None and max_degree < 2:
+        raise ValueError(
+            f"max_degree must be >= 2 (a 1-neighbor cap generates no "
+            f"wedges at all), got {max_degree}"
+        )
+    e = _canonical(
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    )
+    und = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    full = F.array_sort(F.collect_set("d"))
+    hubs = und.groupBy(F.col("s").alias("n")).agg(full.alias("ns_full"))
+    sliced = (
+        F.slice("ns_full", 1, max_degree)
+        if max_degree is not None
+        else F.col("ns_full")
+    )
+    hubs = hubs.select(
+        "n",
+        F.expr(f"{ppm_scale}L DIV size(ns_full)").alias("w_ppm"),
+        sliced.alias("ns"),
+    )
+    hubs = hubs.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism
+    )
+    x1 = hubs.select("w_ppm", "ns", F.posexplode("ns").alias("i", "a"))
+    wedges = x1.select(
+        "w_ppm",
+        F.col("a").alias("u"),
+        F.explode(
+            F.slice(
+                "ns",
+                F.col("i") + 2,
+                F.greatest(F.size("ns") - F.col("i") - 1, F.lit(0)),
+            )
+        ).alias("v"),
+    )
+    ra = wedges.groupBy("u", "v").agg(
+        F.sum("w_ppm").alias("ra_ppm"),
+        F.count(F.lit(1)).alias("common_cnt"),
+    )
+    cand = ra.join(
+        e.select(F.col("s").alias("u"), F.col("d").alias("v")).hint(
+            "shuffle_hash"
+        ),
+        ["u", "v"],
+        "anti",
+    )
+    both = cand.select(
+        F.col("u").alias("node"),
+        F.col("v").alias("candidate"),
+        "ra_ppm",
+        "common_cnt",
+    ).unionByName(
+        cand.select(
+            F.col("v").alias("node"),
+            F.col("u").alias("candidate"),
+            "ra_ppm",
+            "common_cnt",
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("ra_ppm"), F.asc("candidate")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "node",
+            "candidate",
+            "ra_ppm",
+            "common_cnt",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

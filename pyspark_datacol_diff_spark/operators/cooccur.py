@@ -209,3 +209,94 @@ def symmetric_edges(
         cols_a.append(F.col(w))
         cols_b.append(F.col(w))
     return pairs.select(*cols_a).unionByName(pairs.select(*cols_b))
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_count: int = 2,
+    cap: int | None = None,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """ASSOCIATION RULES from the basket-pair relation, scored in
+    exact integers: every surviving pair (a, b) emits both directed
+    rules with ``confidence_ppm = n_ab * ppm_scale DIV n_ante``
+    (P(consequent | antecedent), truncating) and
+    ``lift_ppm = n_ab * n_groups * ppm_scale DIV (n_ante * n_cons)``
+    (confidence over the consequent's base rate; > ppm_scale means
+    positive association) — the market-basket recommendation score
+    with none of float normalization's engine drift. Lift's
+    numerator/denominator are computed in DECIMAL(38,0) (128-bit) so
+    ``n_ab * N * scale`` cannot overflow at warehouse-scale basket
+    counts; the emitted ppm is cast back to BIGINT.
+
+    Support counts ride :func:`basket_pairs` (same ``min_count`` /
+    hot-basket ``cap`` contract — NOTE: under a cap the PAIR counts
+    are cap-biased while the item marginals stay exact, so confidence
+    is a lower bound on hot baskets); marginals are one item-grain
+    aggregate and the basket total one scalar aggregate, both
+    broadcast onto the pair relation — never windows over it.
+
+    Returns ``(antecedent, consequent, n_ab, n_ante, n_cons,
+    confidence_ppm, lift_ppm)``.
+    """
+    pairs = basket_pairs(
+        df, group_col, item_col, min_count=min_count, cap=cap,
+        count_col="n_ab",
+    )
+    pres = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    marg = pres.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    totals = pres.select(F.count_distinct("g").alias("n_groups"))
+    both = pairs.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "n_ab",
+        )
+    )
+    scored = (
+        both.join(
+            F.broadcast(
+                marg.select(
+                    F.col("item").alias("antecedent"),
+                    F.col("n_item").alias("n_ante"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                marg.select(
+                    F.col("item").alias("consequent"),
+                    F.col("n_item").alias("n_cons"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    conf = F.expr(f"n_ab * {ppm_scale}L DIV n_ante")
+    # DECIMAL(38,0) DIV truncates the 128-bit quotient exactly (same
+    # semantics as DuckDB HUGEINT //) — NOT decimal `/`, whose
+    # scale-rounded quotient can round x.9999995 up before a floor
+    lift = F.expr(
+        f"CAST(n_ab AS DECIMAL(38,0)) * n_groups * {ppm_scale} DIV "
+        "(CAST(n_ante AS DECIMAL(38,0)) * n_cons)"
+    )
+    return scored.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        "n_ante",
+        "n_cons",
+        conf.alias("confidence_ppm"),
+        lift.cast("long").alias("lift_ppm"),
+    )

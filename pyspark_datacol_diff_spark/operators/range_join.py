@@ -286,3 +286,63 @@ def position_attribution(
         )
     )
     return sess.withColumn(out_col, credit.cast("long"))
+
+
+def transition_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    state_col: str,
+    *,
+    tiebreak_cols: list[str] | None = None,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """First-order MARKOV TRANSITION matrix over per-key event streams
+    in exact integers: each key's events are ordered once, consecutive
+    (from_state -> to_state) steps are counted, and each row carries
+    the transition probability as ``n * ppm_scale DIV n_from`` (row-
+    normalized, truncating — the engine-replayable rendering of the
+    empirical transition matrix a journey-analysis / next-event-
+    prediction pipeline wants; float normalization never sums
+    reproducibly).
+
+    Scale shape: ONE keyed window sort (partition by key, order by
+    (ts, tiebreaks)) produces the lag pairs as a projection; the
+    transition aggregate is state-pair-grain (|states|^2 rows, tiny by
+    construction); row totals attach by a broadcast join on
+    from_state — never a second pass over the events and never a
+    window over the event stream. Duplicate timestamps make a ts-only
+    order nondeterministic — callers pass a unique tiebreak, the same
+    contract as :func:`position_attribution`.
+
+    Returns ``(from_state, to_state, n, p_ppm)``.
+
+    Reference scope note: no sequence analytics exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    order = [ts_col, *(tiebreak_cols or [])]
+    wk = Window.partitionBy(*key_cols).orderBy(*order)
+    steps = (
+        df.select(
+            F.lag(state_col).over(wk).alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_state").agg(
+        F.sum("n").alias("__n_from")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n",
+            F.expr(f"n * {ppm_scale}L DIV __n_from").alias("p_ppm"),
+        )
+    )

@@ -535,3 +535,84 @@ def test_schema_diff_raises_on_case_folded_duplicates(spark):
     other = spark.createDataFrame([(1, "a")], "id long, value string")
     rows = {r["column"]: r["status"] for r in schema_diff(clean, other).collect()}
     assert rows == {"value": "type_changed"}
+
+
+def test_label_propagation_rejects_string_labels_at_call_time(spark):
+    """r08 fresh-lens: the (cnt, -label) tie order needs numeric labels.
+    Before the guard, string labels surfaced as a RUNTIME ANSI cast
+    error mid-task (and with ANSI off would silently cast to NULL and
+    corrupt the vote order); now a TypeError fires at call time."""
+    from pyspark_datacol_diff_spark.operators.cluster import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(1, "red")], "node long, label string")
+    with pytest.raises(TypeError, match="numeric"):
+        label_propagation(edges, seeds, rounds=1)
+    # numeric labels still work
+    ok = spark.createDataFrame([(1, 7)], "node long, label long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, ok, rounds=1).collect()
+    }
+    assert got == {1: 7, 2: 7}
+
+
+def test_prefix_jaccard_threshold_one(spark):
+    """r08 fresh-lens: at threshold=1.0 the prefix shrinks to ONE gram
+    (plen = sz - ceil(sz) + 1 = 1) — identical sets share their rarest
+    gram by construction (one global frequency order), so exact
+    duplicates MUST still pair; anything below jaccard 1.0 must not."""
+    from pyspark_datacol_diff_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),   # exact dup of 1
+        (3, "alpha beta gamma delta zeta"),      # jaccard 2/4 of 1
+        (4, "totally different text here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=1.0
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_position_attribution_full_first_last_split(spark):
+    """r08 fresh-lens: first_pct + last_pct = 100 leaves a zero middle
+    pool — middles get exactly 0, every session still sums to
+    total_ppm; with an odd total the middle pool's single leftover ppm
+    is accounted (never lost, never doubled)."""
+    import datetime as dt
+
+    from pyspark_datacol_diff_spark.operators.range_join import (
+        position_attribution,
+    )
+
+    b = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, b + dt.timedelta(minutes=i), 100 + i) for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    r = position_attribution(
+        df, ["user_id"], "ts", first_pct=50, last_pct=50,
+        tiebreak_cols=["event_id"],
+    ).collect()
+    got = sorted((x["touch_no"], x["credit_ppm"]) for x in r)
+    assert got == [(1, 500_000), (2, 0), (3, 500_000)]
+
+    r = position_attribution(
+        df, ["user_id"], "ts", total_ppm=999_999, first_pct=40,
+        last_pct=60, tiebreak_cols=["event_id"],
+    ).collect()
+    assert sum(x["credit_ppm"] for x in r) == 999_999
+    got = sorted((x["touch_no"], x["credit_ppm"]) for x in r)
+    assert got == [(1, 399_999), (2, 1), (3, 599_999)]

@@ -724,3 +724,71 @@ class TestCommonNeighborCandidates:
             common_neighbor_candidates(edges, k=0)
         with _pt.raises(ValueError, match="max_degree"):
             common_neighbor_candidates(edges, k=1, max_degree=1)
+
+
+class TestResourceAllocation:
+    """r08: degree-discounted link prediction (exact-ppm RA index)."""
+
+    def test_hand_graph(self, spark):
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            resource_allocation_candidates,
+        )
+
+        # path graph 1-2-3 plus 2-4: non-adjacent pairs through center 2
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (2, 4)], "src long, dst long"
+        )
+        got = {
+            (r["node"], r["candidate"]): (r["ra_ppm"], r["common_cnt"])
+            for r in resource_allocation_candidates(edges, k=5).collect()
+        }
+        # deg(2) = 3 -> each wedge through 2 scores 1_000_000 DIV 3
+        w = 1_000_000 // 3
+        assert got[(1, 3)] == (w, 1)
+        assert got[(3, 1)] == (w, 1)
+        assert got[(1, 4)] == (w, 1)
+        assert got[(3, 4)] == (w, 1)
+        # adjacent pairs are never candidates
+        assert (1, 2) not in got and (2, 3) not in got
+
+    def test_hub_discount_orders_below_rare_center(self, spark):
+        """The point of RA over common-neighbor counting: one shared
+        RARE center outranks one shared HUB center."""
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            resource_allocation_candidates,
+        )
+
+        # hub h connects to 1..5; rare r connects only to 1 and 9
+        edges = [(h, i) for h, i in [(100, 1), (100, 2), (100, 3),
+                                     (100, 4), (100, 5)]]
+        edges += [(200, 1), (200, 9)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["node"], r["candidate"]): r["ra_ppm"]
+            for r in resource_allocation_candidates(df, k=10).collect()
+        }
+        # (1, 9) share rare center 200 (deg 2); (1, 2) share hub 100 (deg 5)
+        assert got[(1, 9)] == 1_000_000 // 2
+        assert got[(1, 2)] == 1_000_000 // 5
+        assert got[(1, 9)] > got[(1, 2)]
+
+    def test_full_degree_discount_under_cap(self, spark):
+        """max_degree slices the wedge expansion but the discount uses
+        the center's FULL degree — a capped hub still discounts as the
+        hub it is."""
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            resource_allocation_candidates,
+        )
+
+        edges = [(100, i) for i in range(1, 6)]  # hub of degree 5
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["node"], r["candidate"]): r["ra_ppm"]
+            for r in resource_allocation_candidates(
+                df, k=10, max_degree=3
+            ).collect()
+        }
+        # only wedges among the 3 smallest neighbors survive the cap,
+        # but each still scores DIV 5, not DIV 3
+        assert got[(1, 2)] == 1_000_000 // 5
+        assert (1, 4) not in got and (4, 5) not in got

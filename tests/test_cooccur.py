@@ -154,3 +154,32 @@ class TestBasketPairs:
         assert got == {
             (10, 20, 2), (20, 10, 2), (10, 30, 2), (30, 10, 2),
         }
+
+
+class TestAssociationRules:
+    """r08: exact-integer confidence/lift over basket_pairs."""
+
+    def test_hand_rules(self, spark):
+        from pyspark_datacol_diff_spark.operators.cooccur import (
+            association_rules,
+        )
+
+        rows = [
+            (1, "a"), (1, "b"),
+            (2, "a"), (2, "b"),
+            (3, "a"),
+            (4, "c"),
+        ]
+        df = spark.createDataFrame(rows, "oid long, item string")
+        got = {
+            (r["antecedent"], r["consequent"]): (
+                r["n_ab"], r["n_ante"], r["n_cons"],
+                r["confidence_ppm"], r["lift_ppm"],
+            )
+            for r in association_rules(df, "oid", "item").collect()
+        }
+        # n_ab(a,b)=2, n_a=3, n_b=2, N=4
+        # conf(a->b) = 2e6 DIV 3 = 666666; lift = 2*4e6 DIV 6 = 1333333
+        assert got[("a", "b")] == (2, 3, 2, 666_666, 1_333_333)
+        assert got[("b", "a")] == (2, 2, 3, 1_000_000, 1_333_333)
+        assert len(got) == 2

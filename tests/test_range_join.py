@@ -311,3 +311,56 @@ class TestPositionAttribution:
             position_attribution(
                 df, ["user_id"], "ts", first_pct=70, last_pct=70
             )
+
+
+class TestTransitionCounts:
+    """r08: exact-ppm Markov transition matrix."""
+
+    def test_hand_stream(self, spark):
+        import datetime as dt
+
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            transition_counts,
+        )
+
+        b = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, b + dt.timedelta(minutes=i), s, i)
+            for i, s in enumerate(["view", "view", "click", "view", "buy"])
+        ] + [
+            (2, b + dt.timedelta(minutes=i), s, 100 + i)
+            for i, s in enumerate(["view", "click"])
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, state string, event_id long"
+        )
+        got = {
+            (r["from_state"], r["to_state"]): (r["n"], r["p_ppm"])
+            for r in transition_counts(
+                df, ["user_id"], "ts", "state", tiebreak_cols=["event_id"]
+            ).collect()
+        }
+        # user 1: view->view, view->click, click->view, view->buy
+        # user 2: view->click      => from view: 4 steps total
+        assert got[("view", "view")] == (1, 250_000)
+        assert got[("view", "click")] == (2, 500_000)
+        assert got[("view", "buy")] == (1, 250_000)
+        assert got[("click", "view")] == (1, 1_000_000)
+
+    def test_single_event_keys_emit_nothing(self, spark):
+        import datetime as dt
+
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            transition_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), "view", 1)],
+            "user_id long, ts timestamp, state string, event_id long",
+        )
+        assert (
+            transition_counts(
+                df, ["user_id"], "ts", "state", tiebreak_cols=["event_id"]
+            ).count()
+            == 0
+        )
