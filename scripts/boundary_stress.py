@@ -153,6 +153,16 @@ QUERIES = [
     # engines); the injected exact 30:00 gap walks the strict-> session
     # break comparator
     "attribution_user_clicks",
+    # round-8 additions: duplicate timestamps walk the transition
+    # matrix's (ts, event_id) lag tiebreak — simultaneous events must
+    # produce the same step sequence in both engines; the duplicate
+    # embedding pair (vec_id 90_000_005 passes the %5 probe subset)
+    # sits at the IVF mutual-kNN path's sim=1.0 tie and quantization
+    # boundary (the exact mutual_knn_embed stays excluded with the ann
+    # family — zero-vector NaN cosine — but the IVF path filters
+    # zero norms on BOTH sides by contract, so it is boundary-safe)
+    "markov_transitions_events",
+    "mutual_knn_ivf_embed",
 ]
 
 
