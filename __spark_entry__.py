@@ -1172,6 +1172,34 @@ WHERE a.qid < a.nid
 """
 
 
+def _q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained Markov transition counts
+    (streaming/continuous_transitions) — the first ORDER-SENSITIVE
+    continuous fold: the event log is split into three TIME-CONTIGUOUS
+    micro-batches (stage_time_splits — arrival order = event order,
+    the landing-zone contract), and foreachBatch stitches each user's
+    frontier row onto the batch before the lag window, so every
+    cross-batch step the per-batch lag would drop is counted. The
+    oracle is the SAME SQL as markov_transitions_events: streaming ==
+    batch equivalence for a non-commutative stateful operator is the
+    contract, and any dropped batch-boundary transition flips n on at
+    least one (from, to) row and fails the hash."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = STR.stage_time_splits(batch, "ts", 3, tiebreak_cols=["event_id"])
+    sdf = STR.read_parquet_stream(
+        spark, src, batch.schema, max_files_per_trigger=1
+    ).transform(SRC.normalize_event_ts)
+    return STR.continuous_transitions(
+        sdf,
+        ["user_id"],
+        "ts",
+        "event_type",
+        tiebreak_cols=["event_id"],
+        query_name="q_stream_transitions",
+    )
+
+
 def _q_assoc_rules_copurchase(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6822,6 +6850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ra_link_pred_copurchase": _q_ra_link_pred_copurchase,
         "markov_transitions_events": _q_markov_transitions_events,
         "assoc_rules_copurchase": _q_assoc_rules_copurchase,
+        "streaming_transitions": _q_streaming_transitions,
         # --- never driver-checked (round-7 additions) ---
         "copurchase_pairs_capped": _q_copurchase_pairs_capped,
         "copurchase_triples_capped": _q_copurchase_triples_capped,
@@ -7935,6 +7964,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "ra_link_pred_copurchase": _SQL_RA_LINK_PRED_COPURCHASE,
         "markov_transitions_events": _SQL_MARKOV_TRANSITIONS_EVENTS,
         "assoc_rules_copurchase": _SQL_ASSOC_RULES_COPURCHASE,
+        "streaming_transitions": _SQL_MARKOV_TRANSITIONS_EVENTS,
         "prefix_jaccard_docs": _SQL_PREFIX_JACCARD_DOCS,
         "attribution_user_clicks": _SQL_ATTRIBUTION_USER_CLICKS,
         "common_neighbors_copurchase": _SQL_COMMON_NEIGHBORS_COPURCHASE,

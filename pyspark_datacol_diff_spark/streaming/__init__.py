@@ -43,16 +43,27 @@ def stage_files(*paths: str, dir_suffix: str = "stream_src") -> str:
     scale harness synthesizes), whose ``part-*`` data files are staged
     individually. Everything is prefixed with its position so the SAME
     path may be staged more than once (deliberate duplicate injection
-    for dedup tests); the source lists files in name order, so
-    position order is arrival order under ``maxFilesPerTrigger``.
-    Production streams read a real landing-zone directory and never
+    for dedup tests).
+
+    ARRIVAL ORDER IS PINNED BY MTIME (r08 fix): Spark's file source
+    orders by modification time, NOT name — freshly copied fixtures
+    all land within the same clock tick, so equal-mtime ties made the
+    micro-batch order nondeterministic run to run. The commutative
+    folds (rollup/histogram/MG/dedup-as-a-set) could never see it; the
+    order-sensitive transition stitcher failed its oracle on exactly
+    this. Each staged file now gets a strictly increasing mtime in
+    position order, so position order IS arrival order under
+    ``maxFilesPerTrigger``. Production streams read a real
+    landing-zone directory (whose arrival times are real) and never
     need this."""
     import glob
     import os
     import shutil
     import tempfile
+    import time
 
     d = tempfile.mkdtemp(prefix=f"dcd_{dir_suffix}_")
+    staged: list[str] = []
     for i, p in enumerate(paths):
         if os.path.isdir(p):
             parts = sorted(glob.glob(os.path.join(p, "part-*")))
@@ -64,11 +75,18 @@ def stage_files(*paths: str, dir_suffix: str = "stream_src") -> str:
                     "empty source"
                 )
             for j, part in enumerate(parts):
-                shutil.copy(
-                    part, os.path.join(d, f"{i:03d}_{j:05d}_{os.path.basename(part)}")
+                dst = os.path.join(
+                    d, f"{i:03d}_{j:05d}_{os.path.basename(part)}"
                 )
+                shutil.copy(part, dst)
+                staged.append(dst)
         else:
-            shutil.copy(p, os.path.join(d, f"{i:03d}_{os.path.basename(p)}"))
+            dst = os.path.join(d, f"{i:03d}_{os.path.basename(p)}")
+            shutil.copy(p, dst)
+            staged.append(dst)
+    base = time.time() - 2 * len(staged)
+    for k, dst in enumerate(staged):
+        os.utime(dst, (base + 2 * k, base + 2 * k))
     return d
 
 
@@ -605,3 +623,165 @@ def _continuous_state(
     if not final:
         raise RuntimeError(f"{query_name!r}: no micro-batch ran")
     return spark.read.parquet(final[-1][1])
+
+
+def stage_time_splits(
+    df: DataFrame,
+    ts_col: str,
+    n: int,
+    *,
+    tiebreak_cols: list | None = None,
+    dir_suffix: str = "tsplits",
+) -> str:
+    """Write ``df`` as ``n`` TIME-CONTIGUOUS single-file parquet splits
+    (ntile over one global (ts, tiebreaks) sort) staged in arrival
+    order — the ordered-replay counterpart of
+    :func:`stage_disjoint_splits` for operators whose cross-batch
+    state is ORDER-SENSITIVE (sequence stitching, frontiers): split k
+    holds events strictly before split k+1's in the total order, which
+    is exactly the landing-zone arrival contract those operators
+    assume in production. The global sort is fixture-side only (the
+    replay fixture is test-scale by construction); production streams
+    read a landing zone that already arrives in time order."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col), *[F.col(c) for c in (tiebreak_cols or [])]]
+    w = Window.orderBy(*order)
+    root = tempfile.mkdtemp(prefix=f"dcd_{dir_suffix}_")
+    split = df.withColumn("__split", F.ntile(n).over(w))
+    paths: list[str] = []
+    for i in range(1, n + 1):
+        d = f"{root}/part{i}"
+        split.filter(F.col("__split") == i).drop("__split").coalesce(
+            1
+        ).write.parquet(d)
+        paths.extend(sorted(glob.glob(f"{d}/part-*.parquet")))
+    return stage_files(*paths, dir_suffix=dir_suffix)
+
+
+def continuous_transitions(
+    sdf: DataFrame,
+    key_cols: list,
+    ts_col: str,
+    state_col: str,
+    *,
+    tiebreak_cols: list | None = None,
+    query_name: str,
+    state_root: str | None = None,
+    state_partitions: int | None = 4,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Continuously-maintained MARKOV TRANSITION counts — the first
+    ORDER-SENSITIVE member of the continuous_* family: unlike the
+    rollup/histogram/heavy-hitter folds (commutative merges, any batch
+    order), consecutive-step counting must stitch each key's LAST
+    event of all prior batches onto its FIRST event of the current
+    batch, or every batch boundary silently drops one transition per
+    active key. State is therefore two grain-bounded tables, versioned
+    per batch like :func:`continuous_rollup` (same at-least-once
+    retry/resume contract — see its docstring):
+
+    - ``counts``: (from_state, to_state, n) — |states|^2 rows;
+    - ``frontier``: each key's latest (state, ts, tiebreaks) row —
+      |keys| rows, the cross-batch stitch point.
+
+    Per micro-batch: the previous frontier is unioned UNDER the batch
+    (its rows have no predecessor, so it emits no steps of its own),
+    one keyed window sort produces intra-batch steps PLUS the stitch
+    step per key, the batch's step counts fold into the stored counts,
+    and the new frontier is the per-key (ts, tiebreaks)-max row of
+    frontier-union-batch (keys idle this batch keep their row).
+    Requires time-ordered arrival (``stage_time_splits`` in fixtures;
+    a time-partitioned landing zone in production) — with interleaved
+    arrival the stitched sequence is the ARRIVAL order, not event
+    order, the same caveat every sequence-stateful stream carries.
+
+    Runs to completion (availableNow) and returns the final transition
+    matrix with the same ``(from_state, to_state, n, p_ppm)`` contract
+    as the batch operator
+    (:func:`~pyspark_datacol_diff_spark.operators.range_join.transition_counts`)
+    — streaming == batch equivalence is the correctness gate.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    spark = sdf.sparkSession
+    root = state_root or tempfile.mkdtemp(
+        prefix=f"dcd_transitions_{query_name}_"
+    )
+    os.makedirs(os.path.join(root, "counts"), exist_ok=True)
+    os.makedirs(os.path.join(root, "frontier"), exist_ok=True)
+    ran: list = []
+    ties = list(tiebreak_cols or [])
+    cols = [*key_cols, ts_col, state_col, *ties]
+
+    def _versions(sub: str) -> list:
+        base = os.path.join(root, sub)
+        return sorted(
+            (int(d[1:]), os.path.join(base, d))
+            for d in os.listdir(base)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        ev = batch_df.select(*cols)
+        prior_f = [p for i, p in _versions("frontier") if i < batch_id]
+        if prior_f:
+            ev = ss.read.parquet(prior_f[-1]).select(*cols).unionByName(ev)
+        wk = Window.partitionBy(*key_cols).orderBy(ts_col, *ties)
+        steps = (
+            ev.select(
+                F.lag(state_col).over(wk).alias("from_state"),
+                F.col(state_col).alias("to_state"),
+            )
+            .filter(F.col("from_state").isNotNull())
+            .groupBy("from_state", "to_state")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        prior_c = [p for i, p in _versions("counts") if i < batch_id]
+        if prior_c:
+            prev = ss.read.parquet(prior_c[-1])
+            steps = (
+                prev.unionByName(steps)
+                .groupBy("from_state", "to_state")
+                .agg(F.sum("n").alias("n"))
+            )
+        steps.write.mode("overwrite").parquet(
+            os.path.join(root, "counts", f"v{batch_id}")
+        )
+        last = Window.partitionBy(*key_cols).orderBy(
+            F.desc(ts_col), *[F.desc(t) for t in ties]
+        )
+        frontier = (
+            ev.withColumn("__rn", F.row_number().over(last))
+            .filter(F.col("__rn") == 1)
+            .select(*cols)
+        )
+        frontier.write.mode("overwrite").parquet(
+            os.path.join(root, "frontier", f"v{batch_id}")
+        )
+        ran.append(batch_id)
+
+    writer = sdf.writeStream.foreachBatch(_merge).queryName(query_name)
+    _run_to_completion(spark, writer, query_name, state_partitions)
+    if ran:
+        final = os.path.join(root, "counts", f"v{max(ran)}")
+    else:
+        vs = _versions("counts")
+        if not vs:
+            raise RuntimeError(f"{query_name!r}: no micro-batch ran")
+        final = vs[-1][1]
+    counts = spark.read.parquet(final)
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("__n_from"))
+    return counts.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.expr(f"n * {ppm_scale}L DIV __n_from").alias("p_ppm"),
+    )

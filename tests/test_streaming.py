@@ -415,3 +415,94 @@ def test_continuous_heavy_hitters_state_bounded_and_exact(spark):
         ).collect()
     }
     assert got == want
+
+
+class TestContinuousTransitions:
+    """r08: the first ORDER-SENSITIVE continuous fold — cross-batch
+    sequence stitching via a per-key frontier."""
+
+    def _events(self, spark):
+        import datetime as dt
+
+        b = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = []
+        eid = 0
+        for u, states in [(1, "ABABB"), (2, "AAB"), (3, "B")]:
+            for i, s in enumerate(states):
+                rows.append((eid, b + dt.timedelta(minutes=eid), u, s))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, state string"
+        )
+
+    def _expected(self, spark):
+        import collections
+
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            transition_counts,
+        )
+
+        return {
+            (r["from_state"], r["to_state"]): (r["n"], r["p_ppm"])
+            for r in transition_counts(
+                self._events(spark), ["user_id"], "ts", "state",
+                tiebreak_cols=["event_id"],
+            ).collect()
+        }
+
+    def test_streaming_equals_batch_across_three_batches(self, spark):
+        from pyspark_datacol_diff_spark import streaming as STR
+
+        df = self._events(spark)
+        src = STR.stage_time_splits(
+            df, "ts", 3, tiebreak_cols=["event_id"]
+        )
+        sdf = STR.read_parquet_stream(
+            spark, src, df.schema, max_files_per_trigger=1
+        )
+        got = {
+            (r["from_state"], r["to_state"]): (r["n"], r["p_ppm"])
+            for r in STR.continuous_transitions(
+                sdf, ["user_id"], "ts", "state",
+                tiebreak_cols=["event_id"],
+                query_name="t_stream_trans",
+            ).collect()
+        }
+        assert got == self._expected(spark)
+        # the batch-boundary steps exist: user 1 has 4 steps total but
+        # at most 2 can be intra-batch with 9 events in 3 time splits —
+        # equality above already proves the stitch, this pins the shape
+        assert sum(n for n, _ in got.values()) == 6
+
+    def test_frontier_survives_idle_batch(self, spark):
+        """A key with no events in the middle batch must still stitch
+        its batch-1 frontier onto its batch-3 event."""
+        import datetime as dt
+
+        from pyspark_datacol_diff_spark import streaming as STR
+
+        b = dt.datetime(2024, 1, 1)
+        # user 1: one event in split 1 and one in split 3; user 2 fills
+        # the middle split so the splits are non-empty
+        rows = [
+            (0, b + dt.timedelta(minutes=0), 1, "A"),
+            (1, b + dt.timedelta(minutes=10), 2, "X"),
+            (2, b + dt.timedelta(minutes=11), 2, "Y"),
+            (3, b + dt.timedelta(minutes=20), 1, "B"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, state string"
+        )
+        src = STR.stage_time_splits(df, "ts", 3, tiebreak_cols=["event_id"])
+        got = {
+            (r["from_state"], r["to_state"]): r["n"]
+            for r in STR.continuous_transitions(
+                STR.read_parquet_stream(
+                    spark, src, df.schema, max_files_per_trigger=1
+                ),
+                ["user_id"], "ts", "state",
+                tiebreak_cols=["event_id"],
+                query_name="t_stream_trans_idle",
+            ).collect()
+        }
+        assert got == {("A", "B"): 1, ("X", "Y"): 1}
