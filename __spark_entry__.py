@@ -6831,80 +6831,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query (SURVEY.md §2 + pipeline ops).
 
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
-    a window of entries from the FRONT (r2-r6 each covered exactly the
-    first 50), so entries are sequenced oldest-evidence-first. Round-7
-    derivation, mechanically from the union of CORRECTNESS_r01-r06
-    (each query's MOST RECENT green row; relative order preserved
-    within a group): (1) never driver-checked (the round-7 additions —
-    currently copurchase_pairs_capped); (2) latest green in r03 (the
-    40-entry block the r06 window did not reach); (3) r04; (4) r05;
-    (5) r06, freshest last. The r07 window therefore re-greens the
-    whole r03-stale block plus the front of the r04 block — after it,
-    no entry's latest driver check predates r04. Re-derive each round
-    from the updated CORRECTNESS_r{N} union.
+    a window of entries from the FRONT (r2-r7 each covered exactly the
+    first 50), so entries are sequenced oldest-evidence-first. Round-8
+    derivation from the CORRECTNESS_r01-r07 union (each query's MOST
+    RECENT green row; relative order preserved within a group), with
+    VERDICT r07 #3/#4's prescribed front: (1) streaming_sliding_windows
+    at position 0 — the single r03-evidence straggler the 50-entry r07
+    window missed by one (the r07 front was 11 additions + a 40-entry
+    r03 block = 51); (2) attribution_user_clicks +
+    common_neighbors_copurchase, the judge-queued 10x-smoke landings;
+    (3) the never-checked r08 additions; (4) the 50-entry r04-evidence
+    block oldest-first; (5) r05; (6) r06; (7) r07-checked entries
+    freshest last. The r08 window of 50 covers groups 1-3 plus the
+    first 41 of the r04 block — the trailing 9 r04-evidence entries are
+    provably beyond a 50-window that must front 9 higher-priority
+    entries, and rotate to the r09 front. Re-derive each round from
+    the updated CORRECTNESS_r{N} union.
     """
     return {
-        # --- never driver-checked (round-8 additions) ---
+        # --- r08 front (VERDICT r07 #3/#4): the one r03-evidence straggler the
+        # --- r07 window missed (off-by-one), then the two entries queued for the
+        # --- r08 10x smoke, then the never-checked r08 additions
+        "streaming_sliding_windows": _q_streaming_sliding_windows,
+        "attribution_user_clicks": _q_attribution_user_clicks,
+        "common_neighbors_copurchase": _q_common_neighbors_copurchase,
         "mutual_knn_ivf_embed": _q_mutual_knn_ivf_embed,
         "mutual_knn_ivf_recall": _q_mutual_knn_ivf_recall,
         "ra_link_pred_copurchase": _q_ra_link_pred_copurchase,
         "markov_transitions_events": _q_markov_transitions_events,
         "assoc_rules_copurchase": _q_assoc_rules_copurchase,
         "streaming_transitions": _q_streaming_transitions,
-        # --- never driver-checked (round-7 additions) ---
-        "copurchase_pairs_capped": _q_copurchase_pairs_capped,
-        "copurchase_triples_capped": _q_copurchase_triples_capped,
-        "ttr_by_source_docs": _q_ttr_by_source_docs,
-        "decayed_score_users": _q_decayed_score_users,
-        "er_score_parts": _q_er_score_parts,
-        "multimodal_audio_decimate": _q_multimodal_audio_decimate,
-        "mutual_knn_embed": _q_mutual_knn_embed,
-        "prefix_jaccard_docs": _q_prefix_jaccard_docs,
-        "attribution_user_clicks": _q_attribution_user_clicks,
-        "common_neighbors_copurchase": _q_common_neighbors_copurchase,
-        "labelprop_copurchase": _q_labelprop_copurchase,
-        # --- latest green r03 ---
-        "session_window_events": _q_session_window_events,
-        "ann_topk_quantized": _q_ann_topk_quantized,
-        "decontaminate_docs": _q_decontaminate_docs,
-        "pii_scrub_docs": _q_pii_scrub_docs,
-        "approx_distinct_events": _q_approx_distinct_events,
-        "resample_user_hourly": _q_resample_user_hourly,
-        "mix_sources_docs": _q_mix_sources_docs,
-        "diff_apply_roundtrip": _q_diff_apply_roundtrip,
-        "dedup_survivor_corpus": _q_dedup_survivor_corpus,
-        "lsh_near_dup_recall": _q_lsh_near_dup_recall,
-        "minhash_cluster_docs": _q_minhash_cluster_docs,
-        "multimodal_sniff_parse": _q_multimodal_sniff_parse,
-        "outliers_events": _q_outliers_events,
-        "tfidf_top_docs": _q_tfidf_top_docs,
-        "bm25_docs": _q_bm25_docs,
-        "dedup_cluster_docs": _q_dedup_cluster_docs,
-        "streaming_click_attrib": _q_streaming_click_attrib,
-        "streaming_enriched_segments": _q_streaming_enriched_segments,
-        "repetition_docs": _q_repetition_docs,
-        "q15_top_supplier": _q_q15_top_supplier,
-        "q8_market_share": _q_q8_market_share,
-        "moments_lineitem": _q_moments_lineitem,
-        "drift_orders": _q_drift_orders,
-        "fuzzy_join_part_names": _q_fuzzy_join_part_names,
-        "ohlc_user_hourly": _q_ohlc_user_hourly,
-        "hopping_window_events": _q_hopping_window_events,
-        "event_paths_users": _q_event_paths_users,
-        "retention_cohorts_events": _q_retention_cohorts_events,
-        "rfm_segments_events": _q_rfm_segments_events,
-        "hll_rollup_events": _q_hll_rollup_events,
-        "variant_events_props": _q_variant_events_props,
-        "cap_per_source_docs": _q_cap_per_source_docs,
-        "token_rarity_docs": _q_token_rarity_docs,
-        "change_intervals_events": _q_change_intervals_events,
-        "profile_orders": _q_profile_orders,
-        "ann_pq_recall": _q_ann_pq_recall,
-        "merge_upsert_orders": _q_merge_upsert_orders,
-        "weighted_sample_docs": _q_weighted_sample_docs,
-        "streaming_dedup_events": _q_streaming_dedup_events,
-        "streaming_sliding_windows": _q_streaming_sliding_windows,
-        # --- latest green r04 ---
+        # --- latest green r04 (oldest evidence block, oldest-first)
         "q7_volume_shipping": _q_q7_volume_shipping,
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
         "conversion_latency_events": _q_conversion_latency_events,
@@ -6955,7 +6912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _q_ann_topk,
         "text_quality_docs": _q_text_quality_docs,
         "sample_split_docs": _q_sample_split_docs,
-        # --- latest green r05 ---
+        # --- latest green r05
         "pagerank_copurchase": _q_pagerank_copurchase,
         "heavy_hitters_docs": _q_heavy_hitters_docs,
         "diverse_sample_embed": _q_diverse_sample_embed,
@@ -7006,7 +6963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digest_orders": _q_digest_orders,
         "zorder_key_events": _q_zorder_key_events,
         "date_funcs_events": _q_date_funcs_events,
-        # --- latest green r06 (freshest last) ---
+        # --- latest green r06
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,
         "q11_important_stock": _q_q11_important_stock,
         "q16_supplier_cnt": _q_q16_supplier_cnt,
@@ -7057,6 +7014,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_events": _q_salted_join_events,
         "funnel_events": _q_funnel_events,
         "span_dedup_docs": _q_span_dedup_docs,
+        # --- latest green r07 (freshest last)
+        "copurchase_pairs_capped": _q_copurchase_pairs_capped,
+        "copurchase_triples_capped": _q_copurchase_triples_capped,
+        "ttr_by_source_docs": _q_ttr_by_source_docs,
+        "decayed_score_users": _q_decayed_score_users,
+        "er_score_parts": _q_er_score_parts,
+        "multimodal_audio_decimate": _q_multimodal_audio_decimate,
+        "mutual_knn_embed": _q_mutual_knn_embed,
+        "prefix_jaccard_docs": _q_prefix_jaccard_docs,
+        "labelprop_copurchase": _q_labelprop_copurchase,
+        "session_window_events": _q_session_window_events,
+        "ann_topk_quantized": _q_ann_topk_quantized,
+        "decontaminate_docs": _q_decontaminate_docs,
+        "pii_scrub_docs": _q_pii_scrub_docs,
+        "approx_distinct_events": _q_approx_distinct_events,
+        "resample_user_hourly": _q_resample_user_hourly,
+        "mix_sources_docs": _q_mix_sources_docs,
+        "diff_apply_roundtrip": _q_diff_apply_roundtrip,
+        "dedup_survivor_corpus": _q_dedup_survivor_corpus,
+        "lsh_near_dup_recall": _q_lsh_near_dup_recall,
+        "minhash_cluster_docs": _q_minhash_cluster_docs,
+        "multimodal_sniff_parse": _q_multimodal_sniff_parse,
+        "outliers_events": _q_outliers_events,
+        "tfidf_top_docs": _q_tfidf_top_docs,
+        "bm25_docs": _q_bm25_docs,
+        "dedup_cluster_docs": _q_dedup_cluster_docs,
+        "streaming_click_attrib": _q_streaming_click_attrib,
+        "streaming_enriched_segments": _q_streaming_enriched_segments,
+        "repetition_docs": _q_repetition_docs,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q8_market_share": _q_q8_market_share,
+        "moments_lineitem": _q_moments_lineitem,
+        "drift_orders": _q_drift_orders,
+        "fuzzy_join_part_names": _q_fuzzy_join_part_names,
+        "ohlc_user_hourly": _q_ohlc_user_hourly,
+        "hopping_window_events": _q_hopping_window_events,
+        "event_paths_users": _q_event_paths_users,
+        "retention_cohorts_events": _q_retention_cohorts_events,
+        "rfm_segments_events": _q_rfm_segments_events,
+        "hll_rollup_events": _q_hll_rollup_events,
+        "variant_events_props": _q_variant_events_props,
+        "cap_per_source_docs": _q_cap_per_source_docs,
+        "token_rarity_docs": _q_token_rarity_docs,
+        "change_intervals_events": _q_change_intervals_events,
+        "profile_orders": _q_profile_orders,
+        "ann_pq_recall": _q_ann_pq_recall,
+        "merge_upsert_orders": _q_merge_upsert_orders,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "streaming_dedup_events": _q_streaming_dedup_events,
     }
 
 
