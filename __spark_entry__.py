@@ -1335,6 +1335,179 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _q_edge_jaccard_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structural similarity of every EXISTING co-purchase edge
+    (operators/cluster.py:edge_structural_similarity): open-
+    neighborhood Jaccard in exact truncating ppm — the SCAN-family
+    edge weight separating intra-community edges from bridges, on the
+    same capped wedge machinery as the link predictors (max_degree=100
+    slice before the quadratic expansion, FULL degrees for the
+    denominator, semi-orientation inner join keeps existing edges,
+    zero-common bridges kept via the left join)."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    return CC.edge_structural_similarity(
+        pairs, src_col="p1", dst_col="p2", max_degree=100
+    )
+
+
+_SQL_EDGE_JACCARD_COPURCHASE = """
+WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und AS (SELECT p1 AS s, p2 AS d FROM prs
+        UNION ALL SELECT p2, p1 FROM prs),
+deg AS (SELECT s, count(*) AS deg FROM und GROUP BY s),
+capped AS (
+  SELECT s, d FROM (
+    SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) AS rn
+    FROM und) WHERE rn <= 100),
+wedges AS (
+  SELECT a.d AS u, b.d AS v
+  FROM capped a JOIN capped b ON a.s = b.s AND a.d < b.d),
+cn AS (SELECT u, v, count(*) AS common_cnt FROM wedges GROUP BY 1, 2)
+SELECT e.p1, e.p2,
+       CAST(coalesce(cn.common_cnt, 0) AS BIGINT) AS common_cnt,
+       CAST(d1.deg AS BIGINT) AS deg1,
+       CAST(d2.deg AS BIGINT) AS deg2,
+       CAST(coalesce(cn.common_cnt, 0) * 1000000 //
+            (d1.deg + d2.deg - coalesce(cn.common_cnt, 0)) AS BIGINT)
+         AS jaccard_ppm
+FROM prs e
+LEFT JOIN cn ON e.p1 = cn.u AND e.p2 = cn.v
+JOIN deg d1 ON e.p1 = d1.s
+JOIN deg d2 ON e.p2 = d2.s
+"""
+
+
+def _q_hits_parts_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HITS authority scores over the customer->part bipartite
+    incidence (operators/cluster.py:hits_bipartite, 2 iterations,
+    exact unnormalized integers in DECIMAL(38,0)): a part's score
+    weights each buyer by that buyer's own purchasing breadth — the
+    endorsement-weighted popularity ranking one step past raw degree.
+    Incidence = orders x lineitem distinct (custkey, partkey); final
+    scores cast to BIGINT (bounded well inside int64 at driver scales;
+    the 128-bit internal keeps the ITERATION exact)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inc = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+    )
+    r = CC.hits_bipartite(inc, hub_col="cust", auth_col="part", iterations=2)
+    return r.select(
+        F.col("auth").alias("part"), F.col("score").cast("long").alias("score")
+    )
+
+
+_SQL_HITS_PARTS_CUSTOMERS = """
+WITH inc AS (
+  SELECT DISTINCT o_custkey AS h, l_partkey AS a
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+a1 AS (SELECT a, count(*) AS s FROM inc GROUP BY a),
+h1 AS (SELECT h, sum(s) AS hs FROM inc JOIN a1 USING (a) GROUP BY h),
+a2 AS (SELECT a, sum(hs) AS s FROM inc JOIN h1 USING (h) GROUP BY a)
+SELECT a AS part, CAST(s AS BIGINT) AS score FROM a2
+"""
+
+
+def _q_skipgram_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram token co-occurrence with exact-integer PMI lift
+    (operators/corpus.py:skipgram_pairs, window=2, min_count=25) —
+    the word2vec-equivalent collocation statistic (Levy & Goldberg's
+    SGNS-factorized matrix): in-row pair expansion (no join before the
+    count), marginals and the pair total aggregated over the compact
+    pair relation and broadcast back, 128-bit DECIMAL lift with the
+    same truncation as DuckDB HUGEINT //."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.skipgram_pairs(d, "text", window=2, min_count=25)
+
+
+_SQL_SKIPGRAM_PMI_DOCS = """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+p AS (
+  SELECT tk[i] AS a, tk[i + j] AS b
+  FROM t, LATERAL unnest(range(1, len(tk) + 1)) AS r(i),
+       LATERAL unnest(range(1, 3)) AS s(j)
+  WHERE i + j <= len(tk)),
+c AS (SELECT a, b, count(*) AS n_ab FROM p GROUP BY 1, 2),
+sa AS (SELECT a, sum(n_ab) AS n_a FROM c GROUP BY a),
+tb AS (SELECT b, sum(n_ab) AS n_b FROM c GROUP BY b),
+tot AS (SELECT sum(n_ab) AS n_pairs FROM c)
+SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_ab::HUGEINT * n_pairs * 1000000 //
+            (n_a::HUGEINT * n_b) AS BIGINT) AS lift_ppm
+FROM c JOIN sa USING (a) JOIN tb USING (b) CROSS JOIN tot
+WHERE n_ab >= 25
+"""
+
+
+def _q_phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-aligned phrase search
+    (operators/corpus.py:phrase_match_stats, phrase "table scan"):
+    in-row alignment scan over each doc's token array — no join, no
+    shuffle, filter and projection push to the parquet scan; emits
+    per-doc match count and first 0-based token offset."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.phrase_match_stats(d, "doc_id", "text", ["table", "scan"])
+
+
+_SQL_PHRASE_SEARCH_DOCS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+m AS (
+  SELECT doc_id, i
+  FROM t, LATERAL unnest(range(1, len(tk))) AS r(i)
+  WHERE tk[i] = 'table' AND tk[i + 1] = 'scan')
+SELECT doc_id, count(*) AS n_matches,
+       CAST(min(i) - 1 AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id
+"""
+
+
+def _q_seasonality_lift_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-of-week seasonality lift per event type
+    (operators/range_join.py:seasonality_lift): observed cell count
+    over the independence expectation in exact truncating ppm — one
+    cell-grain aggregate over the stream, marginals aggregated from
+    the cell relation and broadcast back. Hour-of-week anchors on
+    Sunday 00:00 (Spark dayofweek 1 = Sunday; DuckDB dayofweek 0 =
+    Sunday — the oracle replays the same anchor)."""
+    e = _t(spark, sf_dir, "events")
+    return RJ.seasonality_lift(e, "ts", "event_type")
+
+
+_SQL_SEASONALITY_LIFT_EVENTS = """
+WITH cells AS (
+  SELECT event_type AS type,
+         CAST(dayofweek(ts) * 24 + hour(ts) AS BIGINT) AS how,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+bt AS (SELECT type, sum(n) AS n_type FROM cells GROUP BY type),
+bh AS (SELECT how, sum(n) AS n_hour FROM cells GROUP BY how),
+tot AS (SELECT sum(n) AS n_total FROM cells)
+SELECT type, how, CAST(n AS BIGINT) AS n,
+       CAST(n::HUGEINT * n_total * 1000000 //
+            (n_type::HUGEINT * n_hour) AS BIGINT) AS lift_ppm
+FROM cells JOIN bt USING (type) JOIN bh USING (how) CROSS JOIN tot
+"""
+
+
 def _q_mutual_knn_ivf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN graph via the IVF PRODUCTION path (r08 — VERDICT r07
     #1/#2: the one embedding family whose only edge source was the
@@ -6861,6 +7034,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions_events": _q_markov_transitions_events,
         "assoc_rules_copurchase": _q_assoc_rules_copurchase,
         "streaming_transitions": _q_streaming_transitions,
+        "edge_jaccard_copurchase": _q_edge_jaccard_copurchase,
+        "hits_parts_customers": _q_hits_parts_customers,
+        "skipgram_pmi_docs": _q_skipgram_pmi_docs,
+        "phrase_search_docs": _q_phrase_search_docs,
+        "seasonality_lift_events": _q_seasonality_lift_events,
         # --- latest green r04 (oldest evidence block, oldest-first)
         "q7_volume_shipping": _q_q7_volume_shipping,
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
@@ -7971,6 +8149,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "markov_transitions_events": _SQL_MARKOV_TRANSITIONS_EVENTS,
         "assoc_rules_copurchase": _SQL_ASSOC_RULES_COPURCHASE,
         "streaming_transitions": _SQL_MARKOV_TRANSITIONS_EVENTS,
+        "edge_jaccard_copurchase": _SQL_EDGE_JACCARD_COPURCHASE,
+        "hits_parts_customers": _SQL_HITS_PARTS_CUSTOMERS,
+        "skipgram_pmi_docs": _SQL_SKIPGRAM_PMI_DOCS,
+        "phrase_search_docs": _SQL_PHRASE_SEARCH_DOCS,
+        "seasonality_lift_events": _SQL_SEASONALITY_LIFT_EVENTS,
         "prefix_jaccard_docs": _SQL_PREFIX_JACCARD_DOCS,
         "attribution_user_clicks": _SQL_ATTRIBUTION_USER_CLICKS,
         "common_neighbors_copurchase": _SQL_COMMON_NEIGHBORS_COPURCHASE,

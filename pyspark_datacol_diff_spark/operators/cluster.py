@@ -1375,3 +1375,163 @@ def resource_allocation_candidates(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def edge_structural_similarity(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = 100,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """STRUCTURAL SIMILARITY of every EXISTING edge — open-neighborhood
+    Jaccard ``|N(u) inter N(v)| / |N(u) union N(v)|`` in exact integer
+    ppm. This is the edge weight SCAN-family graph clustering
+    (Xu et al., KDD 2007) thresholds to find communities, hubs and
+    outliers, and the standard "is this edge inside a community or a
+    bridge between two?" score: a high-Jaccard edge lives inside a
+    dense cluster, a low-Jaccard edge connects strangers. (SCAN itself
+    uses closed neighborhoods and a float sqrt-cosine; the Jaccard
+    variant needs no float — closed-neighborhood counts are the open
+    ones + 2 for an existing edge, derivable by the caller.)
+
+    Scale shape mirrors :func:`common_neighbor_candidates`: per-node
+    neighbor lists (one keyed shuffle), ``max_degree`` slices each
+    sorted list before the quadratic wedge expansion (per-node work
+    min(deg, cap)^2; pairs whose shared neighbors all rank beyond the
+    cap are undercounted BY CONTRACT, deterministically), wedge pairs
+    hash-aggregate on the pair key, then ONE semi-orientation inner
+    join keeps existing edges only (the link predictors anti-join the
+    same relation) and the FULL degrees (computed on the unsliced
+    neighbor sets) ride in via two broadcast-sized node-grain joins.
+    An existing edge with zero shared neighbors is still emitted
+    (jaccard 0) via a left join from the edge list, not the wedge
+    relation — bridges are the interesting rows.
+
+    Returns ``(p1, p2, common_cnt, deg1, deg2, jaccard_ppm)`` with
+    p1 < p2; ``jaccard_ppm = common_cnt * ppm_scale DIV
+    (deg1 + deg2 - common_cnt)`` (truncating, denominator >= 2 for any
+    existing edge so never zero).
+
+    Reference scope note: no graph operators exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    if max_degree is not None and max_degree < 2:
+        raise ValueError(
+            f"max_degree must be >= 2 (a 1-neighbor cap generates no "
+            f"wedges at all), got {max_degree}"
+        )
+    e = _canonical(
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    )
+    und = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    full = F.array_sort(F.collect_set("d"))
+    hubs = und.groupBy(F.col("s").alias("n")).agg(full.alias("ns_full"))
+    sliced = (
+        F.slice("ns_full", 1, max_degree)
+        if max_degree is not None
+        else F.col("ns_full")
+    )
+    hubs = hubs.select(
+        "n", F.size("ns_full").cast("long").alias("deg"), sliced.alias("ns")
+    )
+    hubs = hubs.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism
+    )
+    x1 = hubs.select("ns", F.posexplode("ns").alias("i", "a"))
+    wedges = x1.select(
+        F.col("a").alias("u"),
+        F.explode(
+            F.slice(
+                "ns",
+                F.col("i") + 2,
+                F.greatest(F.size("ns") - F.col("i") - 1, F.lit(0)),
+            )
+        ).alias("v"),
+    )
+    cn = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_cnt")
+    )
+    deg = hubs.select("n", "deg")
+    scored = (
+        e.select(F.col("s").alias("u"), F.col("d").alias("v"))
+        .join(cn.hint("shuffle_hash"), ["u", "v"], "left")
+        .na.fill({"common_cnt": 0})
+        .join(deg.select(F.col("n").alias("u"), F.col("deg").alias("deg1")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("deg2")), "v")
+    )
+    return scored.select(
+        F.col("u").alias("p1"),
+        F.col("v").alias("p2"),
+        F.col("common_cnt").cast("long").alias("common_cnt"),
+        "deg1",
+        "deg2",
+        F.expr(
+            f"common_cnt * {ppm_scale}L DIV (deg1 + deg2 - common_cnt)"
+        ).alias("jaccard_ppm"),
+    )
+
+
+def hits_bipartite(
+    incidence: DataFrame,
+    *,
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS (Kleinberg, JACM 1999) over a BIPARTITE incidence relation
+    — hub nodes point at authority nodes — in EXACT UNNORMALIZED
+    integers: ``h_0 = 1`` for every hub, then alternating
+    ``a_{t+1}(p) = sum of h_t over hubs pointing at p`` and
+    ``h_{t+1}(c) = sum of a_{t+1} over authorities c points at``.
+    Unnormalized HITS preserves the RANKING of the normalized
+    iteration exactly (normalization is a positive scalar per round),
+    and integer sums replay bit-for-bit in any engine — no float
+    L2-normalization drift. The catalog/retrieval use: "which parts do
+    the heaviest buyers concentrate on" — a popularity score that
+    weights an endorsement by the endorser's own breadth, one step
+    beyond raw degree.
+
+    ``iterations`` counts AUTHORITY updates; scores grow like
+    degree^iterations, so sums run in DECIMAL(38,0) (128-bit — safe
+    for 2-3 iterations at warehouse degree scales; the emitted column
+    stays DECIMAL(38,0) so the caller decides the final cast).
+
+    Scale shape: the incidence is deduplicated once (distinct on
+    (hub, auth)); every iteration is one key-partitioned aggregate
+    producing a NODE-grain score frame plus one equi-join of the
+    incidence against that frame, both shuffled on their join key —
+    no windows, no broadcasts of edge-sized data, no driver loop
+    state beyond the fixed iteration count.
+
+    Returns ``(auth, score)`` — authority scores after ``iterations``
+    rounds; hub scores are one more aggregate away and omitted to
+    keep the output single-grain.
+
+    Reference scope note: no graph operators exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    inc = incidence.select(
+        F.col(hub_col).alias("h"), F.col(auth_col).alias("a")
+    ).distinct()
+    # a_1 = in-degree (h_0 = 1), in DECIMAL(38,0) from the start
+    auth = inc.groupBy("a").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("score")
+    )
+    for _ in range(iterations - 1):
+        hub = (
+            inc.join(auth, "a")
+            .groupBy("h")
+            .agg(F.sum("score").cast("decimal(38,0)").alias("hscore"))
+        )
+        auth = (
+            inc.join(hub, "h")
+            .groupBy("a")
+            .agg(F.sum("hscore").cast("decimal(38,0)").alias("score"))
+        )
+    return auth.select(F.col("a").alias("auth"), "score")

@@ -739,3 +739,138 @@ def type_token_ratio(
             F.expr("n_types * CAST(1000000 AS BIGINT) DIV n_tokens"),
         )
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    text_col: str,
+    *,
+    window: int = 2,
+    min_count: int = 2,
+    lowercase: bool = True,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Windowed token CO-OCCURRENCE with exact-integer PMI lift — the
+    word2vec-equivalent skip-gram statistic (Levy & Goldberg, NeurIPS
+    2014 showed SGNS factorizes exactly this matrix): every ORDERED
+    token pair (a before b, gap <= ``window``) is counted, marginals
+    are a's source-count and b's target-count over the SAME pair
+    population, and ``lift_ppm = n_ab * n_pairs * ppm_scale DIV
+    (n_a * n_b)`` (PMI's argument scaled to ppm — > ppm_scale means
+    positively associated; take ``ln`` client-side for literal PMI).
+    Collocation extraction, phrase-table seeding, and PPMI embedding
+    features all read from this one relation.
+
+    Scale shape: the pair expansion is IN-ROW (a nested ``transform``
+    over each doc's token array — per-row work len * window, no join,
+    no shuffle until the count), pair counts hash-aggregate with
+    map-side combine, marginals and the pair total are aggregates OVER
+    THE COMPACT PAIR-COUNT RELATION (distinct-pair-grain, not
+    corpus-grain) broadcast back, and ``min_count`` prunes the tail
+    AFTER marginals so the denominators stay exact. The 128-bit lift
+    product runs in DECIMAL(38,0) (same truncation as HUGEINT ``//``).
+
+    Returns ``(a, b, n_ab, n_a, n_b, lift_ppm)``.
+
+    Reference scope note: north-star extension — the reference library
+    computes no text statistic (SURVEY.md §2).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    tk = F.filter(tokens(t), lambda x: x != F.lit(""))
+    pairs = (
+        df.select(tk.alias("tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(tk, (x, i) -> "
+                    f"transform(slice(tk, i + 2, {window}), "
+                    f"y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    src = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    tgt = pairs.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = pairs.select(F.sum("n_ab").alias("n_pairs"))
+    return (
+        pairs.filter(F.col("n_ab") >= min_count)
+        .join(F.broadcast(src), "a")
+        .join(F.broadcast(tgt), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST(CAST(n_ab AS DECIMAL(38,0)) * n_pairs * {ppm_scale} "
+                f"DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def phrase_match_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: Sequence[str],
+    *,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Exact k-token PHRASE SEARCH — which documents contain the
+    phrase as CONSECUTIVE whitespace tokens, how often, and where it
+    first occurs. The contamination / quote-detection primitive one
+    notch stricter than n-gram overlap: token-aligned, so ``"scan
+    merge"`` never matches inside ``"rescan merged"`` the way a raw
+    substring search would.
+
+    Scale shape: matching is IN-ROW — one pass over each doc's token
+    array testing every alignment (``filter`` over the index range
+    with a k-term conjunction), so the operator is an embarrassingly
+    parallel scan with NO join and NO shuffle: filter and projection
+    push straight down to the parquet scan, and a k-token phrase
+    costs k comparisons per position only until the first mismatch
+    (``forall`` short-circuits). The posting-list alternative (k-way
+    positional-index self-join) only wins when the index is
+    PREBUILT and reused across many phrases; for scan-time search
+    this is the plan a 1000-executor cluster wants.
+
+    Returns ``(doc_id, n_matches, first_pos)`` for matching docs only;
+    ``first_pos`` is the 0-based token offset of the first occurrence.
+    """
+    k = len(phrase)
+    if k < 1:
+        raise ValueError("phrase must have at least one token")
+    if any((not w) or (" " in w) for w in phrase):
+        raise ValueError(f"phrase tokens must be non-empty and space-free, got {phrase!r}")
+    lit = [w.lower() if lowercase else w for w in phrase]
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    conj = " AND ".join(
+        f"tk[i + {j}] = '{w}'" for j, w in enumerate(lit)
+    )
+    hits = F.expr(
+        f"filter(sequence(0, size(tk) - {k}), i -> {conj})"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.filter(tokens(t), lambda x: x != F.lit("")).alias("tk"),
+        )
+        .filter(F.size("tk") >= k)
+        .select("doc_id", hits.alias("hits"))
+        .filter(F.size("hits") > 0)
+        .select(
+            "doc_id",
+            F.size("hits").cast("long").alias("n_matches"),
+            F.element_at("hits", 1).cast("long").alias("first_pos"),
+        )
+    )

@@ -346,3 +346,64 @@ def transition_counts(
             F.expr(f"n * {ppm_scale}L DIV __n_from").alias("p_ppm"),
         )
     )
+
+
+def seasonality_lift(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    *,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """HOUR-OF-WEEK SEASONALITY per category in exact integer ppm —
+    the observed-over-expected lift a capacity planner or anomaly
+    baseline wants: for each (category, hour-of-week) cell,
+    ``lift_ppm = n_cell * n_total * ppm_scale DIV (n_type * n_hour)``
+    (> ppm_scale: the category over-indexes in that hour relative to
+    BOTH its own volume and the hour's overall traffic — the
+    independence-null lift, same exact-rational rendering as the PMI
+    and association-rule scores; 128-bit DECIMAL(38,0) arithmetic so
+    warehouse-scale counts cannot overflow the product).
+
+    Hour-of-week is ``(dow - 1) * 24 + hour`` with dow 1 = Sunday
+    (Spark ``dayofweek``), so how ranges 0..167 anchored on Sunday
+    00:00 — the convention is part of the output contract.
+
+    Scale shape: ONE cell-grain aggregate over the events (map-side
+    combine collapses to <= |types| * 168 rows before the shuffle);
+    the three marginals are aggregates OVER THE CELL RELATION
+    (type-grain, hour-grain, scalar) broadcast back — the raw stream
+    is scanned exactly once, and no window ever partitions by a
+    low-cardinality key.
+
+    Returns ``(type, how, n, lift_ppm)``.
+
+    Reference scope note: no time-series analytics exist in the
+    reference (SURVEY.md §2.7); north-star extension surface.
+    """
+    how = (
+        (F.dayofweek(F.col(ts_col)) - F.lit(1)) * F.lit(24)
+        + F.hour(F.col(ts_col))
+    ).cast("long")
+    cells = (
+        df.select(F.col(type_col).alias("type"), how.alias("how"))
+        .groupBy("type", "how")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    by_type = cells.groupBy("type").agg(F.sum("n").alias("__n_type"))
+    by_hour = cells.groupBy("how").agg(F.sum("n").alias("__n_hour"))
+    total = cells.select(F.sum("n").alias("__n_total"))
+    return (
+        cells.join(F.broadcast(by_type), "type")
+        .join(F.broadcast(by_hour), "how")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type",
+            "how",
+            "n",
+            F.expr(
+                f"CAST(CAST(n AS DECIMAL(38,0)) * __n_total * {ppm_scale} "
+                f"DIV (CAST(__n_type AS DECIMAL(38,0)) * __n_hour) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
