@@ -163,6 +163,18 @@ QUERIES = [
     # zero norms on BOTH sides by contract, so it is boundary-safe)
     "markov_transitions_events",
     "mutual_knn_ivf_embed",
+    # late round-8 additions: empty/one-token docs produce zero
+    # skip-gram pairs and zero phrase alignments (must drop out of
+    # both engines identically — the size(tk) >= k filter vs the SQL
+    # range bound); exact-duplicate docs double pair counts without
+    # changing lifts' marginal ratios; duplicate timestamps land in
+    # one hour-of-week cell for the seasonality lift's tied counts.
+    # (edge_jaccard_copurchase reads only the UNstressed lineitem;
+    # hits_parts_customers' stressed orders rows join no lineitem row
+    # — both would duplicate plain parity, omitted like pagerank.)
+    "skipgram_pmi_docs",
+    "phrase_search_docs",
+    "seasonality_lift_events",
 ]
 
 

@@ -124,6 +124,14 @@ QUERIES = [
     # expansion
     "attribution_user_clicks",
     "common_neighbors_copurchase",
+    # round-8 additions: the semi-orientation wedge expansion scoring
+    # EXISTING edges (same cap contract as the link predictors), the
+    # 2-iteration bipartite HITS (two key-partitioned join+agg rounds
+    # over the incidence), and the in-row skip-gram pair expansion
+    # (claim: per-row work len*window, shuffle only at the count)
+    "edge_jaccard_copurchase",
+    "hits_parts_customers",
+    "skipgram_pmi_docs",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those
