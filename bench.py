@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     "kcore_copurchase",          # 4 peel rounds, semi/anti survivor joins
     "khop_copurchase",           # bounded-hop BFS frontier expansion
     "prefix_jaccard_docs",       # AllPairs prefix-filtered set-sim join
+    # new shapes in round 8:
+    "edge_jaccard_copurchase",   # capped wedge expansion scoring edges
+    "hits_parts_customers",      # 2-round bipartite join+agg iteration
+    "skipgram_pmi_docs",         # in-row windowed pair expansion + PMI
+    "mutual_knn_ivf_embed",      # IVF cell-join kNN + reciprocal semi
 ]
 
 
