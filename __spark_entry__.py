@@ -1508,6 +1508,119 @@ FROM cells JOIN bt USING (type) JOIN bh USING (how) CROSS JOIN tot
 """
 
 
+def _q_quantile_rank_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type exact quantile-rank transform
+    (operators/histogram.py:quantile_rank): every event's value
+    rewritten as its empirical percentile within its event type in
+    integer ppm — PERCENT_RANK with min-rank ties, float-free. The
+    prefix-sum window runs over the DISTINCT (type, cents) relation
+    (value-cardinality-sized), never the row stream; rows re-join on
+    the same key they aggregated on."""
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return HG.quantile_rank(c, ["event_type"], "cents").select(
+        "event_id", "event_type", "cents", "pr_ppm"
+    )
+
+
+_SQL_QUANTILE_RANK_EVENTS = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+vc AS (SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+pre AS (
+  SELECT event_type, cents,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) - cnt AS lt
+  FROM vc),
+tot AS (SELECT event_type, sum(cnt) AS n FROM vc GROUP BY 1)
+SELECT event_id, c.event_type, c.cents,
+       CAST(CASE WHEN n > 1 THEN lt * 1000000 // (n - 1) ELSE 0 END
+            AS BIGINT) AS pr_ppm
+FROM c
+JOIN pre ON c.event_type = pre.event_type AND c.cents = pre.cents
+JOIN tot ON c.event_type = tot.event_type
+"""
+
+
+def _q_vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (operators/corpus.py:vocab_growth,
+    10 id-range buckets): per-slice token volume, first-appearance new
+    types, cumulative vocabulary — the Heaps'-law "is more data still
+    buying vocabulary" curve. One vocabulary-sized min-bucket
+    aggregate; the only window is over the 10-row result."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.vocab_growth(d, "doc_id", "text", n_buckets=10)
+
+
+_SQL_VOCAB_GROWTH_DOCS = """
+WITH b AS (SELECT max(doc_id) AS max_id FROM documents),
+toks AS (
+  SELECT CAST(doc_id * 10 // (max_id + 1) AS BIGINT) AS bucket,
+         t.tok AS token
+  FROM documents, b,
+       LATERAL unnest(list_filter(
+         regexp_split_to_array(trim(lower(text)), '\\s+'),
+         x -> x <> '')) AS t(tok)),
+vol AS (SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY 1),
+fs AS (SELECT token, min(bucket) AS bucket FROM toks GROUP BY 1),
+nt AS (SELECT bucket, count(*) AS new_types FROM fs GROUP BY 1)
+SELECT vol.bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY vol.bucket)
+            AS BIGINT) AS cum_types
+FROM vol LEFT JOIN nt ON vol.bucket = nt.bucket
+"""
+
+
+def _q_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between the
+    click and view value distributions
+    (operators/quality.py:ks_statistic): sup-norm CDF distance as a
+    cross-multiplied integer max in ppm — the unbinned upgrade over
+    distribution_drift's fixed bins. One distinct-cents prefix-sum
+    window (value-cardinality-sized by design) + a 1-row max."""
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return QA.ks_statistic(c, "event_type", "cents", "click", "view")
+
+
+_SQL_KS_DRIFT_EVENTS = """
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+vc AS (
+  SELECT cents,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM c GROUP BY 1),
+cum AS (
+  SELECT sum(ca) OVER (ORDER BY cents) AS cum_a,
+         sum(cb) OVER (ORDER BY cents) AS cum_b
+  FROM vc),
+tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM vc)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(max(abs(cum_a::HUGEINT * n_b - cum_b::HUGEINT * n_a)
+                * 1000000 // (n_a::HUGEINT * n_b)) AS BIGINT) AS ks_ppm
+FROM cum CROSS JOIN tot GROUP BY n_a, n_b
+"""
+
+
 def _q_mutual_knn_ivf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN graph via the IVF PRODUCTION path (r08 — VERDICT r07
     #1/#2: the one embedding family whose only edge source was the
@@ -7039,6 +7152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pmi_docs": _q_skipgram_pmi_docs,
         "phrase_search_docs": _q_phrase_search_docs,
         "seasonality_lift_events": _q_seasonality_lift_events,
+        "quantile_rank_events": _q_quantile_rank_events,
+        "vocab_growth_docs": _q_vocab_growth_docs,
+        "ks_drift_events": _q_ks_drift_events,
         # --- latest green r04 (oldest evidence block, oldest-first)
         "q7_volume_shipping": _q_q7_volume_shipping,
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
@@ -8154,6 +8270,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "skipgram_pmi_docs": _SQL_SKIPGRAM_PMI_DOCS,
         "phrase_search_docs": _SQL_PHRASE_SEARCH_DOCS,
         "seasonality_lift_events": _SQL_SEASONALITY_LIFT_EVENTS,
+        "quantile_rank_events": _SQL_QUANTILE_RANK_EVENTS,
+        "vocab_growth_docs": _SQL_VOCAB_GROWTH_DOCS,
+        "ks_drift_events": _SQL_KS_DRIFT_EVENTS,
         "prefix_jaccard_docs": _SQL_PREFIX_JACCARD_DOCS,
         "attribution_user_clicks": _SQL_ATTRIBUTION_USER_CLICKS,
         "common_neighbors_copurchase": _SQL_COMMON_NEIGHBORS_COPURCHASE,

@@ -874,3 +874,69 @@ def phrase_match_stats(
             F.element_at("hits", 1).cast("long").alias("first_pos"),
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 10,
+    lowercase: bool = True,
+) -> DataFrame:
+    """VOCABULARY GROWTH CURVE (Heaps'-law data) over ingestion order
+    — how many NEW token types each successive corpus slice
+    contributes, in exact integers: docs are cut into ``n_buckets``
+    equal id-range slices, each type is charged to the bucket where it
+    FIRST appears, and the curve reports per-bucket token volume, new
+    types, and the cumulative type count. The "is more data still
+    buying vocabulary?" curve behind corpus-scaling and dedup-budget
+    decisions: a flattening curve means new data is rehashing the old
+    distribution.
+
+    Scale shape: explode -> ONE (token)-grain min-bucket aggregate
+    (map-side combine collapses repeats before the shuffle; the
+    shuffle is vocabulary-sized), token volumes ride the same pass as
+    a bucket-grain aggregate, and the cumulative sum windows the
+    ``n_buckets``-row result — the only window in the plan is over a
+    relation whose size the caller fixed. Bucket = ``doc_id * n DIV
+    (max_id + 1)`` from one 1-row broadcast of the id bound; ids are
+    the ingestion order by contract.
+
+    Returns ``(bucket, n_tokens, new_types, cum_types)``.
+
+    Reference scope note: north-star extension — the reference library
+    computes no text statistic (SURVEY.md §2).
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    bounds = df.select(F.max(F.col(id_col)).alias("__max_id"))
+    toks = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"CAST({id_col} AS BIGINT) * {n_buckets} "
+                f"DIV (__max_id + 1)"
+            ).alias("bucket"),
+            F.explode(tokens(t)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    vol = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first = toks.groupBy("token").agg(F.min("bucket").alias("bucket"))
+    new_types = first.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        vol.join(new_types, "bucket", "left")
+        .na.fill({"new_types": 0})
+        .select("bucket", "n_tokens", "new_types")
+        .withColumn("cum_types", F.sum("new_types").over(w))
+    )

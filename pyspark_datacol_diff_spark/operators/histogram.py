@@ -254,3 +254,62 @@ def _rank_probes(
         hit["bin"].alias("bin"),
         hit["lo_edge"].alias("lo_edge"),
     )
+
+
+def quantile_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    ppm_scale: int = 1_000_000,
+    out_col: str = "pr_ppm",
+) -> DataFrame:
+    """Per-group EXACT QUANTILE-RANK feature transform — each row's
+    value rewritten as its empirical percentile within its group, in
+    integer ppm: ``pr_ppm = (strictly-smaller row count) * ppm_scale
+    DIV (n_group - 1)`` — exactly SQL ``PERCENT_RANK()`` with min-rank
+    tie semantics ((rank-1)/(n-1)), rendered without a float so the
+    transform replays bit-for-bit cross-engine. The quantile
+    transformer every feature pipeline wants before a rank-based model
+    or a cross-population comparison; single-row groups get 0.
+
+    Scale shape — NEVER a row-grain global sort: the window that
+    computes the cumulative counts runs over the DISTINCT (group,
+    value) relation (one map-combined aggregate first, so the sort is
+    value-cardinality-sized, not corpus-sized), and rows get their
+    rank back through one equi-join on the same (group, value) key
+    they were just aggregated on. A per-group ``percent_rank()`` over
+    the raw stream would sort every row of a hot group in one task —
+    the exact shape this engine bans (see rfm_segments' fence
+    design); here a group with a billion rows but 50k distinct values
+    windows 50k rows.
+
+    Returns ``df``'s rows (all original columns, NULL values dropped —
+    a NULL has no rank) with ``<out_col>`` appended.
+
+    Reference scope note: no analytics exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    gc = list(group_cols)
+    base = df.filter(F.col(value_col).isNotNull())
+    vc = base.groupBy(*gc, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = (
+        Window.partitionBy(*gc)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = vc.withColumn(
+        "__lt", F.sum("__cnt").over(w) - F.col("__cnt")
+    )
+    tot = vc.groupBy(*gc).agg(F.sum("__cnt").alias("__n"))
+    ranked = pre.join(F.broadcast(tot), gc).select(
+        *gc,
+        value_col,
+        F.when(F.col("__n") > 1, F.expr(f"__lt * {ppm_scale}L DIV (__n - 1)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias(out_col),
+    )
+    return base.join(ranked, [*gc, value_col])

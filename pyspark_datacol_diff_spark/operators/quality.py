@@ -353,3 +353,77 @@ def cusum(
         "cusum",
         (F.col("cusum") > threshold).alias("alarm"),
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT two-sample KOLMOGOROV-SMIRNOV statistic between two
+    groups' value distributions, in integer ppm — the
+    distribution-drift gate one rung above binned relative-frequency
+    comparison (:func:`distribution_drift` sees only the bins you
+    chose; KS is the sup-norm over EVERY threshold):
+    ``ks_ppm = max over distinct values v of
+    |cum_a(v) * n_b - cum_b(v) * n_a| * ppm_scale DIV (n_a * n_b)``
+    — the cross-multiplied integer rendering of
+    ``max |F_a(v) - F_b(v)|``, so the statistic replays bit-for-bit
+    with no float CDF. Compare against the usual
+    ``c(alpha) * sqrt((n_a+n_b)/(n_a*n_b))`` client-side.
+
+    Scale shape: one map-combined aggregate to distinct
+    (group, value) counts, ONE ordered prefix-sum window over the
+    distinct-VALUE relation (value-cardinality-sized, not
+    row-count-sized — a billion events over 50k distinct cents
+    windows 50k rows; the window is unpartitioned BY DESIGN and its
+    input is the compact relation), and a 1-row max aggregate. The
+    128-bit cross-products run in DECIMAL(38,0).
+
+    Returns one row ``(n_a, n_b, ks_ppm)``.
+
+    Reference scope note: no statistics exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    )
+    vc = (
+        base.groupBy(value_col)
+        .agg(
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
+        )
+    )
+    w = (
+        Window.orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = vc.select(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            F.expr(
+                f"abs(CAST(cum_a AS DECIMAL(38,0)) * n_b - "
+                f"CAST(cum_b AS DECIMAL(38,0)) * n_a) * {ppm_scale} "
+                f"DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            ).cast("long").alias("d_ppm"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("d_ppm").alias("ks_ppm"))
+    )

@@ -209,3 +209,94 @@ class TestSeasonalityLift:
         }
         # Sunday 00:00 -> 0; Monday 01:00 -> 25
         assert hows == {0, 25}
+
+
+from pyspark_datacol_diff_spark.operators.histogram import quantile_rank
+from pyspark_datacol_diff_spark.operators.corpus import vocab_growth
+from pyspark_datacol_diff_spark.operators.quality import ks_statistic
+
+
+class TestQuantileRank:
+    def test_percent_rank_with_min_rank_ties(self, spark):
+        # group g: values 10, 20, 20, 30 -> percent_rank 0, 1/3, 1/3, 1
+        d = spark.createDataFrame(
+            [("g", 10), ("g", 20), ("g", 20), ("g", 30)], ["k", "v"]
+        )
+        got = sorted(
+            (r["v"], r["pr_ppm"])
+            for r in quantile_rank(d, ["k"], "v").collect()
+        )
+        assert got == [(10, 0), (20, 333333), (20, 333333), (30, 1000000)]
+
+    def test_single_row_group_is_zero(self, spark):
+        d = spark.createDataFrame([("g", 42)], ["k", "v"])
+        assert quantile_rank(d, ["k"], "v").collect()[0]["pr_ppm"] == 0
+
+    def test_nulls_dropped_and_columns_kept(self, spark):
+        d = spark.createDataFrame(
+            [("g", 1, "x"), ("g", None, "y")], ["k", "v", "extra"]
+        )
+        rows = quantile_rank(d, ["k"], "v").collect()
+        assert len(rows) == 1 and rows[0]["extra"] == "x"
+
+
+class TestVocabGrowth:
+    def test_first_appearance_charging(self, spark):
+        # 2 buckets over ids 0..3: docs 0,1 -> bucket 0; 2,3 -> bucket 1
+        d = spark.createDataFrame(
+            [(0, "a b"), (1, "a c"), (2, "a d"), (3, "c d")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["bucket"]: (r["n_tokens"], r["new_types"], r["cum_types"])
+            for r in vocab_growth(d, "doc_id", "text", n_buckets=2).collect()
+        }
+        # bucket 0: tokens a,b,a,c (4), new types a,b,c (3)
+        # bucket 1: tokens a,d,c,d (4), new types d (1), cum 4
+        assert got == {0: (4, 3, 3), 1: (4, 1, 4)}
+
+    def test_empty_bucket_zero_new_types(self, spark):
+        d = spark.createDataFrame(
+            [(0, "a"), (1, "a")], ["doc_id", "text"]
+        )
+        got = {
+            r["bucket"]: r["new_types"]
+            for r in vocab_growth(d, "doc_id", "text", n_buckets=2).collect()
+        }
+        assert got == {0: 1, 1: 0}
+
+    def test_guard(self, spark):
+        d = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="n_buckets"):
+            vocab_growth(d, "doc_id", "text", n_buckets=0)
+
+
+class TestKsStatistic:
+    def test_identical_distributions_zero(self, spark):
+        d = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 1), ("b", 2)], ["g", "v"]
+        )
+        r = ks_statistic(d, "g", "v", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"], r["ks_ppm"]) == (2, 2, 0)
+
+    def test_disjoint_distributions_one(self, spark):
+        d = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3), ("b", 4)], ["g", "v"]
+        )
+        r = ks_statistic(d, "g", "v", "a", "b").collect()[0]
+        assert r["ks_ppm"] == 1000000
+
+    def test_hand_computed_mid_value(self, spark):
+        # a: {1, 3}; b: {2, 3}. At v=1: |1*2 - 0*2|/4 = 0.5
+        d = spark.createDataFrame(
+            [("a", 1), ("a", 3), ("b", 2), ("b", 3)], ["g", "v"]
+        )
+        r = ks_statistic(d, "g", "v", "a", "b").collect()[0]
+        assert r["ks_ppm"] == 500000
+
+    def test_other_groups_ignored(self, spark):
+        d = spark.createDataFrame(
+            [("a", 1), ("b", 1), ("z", 99)], ["g", "v"]
+        )
+        r = ks_statistic(d, "g", "v", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"], r["ks_ppm"]) == (1, 1, 0)
