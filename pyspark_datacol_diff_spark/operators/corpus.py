@@ -897,18 +897,21 @@ def vocab_growth(
     Scale shape: explode -> ONE (token)-grain min-bucket aggregate
     (map-side combine collapses repeats before the shuffle; the
     shuffle is vocabulary-sized), token volumes ride the same pass as
-    a bucket-grain aggregate, and the cumulative sum windows the
-    ``n_buckets``-row result — the only window in the plan is over a
-    relation whose size the caller fixed. Bucket = ``doc_id * n DIV
-    (max_id + 1)`` from one 1-row broadcast of the id bound; ids are
-    the ingestion order by contract.
+    a bucket-grain aggregate, and the cumulative count runs through
+    :func:`~..incremental.running_total`'s two-phase distributed
+    prefix sum over the ``n_buckets``-row curve — never a
+    SinglePartition window, per the engine's global-window ban (the
+    offsets gather is <= ``n_buckets`` rows, bounded by the caller's
+    own argument). Bucket = ``doc_id * n DIV (max_id + 1)`` from one
+    1-row broadcast of the id bound; ids are the ingestion order by
+    contract.
 
     Returns ``(bucket, n_tokens, new_types, cum_types)``.
 
     Reference scope note: north-star extension — the reference library
     computes no text statistic (SURVEY.md §2).
     """
-    from pyspark.sql import Window
+    from .incremental import running_total
 
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -930,13 +933,15 @@ def vocab_growth(
     new_types = first.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("new_types")
     )
-    w = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
+    curve = (
         vol.join(new_types, "bucket", "left")
         .na.fill({"new_types": 0})
         .select("bucket", "n_tokens", "new_types")
-        .withColumn("cum_types", F.sum("new_types").over(w))
+    )
+    return running_total(
+        curve,
+        "bucket",
+        "new_types",
+        bucket=F.col("bucket"),
+        out_col="cum_types",
     )

@@ -363,6 +363,7 @@ def ks_statistic(
     group_b,
     *,
     ppm_scale: int = 1_000_000,
+    bucket_width: int = 1000,
 ) -> DataFrame:
     """EXACT two-sample KOLMOGOROV-SMIRNOV statistic between two
     groups' value distributions, in integer ppm — the
@@ -377,12 +378,17 @@ def ks_statistic(
     ``c(alpha) * sqrt((n_a+n_b)/(n_a*n_b))`` client-side.
 
     Scale shape: one map-combined aggregate to distinct
-    (group, value) counts, ONE ordered prefix-sum window over the
-    distinct-VALUE relation (value-cardinality-sized, not
-    row-count-sized — a billion events over 50k distinct cents
-    windows 50k rows; the window is unpartitioned BY DESIGN and its
-    input is the compact relation), and a 1-row max aggregate. The
-    128-bit cross-products run in DECIMAL(38,0).
+    (group, value) counts (the relation every later stage sees is
+    value-cardinality-sized, not row-count-sized), then the TWO-PHASE
+    distributed prefix sum (the running_total dataflow — per-bucket
+    local window + driver-gathered bucket offsets as a literal map
+    projection; never a SinglePartition window over the values).
+    ``bucket_width`` partitions the value domain for phase 1 —
+    per-bucket totals are collected, so pick a width that bounds
+    ``domain / width`` (the repo's bounded-collect contract; the
+    default 1000 puts cents-scale domains at thousands of buckets).
+    Final reduction is a 1-row max aggregate; the 128-bit
+    cross-products run in DECIMAL(38,0).
 
     Returns one row ``(n_a, n_b, ks_ppm)``.
 
@@ -402,13 +408,35 @@ def ks_statistic(
             F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
         )
     )
+    b = vc.withColumn(
+        "__pb", F.expr(f"CAST({value_col} AS BIGINT) DIV {bucket_width}")
+    )
     w = (
-        Window.orderBy(value_col)
+        Window.partitionBy("__pb")
+        .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = vc.select(
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
+    local = (
+        b.withColumn("__la", F.sum("ca").over(w))
+        .withColumn("__lb", F.sum("cb").over(w))
+        .persist()
+    )
+    totals = sorted(
+        (r["__pb"], r["ta"], r["tb"])
+        for r in local.groupBy("__pb")
+        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+        .collect()
+    )
+    off_a, off_b, acc_a, acc_b = {}, {}, 0, 0
+    for key, ta, tb in totals:
+        off_a[key], off_b[key] = acc_a, acc_b
+        acc_a += ta or 0
+        acc_b += tb or 0
+    map_a = F.create_map(*[F.lit(x) for kv in off_a.items() for x in kv])
+    map_b = F.create_map(*[F.lit(x) for kv in off_b.items() for x in kv])
+    cum = local.select(
+        (F.col("__la") + map_a[F.col("__pb")]).alias("cum_a"),
+        (F.col("__lb") + map_b[F.col("__pb")]).alias("cum_b"),
     )
     tot = vc.select(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")

@@ -78,9 +78,17 @@ DECLARED_EXACT = {
         "kNN-graph construction over the deliberately bounded vec_id "
         "% 5 node subset: the directed edge list comes from the same "
         "broadcast-bounded exact top-k scan as ann_topk_cosine (O(n*q) "
-        "with q = n_subset by contract); at larger node counts swap "
-        "the edge source for ann_ivf_topk's cell-bounded scan — the "
-        "mutuality join itself is ids-only and subquadratic"
+        "with q = n_subset by contract); the IMPLEMENTED scale path is "
+        "mutual_knn_pairs(method='ivf') — registered as "
+        "mutual_knn_ivf_embed, cell-keyed equi-join, no crossJoin — "
+        "gated by mutual_knn_ivf_recall"
+    ),
+    "mutual_knn_ivf_recall": (
+        "recall gate: the IVF mutual-kNN path's edges are cell-bounded "
+        "(the scale path itself, linted clean as mutual_knn_ivf_embed), "
+        "but the exact ground-truth graph it is measured against is "
+        "the same deliberate broadcast-bounded O(n*q) scan as "
+        "mutual_knn_embed"
     ),
 }
 
