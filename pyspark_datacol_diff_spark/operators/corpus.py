@@ -902,9 +902,12 @@ def vocab_growth(
     prefix sum over the ``n_buckets``-row curve — never a
     SinglePartition window, per the engine's global-window ban (the
     offsets gather is <= ``n_buckets`` rows, bounded by the caller's
-    own argument). Bucket = ``doc_id * n DIV (max_id + 1)`` from one
-    1-row broadcast of the id bound; ids are the ingestion order by
-    contract.
+    own argument). Bucket = ``doc_id * n DIV (max_id + 1)`` with the
+    id bound fetched by ONE 1-row driver aggregate and inlined as a
+    literal (the running_total offsets convention — a broadcast
+    crossJoin here re-plans as a ReusedExchange under the curve's
+    self-reuse and defeats plan-level scalar detection); ids are the
+    ingestion order by contract.
 
     Returns ``(bucket, n_tokens, new_types, cum_types)``.
 
@@ -916,13 +919,14 @@ def vocab_growth(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    bounds = df.select(F.max(F.col(id_col)).alias("__max_id"))
+    max_id = df.select(F.max(F.col(id_col)).alias("m")).collect()[0]["m"]
+    if max_id is None:
+        raise ValueError("vocab_growth needs at least one non-NULL id")
     toks = (
-        df.crossJoin(F.broadcast(bounds))
-        .select(
+        df.select(
             F.expr(
                 f"CAST({id_col} AS BIGINT) * {n_buckets} "
-                f"DIV (__max_id + 1)"
+                f"DIV ({int(max_id)} + 1)"
             ).alias("bucket"),
             F.explode(tokens(t)).alias("token"),
         )
