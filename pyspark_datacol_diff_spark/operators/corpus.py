@@ -852,6 +852,13 @@ def phrase_match_stats(
         raise ValueError("phrase must have at least one token")
     if any((not w) or (" " in w) for w in phrase):
         raise ValueError(f"phrase tokens must be non-empty and space-free, got {phrase!r}")
+    # tokens are inlined into a SQL lambda as string literals — reject
+    # quote/backslash rather than attempt escaping (a whitespace
+    # tokenizer never produces them as part of a match anyway)
+    if any(("'" in w) or ("\\" in w) for w in phrase):
+        raise ValueError(
+            f"phrase tokens must not contain quotes or backslashes, got {phrase!r}"
+        )
     lit = [w.lower() if lowercase else w for w in phrase]
     t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     conj = " AND ".join(

@@ -173,6 +173,11 @@ class TestPhraseMatchStats:
         with pytest.raises(ValueError, match="space-free"):
             phrase_match_stats(d, "doc_id", "text", ["a b"])
 
+    def test_quote_tokens_rejected(self, spark):
+        d = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="quotes"):
+            phrase_match_stats(d, "doc_id", "text", ["a'b"])
+
 
 class TestSeasonalityLift:
     def test_hand_computed_lift(self, spark):
