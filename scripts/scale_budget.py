@@ -59,6 +59,22 @@ WAIVERS: dict[str, tuple[float, str]] = {
         "with the spread driven by the 1x run's ~1 s fixed-cost floor — "
         "not super-linear scaling",
     ),
+    "common_neighbors_copurchase": (
+        2.0,
+        "degree-capped wedge expansion (per-node work min(deg,cap)^2, "
+        "row-linear under the cap); r08 measured same-code 10x ratios "
+        "2.21 (full smoke) vs 1.39 (isolated subset: 1x 5.5-6.1 s, 10x "
+        "7.6-10.4 s) — the spread is JIT/fixed-cost floor on the "
+        "multi-join pipeline, and 10x data always lands in <2.5x time",
+    ),
+    "edge_jaccard_copurchase": (
+        2.0,
+        "same capped wedge machinery as common_neighbors plus two "
+        "degree joins; r08 measured same-code 10x ratios 2.41 (full "
+        "smoke: 1x 2.2 s floor) vs 2.3 (isolated subset: 1x 4.3-5.3 s, "
+        "10x 9.9-10.4 s) — 10x rows in ~2x-2.4x time, sublinear in "
+        "data with a ~2 s fixed floor at 1x",
+    ),
 }
 
 
