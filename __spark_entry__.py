@@ -1508,6 +1508,43 @@ FROM cells JOIN bt USING (type) JOIN bh USING (how) CROSS JOIN tot
 """
 
 
+def _q_streaming_seasonality_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuously-maintained seasonality cells
+    (streaming/continuous_rollup keyed on (type, hour-of-week), three
+    disjoint micro-batches folded into the versioned parquet state)
+    with the lift computed FROM THE STATE
+    (operators/range_join.py:seasonality_lift_from_cells) — the
+    monitoring deployment of the r08 seasonality operator: per batch
+    the work is one cell-grain aggregate + a |cells|-row merge, the
+    event history is never rescanned, and the lift read off the state
+    must equal the one-shot batch computation (the oracle is the SAME
+    SQL as seasonality_lift_events — streaming == batch is the
+    contract)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = STR.stage_disjoint_splits(batch, "event_id", 3)
+    sdf = (
+        STR.read_parquet_stream(
+            spark, src, batch.schema, max_files_per_trigger=1
+        )
+        .transform(SRC.normalize_event_ts)
+        .select(
+            F.col("event_id"),
+            F.col("event_type").alias("type"),
+            RJ.hour_of_week("ts").alias("how"),
+        )
+    )
+    state = STR.continuous_rollup(
+        sdf,
+        ["type", "how"],
+        {"n": ("event_id", "count")},
+        query_name="q_stream_seasonality",
+    )
+    return RJ.seasonality_lift_from_cells(state)
+
+
 def _q_quantile_rank_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7155,6 +7192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rank_events": _q_quantile_rank_events,
         "vocab_growth_docs": _q_vocab_growth_docs,
         "ks_drift_events": _q_ks_drift_events,
+        "streaming_seasonality_events": _q_streaming_seasonality_events,
         # --- latest green r04 (oldest evidence block, oldest-first)
         "q7_volume_shipping": _q_q7_volume_shipping,
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
@@ -8273,6 +8311,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "quantile_rank_events": _SQL_QUANTILE_RANK_EVENTS,
         "vocab_growth_docs": _SQL_VOCAB_GROWTH_DOCS,
         "ks_drift_events": _SQL_KS_DRIFT_EVENTS,
+        "streaming_seasonality_events": _SQL_SEASONALITY_LIFT_EVENTS,
         "prefix_jaccard_docs": _SQL_PREFIX_JACCARD_DOCS,
         "attribution_user_clicks": _SQL_ATTRIBUTION_USER_CLICKS,
         "common_neighbors_copurchase": _SQL_COMMON_NEIGHBORS_COPURCHASE,

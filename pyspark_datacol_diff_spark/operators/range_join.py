@@ -381,15 +381,39 @@ def seasonality_lift(
     Reference scope note: no time-series analytics exist in the
     reference (SURVEY.md §2.7); north-star extension surface.
     """
-    how = (
-        (F.dayofweek(F.col(ts_col)) - F.lit(1)) * F.lit(24)
-        + F.hour(F.col(ts_col))
-    ).cast("long")
     cells = (
-        df.select(F.col(type_col).alias("type"), how.alias("how"))
+        df.select(
+            F.col(type_col).alias("type"),
+            hour_of_week(ts_col).alias("how"),
+        )
         .groupBy("type", "how")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return seasonality_lift_from_cells(cells, ppm_scale=ppm_scale)
+
+
+def hour_of_week(ts_col: str) -> Column:
+    """Hour-of-week 0..167 anchored on Sunday 00:00 (Spark
+    ``dayofweek`` 1 = Sunday) — the seasonality operators' shared
+    bucketing, exposed so a streaming pre-aggregation buckets
+    identically to the batch path."""
+    return (
+        (F.dayofweek(F.col(ts_col)) - F.lit(1)) * F.lit(24)
+        + F.hour(F.col(ts_col))
+    ).cast("long")
+
+
+def seasonality_lift_from_cells(
+    cells: DataFrame,
+    *,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """The marginals-and-lift stage of :func:`seasonality_lift` over a
+    pre-aggregated ``(type, how, n)`` cell relation — the entry point
+    for continuously-maintained cells (a streaming rollup keyed on
+    (type, how) feeds its state table straight in; the lift is always
+    computed from the CURRENT state, never by rescanning history).
+    Same exact-integer contract as the batch path."""
     by_type = cells.groupBy("type").agg(F.sum("n").alias("__n_type"))
     by_hour = cells.groupBy("how").agg(F.sum("n").alias("__n_hour"))
     total = cells.select(F.sum("n").alias("__n_total"))
