@@ -175,6 +175,16 @@ QUERIES = [
     "skipgram_pmi_docs",
     "phrase_search_docs",
     "seasonality_lift_events",
+    # the injected bin-edge / below-lo / duplicate values are exactly
+    # the quantile-rank min-rank-tie class and sit in the KS prefix
+    # sums at the distribution tails; the duplicated doc pair shifts
+    # vocab_growth's token volumes without adding types; the streaming
+    # seasonality must fold the duplicate-timestamp burst through the
+    # same cells as the batch path
+    "quantile_rank_events",
+    "ks_drift_events",
+    "vocab_growth_docs",
+    "streaming_seasonality_events",
 ]
 
 
