@@ -1545,6 +1545,85 @@ def _q_streaming_seasonality_events(
     return RJ.seasonality_lift_from_cells(state)
 
 
+def _q_session_error_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-overlap join
+    (operators/range_join.py:interval_overlap_join): every user
+    session (native 30-min session_window, end = last event + gap)
+    overlapped against the GLOBAL error-burst hours (hours with >= 3
+    error events), with the exact overlap in microseconds — the
+    incident-exposure correlation a theta join can't do at scale. Both
+    interval sets explode to hour buckets, the join is an equi-join on
+    the bucket, and multi-bucket pairs dedup by the overlap-START
+    ownership rule (no distinct). Oracle: gaps-and-islands sessions +
+    a plain inequality join (DuckDB joins the small relation
+    directly)."""
+    e = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    sess = (
+        e.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+        )
+    )
+    bursts = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h_start"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 3)
+        .select(
+            "h_start",
+            (F.col("h_start") + F.expr("INTERVAL 1 HOUR")).alias("h_end"),
+        )
+    )
+    j = RJ.interval_overlap_join(
+        sess,
+        bursts,
+        left_start="s_start",
+        left_end="s_end",
+        right_start="h_start",
+        right_end="h_end",
+        right_cols=["h_start"],
+        bucket_seconds=3600,
+        suffix="",
+    )
+    return j.select("user_id", "s_start", "s_end", "h_start", "overlap_us")
+
+
+_SQL_SESSION_ERROR_OVERLAP = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM x
+), sess AS (
+  SELECT user_id, min(ts) AS s_start,
+         max(ts) + INTERVAL 30 MINUTE AS s_end
+  FROM s GROUP BY user_id, sid
+), b AS (
+  SELECT date_trunc('hour', ts) AS h_start
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING count(*) >= 3
+)
+SELECT user_id, s_start, s_end, h_start,
+       CAST(epoch_us(least(s_end, h_start + INTERVAL 1 HOUR)) -
+            epoch_us(greatest(s_start, h_start)) AS BIGINT) AS overlap_us
+FROM sess JOIN b ON s_start < h_start + INTERVAL 1 HOUR AND h_start < s_end
+"""
+
+
 def _q_quantile_rank_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7193,6 +7272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_docs": _q_vocab_growth_docs,
         "ks_drift_events": _q_ks_drift_events,
         "streaming_seasonality_events": _q_streaming_seasonality_events,
+        "session_error_overlap_events": _q_session_error_overlap,
         # --- latest green r04 (oldest evidence block, oldest-first)
         "q7_volume_shipping": _q_q7_volume_shipping,
         "copurchase_pairs_lineitem": _q_copurchase_pairs,
@@ -8312,6 +8392,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "vocab_growth_docs": _SQL_VOCAB_GROWTH_DOCS,
         "ks_drift_events": _SQL_KS_DRIFT_EVENTS,
         "streaming_seasonality_events": _SQL_SEASONALITY_LIFT_EVENTS,
+        "session_error_overlap_events": _SQL_SESSION_ERROR_OVERLAP,
         "prefix_jaccard_docs": _SQL_PREFIX_JACCARD_DOCS,
         "attribution_user_clicks": _SQL_ATTRIBUTION_USER_CLICKS,
         "common_neighbors_copurchase": _SQL_COMMON_NEIGHBORS_COPURCHASE,

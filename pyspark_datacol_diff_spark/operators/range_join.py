@@ -431,3 +431,84 @@ def seasonality_lift_from_cells(
             ).alias("lift_ppm"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    right_cols: list[str],
+    on: list[str] | None = None,
+    bucket_seconds: int = 86400,
+    suffix: str = "_r",
+) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN — every (left, right) interval pair that
+    overlaps under half-open semantics (``l_start < r_end AND r_start
+    < l_end``; touching endpoints do NOT match, zero-length intervals
+    are points), with the exact overlap length in microseconds
+    attached. The incident-correlation / exposure-attribution join
+    (sessions x outage windows, treatments x observation periods) that
+    a plain equi-join cannot express.
+
+    Scale shape — never an unbounded theta join: both sides explode to
+    the fixed-width TIME BUCKETS they cover (``sequence`` over epoch
+    buckets of ``bucket_seconds``; per-row blow-up = interval length /
+    bucket width, so pick a bucket comparable to typical interval
+    length), the join is an EQUI-join on (``on`` keys + bucket), and a
+    pair overlapping several buckets is kept exactly once WITHOUT a
+    distinct: only the bucket containing the overlap's START survives
+    (``bucket == bucket(greatest(l_start, r_start))`` — the standard
+    dedup-by-ownership rule; a distinct would shuffle the joined
+    relation a second time). Catalyst plans the bucket equi-join like
+    any other join — broadcast when one side is small, shuffle-hash
+    otherwise.
+
+    Returns every left column, ``right_cols`` suffixed, and
+    ``overlap_us >= 0``.
+
+    Reference scope note: the reference's only join is the diff's
+    full-outer equi-join (``find_datacol_diff.py:96``); north-star
+    extension surface.
+    """
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    bucket_us = bucket_seconds * 1_000_000
+    keys = list(on or [])
+
+    def b(c: str) -> Column:
+        return F.expr(f"unix_micros({c}) DIV {bucket_us}")
+
+    lb = left.withColumn(
+        "__b", F.explode(F.sequence(b(left_start), b(left_end)))
+    )
+    rb = right.select(
+        *keys,
+        F.col(right_start).alias("__rs"),
+        F.col(right_end).alias("__re"),
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    ).withColumn("__b", F.explode(F.sequence(b("__rs"), b("__re"))))
+    ovl_start = F.greatest(F.col(left_start), F.col("__rs"))
+    joined = (
+        lb.join(rb, [*keys, "__b"])
+        .filter(
+            (F.col(left_start) < F.col("__re"))
+            & (F.col("__rs") < F.col(left_end))
+        )
+        .filter(
+            F.col("__b")
+            == F.expr(f"unix_micros(greatest({left_start}, __rs)) DIV {bucket_us}")
+        )
+    )
+    overlap = F.expr(
+        f"unix_micros(least({left_end}, __re)) - "
+        f"unix_micros(greatest({left_start}, __rs))"
+    )
+    return joined.select(
+        *left.columns,
+        *[c + suffix for c in right_cols],
+        overlap.alias("overlap_us"),
+    )

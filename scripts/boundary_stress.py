@@ -185,6 +185,11 @@ QUERIES = [
     "ks_drift_events",
     "vocab_growth_docs",
     "streaming_seasonality_events",
+    # the injected exact 30:00 gap is the session-end boundary (end =
+    # last event + gap lands exactly ON an interval edge — half-open
+    # must exclude the touch) and duplicate timestamps stress the
+    # overlap join's session construction on both engines
+    "session_error_overlap_events",
 ]
 
 

@@ -305,3 +305,116 @@ class TestKsStatistic:
         )
         r = ks_statistic(d, "g", "v", "a", "b").collect()[0]
         assert (r["n_a"], r["n_b"], r["ks_ppm"]) == (1, 1, 0)
+
+
+from pyspark_datacol_diff_spark.operators.range_join import (
+    interval_overlap_join,
+)
+
+
+class TestIntervalOverlapJoin:
+    def _mk(self, spark, rows, cols):
+        df = spark.createDataFrame(rows, cols)
+        for c in cols:
+            if c.endswith("s") or c.endswith("e"):
+                df = df.withColumn(c, F.to_timestamp(c))
+        return df
+
+    def test_overlap_touching_and_containment(self, spark):
+        left = self._mk(
+            spark,
+            [
+                (1, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+                (2, "2024-01-01 12:00:00", "2024-01-01 13:00:00"),
+            ],
+            ["lid", "ls", "le"],
+        )
+        right = self._mk(
+            spark,
+            [
+                ("a", "2024-01-01 10:30:00", "2024-01-01 10:45:00"),  # inside 1
+                ("b", "2024-01-01 11:00:00", "2024-01-01 11:30:00"),  # touches 1
+                ("c", "2024-01-01 12:30:00", "2024-01-01 14:00:00"),  # spans 2's tail
+            ],
+            ["rid", "rs", "re"],
+        )
+        got = {
+            (r["lid"], r["rid"]): r["overlap_us"]
+            for r in interval_overlap_join(
+                left, right,
+                left_start="ls", left_end="le",
+                right_start="rs", right_end="re",
+                right_cols=["rid"], suffix="",
+                bucket_seconds=3600,
+            ).collect()
+        }
+        # touching endpoints (b) excluded; containment 15 min; tail 30 min
+        assert got == {(1, "a"): 15 * 60 * 1_000_000, (2, "c"): 30 * 60 * 1_000_000}
+
+    def test_multi_bucket_pair_counted_once(self, spark):
+        # both intervals span 3 hour-buckets; with bucket_seconds=3600
+        # the pair joins in multiple buckets and must dedup to ONE row
+        left = self._mk(
+            spark, [(1, "2024-01-01 10:00:00", "2024-01-01 13:00:00")],
+            ["lid", "ls", "le"],
+        )
+        right = self._mk(
+            spark, [("r", "2024-01-01 09:30:00", "2024-01-01 12:30:00")],
+            ["rid", "rs", "re"],
+        )
+        rows = interval_overlap_join(
+            left, right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            right_cols=["rid"], suffix="",
+            bucket_seconds=3600,
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["overlap_us"] == int(2.5 * 3600) * 1_000_000
+
+    def test_point_interval_inside(self, spark):
+        left = self._mk(
+            spark, [(1, "2024-01-01 10:30:00", "2024-01-01 10:30:00")],
+            ["lid", "ls", "le"],
+        )
+        right = self._mk(
+            spark, [("r", "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+            ["rid", "rs", "re"],
+        )
+        rows = interval_overlap_join(
+            left, right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            right_cols=["rid"], suffix="",
+            bucket_seconds=3600,
+        ).collect()
+        assert len(rows) == 1 and rows[0]["overlap_us"] == 0
+
+    def test_keyed_join_restricts_pairs(self, spark):
+        left = self._mk(
+            spark,
+            [("u1", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+             ("u2", "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+            ["k", "ls", "le"],
+        )
+        right = self._mk(
+            spark, [("u1", "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+            ["k", "rs", "re"],
+        )
+        rows = interval_overlap_join(
+            left, right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            right_cols=["rs"], on=["k"],
+            bucket_seconds=3600,
+        ).collect()
+        assert len(rows) == 1 and rows[0]["k"] == "u1"
+
+    def test_guard(self, spark):
+        d = self._mk(spark, [(1, "2024-01-01 10:00:00", "2024-01-01 11:00:00")], ["i", "ls", "le"])
+        with pytest.raises(ValueError, match="bucket_seconds"):
+            interval_overlap_join(
+                d, d, left_start="ls", left_end="le",
+                right_start="ls", right_end="le",
+                right_cols=["i"], bucket_seconds=0,
+            )
