@@ -132,6 +132,10 @@ QUERIES = [
     "edge_jaccard_copurchase",
     "hits_parts_customers",
     "skipgram_pmi_docs",
+    # late round-8: the bucketed interval-overlap join — the claim is
+    # that the bucket equi-join + overlap-start dedup keeps the pair
+    # relation linear in overlapping pairs at 10x sessions
+    "session_error_overlap_events",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those
