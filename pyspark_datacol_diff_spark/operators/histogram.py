@@ -304,7 +304,10 @@ def quantile_rank(
         "__lt", F.sum("__cnt").over(w) - F.col("__cnt")
     )
     tot = vc.groupBy(*gc).agg(F.sum("__cnt").alias("__n"))
-    ranked = pre.join(F.broadcast(tot), gc).select(
+    # no forced broadcast: tot is group-grain, which is usually tiny
+    # (AQE will broadcast it) but a high-cardinality group column must
+    # be allowed to shuffle-join rather than OOM the driver
+    ranked = pre.join(tot, gc).select(
         *gc,
         value_col,
         F.when(F.col("__n") > 1, F.expr(f"__lt * {ppm_scale}L DIV (__n - 1)"))

@@ -482,10 +482,13 @@ def interval_overlap_join(
     def b(c: str) -> Column:
         return F.expr(f"unix_micros({c}) DIV {bucket_us}")
 
-    lb = left.withColumn(
+    # inverted (end < start) intervals are dropped, not joined: Spark's
+    # sequence() DESCENDS when start > stop, which would enumerate
+    # buckets the interval does not cover
+    lb = left.filter(F.col(left_end) >= F.col(left_start)).withColumn(
         "__b", F.explode(F.sequence(b(left_start), b(left_end)))
     )
-    rb = right.select(
+    rb = right.filter(F.col(right_end) >= F.col(right_start)).select(
         *keys,
         F.col(right_start).alias("__rs"),
         F.col(right_end).alias("__re"),

@@ -418,3 +418,20 @@ class TestIntervalOverlapJoin:
                 right_start="ls", right_end="le",
                 right_cols=["i"], bucket_seconds=0,
             )
+
+    def test_inverted_intervals_dropped(self, spark):
+        left = self._mk(
+            spark, [(1, "2024-01-01 11:00:00", "2024-01-01 10:00:00")],
+            ["lid", "ls", "le"],
+        )
+        right = self._mk(
+            spark, [("r", "2024-01-01 10:00:00", "2024-01-01 12:00:00")],
+            ["rid", "rs", "re"],
+        )
+        assert interval_overlap_join(
+            left, right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            right_cols=["rid"], suffix="",
+            bucket_seconds=3600,
+        ).count() == 0
