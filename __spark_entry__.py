@@ -582,8 +582,11 @@ def _q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__qty") * 100).cast("long").alias("sum_qty_e2"),
         )
     )
+    # big is ORDERKEY-grain (fact-grain behind a selective HAVING): its
+    # size scales with the data, so no forced broadcast — AQE picks
+    # from the measured post-filter size. The customer dim stays hinted.
     return (
-        o.join(F.broadcast(big), "o_orderkey")
+        o.join(big, "o_orderkey")
         .join(F.broadcast(c.select("c_custkey", "c_name")), o["o_custkey"] == c["c_custkey"])
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "sum_qty_e2")
     )
@@ -1393,8 +1396,11 @@ def _q_hits_parts_customers(
     weights each buyer by that buyer's own purchasing breadth — the
     endorsement-weighted popularity ranking one step past raw degree.
     Incidence = orders x lineitem distinct (custkey, partkey); final
-    scores cast to BIGINT (bounded well inside int64 at driver scales;
-    the 128-bit internal keeps the ITERATION exact)."""
+    scores cast to BIGINT through cluster.checked_long, which RAISES
+    on overflow instead of non-ANSI's silent NULL (scores grow like
+    degree^iterations — bounded well inside int64 at <= 2 iterations
+    and driver scales, but a quiet NULL would corrupt a parity compare
+    at larger ones; the 128-bit internal keeps the ITERATION exact)."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     inc = o.join(li, o.o_orderkey == li.l_orderkey).select(
@@ -1402,7 +1408,8 @@ def _q_hits_parts_customers(
     )
     r = CC.hits_bipartite(inc, hub_col="cust", auth_col="part", iterations=2)
     return r.select(
-        F.col("auth").alias("part"), F.col("score").cast("long").alias("score")
+        F.col("auth").alias("part"),
+        CC.checked_long(F.col("score"), context="HITS score").alias("score"),
     )
 
 
@@ -1422,9 +1429,10 @@ def _q_skipgram_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py:skipgram_pairs, window=2, min_count=25) —
     the word2vec-equivalent collocation statistic (Levy & Goldberg's
     SGNS-factorized matrix): in-row pair expansion (no join before the
-    count), marginals and the pair total aggregated over the compact
-    pair relation and broadcast back, 128-bit DECIMAL lift with the
-    same truncation as DuckDB HUGEINT //."""
+    count), vocabulary-grain marginals equi-joined back with the
+    strategy left to AQE (never a forced broadcast of an unbounded
+    token domain), scalar pair total broadcast, 128-bit DECIMAL lift
+    with the same truncation as DuckDB HUGEINT //."""
     d = _t(spark, sf_dir, "documents")
     return CP.skipgram_pairs(d, "text", window=2, min_count=25)
 
@@ -5119,8 +5127,8 @@ def _q_dedup_survivor_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority_col): every component keeps its longest member (n_chars,
     min-id ties) instead of an arbitrary min id — the survivor policy
     real pipelines want (drop the truncated copies, keep the full
-    doc). Same broadcast-victims shape; survivor election is one
-    max_by over the node-grain component relation."""
+    doc). Same AQE-sized victim anti-join shape; survivor election is
+    one max_by over the node-grain component relation."""
     d = _t(spark, sf_dir, "documents")
     pairs = _ngram_pairs(spark, sf_dir)
     kept = CC.drop_near_dups(d, pairs, "doc_id", priority_col="n_chars")
@@ -5134,8 +5142,9 @@ def _q_dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: drop every component member except the
     min-id survivor, then per-source corpus counts — the operation a
     training pipeline actually runs (pairs -> components -> survivors).
-    The victim set is ids-only and broadcast; the corpus never shuffles
-    until the final (tiny) per-source aggregate."""
+    The victim anti-join is AQE-sized (ids-only, but its COUNT scales
+    with the duplication rate — never hint-forced); the corpus never
+    shuffles until the final (tiny) per-source aggregate."""
     d = _t(spark, sf_dir, "documents")
     pairs = _ngram_pairs(spark, sf_dir)
     kept = CC.drop_near_dups(d, pairs, "doc_id")
@@ -7030,11 +7039,12 @@ def _q_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no orderBy: the driver compare is order-insensitive, and a
     # total-order sort would add a rangepartitioning exchange (and a
     # scale-lint warn) for nothing
+    # qual is supplier-key-grain (a keyed distinct): bounded by the
+    # supplier dimension but still data-derived, so the semi join is
+    # not hint-forced — AQE broadcasts it from the measured size
     return (
         _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(qual), F.col("s_suppkey") == F.col("ps_suppkey"), "semi"
-        )
+        .join(qual, F.col("s_suppkey") == F.col("ps_suppkey"), "semi")
         .select("s_suppkey", "s_name")
     )
 

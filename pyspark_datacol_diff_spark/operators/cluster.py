@@ -476,8 +476,11 @@ def drop_near_dups(
     HIGHEST priority (ties -> smallest id) — the keep-best policy
     (keep the longest / highest-quality copy, not an arbitrary one).
 
-    The victim list is tiny relative to the corpus (ids only), so the
-    anti-join broadcasts; the corpus itself never shuffles. The
+    The victim anti-join is NOT hint-forced to broadcast: victims are
+    id-only rows but their COUNT scales with the corpus's duplication
+    rate (a 30-50%-duplicated web crawl has a data-sized victim list),
+    so AQE picks broadcast from the measured size when the list is
+    small and a shuffled anti-join otherwise. The
     priority variant additionally joins the component relation (node
     grain, pair-graph-sized — far smaller than the corpus) against the
     corpus's (id, priority) projection to elect survivors with one
@@ -510,7 +513,7 @@ def drop_near_dups(
             .select("node")
         )
     return df.join(
-        F.broadcast(victims),
+        victims,
         df[id_col] == victims["node"],
         "left_anti",
     )
@@ -1472,6 +1475,28 @@ def edge_structural_similarity(
         F.expr(
             f"common_cnt * {ppm_scale}L DIV (deg1 + deg2 - common_cnt)"
         ).alias("jaccard_ppm"),
+    )
+
+
+def checked_long(col: Column, *, context: str = "value") -> Column:
+    """DECIMAL->BIGINT cast that RAISES AT EXECUTION on overflow instead
+    of non-ANSI mode's silent NULL. Guards casts of values that grow
+    with the data (hits_bipartite scores grow like degree^iterations):
+    an overflow surfaces as a loud job failure naming the context, never
+    as a NULL that quietly drops rows from a parity compare."""
+    return F.when(
+        (col >= F.lit(-(2**63)).cast("decimal(38,0)"))
+        & (col <= F.lit(2**63 - 1).cast("decimal(38,0)")),
+        col.cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"checked_long: {context} overflows BIGINT ("),
+                col.cast("string"),
+                F.lit(") — keep DECIMAL(38,0) end-to-end or reduce "
+                      "iterations/scale"),
+            )
+        )
     )
 
 

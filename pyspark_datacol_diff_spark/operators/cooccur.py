@@ -25,9 +25,12 @@ Scale notes (100 TB):
   a group with k distinct items yields k(k-1)/2 pairs, so callers
   should cap or filter pathological groups upstream (the same
   ``max_df``-style guard the n-gram pair miner exposes);
-- marginals are item-grain and BROADCAST onto the pair aggregate —
+- marginals are item-grain and equi-JOINED onto the pair aggregate —
   deliberately not a window (a hot item's pairs would funnel into one
-  partition) and not a re-join against presence rows.
+  partition) and not a re-join against presence rows; the join is not
+  hint-forced to broadcast because the item domain's cardinality is
+  the caller's data (AQE broadcasts small domains at runtime, large
+  ones shuffle instead of OOMing every executor).
 """
 
 from __future__ import annotations
@@ -63,13 +66,19 @@ def cooccurrence_stats(
     totals = pres.select(
         F.count_distinct(F.col("g")).alias("n_groups")
     )
+    # marginals are ITEM-grain — bounded for a parts catalog, unbounded
+    # for generic item domains — so the joins are deliberately NOT
+    # hint-forced broadcasts: AQE picks broadcast from measured sizes
+    # when the item domain is small and shuffles otherwise (the
+    # quantile_rank totals-join convention). The scalar group total
+    # stays a broadcast: 1 row by construction.
     return (
         pairs.join(
-            F.broadcast(marg.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))),
+            marg.select(F.col("item").alias("item_a"), F.col("n").alias("n_a")),
             "item_a",
         )
         .join(
-            F.broadcast(marg.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))),
+            marg.select(F.col("item").alias("item_b"), F.col("n").alias("n_b")),
             "item_b",
         )
         .crossJoin(F.broadcast(totals))
@@ -236,8 +245,9 @@ def association_rules(
     hot-basket ``cap`` contract — NOTE: under a cap the PAIR counts
     are cap-biased while the item marginals stay exact, so confidence
     is a lower bound on hot baskets); marginals are one item-grain
-    aggregate and the basket total one scalar aggregate, both
-    broadcast onto the pair relation — never windows over it.
+    aggregate equi-joined onto the pair relation (AQE-chosen strategy,
+    never a forced broadcast of an unbounded item domain and never a
+    window over the pairs) and the basket total one scalar broadcast.
 
     Returns ``(antecedent, consequent, n_ab, n_ante, n_cons,
     confidence_ppm, lift_ppm)``.
@@ -262,22 +272,21 @@ def association_rules(
             "n_ab",
         )
     )
+    # item-grain marginals: no forced broadcast (unbounded for generic
+    # item domains — AQE picks the strategy from measured sizes; see
+    # cooccurrence_stats). The scalar basket total stays broadcast.
     scored = (
         both.join(
-            F.broadcast(
-                marg.select(
-                    F.col("item").alias("antecedent"),
-                    F.col("n_item").alias("n_ante"),
-                )
+            marg.select(
+                F.col("item").alias("antecedent"),
+                F.col("n_item").alias("n_ante"),
             ),
             "antecedent",
         )
         .join(
-            F.broadcast(
-                marg.select(
-                    F.col("item").alias("consequent"),
-                    F.col("n_item").alias("n_cons"),
-                )
+            marg.select(
+                F.col("item").alias("consequent"),
+                F.col("n_item").alias("n_cons"),
             ),
             "consequent",
         )

@@ -303,13 +303,17 @@ def shingle_overlap(
         .groupBy("group_a", "group_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    # sizes is GROUP-grain — usually tiny (source labels) but the group
+    # column's cardinality is the caller's data, so the joins are not
+    # hint-forced: AQE broadcasts when the measured size allows and
+    # shuffles otherwise (the quantile_rank totals-join convention)
     out = (
         pairs.join(
-            F.broadcast(sizes.select(F.col("g").alias("group_a"), F.col("sz").alias("n_a"))),
+            sizes.select(F.col("g").alias("group_a"), F.col("sz").alias("n_a")),
             "group_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("g").alias("group_b"), F.col("sz").alias("n_b"))),
+            sizes.select(F.col("g").alias("group_b"), F.col("sz").alias("n_b")),
             "group_b",
         )
         .select("group_a", "group_b", "n_shared", "n_a", "n_b")
@@ -766,9 +770,12 @@ def skipgram_pairs(
     no shuffle until the count), pair counts hash-aggregate with
     map-side combine, marginals and the pair total are aggregates OVER
     THE COMPACT PAIR-COUNT RELATION (distinct-pair-grain, not
-    corpus-grain) broadcast back, and ``min_count`` prunes the tail
-    AFTER marginals so the denominators stay exact. The 128-bit lift
-    product runs in DECIMAL(38,0) (same truncation as HUGEINT ``//``).
+    corpus-grain), and ``min_count`` prunes the tail AFTER marginals so
+    the denominators stay exact. The marginal joins are deliberately
+    NOT hint-forced broadcasts: they are vocabulary-grain (unbounded at
+    web scale), so AQE chooses the strategy from measured sizes. The
+    128-bit lift product runs in DECIMAL(38,0) (same truncation as
+    HUGEINT ``//``).
 
     Returns ``(a, b, n_ab, n_a, n_b, lift_ppm)``.
 
@@ -799,10 +806,16 @@ def skipgram_pairs(
     src = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
     tgt = pairs.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
     tot = pairs.select(F.sum("n_ab").alias("n_pairs"))
+    # no forced broadcast on src/tgt: they are TOKEN-grain (a web-scale
+    # vocabulary is 1e8-1e9 types — a forced broadcast of it kills the
+    # job regardless of AQE). The inner join on the surviving pair keys
+    # prunes them naturally and AQE picks broadcast when the measured
+    # size allows, shuffle otherwise (the quantile_rank totals-join
+    # convention). The scalar pair total stays a broadcast: 1 row.
     return (
         pairs.filter(F.col("n_ab") >= min_count)
-        .join(F.broadcast(src), "a")
-        .join(F.broadcast(tgt), "b")
+        .join(src, "a")
+        .join(tgt, "b")
         .crossJoin(F.broadcast(tot))
         .select(
             "a",
@@ -914,7 +927,12 @@ def vocab_growth(
     literal (the running_total offsets convention — a broadcast
     crossJoin here re-plans as a ReusedExchange under the curve's
     self-reuse and defeats plan-level scalar detection); ids are the
-    ingestion order by contract.
+    ingestion order by contract. WARNING: hash-ordered or otherwise
+    shuffled ids break that contract silently — the curve still
+    computes, but "first appearance" becomes first appearance in id
+    order, not arrival order, and the growth curve is meaningless
+    (types smear uniformly across buckets). Assign monotone ids at
+    ingestion (or sort-and-reassign) before calling.
 
     Returns ``(bucket, n_tokens, new_types, cum_types)``.
 

@@ -390,7 +390,11 @@ def ks_statistic(
     Final reduction is a 1-row max aggregate; the 128-bit
     cross-products run in DECIMAL(38,0).
 
-    Returns one row ``(n_a, n_b, ks_ppm)``.
+    Returns one row ``(n_a, n_b, ks_ppm)``. Raises ``ValueError`` when
+    either group is empty after NULL filtering (the statistic is
+    undefined; Spark and DuckDB would otherwise diverge — NULL vs
+    division error) or when ``value_col`` casts to NULL BIGINT
+    (non-numeric values have no position in the value order).
 
     Reference scope note: no statistics exist in the reference
     (SURVEY.md §2.7); north-star extension surface.
@@ -421,17 +425,37 @@ def ks_statistic(
         .withColumn("__lb", F.sum("cb").over(w))
         .persist()
     )
-    totals = sorted(
+    raw_totals = [
         (r["__pb"], r["ta"], r["tb"])
         for r in local.groupBy("__pb")
         .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
         .collect()
-    )
+    ]
+    if any(k is None for k, _, _ in raw_totals):
+        local.unpersist()
+        raise ValueError(
+            f"{value_col} produced NULL bucket keys (non-numeric or "
+            "BIGINT-overflowing values cast to NULL): a NULL bucket has "
+            "no position in the value ordering — cast or filter such "
+            "rows first (running_total's contract)"
+        )
+    totals = sorted(raw_totals)
     off_a, off_b, acc_a, acc_b = {}, {}, 0, 0
     for key, ta, tb in totals:
         off_a[key], off_b[key] = acc_a, acc_b
         acc_a += ta or 0
         acc_b += tb or 0
+    # empty-group guard: an empty side makes the statistic undefined —
+    # Spark's DIV would yield NULL while DuckDB's // raises, and this
+    # engine's contract is bit-replayable cross-engine semantics, so
+    # raise the same typed error in both worlds instead of diverging
+    if acc_a == 0 or acc_b == 0:
+        local.unpersist()
+        raise ValueError(
+            f"ks_statistic needs non-empty samples on both sides: "
+            f"group_a={group_a!r} has {acc_a} rows, group_b={group_b!r} "
+            f"has {acc_b} rows (after NULL-value filtering)"
+        )
     map_a = F.create_map(*[F.lit(x) for kv in off_a.items() for x in kv])
     map_b = F.create_map(*[F.lit(x) for kv in off_b.items() for x in kv])
     cum = local.select(

@@ -445,6 +445,7 @@ def interval_overlap_join(
     on: list[str] | None = None,
     bucket_seconds: int = 86400,
     suffix: str = "_r",
+    max_buckets_per_row: int = 4096,
 ) -> DataFrame:
     """INTERVAL-OVERLAP JOIN — every (left, right) interval pair that
     overlaps under half-open semantics (``l_start < r_end AND r_start
@@ -468,7 +469,14 @@ def interval_overlap_join(
     otherwise.
 
     Returns every left column, ``right_cols`` suffixed, and
-    ``overlap_us >= 0``.
+    ``overlap_us >= 0``. Rows whose interval covers more than
+    ``max_buckets_per_row`` buckets raise at execution time (a
+    month-long interval at hour buckets is 720 rows of blow-up each —
+    loud failure beats a silently quadratic job; raise the limit or
+    widen ``bucket_seconds`` when long intervals are genuine).
+    Internal working columns ``__b``/``__rs``/``__re``/``__lsu``/
+    ``__leu``/``__ovu`` are reserved: a collision raises (the
+    running_total convention) rather than silently overwriting.
 
     Reference scope note: the reference's only join is the diff's
     full-outer equi-join (``find_datacol_diff.py:96``); north-star
@@ -476,40 +484,95 @@ def interval_overlap_join(
     """
     if bucket_seconds < 1:
         raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    if max_buckets_per_row < 1:
+        raise ValueError(
+            f"max_buckets_per_row must be >= 1, got {max_buckets_per_row}"
+        )
     bucket_us = bucket_seconds * 1_000_000
     keys = list(on or [])
+    reserved = {"__b", "__rs", "__re", "__lsu", "__leu", "__ovu"}
+    bad_left = reserved & set(left.columns)
+    bad_right = reserved & ({*keys, *(c + suffix for c in right_cols)})
+    if bad_left or bad_right:
+        raise ValueError(
+            f"reserved working column(s) {sorted(bad_left | bad_right)} "
+            "collide with input/output names; rename them before "
+            "interval_overlap_join (running_total's convention)"
+        )
 
-    def b(c: str) -> Column:
-        return F.expr(f"unix_micros({c}) DIV {bucket_us}")
+    def bucket_of(us_col: str) -> Column:
+        # DIV over a PRE-ALIASED internal column: exact integer
+        # semantics without interpolating user column names into SQL
+        # text (names needing backticks would break raw inlining)
+        return F.expr(f"{us_col} DIV {bucket_us}")
+
+    def guarded_end(start_b: Column, end_b: Column, side: str) -> Column:
+        # blow-up guard: raise AT EXECUTION on the offending row
+        return F.when(
+            end_b - start_b < F.lit(max_buckets_per_row),
+            end_b,
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_join: a {side} interval covers "
+                        f">= {max_buckets_per_row} buckets of "
+                        f"{bucket_seconds}s ("
+                    ),
+                    (end_b - start_b + 1).cast("string"),
+                    F.lit(
+                        " buckets) — widen bucket_seconds or raise "
+                        "max_buckets_per_row"
+                    ),
+                )
+            )
+        )
 
     # inverted (end < start) intervals are dropped, not joined: Spark's
     # sequence() DESCENDS when start > stop, which would enumerate
     # buckets the interval does not cover
-    lb = left.filter(F.col(left_end) >= F.col(left_start)).withColumn(
-        "__b", F.explode(F.sequence(b(left_start), b(left_end)))
+    lb = (
+        left.filter(F.col(left_end) >= F.col(left_start))
+        .withColumn("__lsu", F.unix_micros(F.col(left_start)))
+        .withColumn("__leu", F.unix_micros(F.col(left_end)))
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    bucket_of("__lsu"),
+                    guarded_end(bucket_of("__lsu"), bucket_of("__leu"), "left"),
+                )
+            ),
+        )
     )
-    rb = right.filter(F.col(right_end) >= F.col(right_start)).select(
-        *keys,
-        F.col(right_start).alias("__rs"),
-        F.col(right_end).alias("__re"),
-        *[F.col(c).alias(c + suffix) for c in right_cols],
-    ).withColumn("__b", F.explode(F.sequence(b("__rs"), b("__re"))))
-    ovl_start = F.greatest(F.col(left_start), F.col("__rs"))
+    rb = (
+        right.filter(F.col(right_end) >= F.col(right_start))
+        .select(
+            *keys,
+            F.unix_micros(F.col(right_start)).alias("__rs"),
+            F.unix_micros(F.col(right_end)).alias("__re"),
+            *[F.col(c).alias(c + suffix) for c in right_cols],
+        )
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    bucket_of("__rs"),
+                    guarded_end(bucket_of("__rs"), bucket_of("__re"), "right"),
+                )
+            ),
+        )
+    )
+    # the overlap's start (in micros) drives BOTH the ownership dedup
+    # (only the bucket containing it keeps the pair — no distinct) and
+    # the overlap length, so it is computed once as __ovu
     joined = (
         lb.join(rb, [*keys, "__b"])
-        .filter(
-            (F.col(left_start) < F.col("__re"))
-            & (F.col("__rs") < F.col(left_end))
-        )
-        .filter(
-            F.col("__b")
-            == F.expr(f"unix_micros(greatest({left_start}, __rs)) DIV {bucket_us}")
-        )
+        .filter((F.col("__lsu") < F.col("__re")) & (F.col("__rs") < F.col("__leu")))
+        .withColumn("__ovu", F.greatest(F.col("__lsu"), F.col("__rs")))
+        .filter(F.col("__b") == bucket_of("__ovu"))
     )
-    overlap = F.expr(
-        f"unix_micros(least({left_end}, __re)) - "
-        f"unix_micros(greatest({left_start}, __rs))"
-    )
+    overlap = F.least(F.col("__leu"), F.col("__re")) - F.col("__ovu")
     return joined.select(
         *left.columns,
         *[c + suffix for c in right_cols],

@@ -14,6 +14,8 @@ the join key is the bucket, not a cross product.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -266,6 +268,42 @@ def assign_cells_arrow(
     ).mapInPandas(assign, out_schema)
 
 
+def auto_nlist(
+    corpus: DataFrame, *, floor: int = 16, cap: int = 65536
+) -> int:
+    """The standard IVF sizing rule ``nlist ~ sqrt(n)`` from ONE count
+    aggregate — balances cell-scan cost (n/nlist rows per probed cell)
+    against probe-list cost (nlist centroid distances per query), the
+    textbook IVF trade (public FAISS guideline: 4*sqrt(n)..16*sqrt(n)
+    cells; we take 1*sqrt(n) because the exact-integer trainers here
+    pay per-cell refit cost).
+
+    A FIXED nlist is a fine contract at a known scale but silently
+    degrades at 1000x: with nlist=8 at 1e9 vectors every cell holds
+    1.25e8 vectors and a probe scans nprobe x that. Pass
+    ``nlist="auto"`` to :func:`ivf_topk`, :func:`hard_negatives_ivf`,
+    or :func:`mutual_knn_pairs` (method='ivf') to have this rule pick
+    the index size at call time; ``floor`` keeps tiny corpora from
+    degenerate 1-2 cell indexes, ``cap`` bounds the plan-folded
+    centroid literal table (cap x dim floats must stay KB-to-MB).
+
+    One job (a count), so call it once and reuse when building several
+    indexes over the same corpus.
+    """
+    n = corpus.count()
+    return max(floor, min(cap, math.isqrt(max(n, 0))))
+
+
+def _resolve_nlist(nlist, corpus: DataFrame) -> int:
+    """'auto' -> :func:`auto_nlist`; otherwise validate the fixed int
+    (the registered driver-scale queries keep their fixed contracts)."""
+    if nlist == "auto":
+        return auto_nlist(corpus)
+    if not isinstance(nlist, int) or nlist < 1:
+        raise ValueError(f"nlist must be a positive int or 'auto', got {nlist!r}")
+    return nlist
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -275,7 +313,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     query_vec_col: str = "qv",
-    nlist: int = 16,
+    nlist: int | str = 16,
     nprobe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
@@ -304,7 +342,13 @@ def ivf_topk(
     plan) and the probe join's shuffle key is the cell id — candidates
     co-locate by cell, never a cross product. Returns
     ``(qid, neighbor_id, rank, sim)``.
+
+    ``nlist="auto"`` sizes the index as ~sqrt(corpus count) via
+    :func:`auto_nlist` (one count job) — the scaling default for
+    corpora whose size the caller does not pin; a fixed int stays a
+    fixed contract (the registered driver-scale queries keep theirs).
     """
+    nlist = _resolve_nlist(nlist, corpus)
     if fit_method == "sample":
         centroids = _sample_centroids(corpus, id_col, vec_col, nlist, seed)
         return _ivf_probe(
@@ -605,7 +649,7 @@ def hard_negatives_ivf(
     query_id_col: str = "qid",
     query_vec_col: str = "qv",
     query_label_col: str = "qlabel",
-    nlist: int = 16,
+    nlist: int | str = 16,
     nprobe: int = 4,
     seed: int = 42,
     assign_method: str = "expr",
@@ -625,7 +669,9 @@ def hard_negatives_ivf(
     TakeOrdered job — the cheap IVF seeding; a recall-gated miner does
     not need trained cells, and the driver-visible recall gate is the
     quality contract). Returns ``(qid, neighbor_id, rank, sim)``.
+    ``nlist="auto"`` -> ~sqrt(corpus count) via :func:`auto_nlist`.
     """
+    nlist = _resolve_nlist(nlist, corpus)
     centroids = _sample_centroids(corpus, id_col, vec_col, nlist, seed)
     return _ivf_probe(
         corpus, queries, k, centroids,
@@ -1839,7 +1885,7 @@ def mutual_knn_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "exact",
-    nlist: int = 8,
+    nlist: int | str = 8,
     nprobe: int = 3,
     iterations: int = 2,
     quant: int = 1_000_000,
@@ -1893,6 +1939,9 @@ def mutual_knn_pairs(
         return _reciprocal_pairs(edges)
     if method != "ivf":
         raise ValueError(f"method must be 'exact' or 'ivf', got {method!r}")
+    # nlist="auto" -> ~sqrt(n) (auto_nlist); the fixed default stays the
+    # driver-scale contract
+    nlist = _resolve_nlist(nlist, df)
     if not 1 <= nprobe <= nlist:
         raise ValueError(f"need 1 <= nprobe <= nlist, got {nprobe}/{nlist}")
     cents: list = []

@@ -21,6 +21,93 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def optimized_plan(df: DataFrame) -> str:
+    """The optimized LOGICAL plan as text — the level where join-strategy
+    HINTS are still visible (``leftHint=/rightHint=(strategy=broadcast)``
+    on the Join node); physical planning consumes them, so a forced
+    broadcast and an AQE-chosen one look identical in the physical plan."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _tree_name_pos(line: str) -> int:
+    """Column where the operator name starts (tree-drawing prefixes are
+    spaces, ':', '+', '-'); -1 for non-node lines."""
+    for i, ch in enumerate(line):
+        if ch not in " :+-":
+            return i
+    return -1
+
+
+def forced_broadcast_builds(df: DataFrame) -> list[dict[str, str]]:
+    """Every broadcast-HINTED join build side in the optimized logical
+    plan, classified by what bounds it:
+
+    - ``scalar``: topmost node feeding the build is a grouping-free
+      aggregate (``Aggregate [exprs]``, one row by construction) — the
+      correct form of a scalar subquery; always safe.
+    - ``limited``: a GlobalLimit bounds the build — safe.
+    - ``keyed_aggregate``: the build is an aggregate GROUPED BY data
+      columns — its row count is the key domain's cardinality, which is
+      the DATA's (a vocabulary, an item catalog, a user id space). At
+      100 TB a forced broadcast of an unbounded domain kills the job
+      regardless of AQE; only a caller-declared bound makes it safe.
+    - ``relation``: no aggregate/limit — a raw or filtered relation
+      (e.g. a dimension table). Boundedness is a caller invariant the
+      plan cannot prove (documented stance in :func:`scale_lint`).
+
+    Returns ``[{"kind", "detail"}, ...]`` in plan order.
+    """
+    lines = optimized_plan(df).splitlines()
+
+    def _direct_children(idx: int) -> list[int]:
+        root = _tree_name_pos(lines[idx])
+        out = []
+        for j in range(idx + 1, len(lines)):
+            p = _tree_name_pos(lines[j])
+            if 0 <= p <= root:
+                break
+            if p == root + 3:
+                out.append(j)
+        return out
+
+    def _subtree(idx: int) -> list[int]:
+        root = _tree_name_pos(lines[idx])
+        out = [idx]
+        for j in range(idx + 1, len(lines)):
+            p = _tree_name_pos(lines[j])
+            if 0 <= p <= root:
+                break
+            out.append(j)
+        return out
+
+    builds: list[dict[str, str]] = []
+    for i, line in enumerate(lines):
+        if "Hint=(strategy=broadcast" not in line:
+            continue
+        kids = _direct_children(i)
+        for side in re.findall(r"(left|right)Hint=\(strategy=broadcast", line):
+            pick = 0 if side == "left" else 1
+            if pick >= len(kids):
+                continue
+            sub = _subtree(kids[pick])
+            kind, detail = "relation", "no aggregate/limit in build subtree"
+            for j in sub:
+                node = lines[j]
+                if "GlobalLimit" in node:
+                    kind, detail = "limited", "GlobalLimit bounds the build"
+                    break
+                m = re.search(r"Aggregate \[(.*?)\](, \[)?", node)
+                if m:
+                    if m.group(2):
+                        kind = "keyed_aggregate"
+                        detail = f"build grouped by [{m.group(1)}]"
+                    else:
+                        kind, detail = "scalar", "grouping-free aggregate (1 row)"
+                    break
+            builds.append({"kind": kind, "detail": detail})
+    return builds
+
+
 def count_op(df: DataFrame, op: str) -> int:
     return len(re.findall(re.escape(op), physical_plan(df)))
 
@@ -98,7 +185,10 @@ def assert_column_pruned(df: DataFrame, column: str) -> None:
 
 
 def scale_lint(
-    df: DataFrame, *, declared_exact_baseline: str | None = None
+    df: DataFrame,
+    *,
+    declared_exact_baseline: str | None = None,
+    declared_bounded_broadcast: str | None = None,
 ) -> list[dict[str, str]]:
     """Audit a DataFrame's physical plan for the patterns that are
     harmless at test scale and fatal at 100 TB. Returns one finding per
@@ -132,6 +222,18 @@ def scale_lint(
       predicates — fine for compute-heavy predicates deliberately held
       above a rebalance (see sources.no_pushdown), wrong for selective
       key predicates.
+
+    - ``forced_broadcast`` (error): a broadcast-HINTED join whose build
+      side is an aggregate GROUPED BY data columns — the build's row
+      count is the key domain's cardinality (a vocabulary, an item
+      catalog), which is the data's, not the schema's. AQE cannot save
+      a hint-forced broadcast; drop the hint and let runtime sizes pick
+      the strategy, or pass ``declared_bounded_broadcast`` when the key
+      domain is bounded by contract (hour-of-week cells, a state
+      machine's states) — the finding then downgrades to info carrying
+      the declaration. Scalar (keys=[]) builds, GlobalLimit-bounded
+      builds, and raw relations are not flagged (relation boundedness
+      is a caller invariant the plan cannot prove — see below).
 
     ``declared_exact_baseline``: pass a one-line justification when the
     operator's CONTRACT is the exact O(n*m) computation — brute-force
@@ -249,6 +351,25 @@ def scale_lint(
                 "warn",
                 f"scan reads {len(cols)} columns, plan references "
                 f"~{len(referenced)}: projection not pushed",
+            )
+    for b in forced_broadcast_builds(df):
+        if b["kind"] != "keyed_aggregate":
+            continue
+        if declared_bounded_broadcast:
+            add(
+                "forced_broadcast",
+                "info",
+                f"broadcast-hinted keyed-aggregate build ({b['detail']}) "
+                f"— declared bounded: {declared_bounded_broadcast}",
+            )
+        else:
+            add(
+                "forced_broadcast",
+                "error",
+                f"broadcast-hinted join build is a keyed aggregate "
+                f"({b['detail']}): its row count is the key domain's "
+                "cardinality — drop the hint (AQE picks from measured "
+                "sizes) or declare the bound",
             )
     has_filter_node = re.search(r"(?m)^[\s:+*-]*(?:\*\(\d+\) )?Filter ", plan)
     if has_filter_node and not pushed_filters(df):

@@ -15,6 +15,19 @@ entries additionally fail if state_ratio exceeds STATE_BUDGET
 (default replicas x 1.5): watermark-bounded state must scale with
 keys, not cumulative input.
 
+Box-drift canary (VERDICT r08 #7): both artifacts time a fixed,
+never-edited plan (default ``two_stage_agg_events``; overridable via
+new.__meta__["canary"]). The gate computes the canary's own
+cross-round 10x ratio and divides every query's ratio by it before
+comparing against the growth budget — a box-epoch slowdown that moves
+EVERYTHING (r08 measured ann 10x 9.2-13.2 s on the same code that had
+timed 6.6-7.1 s in the r07 epoch) is absorbed mechanically instead of
+being adjudicated by hand across repeated smoke runs. The factor is
+clamped to [1.0, 2.0]: a faster box never manufactures failures, and
+a canary regression larger than 2x cannot whitewash the whole run (it
+prints a loud warning instead — at that point the canary itself needs
+investigating).
+
 Declared waivers (VERDICT r05 "What's wrong" #2): a query may carry a
 machine-readable waiver {query: (max_ratio, reason)}. A waived query
 whose growth ratio stays at or under its max_ratio PASSES with a
@@ -105,6 +118,34 @@ def main() -> int:
     replicas = (new.get("__meta__") or {}).get("replicas", 10)
     state_budget = replicas * 1.5
 
+    # box-drift canary: divide every cross-round ratio by the canary's
+    # own ratio (clamped to [1.0, 2.0]) so an epoch-wide slowdown does
+    # not churn the fail set. Floor 1.0 s on both sides keeps jitter
+    # from masquerading as drift.
+    canary = (new.get("__meta__") or {}).get("canary", "two_stage_agg_events")
+    canary_factor = 1.0
+    cn, co = new.get(canary), old.get(canary)
+    if isinstance(cn, dict) and isinstance(co, dict):
+        nk, ok = tenx_key(cn), tenx_key(co)
+        if nk and ok and float(co[ok]) >= 1.0 and float(cn[nk]) >= 1.0:
+            raw = float(cn[nk]) / float(co[ok])
+            canary_factor = min(2.0, max(1.0, raw))
+            if raw > 2.0:
+                print(
+                    f"WARN  canary {canary} itself grew {raw:.2f}x "
+                    "(> the 2.0 normalization cap) — box drift cannot "
+                    "explain that much; investigate the canary"
+                )
+            if canary_factor > 1.0:
+                print(
+                    f"INFO  box-drift canary {canary}: "
+                    f"{co[ok]} -> {cn[nk]} s at 10x; normalizing "
+                    f"cross-round ratios by {canary_factor:.2f}"
+                )
+    else:
+        print(f"INFO  canary {canary} missing from one artifact — "
+              "no drift normalization applied")
+
     failures: list[str] = []
     infos: list[str] = []
     common = sorted(
@@ -135,7 +176,14 @@ def main() -> int:
         if ok is None or not oe.get(ok):
             continue
         t_new, t_old = float(ne[nk]), float(oe[ok])
-        if t_new > growth * t_old and t_new > abs_floor:
+        # drift-normalized comparison: the canary's own growth is box,
+        # not plan — it divides out before the budget check. The canary
+        # self-normalizes too (under drift it regresses with the box by
+        # construction; only growth past the 2.0 cap can fail it, and
+        # that prints the WARN above — the canary is the drift MEASURE,
+        # which is why its plan must never be edited).
+        factor = canary_factor
+        if t_new > growth * t_old * factor and t_new > abs_floor:
             # variance screen: the artifacts record every timed sample,
             # and this box's runs carry sporadic ~2x JIT/scheduler
             # spikes (see scale_smoke) — so a baseline MIN can be a
@@ -155,18 +203,20 @@ def main() -> int:
                     "noise, not plan"
                 )
                 continue
-            ratio = t_new / t_old
+            # waivers are authored against raw cross-round ratios, so
+            # they too compare drift-normalized
+            ratio = t_new / t_old / factor
             waiver = WAIVERS.get(q)
             if waiver is not None and ratio <= waiver[0]:
                 infos.append(
                     f"WAIVED {q}: t_10x {t_old} -> {t_new} s "
-                    f"({ratio:.2f}x, waiver allows {waiver[0]}x: "
-                    f"{waiver[1]})"
+                    f"({ratio:.2f}x drift-normalized, waiver allows "
+                    f"{waiver[0]}x: {waiver[1]})"
                 )
                 continue
             failures.append(
                 f"{q}: t_10x {t_old} -> {t_new} s "
-                f"({ratio:.2f}x > {growth}x budget"
+                f"({ratio:.2f}x drift-normalized > {growth}x budget"
                 + (f", exceeds even its {waiver[0]}x waiver" if waiver else "")
                 + f"; old second-lowest {robust_old})"
             )

@@ -93,6 +93,47 @@ DECLARED_EXACT = {
 }
 
 
+# Queries whose broadcast-HINTED build side is a KEYED aggregate whose
+# key domain is bounded by CONTRACT, not by the data (scale_lint's
+# forced_broadcast class cannot tell a state machine's states from a
+# web-scale vocabulary — boundedness is an explicit opt-in, never an
+# inference). Each declaration downgrades the finding to info WITH the
+# justification attached, visible in the report.
+DECLARED_BOUNDED = {
+    "decontaminate_docs": (
+        "build = the BENCHMARK set's distinct n-grams — bounded by the "
+        "decontamination contract (the benchmark is tiny relative to "
+        "the corpus; that is the operation's premise)"
+    ),
+    "markov_transitions_events": (
+        "build = per-from-state totals — |states| is the event-type "
+        "domain, a schema-bounded enum (documented small-|states| "
+        "assumption in transition_counts)"
+    ),
+    "streaming_transitions": (
+        "build = per-from-state totals over the micro-batch replay — "
+        "same schema-bounded state domain as markov_transitions_events"
+    ),
+    "seasonality_lift_events": (
+        "builds = per-type and per-hour-of-week marginals — at most "
+        "|event types| and exactly 168 rows by construction"
+    ),
+    "streaming_seasonality_events": (
+        "builds = the same type/hour-of-week marginals as "
+        "seasonality_lift_events (at most |event types| x 168 cells), "
+        "recomputed at read over streaming-maintained raw cell counts"
+    ),
+    "outliers_events": (
+        "build = per-group quantile fences — one row per event type "
+        "(schema-bounded enum), the iqr_fences group contract"
+    ),
+    "winsorize_events": (
+        "build = the same per-event-type fence relation as "
+        "outliers_events — one row per schema-bounded group"
+    ),
+}
+
+
 def main() -> int:
     import __spark_entry__ as entry
     from pyspark_datacol_diff_spark import get_spark
@@ -108,6 +149,7 @@ def main() -> int:
             findings = scale_lint(
                 fn(spark, SF_DIR),
                 declared_exact_baseline=DECLARED_EXACT.get(name),
+                declared_bounded_broadcast=DECLARED_BOUNDED.get(name),
             )
         except Exception as e:  # a query that cannot even plan is an error
             findings = [{"code": "plan_failure", "severity": "error",

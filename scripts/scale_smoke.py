@@ -348,6 +348,13 @@ def main() -> None:
         "replicas": K,
         "base": BASE,
         "cpus": cpus,
+        # drift canary (VERDICT r08 #7): a deliberately boring,
+        # never-edited plan timed in every run; scale_budget divides
+        # cross-round ratios by this query's own cross-round ratio, so
+        # a box-epoch slowdown (r08 burned four full smoke runs
+        # adjudicating one by hand) no longer churns the fail set. If
+        # two_stage_agg_events' plan is ever edited, re-designate.
+        "canary": "two_stage_agg_events",
         **({"subset": sorted(QUERIES)} if SUBSET else {}),
         "notes": {
             "ann_topk_cosine": (

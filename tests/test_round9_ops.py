@@ -1,0 +1,397 @@
+"""Round-9 hardening: the forced-broadcast lint class (the r08 verdict's
+one scale-killer), the join-shape regressions pinning its fixes, the
+ks_statistic guards, interval_overlap_join's reserved-column /
+blow-up / quoting hardening, and the checked BIGINT cast."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_datacol_diff_spark.operators.cluster import (
+    checked_long,
+    drop_near_dups,
+)
+from pyspark_datacol_diff_spark.operators.cooccur import (
+    association_rules,
+    cooccurrence_stats,
+)
+from pyspark_datacol_diff_spark.operators.corpus import (
+    shingle_overlap,
+    skipgram_pairs,
+    vocab_growth,
+)
+from pyspark_datacol_diff_spark.operators.quality import ks_statistic
+from pyspark_datacol_diff_spark.operators.range_join import (
+    interval_overlap_join,
+)
+from pyspark_datacol_diff_spark.plans import (
+    forced_broadcast_builds,
+    scale_lint,
+)
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def _keyed_agg_builds(df):
+    return [
+        b for b in forced_broadcast_builds(df) if b["kind"] == "keyed_aggregate"
+    ]
+
+
+class TestForcedBroadcastLint:
+    """plans.scale_lint's new class: a broadcast HINT whose build side
+    is a keyed aggregate — row count = the key domain's cardinality,
+    which is the data's, so AQE cannot save it."""
+
+    def _toy(self, spark):
+        return spark.range(200).select(
+            (F.col("id") % 7).alias("a"), (F.col("id") % 3).alias("b")
+        )
+
+    def test_synthetic_offender_fires_error(self, spark):
+        df = self._toy(spark)
+        marg = df.groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+        bad = df.join(F.broadcast(marg), "a")
+        finds = [
+            f for f in scale_lint(bad) if f["code"] == "forced_broadcast"
+        ]
+        assert len(finds) == 1 and finds[0]["severity"] == "error"
+        assert "keyed aggregate" in finds[0]["detail"]
+
+    def test_declaration_downgrades_to_info(self, spark):
+        df = self._toy(spark)
+        marg = df.groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+        bad = df.join(F.broadcast(marg), "a")
+        finds = [
+            f
+            for f in scale_lint(
+                bad, declared_bounded_broadcast="a is a 7-value enum"
+            )
+            if f["code"] == "forced_broadcast"
+        ]
+        assert len(finds) == 1 and finds[0]["severity"] == "info"
+        assert "7-value enum" in finds[0]["detail"]
+
+    def test_scalar_and_relation_builds_not_flagged(self, spark):
+        df = self._toy(spark)
+        tot = df.select(F.sum("a").alias("s"))
+        scalar = df.crossJoin(F.broadcast(tot))
+        assert [b["kind"] for b in forced_broadcast_builds(scalar)] == [
+            "scalar"
+        ]
+        dim = spark.range(7).select(F.col("id").alias("a"))
+        rel = df.join(F.broadcast(dim), "a")
+        assert [b["kind"] for b in forced_broadcast_builds(rel)] == [
+            "relation"
+        ]
+        lim = df.groupBy("a").agg(F.count(F.lit(1)).alias("n")).limit(5)
+        bounded = df.join(F.broadcast(lim), "a")
+        assert [b["kind"] for b in forced_broadcast_builds(bounded)] == [
+            "limited"
+        ]
+        for d in (scalar, rel, bounded):
+            assert not [
+                f for f in scale_lint(d) if f["code"] == "forced_broadcast"
+            ]
+
+    def test_unhinted_join_has_no_builds(self, spark):
+        df = self._toy(spark)
+        marg = df.groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+        assert forced_broadcast_builds(df.join(marg, "a")) == []
+
+
+class TestNoForcedDataGrainBroadcasts:
+    """Join-shape regressions: the r08 scale-killers must plan with NO
+    broadcast-hinted keyed-aggregate build (AQE owns the strategy)."""
+
+    def test_skipgram_pairs(self, spark):
+        d = spark.createDataFrame(
+            [("a b c a b",), ("b c d b c",)], ["text"]
+        )
+        out = skipgram_pairs(d, "text", window=2, min_count=1)
+        assert _keyed_agg_builds(out) == []
+        # the scalar pair total stays a broadcast — that part is right
+        assert any(
+            b["kind"] == "scalar" for b in forced_broadcast_builds(out)
+        )
+
+    def test_cooccurrence_stats(self, spark):
+        d = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "z")],
+            ["g", "item"],
+        )
+        out = cooccurrence_stats(d, "g", "item")
+        assert _keyed_agg_builds(out) == []
+        # still correct: (x,y) share groups 1 and 2
+        got = {
+            (r["item_a"], r["item_b"]): (r["n_ab"], r["n_a"], r["n_b"])
+            for r in out.collect()
+        }
+        assert got[("x", "y")] == (2, 2, 2)
+        assert got[("y", "z")] == (1, 2, 1)
+
+    def test_association_rules(self, spark):
+        d = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x")],
+            ["g", "item"],
+        )
+        out = association_rules(d, "g", "item", min_count=1)
+        assert _keyed_agg_builds(out) == []
+        got = {
+            (r["antecedent"], r["consequent"]): r["confidence_ppm"]
+            for r in out.collect()
+        }
+        assert got[("x", "y")] == 666666  # 2 of x's 3 baskets
+        assert got[("y", "x")] == 1_000_000
+
+    def test_shingle_overlap(self, spark):
+        d = spark.createDataFrame(
+            [("s1", "a b c d"), ("s2", "b c d e")], ["src", "text"]
+        )
+        out = shingle_overlap(d, "src", "text", n=2)
+        assert _keyed_agg_builds(out) == []
+        rows = out.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["n_shared"], r["n_a"], r["n_b"]) == (2, 3, 3)
+
+    def test_drop_near_dups_victim_anti_join(self, spark):
+        corpus = spark.createDataFrame(
+            [(i, f"doc{i}") for i in range(1, 7)], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+        )
+        kept = drop_near_dups(corpus, pairs, "doc_id")
+        assert forced_broadcast_builds(kept) == []
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4, 5]
+
+
+class TestKsStatisticGuards:
+    def test_empty_group_raises(self, spark):
+        d = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", 3)], ["grp", "v"]
+        )
+        with pytest.raises(ValueError, match="non-empty samples"):
+            ks_statistic(d, "grp", "v", "a", "b")
+
+    def test_null_bucket_keys_raise(self, spark):
+        # under ANSI (the session default) the CAST itself errors; the
+        # guard covers non-ANSI sessions, where 'oops' casts to NULL and
+        # the driver-side sorted() would otherwise TypeError on None
+        d = spark.createDataFrame(
+            [("a", "1"), ("a", "oops"), ("b", "2")], ["grp", "v"]
+        )
+        prev = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(ValueError, match="NULL bucket keys"):
+                ks_statistic(d, "grp", "v", "a", "b")
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
+    def test_still_exact_on_good_input(self, spark):
+        # a = {1,2}, b = {2,3}: cum_a/2 vs cum_b/2 -> sup at v=1: |1/2-0| = 0.5
+        d = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 2), ("b", 3)], ["grp", "v"]
+        )
+        r = ks_statistic(d, "grp", "v", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"], r["ks_ppm"]) == (2, 2, 500000)
+
+
+class TestIntervalOverlapHardening:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:30:00"))],
+            ["lid", "ls", "le"],
+        )
+        right = spark.createDataFrame(
+            [(_ts("2024-01-01 11:00:00"), _ts("2024-01-01 12:00:00"), "r1")],
+            ["rs", "re", "tag"],
+        )
+        return left, right
+
+    def test_basic_overlap_still_exact(self, spark):
+        left, right = self._frames(spark)
+        rows = interval_overlap_join(
+            left, right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            right_cols=["tag"], bucket_seconds=3600,
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["overlap_us"] == 30 * 60 * 1_000_000
+
+    def test_reserved_columns_raise(self, spark):
+        left, right = self._frames(spark)
+        bad = left.withColumn("__b", F.lit(1))
+        with pytest.raises(ValueError, match="reserved"):
+            interval_overlap_join(
+                bad, right,
+                left_start="ls", left_end="le",
+                right_start="rs", right_end="re",
+                right_cols=["tag"],
+            )
+        with pytest.raises(ValueError, match="reserved"):
+            interval_overlap_join(
+                left, right.withColumnRenamed("tag", "__rs"),
+                left_start="ls", left_end="le",
+                right_start="rs", right_end="re",
+                right_cols=["__rs"], suffix="",
+            )
+
+    def test_bucket_blowup_raises_at_execution(self, spark):
+        # a 2-hour interval at 1-second buckets = 7201 buckets > 4096
+        left, right = self._frames(spark)
+        wide = left.withColumn("le", F.col("ls") + F.expr("INTERVAL 2 HOURS"))
+        j = interval_overlap_join(
+            wide, right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            right_cols=["tag"], bucket_seconds=1,
+        )
+        with pytest.raises(Exception, match="max_buckets_per_row"):
+            j.collect()
+        # raising the limit makes the same join run
+        ok = interval_overlap_join(
+            wide, right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            right_cols=["tag"], bucket_seconds=1,
+            max_buckets_per_row=10_000,
+        )
+        assert ok.count() == 1
+
+    def test_quoted_column_names(self, spark):
+        # names with spaces/hyphens must survive (no raw SQL inlining)
+        left, right = self._frames(spark)
+        left2 = left.withColumnRenamed("ls", "session start").withColumnRenamed(
+            "le", "session-end"
+        )
+        rows = interval_overlap_join(
+            left2, right,
+            left_start="session start", left_end="session-end",
+            right_start="rs", right_end="re",
+            right_cols=["tag"], bucket_seconds=3600,
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["overlap_us"] == 30 * 60 * 1_000_000
+
+    def test_half_open_endpoint_still_excluded(self, spark):
+        left, right = self._frames(spark)
+        touch = right.withColumn(
+            "rs", F.lit(_ts("2024-01-01 11:30:00"))
+        ).withColumn("re", F.lit(_ts("2024-01-01 12:00:00")))
+        assert (
+            interval_overlap_join(
+                left, touch,
+                left_start="ls", left_end="le",
+                right_start="rs", right_end="re",
+                right_cols=["tag"], bucket_seconds=3600,
+            ).count()
+            == 0
+        )
+
+
+class TestCheckedLong:
+    def test_in_range_casts(self, spark):
+        d = spark.createDataFrame([(7,)], ["x"]).select(
+            F.col("x").cast("decimal(38,0)").alias("x")
+        )
+        assert d.select(
+            checked_long(F.col("x")).alias("v")
+        ).collect()[0]["v"] == 7
+
+    def test_overflow_raises_loudly(self, spark):
+        d = spark.createDataFrame([("9223372036854775808",)], ["s"]).select(
+            F.col("s").cast("decimal(38,0)").alias("x")
+        )
+        with pytest.raises(Exception, match="checked_long"):
+            d.select(
+                checked_long(F.col("x"), context="HITS score").alias("v")
+            ).collect()
+
+
+class TestVocabGrowthIngestionOrderContract:
+    def test_docstring_warns_about_hash_ordered_ids(self):
+        assert "hash-ordered" in vocab_growth.__doc__
+        assert "ingestion" in vocab_growth.__doc__
+
+    def test_id_order_changes_the_curve(self, spark):
+        # the caveat demonstrated: same corpus, permuted ids -> a
+        # DIFFERENT growth curve (ids ARE the order contract; a hash
+        # order silently smears first-appearances across buckets)
+        docs = [(1, "a"), (2, "a"), (3, "b"), (4, "b")]
+        perm = [(1, "a"), (3, "a"), (2, "b"), (4, "b")]
+
+        def curve(rows):
+            return {
+                r["bucket"]: r["new_types"]
+                for r in vocab_growth(
+                    spark.createDataFrame(rows, ["doc_id", "text"]),
+                    "doc_id", "text", n_buckets=2,
+                ).collect()
+            }
+
+        got_docs, got_perm = curve(docs), curve(perm)
+        assert got_docs.get(0) == 1 and got_docs.get(1) == 1
+        assert got_perm.get(0) == 2  # both types look "early" — wrong story
+        assert got_docs != got_perm
+
+
+class TestAutoNlist:
+    def test_sqrt_rule_with_floor_and_cap(self, spark):
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            auto_nlist,
+        )
+
+        d = spark.range(400).select(F.col("id").alias("vec_id"))
+        assert auto_nlist(d) == 20  # isqrt(400), above the floor of 16
+        assert auto_nlist(d, floor=32) == 32
+        assert auto_nlist(d, floor=1, cap=10) == 10
+        tiny = spark.range(4)
+        assert auto_nlist(tiny) == 16  # floor keeps tiny corpora sane
+
+    def test_auto_flows_into_ivf(self, spark):
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            mutual_knn_pairs,
+        )
+
+        # 300 unit-ish vectors in 4 dims; nlist='auto' -> isqrt(300)=17
+        # -> floor 16..17; nprobe must stay <= nlist, so use nprobe=3
+        emb = spark.range(300).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 5 + 1).cast("float"),
+                (F.col("id") % 7 + 1).cast("float"),
+                (F.col("id") % 3 + 1).cast("float"),
+                F.lit(1.0).cast("float"),
+            ).alias("embedding"),
+        )
+        out = mutual_knn_pairs(
+            emb, 3, method="ivf", nlist="auto", nprobe=3, iterations=1
+        )
+        # mutual pairs are symmetric-reciprocal and id_a < id_b
+        rows = out.collect()
+        assert all(r["id_a"] < r["id_b"] for r in rows)
+        assert len(rows) > 0
+
+    def test_bad_nlist_rejected(self, spark):
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            ivf_topk,
+        )
+
+        emb = spark.range(10).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+        )
+        q = emb.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        with pytest.raises(ValueError, match="positive int or 'auto'"):
+            ivf_topk(emb, q, 2, nlist="sqrt")
+        with pytest.raises(ValueError, match="positive int or 'auto'"):
+            ivf_topk(emb, q, 2, nlist=0)

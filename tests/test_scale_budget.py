@@ -95,3 +95,76 @@ def test_sub_floor_jitter_never_fails(tmp_path, capsys):
     new = {"tiny_query": _entry(1.2, [1.2, 1.3])}  # 3x but under 2 s floor
     rc, _ = _run(tmp_path, new, old, capsys)
     assert rc == 0
+
+
+def test_canary_normalization_forgives_box_drift(tmp_path, capsys):
+    # everything (canary included) slowed ~1.6x — an epoch change, not
+    # a plan regression. Without the canary plain_query would fail;
+    # with it the 1.6x divides out.
+    old = {
+        "two_stage_agg_events": _entry(3.0, [3.0, 3.1, 3.2]),
+        "plain_query": _entry(3.0, [3.0, 3.1, 3.2]),
+    }
+    new = {
+        "two_stage_agg_events": _entry(4.8, [4.8, 4.9, 5.0]),
+        "plain_query": _entry(4.8, [4.8, 4.9, 5.0]),
+    }
+    rc, out = _run(tmp_path, new, old, capsys)
+    assert rc == 0
+    assert "box-drift canary two_stage_agg_events" in out
+
+
+def test_canary_does_not_whitewash_real_regression(tmp_path, capsys):
+    # flat canary, 1.6x regression elsewhere: still fails
+    old = {
+        "two_stage_agg_events": _entry(3.0, [3.0, 3.1, 3.2]),
+        "plain_query": _entry(3.0, [3.0, 3.1, 3.2]),
+    }
+    new = {
+        "two_stage_agg_events": _entry(3.0, [3.0, 3.05, 3.1]),
+        "plain_query": _entry(4.8, [4.8, 4.9, 5.0]),
+    }
+    rc, out = _run(tmp_path, new, old, capsys)
+    assert rc == 1
+    assert "FAIL  plain_query" in out
+
+
+def test_canary_factor_capped_and_warned(tmp_path, capsys):
+    # canary grows 3x (> the 2.0 cap): the cap applies, the warning
+    # prints, and a 3.2x regression elsewhere still fails (3.2/2 = 1.6)
+    old = {
+        "two_stage_agg_events": _entry(3.0, [3.0, 3.1, 3.2]),
+        "plain_query": _entry(3.0, [3.0, 3.1, 3.2]),
+    }
+    new = {
+        "two_stage_agg_events": _entry(9.0, [9.0, 9.1, 9.2]),
+        "plain_query": _entry(9.6, [9.6, 9.7, 9.8]),
+    }
+    rc, out = _run(tmp_path, new, old, capsys)
+    assert "WARN  canary" in out
+    assert rc == 1
+    assert "FAIL  plain_query" in out
+
+
+def test_canary_self_normalizes_within_cap_fails_past_it(tmp_path, capsys):
+    # the canary IS the drift measure: its own in-cap growth is box by
+    # definition and self-forgives; growth past the 2.0 cap warns AND
+    # fails (3.2x raw / 2.0 cap = 1.6x > 1.5x budget)
+    old = {"two_stage_agg_events": _entry(3.0, [3.0, 3.1, 3.2])}
+    new = {"two_stage_agg_events": _entry(5.7, [5.7, 5.8, 5.9])}
+    rc, out = _run(tmp_path, new, old, capsys)
+    assert rc == 0  # 1.9x within the cap: absorbed as drift
+    old = {"two_stage_agg_events": _entry(3.0, [3.0, 3.1, 3.2])}
+    new = {"two_stage_agg_events": _entry(9.6, [9.6, 9.7, 9.8])}
+    rc, out = _run(tmp_path, new, old, capsys)
+    assert "WARN  canary" in out
+    assert rc == 1
+    assert "FAIL  two_stage_agg_events" in out
+
+
+def test_missing_canary_prints_info_and_gates_raw(tmp_path, capsys):
+    old = {"plain_query": _entry(3.0, [3.0, 3.1, 3.2])}
+    new = {"plain_query": _entry(4.8, [4.8, 4.9, 5.0])}
+    rc, out = _run(tmp_path, new, old, capsys)
+    assert "canary two_stage_agg_events missing" in out
+    assert rc == 1
