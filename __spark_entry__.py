@@ -7243,78 +7243,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query (SURVEY.md §2 + pipeline ops).
 
     ORDERING IS DELIBERATE (SURVEY.md §8): the per-round driver verifies
-    a window of entries from the FRONT (r2-r7 each covered exactly the
-    first 50), so entries are sequenced oldest-evidence-first. Round-8
-    derivation from the CORRECTNESS_r01-r07 union (each query's MOST
-    RECENT green row; relative order preserved within a group), with
-    VERDICT r07 #3/#4's prescribed front: (1) streaming_sliding_windows
-    at position 0 — the single r03-evidence straggler the 50-entry r07
-    window missed by one (the r07 front was 11 additions + a 40-entry
-    r03 block = 51); (2) attribution_user_clicks +
-    common_neighbors_copurchase, the judge-queued 10x-smoke landings;
-    (3) the never-checked r08 additions; (4) the 50-entry r04-evidence
-    block oldest-first; (5) r05; (6) r06; (7) r07-checked entries
-    freshest last. The r08 window of 50 covers groups 1-3 plus the
-    first 41 of the r04 block — the trailing 9 r04-evidence entries are
-    provably beyond a 50-window that must front 9 higher-priority
-    entries, and rotate to the r09 front. Re-derive each round from
-    the updated CORRECTNESS_r{N} union.
+    a window of entries from the FRONT (r2-r8 each covered exactly the
+    first 50), so entries are sequenced oldest-evidence-first and
+    re-derived MECHANICALLY each round from the CORRECTNESS_r01..r{N-1}
+    union — each query's MOST RECENT green row sets its group, groups
+    ordered never-checked/oldest-first with relative order preserved.
+    Round-9 derivation (this file was reordered by that script, not by
+    hand): the r08 window covered its 19-entry front plus the FIRST 31
+    of the 50-entry r04-evidence block (the r08-era docstring's "first
+    41 / trailing 9" was stale bookkeeping, corrected per VERDICT r08
+    What's-wrong #2 — SURVEY §8 had the right 31/19 account), so the
+    r09 front is (1) the 19 r04-evidence entries the r08 window
+    provably could not reach (hist_rollup_events ..
+    sample_split_docs), then (2) any never-checked r09 additions,
+    then (3) r05 / (4) r06 / (5) r07 / (6) r08 blocks freshest last.
+    After the r09 window, no entry's latest driver evidence predates
+    r05 except what a 50-window fronting new additions cannot reach.
     """
     return {
-        # --- r08 front (VERDICT r07 #3/#4): the one r03-evidence straggler the
-        # --- r07 window missed (off-by-one), then the two entries queued for the
-        # --- r08 10x smoke, then the never-checked r08 additions
-        "streaming_sliding_windows": _q_streaming_sliding_windows,
-        "attribution_user_clicks": _q_attribution_user_clicks,
-        "common_neighbors_copurchase": _q_common_neighbors_copurchase,
-        "mutual_knn_ivf_embed": _q_mutual_knn_ivf_embed,
-        "mutual_knn_ivf_recall": _q_mutual_knn_ivf_recall,
-        "ra_link_pred_copurchase": _q_ra_link_pred_copurchase,
-        "markov_transitions_events": _q_markov_transitions_events,
-        "assoc_rules_copurchase": _q_assoc_rules_copurchase,
-        "streaming_transitions": _q_streaming_transitions,
-        "edge_jaccard_copurchase": _q_edge_jaccard_copurchase,
-        "hits_parts_customers": _q_hits_parts_customers,
-        "skipgram_pmi_docs": _q_skipgram_pmi_docs,
-        "phrase_search_docs": _q_phrase_search_docs,
-        "seasonality_lift_events": _q_seasonality_lift_events,
-        "quantile_rank_events": _q_quantile_rank_events,
-        "vocab_growth_docs": _q_vocab_growth_docs,
-        "ks_drift_events": _q_ks_drift_events,
-        "streaming_seasonality_events": _q_streaming_seasonality_events,
-        "session_error_overlap_events": _q_session_error_overlap,
-        # --- latest green r04 (oldest evidence block, oldest-first)
-        "q7_volume_shipping": _q_q7_volume_shipping,
-        "copurchase_pairs_lineitem": _q_copurchase_pairs,
-        "conversion_latency_events": _q_conversion_latency_events,
-        "order_backlog_weekly": _q_order_backlog_weekly,
-        "dq_rules_orders": _q_dq_rules_orders,
-        "user_trend_features": _q_user_trend_features,
-        "dq_rules_by_source_docs": _q_dq_rules_by_source_docs,
-        "ann_topk_arrow": _q_ann_topk_arrow,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "minhash_native_docs": _q_minhash_native_docs,
-        "minhash_lsh_docs": _q_minhash_lsh_docs,
-        "simhash_docs": _q_simhash_docs,
-        "two_stage_agg_events": _q_two_stage_agg_events,
-        "pack_sequences_docs": _q_pack_sequences_docs,
-        "embed_centroid_lang": _q_embed_centroid_lang,
-        "incremental_rollup_events": _q_incremental_rollup_events,
-        "streaming_incremental_rollup": _q_streaming_incremental_rollup,
-        "digest_tree_orders": _q_digest_tree_orders,
-        "embed_dim_stats": _q_embed_dim_stats,
-        "pmi_event_pairs": _q_pmi_event_pairs,
-        "ffill_user_purchase": _q_ffill_user_purchase,
-        "latest_event_per_user": _q_latest_event_per_user,
-        "triangle_counts_docs": _q_triangle_counts_docs,
-        "cluster_size_hist_docs": _q_cluster_size_hist_docs,
-        "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
-        "bigram_counts_docs": _q_bigram_counts_docs,
-        "hist_event_value": _q_hist_event_value,
-        "hist_quantiles_event_value": _q_hist_quantiles_event_value,
-        "len_hist_by_source_docs": _q_len_hist_by_source_docs,
-        "hard_negatives_embed": _q_hard_negatives_embed,
-        "dedup_rate_by_source_docs": _q_dedup_rate_by_source_docs,
+        # --- r09 front (VERDICT r08 #6): the 19 r04-evidence entries the
+        # --- 50-slot r08 window provably could not reach (it fronted 19
+        # --- higher-priority entries + the first 31 of the r04 block)
         "hist_rollup_events": _q_hist_rollup_events,
         "oov_by_source_docs": _q_oov_by_source_docs,
         "streaming_hist_rollup": _q_streaming_hist_rollup,
@@ -7334,7 +7283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _q_ann_topk,
         "text_quality_docs": _q_text_quality_docs,
         "sample_split_docs": _q_sample_split_docs,
-        # --- latest green r05
+        # --- latest green r05 (oldest remaining evidence block)
         "pagerank_copurchase": _q_pagerank_copurchase,
         "heavy_hitters_docs": _q_heavy_hitters_docs,
         "diverse_sample_embed": _q_diverse_sample_embed,
@@ -7436,7 +7385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_events": _q_salted_join_events,
         "funnel_events": _q_funnel_events,
         "span_dedup_docs": _q_span_dedup_docs,
-        # --- latest green r07 (freshest last)
+        # --- latest green r07
         "copurchase_pairs_capped": _q_copurchase_pairs_capped,
         "copurchase_triples_capped": _q_copurchase_triples_capped,
         "ttr_by_source_docs": _q_ttr_by_source_docs,
@@ -7485,6 +7434,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_orders": _q_merge_upsert_orders,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "streaming_dedup_events": _q_streaming_dedup_events,
+        # --- latest green r08 (freshest last)
+        "streaming_sliding_windows": _q_streaming_sliding_windows,
+        "attribution_user_clicks": _q_attribution_user_clicks,
+        "common_neighbors_copurchase": _q_common_neighbors_copurchase,
+        "mutual_knn_ivf_embed": _q_mutual_knn_ivf_embed,
+        "mutual_knn_ivf_recall": _q_mutual_knn_ivf_recall,
+        "ra_link_pred_copurchase": _q_ra_link_pred_copurchase,
+        "markov_transitions_events": _q_markov_transitions_events,
+        "assoc_rules_copurchase": _q_assoc_rules_copurchase,
+        "streaming_transitions": _q_streaming_transitions,
+        "edge_jaccard_copurchase": _q_edge_jaccard_copurchase,
+        "hits_parts_customers": _q_hits_parts_customers,
+        "skipgram_pmi_docs": _q_skipgram_pmi_docs,
+        "phrase_search_docs": _q_phrase_search_docs,
+        "seasonality_lift_events": _q_seasonality_lift_events,
+        "quantile_rank_events": _q_quantile_rank_events,
+        "vocab_growth_docs": _q_vocab_growth_docs,
+        "ks_drift_events": _q_ks_drift_events,
+        "streaming_seasonality_events": _q_streaming_seasonality_events,
+        "session_error_overlap_events": _q_session_error_overlap,
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "copurchase_pairs_lineitem": _q_copurchase_pairs,
+        "conversion_latency_events": _q_conversion_latency_events,
+        "order_backlog_weekly": _q_order_backlog_weekly,
+        "dq_rules_orders": _q_dq_rules_orders,
+        "user_trend_features": _q_user_trend_features,
+        "dq_rules_by_source_docs": _q_dq_rules_by_source_docs,
+        "ann_topk_arrow": _q_ann_topk_arrow,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "minhash_native_docs": _q_minhash_native_docs,
+        "minhash_lsh_docs": _q_minhash_lsh_docs,
+        "simhash_docs": _q_simhash_docs,
+        "two_stage_agg_events": _q_two_stage_agg_events,
+        "pack_sequences_docs": _q_pack_sequences_docs,
+        "embed_centroid_lang": _q_embed_centroid_lang,
+        "incremental_rollup_events": _q_incremental_rollup_events,
+        "streaming_incremental_rollup": _q_streaming_incremental_rollup,
+        "digest_tree_orders": _q_digest_tree_orders,
+        "embed_dim_stats": _q_embed_dim_stats,
+        "pmi_event_pairs": _q_pmi_event_pairs,
+        "ffill_user_purchase": _q_ffill_user_purchase,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "triangle_counts_docs": _q_triangle_counts_docs,
+        "cluster_size_hist_docs": _q_cluster_size_hist_docs,
+        "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
+        "bigram_counts_docs": _q_bigram_counts_docs,
+        "hist_event_value": _q_hist_event_value,
+        "hist_quantiles_event_value": _q_hist_quantiles_event_value,
+        "len_hist_by_source_docs": _q_len_hist_by_source_docs,
+        "hard_negatives_embed": _q_hard_negatives_embed,
+        "dedup_rate_by_source_docs": _q_dedup_rate_by_source_docs,
     }
 
 
