@@ -7233,6 +7233,278 @@ _SQL_MUTUAL_KNN_IVF_EMBED = _sql_mutual_knn_ivf_embed()
 # contract surface
 # ---------------------------------------------------------------------------
 
+# --- round-9 additions ---------------------------------------------------
+
+
+def _q_winnow_fp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.py:winnow_fingerprints —
+    Schleimer/Wilkerson/Aiken, SIGMOD 2003, the MOSS algorithm): k=4
+    token grams, window w=5 minima, distinct selected hashes per doc,
+    exploded to (doc_id, fp) rows. Pure in-row Column algebra (md5
+    gram hashes, nested transform/slice/array_min — no shuffle, no
+    UDF); the DuckDB oracle replays every hash bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(TX.winnow_fingerprints("text", k=4, w=5)).alias("fp"),
+    )
+
+
+_SQL_WINNOW_FP_BODY = """
+wt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '') AS tk
+  FROM documents),
+wg AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 4 THEN CAST([] AS BIGINT[])
+    ELSE list_transform(range(1, len(tk) - 4 + 2), i ->
+      ('0x' || substr(md5(array_to_string(tk[i:i+3], ' ')), 1, 15))::BIGINT
+        % 2147483647)
+    END AS hs
+  FROM wt),
+wf AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(hs) < 5 THEN [list_min(hs)]
+         ELSE list_sort(list_distinct(
+           list_transform(range(1, len(hs) - 5 + 2),
+                          j -> list_min(hs[j:j+4]))))
+    END AS fps
+  FROM wg)
+"""
+
+_SQL_WINNOW_FP_DOCS = "WITH " + _SQL_WINNOW_FP_BODY + """
+SELECT doc_id, unnest(fps) AS fp FROM wf
+"""
+
+
+def _q_winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style shared-fingerprint document pairs
+    (operators/dedup.py:winnow_shared_pairs): the winnowing guarantee
+    — any shared run of >= w+k-1 = 8 tokens surfaces — makes this the
+    no-false-negative long-overlap detector at ~2/(w+1) the posting
+    volume of full shingling. Posting-list self-join on the
+    fingerprint key with the max_df=100 hot-fingerprint guard (same
+    cap-bias contract as ngram_jaccard_pairs, replayed in the oracle
+    as a HAVING bound)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.winnow_shared_pairs(
+        d, "doc_id", "text", k=4, w=5, min_shared=2, max_df=100
+    )
+
+
+_SQL_WINNOW_PAIRS_DOCS = "WITH " + _SQL_WINNOW_FP_BODY + """,
+post AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wf),
+keep AS (SELECT fp FROM post GROUP BY fp HAVING count(*) <= 100)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM post a
+JOIN keep USING (fp)
+JOIN post b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def _q_cluster_purity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component LABEL PURITY (operators/cluster.py:
+    cluster_purity): over the shared exact-Jaccard pair graph's
+    connected components, each component's size, majority-source
+    count, and exact purity_ppm — the over-merge detector for dedup
+    graphs (a low-purity component means the similarity threshold
+    chained unrelated sources together). Two keyed aggregates + one
+    equi-join; oracle reuses the recursive-CTE components fixpoint."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = _ngram_pairs(spark, sf_dir)
+    comps = CC.connected_components(pairs, "id_a", "id_b")
+    return CC.cluster_purity(
+        comps,
+        d.select(F.col("doc_id").alias("node"), F.col("source").alias("label")),
+    )
+
+
+_SQL_CLUSTER_PURITY_DOCS = _SQL_CC_PREFIX + """,
+pm AS (
+  SELECT c.comp, d.source AS l FROM comp c
+  JOIN documents d ON c.node = d.doc_id),
+pl AS (SELECT comp, l, count(*) AS c FROM pm GROUP BY 1, 2)
+SELECT comp, CAST(sum(c) AS BIGINT) AS size,
+       CAST(max(c) AS BIGINT) AS majority_n,
+       CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS purity_ppm
+FROM pl GROUP BY comp
+"""
+
+
+def _q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MEDIAN/MAD outlier census per event type
+    (operators/quality.py:mad_robust_stats, k=3) over value in cents —
+    the 50%-breakdown alternative to the IQR fences of
+    outliers_events: a contaminated group cannot drag its own fence.
+    Both medians are percentile_disc order statistics (exact BIGINTs
+    in both engines, the pctile_by_type convention)."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return QA.mad_robust_stats(cents, ["event_type"], "cents", k=3)
+
+
+_SQL_MAD_OUTLIERS_EVENTS = """
+WITH b AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT event_type, count(*) AS n,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)
+           AS median
+  FROM b GROUP BY 1),
+dev AS (
+  SELECT b.event_type, med.n, med.median, abs(b.v - med.median) AS d
+  FROM b JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, n, median,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT)
+           AS mad
+  FROM dev GROUP BY 1, 2, 3)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n, m.median, m.mad,
+       CAST(sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def _q_interarrival_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time census
+    (operators/range_join.py:interarrival_stats): count/min/max/sum and
+    the discrete-median of consecutive-event gaps in exact
+    microseconds — the activity-cadence feature behind churn and bot
+    detection. One user-partitioned lag window + one keyed aggregate;
+    tied timestamps are order-free (a tied block contributes the same
+    gap multiset under any permutation)."""
+    e = _t(spark, sf_dir, "events")
+    return RJ.interarrival_stats(e, ["user_id"], "ts")
+
+
+_SQL_INTERARRIVAL_USERS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+         AS p50_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def _q_doc_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (operators/corpus.py:
+    doc_keywords, k=3): top terms by exact-integer TF-IDF
+    ``tf * (n_docs * 1e6 DIV df)``, ties by ascending term. The
+    vocabulary-grain df join is AQE-sized (the r09 forced_broadcast
+    lint class — never a hint-forced broadcast of a token domain);
+    the per-doc top-k window sees one doc's terms, never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.doc_keywords(d, "doc_id", "text", k=3)
+
+
+_SQL_DOC_KEYWORDS_DOCS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dfk AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+        FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfk.df_docs,
+         CAST(tf.tf * (CAST(n.n_docs AS HUGEINT) * 1000000 // dfk.df_docs)
+              AS BIGINT) AS score
+  FROM tf JOIN dfk USING (term) CROSS JOIN n),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, df_docs, score, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+def _q_join_skew_lineitem_partsupp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-flight join-skew diagnostic (operators/skew.py:
+    join_skew_probe): which part keys would dominate a lineitem x
+    partsupp join — per-key counts on both sides (full-outer, so
+    one-sided keys surface as dropped-row findings) and the exact
+    output-pair product, top 25 by product. The hung-stage postmortem
+    turned into a measurement; offenders feed salted_join or AQE
+    tuning."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk")
+    )
+    ps = _partsupp(spark, sf_dir).select(F.col("ps_partkey").alias("pk"))
+    return SKEW.join_skew_probe(li, ps, ["pk"], top=25)
+
+
+_SQL_JOIN_SKEW_LINEITEM_PARTSUPP = _PARTSUPP_SQL + """,
+lc AS (SELECT l_partkey AS pk, count(*) AS n_left FROM lineitem GROUP BY 1),
+rc AS (SELECT ps_partkey AS pk, count(*) AS n_right FROM partsupp GROUP BY 1)
+SELECT pk, CAST(coalesce(n_left, 0) AS BIGINT) AS n_left,
+       CAST(coalesce(n_right, 0) AS BIGINT) AS n_right,
+       CAST(coalesce(n_left, 0) * coalesce(n_right, 0) AS BIGINT)
+         AS pairs_out
+FROM lc FULL OUTER JOIN rc USING (pk)
+ORDER BY pairs_out DESC, pk ASC
+LIMIT 25
+"""
+
+
+def _q_label_coherence_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding coherence diagnostic (operators/
+    similarity.py:label_centroid_coherence): ||sum of the label's
+    quantized vectors||^2 DIV n in exact integers — the
+    encoder-collapse / label-drift signal with no float normalization.
+    One (label, position)-keyed sum (|labels| x dim shuffle rows, not
+    corpus-sized), squares in DECIMAL(38,0) replaying HUGEINT."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.label_centroid_coherence(emb)
+
+
+_SQL_LABEL_COHERENCE_EMBED = """
+WITH q AS (
+  SELECT label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+  FROM embeddings),
+e AS (
+  SELECT label, i, qv[i] AS v
+  FROM q CROSS JOIN unnest(range(1, len(qv) + 1)) AS t(i)),
+s AS (SELECT label, i, sum(v) AS s FROM e GROUP BY 1, 2),
+ss AS (SELECT label, sum(CAST(s AS HUGEINT) * s) AS ssq FROM s GROUP BY 1),
+n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+SELECT ss.label, CAST(n.n_vecs AS BIGINT) AS n_vecs,
+       CAST(ss.ssq // n.n_vecs AS BIGINT) AS coherence_q
+FROM ss JOIN n USING (label)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the core diff on the sf0.001 perturbed orders pair."""
     s1, s2 = _orders_pair(spark, "/root/testdata/sf0.001")
@@ -7283,6 +7555,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _q_ann_topk,
         "text_quality_docs": _q_text_quality_docs,
         "sample_split_docs": _q_sample_split_docs,
+        # --- never-checked r09 additions
+        "winnow_fp_docs": _q_winnow_fp_docs,
+        "winnow_pairs_docs": _q_winnow_pairs_docs,
+        "cluster_purity_docs": _q_cluster_purity_docs,
+        "mad_outliers_events": _q_mad_outliers_events,
+        "interarrival_users": _q_interarrival_users,
+        "doc_keywords_docs": _q_doc_keywords_docs,
+        "join_skew_lineitem_partsupp": _q_join_skew_lineitem_partsupp,
+        "label_coherence_embed": _q_label_coherence_embed,
         # --- latest green r05 (oldest remaining evidence block)
         "pagerank_copurchase": _q_pagerank_copurchase,
         "heavy_hitters_docs": _q_heavy_hitters_docs,
@@ -7820,6 +8101,14 @@ FROM b GROUP BY 1
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "winnow_fp_docs": _SQL_WINNOW_FP_DOCS,
+        "winnow_pairs_docs": _SQL_WINNOW_PAIRS_DOCS,
+        "cluster_purity_docs": _SQL_CLUSTER_PURITY_DOCS,
+        "mad_outliers_events": _SQL_MAD_OUTLIERS_EVENTS,
+        "interarrival_users": _SQL_INTERARRIVAL_USERS,
+        "doc_keywords_docs": _SQL_DOC_KEYWORDS_DOCS,
+        "join_skew_lineitem_partsupp": _SQL_JOIN_SKEW_LINEITEM_PARTSUPP,
+        "label_coherence_embed": _SQL_LABEL_COHERENCE_EMBED,
         "q2_min_cost_supplier": _SQL_Q2_MIN_COST_SUPPLIER,
         "q11_important_stock": _SQL_Q11_IMPORTANT_STOCK,
         "q16_supplier_cnt": _SQL_Q16_SUPPLIER_CNT,

@@ -1560,3 +1560,57 @@ def hits_bipartite(
             .agg(F.sum("hscore").cast("decimal(38,0)").alias("score"))
         )
     return auth.select(F.col("a").alias("auth"), "score")
+
+
+def cluster_purity(
+    comps: DataFrame,
+    labels: DataFrame,
+    *,
+    node_col: str = "node",
+    comp_col: str = "comp",
+    label_col: str = "label",
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-cluster LABEL PURITY in exact integer ppm — the standard
+    external clustering-quality check (majority-label fraction), here
+    pointed at near-dup components: a pure component (every member
+    from one source/label) is what a correct dedup graph produces;
+    low-purity components flag over-merging (a too-loose similarity
+    threshold chaining unrelated docs together).
+
+    Two key-partitioned aggregates and one equi-join, nothing else:
+    (comp, label) counts first (map-side combine), then per-comp
+    ``max`` elects the majority count while ``sum`` recovers the size
+    — never a window over members, never a collect. Majority TIES
+    resolve to the count (purity is about the max count, not which
+    label holds it), so the output is deterministic without a
+    tie-break rule. ``purity_ppm = majority_n * ppm_scale DIV size``
+    truncates exactly the way DuckDB ``//`` does.
+
+    Returns ``(comp, size, majority_n, purity_ppm)``. Nodes missing
+    from ``labels`` are dropped by the inner join (size counts labeled
+    members only — document the label frame's completeness contract).
+
+    Reference scope note: no clustering exists in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    m = comps.select(
+        F.col(node_col).alias("__n"), F.col(comp_col).alias("comp")
+    ).join(
+        labels.select(
+            F.col(node_col).alias("__n"), F.col(label_col).alias("__l")
+        ),
+        "__n",
+    )
+    per_label = m.groupBy("comp", "__l").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return per_label.groupBy("comp").agg(
+        F.sum("__c").alias("size"),
+        F.max("__c").alias("majority_n"),
+    ).select(
+        "comp",
+        "size",
+        "majority_n",
+        F.expr(f"majority_n * {ppm_scale}L DIV size").alias("purity_ppm"),
+    )

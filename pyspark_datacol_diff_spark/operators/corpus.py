@@ -974,3 +974,81 @@ def vocab_growth(
         bucket=F.col("bucket"),
         out_col="cum_types",
     )
+
+
+def doc_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    min_tf: int = 1,
+    lowercase: bool = True,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document KEYWORD EXTRACTION by exact-integer TF-IDF rank —
+    the top ``k`` terms that are frequent IN the doc and rare ACROSS
+    the corpus: ``score = tf * (n_docs * ppm_scale DIV df)`` (term
+    frequency times an integer-rendered idf), ties broken by ascending
+    term so the selection replays bit-for-bit. The tagging /
+    routing / index-summarization primitive at doc grain — the
+    source-grain sibling is c-TF-IDF (distinctive_terms_by_source).
+
+    Scale shape: one explode -> (doc, term) tf aggregate (map-side
+    combine collapses repeats before the shuffle), df(term) as a
+    second aggregate OVER THE COMPACT (doc, term) RELATION (term-grain
+    — equi-joined back with the strategy left to AQE, NEVER a forced
+    broadcast of an unbounded vocabulary: the r09 forced_broadcast
+    lint class), n_docs as a 1-row scalar broadcast, and the top-k per
+    doc via row_number over a DOC-partitioned window (bounded
+    partitions — each window sees one doc's distinct terms, never the
+    corpus).
+
+    ``idf_ppm = n_docs * ppm_scale DIV df`` runs in DECIMAL(38,0) and
+    the score is emitted BIGINT after the integer DIV — both exactly
+    DuckDB ``//`` semantics.
+
+    Returns ``(id_col, term, tf, df_docs, score, rnk)`` with
+    ``rnk <= k``.
+
+    Reference scope note: north-star extension — the reference library
+    computes no text statistic (SURVEY.md §2).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_tf < 1:
+        raise ValueError(f"min_tf must be >= 1, got {min_tf}")
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(t)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    df_by_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df_by_term, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df_docs",
+            F.expr(
+                f"CAST(tf * (CAST(__n AS DECIMAL(38,0)) * {ppm_scale} "
+                f"DIV df_docs) AS BIGINT)"
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

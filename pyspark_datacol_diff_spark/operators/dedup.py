@@ -832,3 +832,67 @@ def prefix_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter_cnt", "size_a", "size_b", "jaccard")
     )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing WINNOWING fingerprints (Schleimer et al.,
+    SIGMOD 2003 — see text.winnow_fingerprints): the MOSS-style local
+    plagiarism/contamination detector one rung cheaper than full
+    shingle Jaccard — any shared token run of length >= ``w + k - 1``
+    is guaranteed to surface (no false negatives for long overlaps),
+    while the posting relation carries only ~2/(w+1) of the grams.
+
+    Scale shape — the posting-list self-join, same discipline as
+    ngram_jaccard_pairs: fingerprints are computed IN-ROW (no shuffle),
+    the (fp, doc) posting relation joins itself on the fingerprint key
+    (per-fp output bounded by posting-list length squared), and
+    ``max_df`` prunes fingerprints whose posting list exceeds it — the
+    REQUIRED hot-key guard at corpus scale (a boilerplate fingerprint
+    in d docs emits d(d-1)/2 pairs). BIAS CONTRACT: with ``max_df``
+    set, pairs sharing ONLY over-frequent fingerprints are missed —
+    deterministic, replayable in SQL as a HAVING count <= max_df.
+
+    Returns ``(id_a, id_b, n_shared)`` with ``id_a < id_b`` —
+    ``n_shared`` counts distinct shared fingerprints; rank by it or
+    feed the pairs to the components machinery.
+    """
+    from .text import winnow_fingerprints
+
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    post = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            winnow_fingerprints(F.col(text_col), k=k, w=w)
+        ).alias("__fp"),
+    ).distinct()
+    if max_df is not None:
+        if max_df < 2:
+            raise ValueError(f"max_df must be >= 2, got {max_df}")
+        heavy = (
+            post.groupBy("__fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__fp")
+        )
+        # anti join, AQE-sized (the heavy-fp relation is fp-grain and
+        # data-derived — never a forced broadcast)
+        post = post.join(heavy, "__fp", "left_anti")
+    a = post.select(F.col("__id").alias("id_a"), "__fp")
+    b = post.select(F.col("__id").alias("id_b"), "__fp")
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

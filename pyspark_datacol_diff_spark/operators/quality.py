@@ -479,3 +479,72 @@ def ks_statistic(
         .groupBy("n_a", "n_b")
         .agg(F.max("d_ppm").alias("ks_ppm"))
     )
+
+
+def mad_robust_stats(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Per-group MEDIAN / MAD robust outlier census in exact integers —
+    the heavy-tail-safe alternative to IQR fences (iqr_fences) and
+    z-scores: median and median-absolute-deviation are 50%-breakdown
+    estimators, so a contaminated group cannot drag its own fence the
+    way a mean/stddev (or even a quartile, at >25% contamination)
+    can. ``value_col`` must already be an exact integer (cents — the
+    repo's money convention).
+
+    Exactness: both medians are ``percentile_disc(0.5)`` ordered-set
+    aggregates — discrete order statistics that SELECT a value, never
+    interpolate, so both engines return identical BIGINTs (the
+    pctile_by_type convention). Outlier rule: ``|x - median| > k *
+    MAD``, compared in integers. DEGENERATE-GROUP CONTRACT: when more
+    than half a group's values are identical, MAD = 0 and the rule
+    flags every value != median — the textbook MAD failure mode,
+    deliberately not papered over (use IQR fences for such groups).
+
+    Scale shape: two group-keyed ordered-set aggregates with one
+    group-grain equi-join between them (AQE-sized, never a forced
+    broadcast of the data-cardinality group domain) and a final
+    group-keyed count — no global sort, no window over raw rows.
+
+    Returns ``(*group_cols, n, median, mad, n_outliers)``.
+
+    Reference scope note: no statistics exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    gc = list(group_cols)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *gc, F.col(value_col).alias("__v")
+    )
+    med = base.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY __v)"
+        ).cast("long").alias("median"),
+    )
+    dev = base.join(med, gc).select(
+        *gc, "n", "median", F.abs(F.col("__v") - F.col("median")).alias("__d")
+    )
+    mad = dev.groupBy(*gc, "n", "median").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY __d)"
+        ).cast("long").alias("mad"),
+    )
+    # the outlier census needs every deviation against its group's MAD
+    # — a second group-grain join + one count aggregate, not a window
+    return (
+        dev.select(*gc, "__d")
+        .join(mad, gc)
+        .groupBy(*gc, "n", "median", "mad")
+        .agg(
+            F.sum(
+                (F.col("__d") > F.lit(k) * F.col("mad")).cast("long")
+            ).alias("n_outliers")
+        )
+        .select(*gc, "n", "median", "mad", "n_outliers")
+    )

@@ -578,3 +578,59 @@ def interval_overlap_join(
         *[c + suffix for c in right_cols],
         overlap.alias("overlap_us"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    *,
+    order_cols=None,
+) -> DataFrame:
+    """Per-entity INTER-ARRIVAL-TIME census in exact microseconds — the
+    activity-cadence feature behind churn models, bot detection (a
+    near-constant gap is automation), and capacity planning: for every
+    entity with >= 2 events, the count / min / max / discrete-median of
+    consecutive-event gaps.
+
+    Determinism: ties in ``ts_col`` are broken by ``order_cols``
+    (default ``ts_col`` alone — pass an id column when timestamps can
+    collide, or two tied rows make the lag order engine-dependent).
+    Gaps are ``unix_micros`` differences (exact BIGINTs); the median is
+    ``percentile_disc(0.5)`` — a discrete order statistic both engines
+    select identically (the pctile_by_type convention).
+
+    Scale shape: ONE entity-partitioned lag window (each entity's
+    timeline sorts within its own partition — the scale-safe window
+    class) feeding one group-keyed aggregate with map-side combine. No
+    global sort, no self-join.
+
+    Returns ``(*key_cols, n_gaps, min_gap_us, max_gap_us, sum_gap_us,
+    p50_gap_us)``.
+
+    Reference scope note: no window functions exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    extra = [c for c in (order_cols or []) if c != ts_col]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__us"), *[F.col(c) for c in extra]
+    )
+    gaps = (
+        df.select(
+            *keys, *extra, F.unix_micros(F.col(ts_col)).alias("__us")
+        )
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
+        .filter(F.col("__gap").isNotNull())
+    )
+    return gaps.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("__gap").alias("min_gap_us"),
+        F.max("__gap").alias("max_gap_us"),
+        F.sum("__gap").alias("sum_gap_us"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY __gap)"
+        ).cast("long").alias("p50_gap_us"),
+    )

@@ -2014,3 +2014,62 @@ def _reciprocal_pairs(edges: DataFrame) -> DataFrame:
         F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
     )
     return fwd.join(rev, ["id_a", "id_b"], "semi")
+
+
+def label_centroid_coherence(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-label EMBEDDING COHERENCE diagnostic in exact integers —
+    does a label's vectors point the same way, or has the encoder
+    collapsed / the labeling drifted? The statistic is
+    ``||sum of label's quantized vectors||^2 DIV n`` : for mutually
+    aligned vectors it grows like ``n * ||v||^2 * cos``, for random
+    directions it stays near the single-vector norm scale — so a
+    cross-label comparison (or a round-over-round diff) of this one
+    number flags label-embedding degradation without any float
+    normalization. Quantization is ``floor(x * quant)`` per element
+    (a floor over a correctly-rounded IEEE multiply — deterministic in
+    both engines, the quantized_topk convention).
+
+    Scale shape: posexplode -> ONE (label, position)-keyed sum (map-
+    side combinable; the shuffle is |labels| x dim rows, not corpus-
+    sized), squares accumulated in DECIMAL(38,0) (n * quant can push
+    element sums past int32 and their squares past int64), one
+    label-grain count joined back (AQE-sized). No windows, no
+    driver collects, no pair joins.
+
+    Returns ``(label, n_vecs, coherence_q)`` where ``coherence_q =
+    ||sum||^2 DIV n_vecs`` as BIGINT.
+
+    Reference scope note: no vector operations exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    # widen to DOUBLE before the multiply: float32 * int would stay in
+    # float32 in Spark while the DuckDB oracle multiplies doubles — the
+    # floor must see the same correctly-rounded product in both engines
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(quant)).cast("long"),
+    )
+    per_pos = (
+        df.select(F.col(label_col).alias("label"), F.posexplode(q))
+        .groupBy("label", "pos")
+        .agg(F.sum("col").alias("__s"))
+    )
+    ssq = per_pos.groupBy("label").agg(
+        F.sum(
+            F.expr("CAST(__s AS DECIMAL(38,0)) * __s")
+        ).alias("__ssq")
+    )
+    n = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    return ssq.join(n, "label").select(
+        "label",
+        "n_vecs",
+        F.expr("CAST(__ssq DIV n_vecs AS BIGINT)").alias("coherence_q"),
+    )

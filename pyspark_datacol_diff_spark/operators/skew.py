@@ -115,3 +115,49 @@ def two_stage_agg(
             for out, (src, fn) in aggs.items()
         ]
     )
+
+
+def join_skew_probe(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    top: int = 20,
+) -> DataFrame:
+    """JOIN-SKEW DIAGNOSTIC — before shipping a join to a big cluster,
+    measure which keys would dominate it: per-key row counts on both
+    sides and their product (the exact number of output rows that key
+    alone produces), top ``top`` keys by product. The "will this join
+    blow up" probe that turns a hung-stage postmortem into a pre-flight
+    check — feed the offenders to :func:`salted_join`, a skew filter,
+    or AQE tuning.
+
+    Two map-side-combined keyed aggregates (each side reduces to key
+    grain BEFORE its exchange), one FULL-OUTER key-grain equi-join
+    (keys on one side only still matter: n x 0 pairs is dropped rows,
+    itself a finding), and a TakeOrdered top-k — never a global sort.
+    The product runs in DECIMAL(38,0) (two billion-row sides would
+    overflow int64) and is emitted as DECIMAL->BIGINT after the top-k
+    cut, where the survivors are small by selection.
+
+    Returns ``(*on, n_left, n_right, pairs_out)`` — ``pairs_out`` =
+    n_left * n_right (0 when the key is one-sided), descending.
+    """
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    lc = left.groupBy(*on).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(*on).agg(F.count(F.lit(1)).alias("n_right"))
+    both = lc.join(rc, on, "full_outer").select(
+        *on,
+        F.coalesce("n_left", F.lit(0)).alias("n_left"),
+        F.coalesce("n_right", F.lit(0)).alias("n_right"),
+    )
+    prod = F.expr(
+        "CAST(CAST(n_left AS DECIMAL(38,0)) * n_right AS DECIMAL(38,0))"
+    )
+    return (
+        both.withColumn("__p", prod)
+        .orderBy(F.desc("__p"), *[F.asc(c) for c in on])
+        .limit(top)
+        .select(*on, "n_left", "n_right", F.col("__p").cast("long").alias("pairs_out"))
+    )

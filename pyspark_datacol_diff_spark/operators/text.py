@@ -273,3 +273,62 @@ def rolling_hash_fingerprint(
         F.lit(0).cast("long"),
         lambda acc, tok: (acc * F.lit(base) + tok_h(tok)) % F.lit(mod),
     )
+
+
+def winnow_fingerprints(
+    text: Column | str,
+    *,
+    k: int = 3,
+    w: int = 4,
+    mod: int = _RH_MOD,
+    lowercase: bool = True,
+) -> Column:
+    """WINNOWING fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003 — the MOSS local document-fingerprinting algorithm): hash
+    every ``k``-token gram, slide a window of ``w`` consecutive gram
+    hashes, keep each window's MINIMUM, return the distinct selected
+    hashes sorted. The guarantee the paper proves: any shared token
+    run of length >= ``w + k - 1`` between two documents shares at
+    least one fingerprint — so fingerprint-set intersection is a
+    NO-FALSE-NEGATIVE detector for long shared substrings, at a
+    density of ~2/(w+1) of the gram count (vs 1/1 for full shingling).
+
+    Entirely IN-ROW Column algebra — gram hashing is the same
+    md5-reduce as :func:`rolling_hash_fingerprint` (engine-portable,
+    bit-replayable in DuckDB), windows are a nested ``transform`` +
+    ``slice`` + ``array_min``, so the operator is an embarrassingly
+    parallel projection with NO shuffle and NO UDF. Documents with
+    fewer than ``k`` tokens yield an empty set; with fewer than
+    ``w + k - 1`` tokens they degrade to one window over all grams
+    (the paper's short-document convention).
+
+    Hash-VALUE window minima make tie position irrelevant (the
+    rightmost-tie rule in the paper matters only when positions are
+    recorded; this form keeps the selected value set, which is what
+    the pair miner joins on).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")
+    t = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        t = F.lower(t)
+    toks = F.filter(tokens(t), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    gh = lambda i: (
+        F.conv(F.substring(F.md5(gram(i)), 1, 15), 16, 10).cast("long")
+        % F.lit(mod)
+    )
+    # gram hashes h[1..m], m = n-k+1 (sequence() would DESCEND for
+    # m < 1, so the whole expression is guarded by n >= k)
+    hs = F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: gh(i))
+    m = F.size(hs)
+    windows = F.transform(
+        F.sequence(F.lit(1), m - w + 1),
+        lambda j: F.array_min(F.slice(hs, j, w)),
+    )
+    return (
+        F.when(n < k, F.array().cast("array<bigint>"))
+        .when(n < k + w - 1, F.array(F.array_min(hs)))
+        .otherwise(F.array_sort(F.array_distinct(windows)))
+    )

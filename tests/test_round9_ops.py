@@ -395,3 +395,245 @@ class TestAutoNlist:
             ivf_topk(emb, q, 2, nlist="sqrt")
         with pytest.raises(ValueError, match="positive int or 'auto'"):
             ivf_topk(emb, q, 2, nlist=0)
+
+
+class TestWinnowFingerprints:
+    def test_moss_guarantee_shared_run_surfaces(self, spark):
+        from pyspark_datacol_diff_spark.operators.dedup import (
+            winnow_shared_pairs,
+        )
+
+        # docs 1/2 share the 5-token run "a b c d e" >= w+k-1 = 4 at
+        # k=3,w=2 -> guaranteed >= 1 shared fingerprint; doc 3 disjoint
+        d = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "x y a b c d e z"),
+             (3, "p q r s t u v")],
+            ["doc_id", "text"],
+        )
+        rows = winnow_shared_pairs(d, "doc_id", "text", k=3, w=2).collect()
+        assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+        assert rows[0]["n_shared"] >= 1
+
+    def test_short_doc_conventions(self, spark):
+        from pyspark_datacol_diff_spark.operators.text import (
+            winnow_fingerprints,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "a b"), (2, "q r s"), (3, "")], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: r["fps"]
+            for r in d.select(
+                "doc_id", winnow_fingerprints("text", k=3, w=2).alias("fps")
+            ).collect()
+        }
+        assert got[1] == []          # fewer than k tokens: no grams
+        assert len(got[2]) == 1      # one gram: one window-of-all
+        assert got[3] == []
+
+    def test_density_below_full_shingling(self, spark):
+        from pyspark_datacol_diff_spark.operators.text import (
+            winnow_fingerprints,
+        )
+
+        text = " ".join(f"t{i}" for i in range(100))
+        d = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        n_fps = len(
+            d.select(winnow_fingerprints("text", k=4, w=5).alias("f"))
+            .collect()[0]["f"]
+        )
+        # 97 grams; winnowing selects ~2/(w+1) = ~1/3 of them
+        assert n_fps < 60
+
+    def test_max_df_guard(self, spark):
+        from pyspark_datacol_diff_spark.operators.dedup import (
+            winnow_shared_pairs,
+        )
+
+        d = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="max_df"):
+            winnow_shared_pairs(d, "doc_id", "text", max_df=1)
+
+
+class TestClusterPurity:
+    def test_hand_computed(self, spark):
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            cluster_purity,
+        )
+
+        comps = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], ["node", "comp"]
+        )
+        labels = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "c")],
+            ["node", "label"],
+        )
+        got = {
+            r["comp"]: (r["size"], r["majority_n"], r["purity_ppm"])
+            for r in cluster_purity(comps, labels).collect()
+        }
+        assert got == {1: (3, 2, 666666), 4: (2, 2, 1000000)}
+
+    def test_unlabeled_nodes_dropped(self, spark):
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            cluster_purity,
+        )
+
+        comps = spark.createDataFrame([(1, 1), (2, 1)], ["node", "comp"])
+        labels = spark.createDataFrame([(1, "a")], ["node", "label"])
+        rows = cluster_purity(comps, labels).collect()
+        assert rows[0]["size"] == 1 and rows[0]["purity_ppm"] == 1_000_000
+
+
+class TestMadRobustStats:
+    def test_hand_computed_with_outlier(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            mad_robust_stats,
+        )
+
+        # values 1..5 + 100: median 3 (disc lower-of-even on 6 values
+        # picks the 3rd), deviations {2,1,0,1,2,97} -> mad 1 (3rd of
+        # sorted {0,1,1,2,2,97}); only 97 > 3*1
+        d = spark.createDataFrame(
+            [("t", v) for v in [1, 2, 3, 4, 5, 100]], ["g", "v"]
+        )
+        r = mad_robust_stats(d, ["g"], "v").collect()[0]
+        assert (r["n"], r["median"], r["mad"], r["n_outliers"]) == (6, 3, 1, 1)
+
+    def test_degenerate_mad_zero_contract(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            mad_robust_stats,
+        )
+
+        # >half identical -> MAD 0 -> everything != median flagged
+        d = spark.createDataFrame(
+            [("t", v) for v in [5, 5, 5, 5, 9, 2]], ["g", "v"]
+        )
+        r = mad_robust_stats(d, ["g"], "v").collect()[0]
+        assert r["mad"] == 0 and r["n_outliers"] == 2
+
+    def test_nulls_filtered(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            mad_robust_stats,
+        )
+
+        d = spark.createDataFrame(
+            [("t", 1), ("t", None), ("t", 3)], ["g", "v"]
+        )
+        assert mad_robust_stats(d, ["g"], "v").collect()[0]["n"] == 2
+
+
+class TestInterarrivalStats:
+    def test_hand_computed(self, spark):
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            interarrival_stats,
+        )
+
+        e = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 10:00:00")),
+                (1, _ts("2024-01-01 10:00:10")),
+                (1, _ts("2024-01-01 10:01:10")),
+                (2, _ts("2024-01-01 09:00:00")),  # single event: no gaps
+            ],
+            ["user_id", "ts"],
+        )
+        rows = interarrival_stats(e, ["user_id"], "ts").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["user_id"], r["n_gaps"]) == (1, 2)
+        assert (r["min_gap_us"], r["max_gap_us"]) == (10_000_000, 60_000_000)
+        assert r["sum_gap_us"] == 70_000_000
+        assert r["p50_gap_us"] == 10_000_000
+
+    def test_tied_timestamps_are_order_free(self, spark):
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            interarrival_stats,
+        )
+
+        # two rows at the identical instant: gap multiset {0, 60s}
+        # whatever order the tie lands in
+        e = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 10:00:00")),
+                (1, _ts("2024-01-01 10:00:00")),
+                (1, _ts("2024-01-01 10:01:00")),
+            ],
+            ["user_id", "ts"],
+        )
+        r = interarrival_stats(e, ["user_id"], "ts").collect()[0]
+        assert (r["n_gaps"], r["min_gap_us"], r["max_gap_us"]) == (
+            2, 0, 60_000_000,
+        )
+
+
+class TestDocKeywords:
+    def test_rare_term_outranks_common(self, spark):
+        from pyspark_datacol_diff_spark.operators.corpus import doc_keywords
+
+        d = spark.createDataFrame(
+            [(1, "spark spark rare"), (2, "spark common common"),
+             (3, "common zed")],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r["doc_id"], r["rnk"]): (r["term"], r["score"])
+            for r in doc_keywords(d, "doc_id", "text", k=2).collect()
+        }
+        # doc 1: rare (1 * 3e6/1) ties spark (2 * 3e6/2) -> term asc
+        assert got[(1, 1)] == ("rare", 3_000_000)
+        assert got[(1, 2)] == ("spark", 3_000_000)
+        assert got[(2, 1)] == ("common", 3_000_000)
+        assert got[(3, 2)] == ("common", 1_500_000)
+
+    def test_no_forced_vocab_broadcast(self, spark):
+        from pyspark_datacol_diff_spark.operators.corpus import doc_keywords
+
+        d = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        assert _keyed_agg_builds(doc_keywords(d, "doc_id", "text")) == []
+
+
+class TestJoinSkewProbe:
+    def test_counts_products_and_one_sided_keys(self, spark):
+        from pyspark_datacol_diff_spark.operators.skew import (
+            join_skew_probe,
+        )
+
+        l = spark.createDataFrame([(1,), (1,), (1,), (2,)], ["k"])
+        r = spark.createDataFrame([(1,), (1,), (3,)], ["k"])
+        got = {
+            row["k"]: (row["n_left"], row["n_right"], row["pairs_out"])
+            for row in join_skew_probe(l, r, ["k"], top=5).collect()
+        }
+        assert got == {1: (3, 2, 6), 2: (1, 0, 0), 3: (0, 1, 0)}
+
+    def test_top_cut_is_deterministic(self, spark):
+        from pyspark_datacol_diff_spark.operators.skew import (
+            join_skew_probe,
+        )
+
+        l = spark.createDataFrame([(k,) for k in [1, 2, 3]], ["k"])
+        r = spark.createDataFrame([(k,) for k in [1, 2, 3]], ["k"])
+        rows = join_skew_probe(l, r, ["k"], top=2).collect()
+        # all products tie at 1: the key ascending tiebreak decides
+        assert [row["k"] for row in rows] == [1, 2]
+
+
+class TestLabelCentroidCoherence:
+    def test_aligned_vs_opposed(self, spark):
+        from pyspark_datacol_diff_spark.operators.similarity import (
+            label_centroid_coherence,
+        )
+
+        emb = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("a", [1.0, 0.0]),
+             ("b", [1.0, 0.0]), ("b", [-1.0, 0.0])],
+            ["label", "embedding"],
+        )
+        got = {
+            r["label"]: (r["n_vecs"], r["coherence_q"])
+            for r in label_centroid_coherence(emb).collect()
+        }
+        # aligned: ||2e6, 0||^2 / 2 = 2e12; opposed: 0
+        assert got == {"a": (2, 2_000_000_000_000), "b": (2, 0)}
