@@ -7505,6 +7505,63 @@ FROM ss JOIN n USING (label)
 """
 
 
+def _q_streaming_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-user CUSUM drift monitor
+    (streaming/continuous_cusum) — the second ORDER-SENSITIVE
+    continuous fold: cusum is a prefix statistic, so a per-batch
+    window restarts every key at each batch boundary; the (C, M) =
+    (total S, min prefix) state algebra extends it exactly across the
+    three time-contiguous micro-batches. Value in cents, drift 3500,
+    alarm threshold 50000 ($500 cumulative exceedance). The oracle is
+    the straight batch SQL — streaming == batch equivalence for a
+    non-commutative stateful fold is the contract, and a restarted
+    prefix flips max_cusum/n_alarms on some user and fails the hash."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = STR.stage_time_splits(batch, "ts", 3, tiebreak_cols=["event_id"])
+    sdf = (
+        STR.read_parquet_stream(
+            spark, src, batch.schema, max_files_per_trigger=1
+        )
+        .transform(SRC.normalize_event_ts)
+        .withColumn(
+            "cents",
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        )
+    )
+    return STR.continuous_cusum(
+        sdf,
+        ["user_id"],
+        "ts",
+        "cents",
+        drift=3500,
+        threshold=50000,
+        tiebreak_cols=["event_id"],
+        query_name="q_stream_cusum",
+    )
+
+
+_SQL_STREAMING_CUSUM_EVENTS = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 3500)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
+  FROM events),
+c AS (
+  SELECT user_id,
+         S - least(0, min(S) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)) AS cusum
+  FROM s)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(cusum) AS BIGINT) AS max_cusum,
+       CAST(sum(CASE WHEN cusum > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms
+FROM c GROUP BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the core diff on the sf0.001 perturbed orders pair."""
     s1, s2 = _orders_pair(spark, "/root/testdata/sf0.001")
@@ -7564,6 +7621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords_docs": _q_doc_keywords_docs,
         "join_skew_lineitem_partsupp": _q_join_skew_lineitem_partsupp,
         "label_coherence_embed": _q_label_coherence_embed,
+        "streaming_cusum_events": _q_streaming_cusum_events,
         # --- latest green r05 (oldest remaining evidence block)
         "pagerank_copurchase": _q_pagerank_copurchase,
         "heavy_hitters_docs": _q_heavy_hitters_docs,
@@ -8109,6 +8167,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords_docs": _SQL_DOC_KEYWORDS_DOCS,
         "join_skew_lineitem_partsupp": _SQL_JOIN_SKEW_LINEITEM_PARTSUPP,
         "label_coherence_embed": _SQL_LABEL_COHERENCE_EMBED,
+        "streaming_cusum_events": _SQL_STREAMING_CUSUM_EVENTS,
         "q2_min_cost_supplier": _SQL_Q2_MIN_COST_SUPPLIER,
         "q11_important_stock": _SQL_Q11_IMPORTANT_STOCK,
         "q16_supplier_cnt": _SQL_Q16_SUPPLIER_CNT,

@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     "hits_parts_customers",      # 2-round bipartite join+agg iteration
     "skipgram_pmi_docs",         # in-row windowed pair expansion + PMI
     "mutual_knn_ivf_embed",      # IVF cell-join kNN + reciprocal semi
+    # new shapes in round 9:
+    "winnow_pairs_docs",         # window-min fingerprints + posting join
+    "doc_keywords_docs",         # vocab-grain AQE df-join + per-doc top-k
+    "label_coherence_embed",     # posexplode (label, pos) integer sums
+    "cluster_purity_docs",       # CC fixpoint + two-level purity agg
 ]
 
 

@@ -785,3 +785,147 @@ def continuous_transitions(
         "n",
         F.expr(f"n * {ppm_scale}L DIV __n_from").alias("p_ppm"),
     )
+
+
+def continuous_cusum(
+    sdf: DataFrame,
+    key_cols: list,
+    ts_col: str,
+    value_col: str,
+    *,
+    drift: int,
+    threshold: int,
+    tiebreak_cols: list | None = None,
+    query_name: str,
+    state_root: str | None = None,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Continuously-maintained per-key CUSUM drift monitor — the second
+    ORDER-SENSITIVE continuous fold (after continuous_transitions):
+    the classic change-detection statistic ``cusum_i = S_i - min(0,
+    min_{j<=i} S_j)`` with ``S_i = sum of (value - drift) over the
+    key's first i events`` is a PREFIX computation, so a per-batch
+    window silently restarts every key's accumulation at each batch
+    boundary. The cross-batch algebra that makes it streamable: per
+    key, state ``(C, M)`` = (total S so far, min(0, all S so far)),
+    and a batch's local prefix sums ``L_i`` / running minima ``LM_i``
+    extend it exactly — ``S_i = C + L_i``, running min ``= min(M, C +
+    LM_i)`` — so each batch is ONE keyed window plus a state join, and
+    the fold replays the batch operator bit-for-bit whatever the batch
+    cuts (quality.cusum_alarms' semantics; streaming == batch is the
+    correctness gate).
+
+    State is ONE key-grain table versioned per batch (the
+    continuous_rollup at-least-once retry/resume contract):
+    ``(keys, C, M, max_cusum, n_alarms, n_rows)`` — bounded by |keys|,
+    never by input volume. Requires time-ordered arrival
+    (stage_time_splits in fixtures; a time-partitioned landing zone in
+    production) — the same caveat every sequence-stateful stream
+    carries.
+
+    Runs to completion (availableNow) and returns the per-key census
+    ``(*key_cols, n_rows, max_cusum, n_alarms)`` where ``n_alarms``
+    counts rows with ``cusum > threshold``.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    spark = sdf.sparkSession
+    root = state_root or tempfile.mkdtemp(prefix=f"dcd_cusum_{query_name}_")
+    os.makedirs(os.path.join(root, "state"), exist_ok=True)
+    ran: list = []
+    ties = list(tiebreak_cols or [])
+
+    def _versions() -> list:
+        base = os.path.join(root, "state")
+        return sorted(
+            (int(d[1:]), os.path.join(base, d))
+            for d in os.listdir(base)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        wk = (
+            Window.partitionBy(*key_cols)
+            .orderBy(ts_col, *ties)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        last_key = F.struct(F.col(ts_col), *[F.col(t) for t in ties])
+        loc = (
+            batch_df.select(
+                *key_cols, ts_col, *ties,
+                (F.col(value_col).cast("long") - F.lit(drift)).alias("__v"),
+            )
+            .withColumn("__L", F.sum("__v").over(wk))
+            .withColumn("__LM", F.min(F.col("__L")).over(wk))
+        )
+        prior = [p for i, p in _versions() if i < batch_id]
+        if prior:
+            st = ss.read.parquet(prior[-1])
+        else:
+            key_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in loc.select(*key_cols).schema.fields
+            )
+            st = ss.createDataFrame(
+                [],
+                key_ddl + ", C bigint, M bigint, max_cusum bigint, "
+                "n_alarms bigint, n_rows bigint",
+            )
+        j = loc.join(st, key_cols, "left").select(
+            *key_cols, ts_col, *ties, "__L", "__LM",
+            F.coalesce("C", F.lit(0)).alias("C"),
+            F.coalesce("M", F.lit(0)).alias("M"),
+            F.coalesce("max_cusum", F.lit(0)).alias("max_cusum"),
+            F.coalesce("n_alarms", F.lit(0)).alias("n_alarms"),
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        )
+        cusum = (F.col("C") + F.col("__L")) - F.least(
+            F.col("M"), F.col("C") + F.col("__LM")
+        )
+        summ = j.groupBy(*key_cols).agg(
+            (F.first("C") + F.max_by("__L", last_key)).alias("C2"),
+            F.least(
+                F.first("M"), F.first("C") + F.min("__LM")
+            ).alias("M2"),
+            F.greatest(
+                F.first("max_cusum"), F.max(cusum)
+            ).alias("maxc2"),
+            (
+                F.first("n_alarms")
+                + F.sum((cusum > threshold).cast("long"))
+            ).alias("nal2"),
+            (F.first("n_rows") + F.count(F.lit(1))).alias("nr2"),
+        )
+        new_state = summ.select(
+            *key_cols,
+            F.col("C2").alias("C"),
+            F.col("M2").alias("M"),
+            F.col("maxc2").alias("max_cusum"),
+            F.col("nal2").alias("n_alarms"),
+            F.col("nr2").alias("n_rows"),
+        )
+        # keys idle this batch keep their state rows untouched
+        if prior:
+            idle = st.join(summ.select(*key_cols), key_cols, "left_anti")
+            new_state = new_state.unionByName(idle)
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(root, "state", f"v{batch_id}")
+        )
+        ran.append(batch_id)
+
+    writer = sdf.writeStream.foreachBatch(_merge).queryName(query_name)
+    _run_to_completion(spark, writer, query_name, state_partitions)
+    if ran:
+        final = os.path.join(root, "state", f"v{max(ran)}")
+    else:
+        vs = _versions()
+        if not vs:
+            raise RuntimeError(f"{query_name!r}: no micro-batch ran")
+        final = vs[-1][1]
+    return spark.read.parquet(final).select(
+        *key_cols, "n_rows", "max_cusum", "n_alarms"
+    )

@@ -190,6 +190,22 @@ QUERIES = [
     # must exclude the touch) and duplicate timestamps stress the
     # overlap join's session construction on both engines
     "session_error_overlap_events",
+    # r09: the injected empty/one-token/below-k docs are the winnowing
+    # short-doc conventions (no grams / one window-of-all) and shift
+    # doc_keywords' df counts; the duplicate doc pair must produce a
+    # shared-fingerprint pair and a pure 2-component; duplicate
+    # timestamps put a 0 gap in the interarrival census; bin-edge and
+    # negative cents sit on the MAD median/deviation boundaries; the
+    # zero vector and exactly-integral x*1e6 elements are the coherence
+    # quantization floor cases. (join_skew reads only unstressed
+    # lineitem/part — omitted like pagerank.)
+    "winnow_fp_docs",
+    "winnow_pairs_docs",
+    "doc_keywords_docs",
+    "cluster_purity_docs",
+    "mad_outliers_events",
+    "interarrival_users",
+    "label_coherence_embed",
 ]
 
 
@@ -323,6 +339,44 @@ def synth(out: str) -> None:
     )
 
 
+def check_ks_empty_group() -> bool:
+    """The ks_statistic empty-group boundary (VERDICT r08 #4): an empty
+    side is undefined — Spark would emit NULL and DuckDB would raise, so
+    the operator must raise the SAME typed error in both worlds. The
+    sweep cannot produce an empty group by injecting rows into a shared
+    table (both event types exist in the base data), so the case runs
+    as a dedicated in-process check: a one-sided frame must raise
+    ValueError, and the same frame with both sides present must not."""
+    from pyspark_datacol_diff_spark import get_spark
+    from pyspark_datacol_diff_spark.operators.quality import ks_statistic
+
+    spark = get_spark(
+        app_name="boundary-ks", master="local[4]", shuffle_partitions=4
+    )
+    one_sided = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3)], ["grp", "v"]
+    )
+    try:
+        ks_statistic(one_sided, "grp", "v", "a", "b")
+    except ValueError as e:
+        if "non-empty samples" not in str(e):
+            print(f"ks_empty_group: FAIL (wrong error: {e})")
+            return False
+    else:
+        print("ks_empty_group: FAIL (no raise on empty group_b)")
+        return False
+    both = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3)], ["grp", "v"]
+    )
+    r = ks_statistic(both, "grp", "v", "a", "b").collect()[0]
+    ok = (r["n_a"], r["n_b"], r["ks_ppm"]) == (2, 2, 500000)
+    print(
+        "ks_empty_group: PASS (typed raise on empty side; exact ks on "
+        "the good frame)" if ok else f"ks_empty_group: FAIL ({r})"
+    )
+    return ok
+
+
 def main() -> int:
     keep = len(sys.argv) > 1
     out = sys.argv[1] if keep else tempfile.mkdtemp(prefix="dcd_boundary_")
@@ -333,6 +387,8 @@ def main() -> int:
             [sys.executable, os.path.join(os.path.dirname(__file__), "parity.py"),
              "--sf", out, *QUERIES]
         )
+        if not check_ks_empty_group():
+            rc = rc or 1
         return rc
     finally:
         if not keep:

@@ -136,6 +136,14 @@ QUERIES = [
     # that the bucket equi-join + overlap-start dedup keeps the pair
     # relation linear in overlapping pairs at 10x sessions
     "session_error_overlap_events",
+    # round-9 additions: the winnowing posting-list pair join (in-row
+    # window-min fingerprints, max_df hot-key guard — claim: posting
+    # volume ~2/(w+1) of full shingling and pair work bounded by the
+    # cap), the vocabulary-grain AQE-sized df join + per-doc top-k
+    # window, and the (label, pos)-keyed integer centroid sums
+    "winnow_pairs_docs",
+    "doc_keywords_docs",
+    "label_coherence_embed",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those

@@ -506,3 +506,93 @@ class TestContinuousTransitions:
             ).collect()
         }
         assert got == {("A", "B"): 1, ("X", "Y"): 1}
+
+
+class TestContinuousCusum:
+    """r09: the second ORDER-SENSITIVE continuous fold — per-key (C, M)
+    prefix-state algebra extending cusum across batch boundaries."""
+
+    def _events(self, spark):
+        import datetime as dt
+
+        b = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = []
+        # user 1 drifts up then spikes; user 2 hovers below drift
+        vals = {1: [10, 0, 10, 0, 20, 30], 2: [0, 0, 3, 0]}
+        eid = 0
+        for u, vs in vals.items():
+            for i, v in enumerate(vs):
+                rows.append((eid, b + dt.timedelta(minutes=eid), u, v))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, v long"
+        )
+
+    def _batch_expected(self, spark, drift=5, thr=4):
+        from pyspark.sql import Window
+
+        df = self._events(spark)
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ref = df.withColumn(
+            "S", F.sum(F.col("v") - F.lit(drift)).over(w)
+        ).withColumn(
+            "cusum", F.col("S") - F.least(F.lit(0), F.min("S").over(w))
+        )
+        return {
+            r["user_id"]: (r["n_rows"], r["max_cusum"], r["n_alarms"])
+            for r in ref.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max("cusum").alias("max_cusum"),
+                F.sum((F.col("cusum") > thr).cast("long")).alias("n_alarms"),
+            )
+            .collect()
+        }
+
+    def test_streaming_equals_batch_across_batches(self, spark):
+        from pyspark_datacol_diff_spark import streaming as STR
+
+        df = self._events(spark)
+        for n_batches in (2, 4):
+            src = STR.stage_time_splits(
+                df, "ts", n_batches, tiebreak_cols=["event_id"]
+            )
+            sdf = STR.read_parquet_stream(
+                spark, src, df.schema, max_files_per_trigger=1
+            )
+            got = {
+                r["user_id"]: (r["n_rows"], r["max_cusum"], r["n_alarms"])
+                for r in STR.continuous_cusum(
+                    sdf, ["user_id"], "ts", "v", drift=5, threshold=4,
+                    tiebreak_cols=["event_id"],
+                    query_name=f"t_stream_cusum_{n_batches}",
+                ).collect()
+            }
+            assert got == self._batch_expected(spark), (
+                f"batch-boundary prefix restart at n_batches={n_batches}"
+            )
+
+    def test_boundary_restart_would_be_caught(self, spark):
+        # the failure the state algebra prevents: user 1's running
+        # minimum is set in batch 1; a restarted prefix would compute a
+        # LOWER max_cusum. Pin the cross-batch number explicitly.
+        from pyspark_datacol_diff_spark import streaming as STR
+
+        df = self._events(spark)
+        src = STR.stage_time_splits(df, "ts", 3, tiebreak_cols=["event_id"])
+        sdf = STR.read_parquet_stream(
+            spark, src, df.schema, max_files_per_trigger=1
+        )
+        got = {
+            r["user_id"]: r["max_cusum"]
+            for r in STR.continuous_cusum(
+                sdf, ["user_id"], "ts", "v", drift=5, threshold=4,
+                tiebreak_cols=["event_id"], query_name="t_stream_cusum_pin",
+            ).collect()
+        }
+        # user 1: S = 5,0,5,0,15,40 -> cusum max 40 (min prefix 0)
+        assert got[1] == 40
