@@ -1212,8 +1212,9 @@ def _q_assoc_rules_copurchase(
     with exact truncating-ppm confidence and a DECIMAL(38,0)-DIV lift
     (same 128-bit truncation semantics as DuckDB HUGEINT //) — the
     market-basket recommendation score. Pair support from the shared
-    basket-explode miner; item marginals and the basket total
-    broadcast onto the pair relation."""
+    basket-explode miner; item-grain marginals equi-joined with the
+    strategy left to AQE (r09: no forced broadcast of an unbounded
+    item domain) and the scalar basket total broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     return CO.association_rules(li, "l_orderkey", "l_partkey")
 
@@ -7562,6 +7563,158 @@ FROM c GROUP BY user_id
 """
 
 
+def _q_funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel (operators/range_join.py:
+    funnel_windowed): view -> click -> purchase where each stage must
+    land within 30 minutes of the entity's latest QUALIFIED previous
+    stage — the attribution-window semantics order-only funnel_events
+    cannot express. One user-keyed sort shared by the chained
+    running-max windows; integer-exact counts."""
+    e = _t(spark, sf_dir, "events")
+    return RJ.funnel_windowed(
+        e, ["user_id"], "ts", "event_type",
+        ["view", "click", "purchase"],
+        within_seconds=1800, tiebreak_cols=["event_id"],
+    )
+
+
+_SQL_FUNNEL_WINDOWED_EVENTS = """
+WITH s1 AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last1
+  FROM events),
+s2 AS (
+  SELECT *,
+         (event_type = 'click' AND last1 IS NOT NULL
+          AND epoch_us(ts) - last1 <= 1800000000) AS q2
+  FROM s1),
+s3 AS (
+  SELECT *,
+         max(CASE WHEN q2 THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last2
+  FROM s2),
+per_key AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN q2 THEN 1 ELSE 0 END) AS r2,
+         max(CASE WHEN event_type = 'purchase' AND last2 IS NOT NULL
+                  AND epoch_us(ts) - last2 <= 1800000000
+                  THEN 1 ELSE 0 END) AS r3
+  FROM s3 GROUP BY user_id)
+SELECT CAST(sum(r1) AS BIGINT) AS n_stage1,
+       CAST(sum(r2) AS BIGINT) AS n_stage2,
+       CAST(sum(r3) AS BIGINT) AS n_stage3
+FROM per_key
+"""
+
+
+def _q_seasonal_residuals_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality-adjusted anomaly census (operators/range_join.py:
+    seasonal_residual_census): residuals against each (type,
+    hour-of-week) cell's integer mean, per-type max |residual| and
+    count above $200 — the outlier gate that knows a Friday-peak value
+    is not a 4am value. Cell means are sum DIV n (trunc, DuckDB //);
+    the cell join is AQE-sized."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return RJ.seasonal_residual_census(
+        cents, "event_type", "ts", "cents", threshold=20000
+    )
+
+
+_SQL_SEASONAL_RESIDUALS_EVENTS = """
+WITH b AS (
+  SELECT event_type AS type,
+         CAST(dayofweek(ts) * 24 + hour(ts) AS BIGINT) AS how,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+cells AS (
+  SELECT type, how, sum(v) // count(*) AS exp FROM b GROUP BY 1, 2),
+r AS (
+  SELECT b.type, b.v - cells.exp AS r
+  FROM b JOIN cells USING (type, how))
+SELECT type, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(abs(r)) AS BIGINT) AS max_abs_residual,
+       CAST(sum(CASE WHEN abs(r) > 20000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM r GROUP BY type
+"""
+
+
+def _q_top_share_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic concentration (operators/histogram.py:top_share): the
+    share of all events held by the 5 heaviest users, in exact ppm —
+    the Lorenz top-slice behind capacity/abuse questions and the
+    direct skew headline for a user-keyed shuffle. TakeOrdered cut
+    with ascending-key tiebreak; one keyed count + two scalars."""
+    e = _t(spark, sf_dir, "events")
+    return HG.top_share(e, ["user_id"], top_k=5)
+
+
+_SQL_TOP_SHARE_USERS_EVENTS = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+top AS (SELECT n FROM c ORDER BY n DESC, user_id ASC LIMIT 5),
+tot AS (SELECT count(*) AS n_keys, sum(n) AS n_rows FROM c),
+ta AS (SELECT count(*) AS top_k, sum(n) AS top_rows FROM top)
+SELECT CAST(tot.n_keys AS BIGINT) AS n_keys,
+       CAST(tot.n_rows AS BIGINT) AS n_rows,
+       CAST(ta.top_k AS BIGINT) AS top_k,
+       CAST(ta.top_rows AS BIGINT) AS top_rows,
+       CAST(ta.top_rows * 1000000 // tot.n_rows AS BIGINT) AS share_ppm
+FROM ta CROSS JOIN tot
+"""
+
+
+def _q_clustering_coeff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the shared near-dup
+    pair graph (operators/cluster.py:local_clustering — Watts-Strogatz
+    2*tri/(deg*(deg-1)) in exact ppm, composing the degree-oriented
+    triangle counter): separates tight duplicate communities
+    (ppm_scale) from hub/chain noise (0). Left join keeps
+    triangle-free nodes; degree >= 2 only."""
+    pairs = _ngram_pairs(spark, sf_dir)
+    return CC.local_clustering(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "degree", "n_tri", "lcc_ppm"
+    )
+
+
+_SQL_CLUSTERING_COEFF_DOCS = "WITH " + _SQL_NGRAM_PAIRS_BODY + """,
+tri3 AS (
+  SELECT a.id_a AS u, a.id_b AS v, b.id_b AS w
+  FROM pairs a
+  JOIN pairs b ON b.id_a = a.id_b
+  JOIN pairs c ON c.id_a = a.id_a AND c.id_b = b.id_b),
+members AS (
+  SELECT u AS node FROM tri3
+  UNION ALL SELECT v FROM tri3
+  UNION ALL SELECT w FROM tri3),
+tric AS (SELECT node, count(*) AS n_tri FROM members GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT id_a AS node FROM pairs
+    UNION ALL SELECT id_b FROM pairs) d
+  GROUP BY node)
+SELECT deg.node AS doc_id, CAST(deg.degree AS BIGINT) AS degree,
+       CAST(coalesce(tric.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(coalesce(tric.n_tri, 0) * 2 * 1000000 //
+            (deg.degree * (deg.degree - 1)) AS BIGINT) AS lcc_ppm
+FROM deg LEFT JOIN tric USING (node)
+WHERE deg.degree >= 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the core diff on the sf0.001 perturbed orders pair."""
     s1, s2 = _orders_pair(spark, "/root/testdata/sf0.001")
@@ -7622,6 +7775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skew_lineitem_partsupp": _q_join_skew_lineitem_partsupp,
         "label_coherence_embed": _q_label_coherence_embed,
         "streaming_cusum_events": _q_streaming_cusum_events,
+        "funnel_windowed_events": _q_funnel_windowed_events,
+        "seasonal_residuals_events": _q_seasonal_residuals_events,
+        "top_share_users_events": _q_top_share_users_events,
+        "clustering_coeff_docs": _q_clustering_coeff_docs,
         # --- latest green r05 (oldest remaining evidence block)
         "pagerank_copurchase": _q_pagerank_copurchase,
         "heavy_hitters_docs": _q_heavy_hitters_docs,
@@ -8168,6 +8325,10 @@ def oracle_sql() -> dict[str, str]:
         "join_skew_lineitem_partsupp": _SQL_JOIN_SKEW_LINEITEM_PARTSUPP,
         "label_coherence_embed": _SQL_LABEL_COHERENCE_EMBED,
         "streaming_cusum_events": _SQL_STREAMING_CUSUM_EVENTS,
+        "funnel_windowed_events": _SQL_FUNNEL_WINDOWED_EVENTS,
+        "seasonal_residuals_events": _SQL_SEASONAL_RESIDUALS_EVENTS,
+        "top_share_users_events": _SQL_TOP_SHARE_USERS_EVENTS,
+        "clustering_coeff_docs": _SQL_CLUSTERING_COEFF_DOCS,
         "q2_min_cost_supplier": _SQL_Q2_MIN_COST_SUPPLIER,
         "q11_important_stock": _SQL_Q11_IMPORTANT_STOCK,
         "q16_supplier_cnt": _SQL_Q16_SUPPLIER_CNT,

@@ -1614,3 +1614,52 @@ def cluster_purity(
         "majority_n",
         F.expr(f"majority_n * {ppm_scale}L DIV size").alias("purity_ppm"),
     )
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+    *,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT in exact integer ppm —
+    Watts-Strogatz ``2 * triangles / (deg * (deg - 1))``, the
+    tight-community-vs-chain-noise signal one normalization past raw
+    triangle counts: a node whose neighbors all know each other scores
+    ppm_scale, a pure hub scores 0.
+
+    Composes :func:`triangle_counts` (degree-ordered orientation — the
+    Suri-Vassilvitskii bound on wedge work) with one degree aggregate
+    and a LEFT join (triangle-free nodes matter and score 0). Emitted
+    for nodes with degree >= 2 (the coefficient is undefined below);
+    the ratio is one integer DIV, truncating exactly like DuckDB
+    ``//``.
+
+    Returns ``(node, degree, n_tri, lcc_ppm)``.
+
+    Reference scope note: no graph operators exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    canon = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).distinct()
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.expr(
+                f"coalesce(n_tri, 0) * 2 * {ppm_scale}L "
+                f"DIV (degree * (degree - 1))"
+            ).alias("lcc_ppm"),
+        )
+    )

@@ -316,3 +316,48 @@ def quantile_rank(
         .alias(out_col),
     )
     return base.join(ranked, [*gc, value_col])
+
+
+def top_share(
+    df: DataFrame,
+    key_cols,
+    *,
+    top_k: int,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """CONCENTRATION census — what share of all rows do the ``top_k``
+    heaviest keys hold? The Lorenz-curve point behind "1% of users
+    generate 40% of traffic" capacity/abuse analyses, and the direct
+    skew headline for a prospective groupBy/join on the key (the
+    gini_* operators give the full-curve summary; this is the
+    actionable top-slice number).
+
+    Scale shape: one keyed count with map-side combine, a TakeOrdered
+    top-k cut (never a global sort — ties broken by ascending key so
+    the cut replays deterministically), one scalar total, and a
+    cross-join of two tiny relations. Returns one row
+    ``(n_keys, n_rows, top_k, top_rows, share_ppm)`` where
+    ``share_ppm = top_rows * ppm_scale DIV n_rows``.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    top = counts.orderBy(
+        F.desc("__n"), *[F.asc(k) for k in keys]
+    ).limit(top_k)
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+    )
+    top_agg = top.agg(
+        F.count(F.lit(1)).alias("top_k"),
+        F.sum("__n").alias("top_rows"),
+    )
+    return top_agg.crossJoin(F.broadcast(tot)).select(
+        "n_keys",
+        "n_rows",
+        "top_k",
+        "top_rows",
+        F.expr(f"top_rows * {ppm_scale}L DIV n_rows").alias("share_ppm"),
+    )

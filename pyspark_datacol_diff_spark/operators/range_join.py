@@ -634,3 +634,129 @@ def interarrival_stats(
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY __gap)"
         ).cast("long").alias("p50_gap_us"),
     )
+
+
+def funnel_windowed(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    type_col: str,
+    stages,
+    *,
+    within_seconds: int,
+    tiebreak_cols=None,
+) -> DataFrame:
+    """TIME-CONSTRAINED ordered funnel — the product-analytics
+    conversion census one rung stricter than :func:`funnel` order-only
+    matching: stage k counts only when it happens strictly AFTER the
+    entity's most recent QUALIFIED stage k-1 event AND within
+    ``within_seconds`` of it (the attribution-window semantics real
+    funnels use: a purchase six months after the click is not that
+    click's conversion). Exactly three stages for now — the shape the
+    chained-running-max formulation keeps single-sort.
+
+    Scale shape — ONE entity-keyed sort shared by every stage: stage-1
+    presence is a running max of (ts when type = stages[0]) over
+    strictly-preceding rows; a stage-2 row qualifies when that latest
+    stage-1 timestamp is within the window (the LATEST is the nearest,
+    so "latest within window" == "any within window"); stage-3 chains
+    off the running max of QUALIFIED stage-2 timestamps. All windows
+    share one (keys, ts, tiebreaks) sort; the output is one final
+    grain-free aggregate.
+
+    Returns one row ``(n_stage1, n_stage2, n_stage3)`` — distinct
+    entities whose funnel reached each stage under the constraint.
+
+    Reference scope note: no window functions exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    if len(stages) != 3:
+        raise ValueError(f"exactly 3 stages supported, got {len(stages)}")
+    if within_seconds < 1:
+        raise ValueError(f"within_seconds must be >= 1, got {within_seconds}")
+    keys = list(key_cols)
+    ties = list(tiebreak_cols or [])
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, *ties)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    win_us = within_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    s1, s2, s3 = stages
+    base = df.select(*keys, ts_col, *ties, F.col(type_col).alias("__t"))
+    st1 = base.withColumn(
+        "__last1", F.max(F.when(F.col("__t") == s1, us)).over(w_prev)
+    )
+    q2 = (
+        (F.col("__t") == s2)
+        & F.col("__last1").isNotNull()
+        & (us - F.col("__last1") <= win_us)
+    )
+    st2 = st1.withColumn(
+        "__last2", F.max(F.when(q2, us)).over(w_prev)
+    ).withColumn("__q2", q2.cast("long"))
+    q3 = (
+        (F.col("__t") == s3)
+        & F.col("__last2").isNotNull()
+        & (us - F.col("__last2") <= win_us)
+    )
+    per_key = st2.groupBy(*keys).agg(
+        F.max((F.col("__t") == s1).cast("long")).alias("__r1"),
+        F.max("__q2").alias("__r2"),
+        F.max(q3.cast("long")).alias("__r3"),
+    )
+    return per_key.agg(
+        F.sum("__r1").alias("n_stage1"),
+        F.sum("__r2").alias("n_stage2"),
+        F.sum("__r3").alias("n_stage3"),
+    )
+
+
+def seasonal_residual_census(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    threshold: int,
+) -> DataFrame:
+    """SEASONALITY-ADJUSTED anomaly census — outliers measured against
+    the value's own hour-of-week baseline instead of a global fence: a
+    $400 checkout at Friday peak is normal, the same value at 4am
+    Tuesday is the anomaly a global IQR fence misses. Expected value
+    per (type, hour-of-week) cell = integer mean ``sum DIV n`` over
+    the cell (trunc division, DuckDB ``//``); each row's residual is
+    ``value - expected``; the census reports, per type, the row count,
+    max |residual|, and how many rows exceed ``threshold``.
+
+    ``value_col`` must be an exact integer (cents). Scale shape: one
+    (type, how)-keyed cell aggregate (bounded at |types| x 168 rows but
+    data-derived, so the join back is AQE-sized, not hint-forced — the
+    r09 forced_broadcast discipline), one equi-join, one type-keyed
+    census aggregate. No windows.
+
+    Returns ``(type, n, max_abs_residual, n_anomalies)``.
+    """
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0, got {threshold}")
+    base = df.select(
+        F.col(type_col).alias("type"),
+        hour_of_week(ts_col).alias("how"),
+        F.col(value_col).alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    cells = base.groupBy("type", "how").agg(
+        F.expr("sum(__v) DIV count(1)").alias("__exp")
+    )
+    resid = base.join(cells, ["type", "how"]).select(
+        "type", (F.col("__v") - F.col("__exp")).alias("__r")
+    )
+    return resid.groupBy("type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("__r"))).alias("max_abs_residual"),
+        F.sum((F.abs(F.col("__r")) > threshold).cast("long")).alias(
+            "n_anomalies"
+        ),
+    )

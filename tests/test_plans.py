@@ -125,13 +125,16 @@ def test_chunking_is_zero_shuffle(qs, spark):
     P.assert_max_shuffles(qs["chunk_docs"](spark, SF), 0)
 
 
-def test_survivor_corpus_broadcasts_victims(qs, spark):
-    # the victim id list must broadcast into a LeftAnti hash join — the
-    # corpus side never shuffles for the dedup itself
-    plan = P.physical_plan(qs["dedup_survivor_corpus"](spark, SF))
-    assert "BroadcastHashJoin LeftAnti" in plan or (
-        "LeftAnti, BuildRight" in plan and "BroadcastExchange" in plan
-    ), plan
+def test_survivor_corpus_victim_join_is_aqe_sized(qs, spark):
+    # r09: the victim anti join must NOT be hint-forced to broadcast —
+    # the victim list's size scales with the corpus's duplication rate,
+    # so AQE owns the strategy (forced_broadcast lint class). The plan
+    # must still be a LeftAnti equi-join, never a cross product.
+    df = qs["dedup_survivor_corpus"](spark, SF)
+    assert P.forced_broadcast_builds(df) == []
+    plan = P.physical_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
 
 
 def test_apply_diff_single_join_per_branch(spark):

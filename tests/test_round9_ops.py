@@ -637,3 +637,145 @@ class TestLabelCentroidCoherence:
         }
         # aligned: ||2e6, 0||^2 / 2 = 2e12; opposed: 0
         assert got == {"a": (2, 2_000_000_000_000), "b": (2, 0)}
+
+
+class TestFunnelWindowed:
+    def test_window_constraint_bites(self, spark):
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            funnel_windowed,
+        )
+
+        # user 1: full funnel inside the window; user 2's click is 40min
+        # after the view (outside 30min) so stages 2/3 must not count;
+        # user 3 views only
+        rows = [
+            (1, _ts("2024-01-01 10:00:00"), 1, "view"),
+            (2, _ts("2024-01-01 10:10:00"), 1, "click"),
+            (3, _ts("2024-01-01 10:20:00"), 1, "purchase"),
+            (4, _ts("2024-01-01 10:00:00"), 2, "view"),
+            (5, _ts("2024-01-01 10:40:00"), 2, "click"),
+            (6, _ts("2024-01-01 10:41:00"), 2, "purchase"),
+            (7, _ts("2024-01-01 10:00:00"), 3, "view"),
+        ]
+        e = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        r = funnel_windowed(
+            e, ["user_id"], "ts", "event_type",
+            ["view", "click", "purchase"],
+            within_seconds=1800, tiebreak_cols=["event_id"],
+        ).collect()[0]
+        assert (r["n_stage1"], r["n_stage2"], r["n_stage3"]) == (3, 1, 1)
+
+    def test_purchase_window_measured_from_qualified_click(self, spark):
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            funnel_windowed,
+        )
+
+        # click qualifies, but the purchase lands 31min after it —
+        # stage 3 must not count even though view->purchase < 60min
+        rows = [
+            (1, _ts("2024-01-01 10:00:00"), 1, "view"),
+            (2, _ts("2024-01-01 10:05:00"), 1, "click"),
+            (3, _ts("2024-01-01 10:36:30"), 1, "purchase"),
+        ]
+        e = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        r = funnel_windowed(
+            e, ["user_id"], "ts", "event_type",
+            ["view", "click", "purchase"],
+            within_seconds=1800, tiebreak_cols=["event_id"],
+        ).collect()[0]
+        assert (r["n_stage1"], r["n_stage2"], r["n_stage3"]) == (1, 1, 0)
+
+    def test_guards(self, spark):
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            funnel_windowed,
+        )
+
+        e = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        with pytest.raises(ValueError, match="3 stages"):
+            funnel_windowed(
+                e, ["user_id"], "ts", "event_type", ["a", "b"],
+                within_seconds=60,
+            )
+
+
+class TestSeasonalResidualCensus:
+    def test_hand_computed(self, spark):
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            seasonal_residual_census,
+        )
+
+        # two rows in the same (type, hour-of-week) cell: mean of
+        # (100, 300) truncates to 200 -> residuals -100/+100; a third
+        # row alone in another cell has residual 0
+        rows = [
+            ("a", _ts("2024-01-01 10:00:00"), 100),
+            ("a", _ts("2024-01-08 10:30:00"), 300),  # same Monday-10 cell
+            ("a", _ts("2024-01-01 11:00:00"), 999),
+        ]
+        d = spark.createDataFrame(rows, "type string, ts timestamp, v long")
+        r = seasonal_residual_census(
+            d, "type", "ts", "v", threshold=50
+        ).collect()[0]
+        assert (r["n"], r["max_abs_residual"], r["n_anomalies"]) == (3, 100, 2)
+
+
+class TestTopShare:
+    def test_hand_computed_and_tie_determinism(self, spark):
+        from pyspark_datacol_diff_spark.operators.histogram import top_share
+
+        # counts: u1=3, u2=2, u3=2, u4=1 (8 rows). top_k=2 -> u1 + u2
+        # (tie u2/u3 broken by ascending key) = 5/8 = 625000 ppm
+        d = spark.createDataFrame(
+            [(u,) for u in [1, 1, 1, 2, 2, 3, 3, 4]], ["user_id"]
+        )
+        r = top_share(d, ["user_id"], top_k=2).collect()[0]
+        assert (r["n_keys"], r["n_rows"], r["top_k"], r["top_rows"]) == (
+            4, 8, 2, 5,
+        )
+        assert r["share_ppm"] == 625000
+
+    def test_top_k_larger_than_domain(self, spark):
+        from pyspark_datacol_diff_spark.operators.histogram import top_share
+
+        d = spark.createDataFrame([(1,), (2,)], ["user_id"])
+        r = top_share(d, ["user_id"], top_k=10).collect()[0]
+        assert (r["top_k"], r["share_ppm"]) == (2, 1_000_000)
+
+
+class TestLocalClustering:
+    def test_triangle_plus_bridge(self, spark):
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            local_clustering,
+        )
+
+        # triangle 1-2-3 plus bridge 3-4: nodes 1,2 have deg 2 and one
+        # triangle -> lcc = 2*1e6/(2*1) = 1e6; node 3 deg 3, one
+        # triangle -> 2*1e6/6 = 333333; node 4 deg 1 -> excluded
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], ["id_a", "id_b"]
+        )
+        got = {
+            r["node"]: (r["degree"], r["n_tri"], r["lcc_ppm"])
+            for r in local_clustering(e).collect()
+        }
+        assert got == {
+            1: (2, 1, 1_000_000),
+            2: (2, 1, 1_000_000),
+            3: (3, 1, 333333),
+        }
+
+    def test_triangle_free_node_scores_zero(self, spark):
+        from pyspark_datacol_diff_spark.operators.cluster import (
+            local_clustering,
+        )
+
+        # path 1-2-3: node 2 has degree 2, no triangle -> lcc 0
+        e = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        got = {r["node"]: r["lcc_ppm"] for r in local_clustering(e).collect()}
+        assert got == {2: 0}
