@@ -7244,11 +7244,12 @@ def _q_winnow_fp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded to (doc_id, fp) rows. Pure in-row Column algebra (md5
     gram hashes, nested transform/slice/array_min — no shuffle, no
     UDF); the DuckDB oracle replays every hash bit-for-bit."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.explode(TX.winnow_fingerprints("text", k=4, w=5)).alias("fp"),
-    )
+    # balance first: the gram-hash projection is the CPU stage, and a
+    # single-row-group scan would pin it to one core (sources note)
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    return TX.winnow_fingerprints(
+        d.select("doc_id", "text"), "text", k=4, w=5, out_col="__fps"
+    ).select("doc_id", F.explode(F.col("__fps")).alias("fp"))
 
 
 _SQL_WINNOW_FP_BODY = """
@@ -7290,7 +7291,7 @@ def _q_winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint key with the max_df=100 hot-fingerprint guard (same
     cap-bias contract as ngram_jaccard_pairs, replayed in the oracle
     as a HAVING bound)."""
-    d = _t(spark, sf_dir, "documents")
+    d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
     return DD.winnow_shared_pairs(
         d, "doc_id", "text", k=4, w=5, min_shared=2, max_df=100
     )

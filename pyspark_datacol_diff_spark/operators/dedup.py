@@ -869,12 +869,17 @@ def winnow_shared_pairs(
 
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
-    post = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            winnow_fingerprints(F.col(text_col), k=k, w=w)
-        ).alias("__fp"),
-    ).distinct()
+    post = (
+        winnow_fingerprints(
+            df.select(F.col(id_col).alias("__id"), text_col),
+            text_col,
+            k=k,
+            w=w,
+            out_col="__wn_out",
+        )
+        .select("__id", F.explode(F.col("__wn_out")).alias("__fp"))
+        .distinct()
+    )
     if max_df is not None:
         if max_df < 2:
             raise ValueError(f"max_df must be >= 2, got {max_df}")

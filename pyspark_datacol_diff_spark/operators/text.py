@@ -276,31 +276,44 @@ def rolling_hash_fingerprint(
 
 
 def winnow_fingerprints(
-    text: Column | str,
+    df: DataFrame,
+    text_col: str,
     *,
     k: int = 3,
     w: int = 4,
     mod: int = _RH_MOD,
     lowercase: bool = True,
-) -> Column:
+    out_col: str = "fps",
+) -> DataFrame:
     """WINNOWING fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
     2003 — the MOSS local document-fingerprinting algorithm): hash
     every ``k``-token gram, slide a window of ``w`` consecutive gram
-    hashes, keep each window's MINIMUM, return the distinct selected
-    hashes sorted. The guarantee the paper proves: any shared token
-    run of length >= ``w + k - 1`` between two documents shares at
-    least one fingerprint — so fingerprint-set intersection is a
-    NO-FALSE-NEGATIVE detector for long shared substrings, at a
-    density of ~2/(w+1) of the gram count (vs 1/1 for full shingling).
+    hashes, keep each window's MINIMUM, append the distinct selected
+    hashes sorted as ``out_col`` (array<bigint>). The guarantee the
+    paper proves: any shared token run of length >= ``w + k - 1``
+    between two documents shares at least one fingerprint — so
+    fingerprint-set intersection is a NO-FALSE-NEGATIVE detector for
+    long shared substrings, at a density of ~2/(w+1) of the gram count
+    (vs 1/1 for full shingling).
 
-    Entirely IN-ROW Column algebra — gram hashing is the same
-    md5-reduce as :func:`rolling_hash_fingerprint` (engine-portable,
-    bit-replayable in DuckDB), windows are a nested ``transform`` +
-    ``slice`` + ``array_min``, so the operator is an embarrassingly
-    parallel projection with NO shuffle and NO UDF. Documents with
-    fewer than ``k`` tokens yield an empty set; with fewer than
-    ``w + k - 1`` tokens they degrade to one window over all grams
-    (the paper's short-document convention).
+    Entirely IN-ROW — gram hashing is the same md5-reduce as
+    :func:`rolling_hash_fingerprint` (engine-portable, bit-replayable
+    in DuckDB), windows are ``transform`` + ``slice`` + ``array_min``:
+    an embarrassingly parallel projection with NO shuffle and NO UDF.
+    Documents with fewer than ``k`` tokens yield an empty set; with
+    fewer than ``w + k - 1`` tokens they degrade to one window over
+    all grams (the paper's short-document convention).
+
+    This is a DataFrame operator, not a Column expression, FOR A
+    REASON: the gram-hash array must be a NAMED column between
+    Projects. Inlining it into the window lambda re-evaluates the
+    whole O(m*k) md5 chain PER WINDOW POSITION — O(m^2 * k) per row
+    (Catalyst does not CSE HOF subtrees, and CollapseProject will not
+    inline a non-cheap expression referenced more than once, which is
+    exactly the protection the staged form buys). Measured: the
+    inlined form took >10 min on sf0.1 documents; this form is
+    seconds. Grams themselves come from :func:`gram_multiset` (the
+    zip_with builder — no per-gram subarray allocation).
 
     Hash-VALUE window minima make tie position irrelevant (the
     rightmost-tie rule in the paper matters only when positions are
@@ -309,26 +322,44 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")
-    t = F.col(text) if isinstance(text, str) else text
+    reserved = {"__wn_tk", "__wn_hs", out_col} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} already exist; rename them "
+            "before winnow_fingerprints (running_total's convention)"
+        )
+    t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
-    toks = F.filter(tokens(t), lambda x: x != F.lit(""))
-    n = F.size(toks)
-    gram = lambda i: F.concat_ws(" ", F.slice(toks, i, k))
-    gh = lambda i: (
-        F.conv(F.substring(F.md5(gram(i)), 1, 15), 16, 10).cast("long")
-        % F.lit(mod)
+    staged = df.withColumn(
+        "__wn_tk", F.filter(tokens(t), lambda x: x != F.lit(""))
+    ).withColumn(
+        "__wn_hs",
+        F.transform(
+            gram_multiset(F.col("__wn_tk"), k),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+            .cast("long")
+            % F.lit(mod),
+        ),
     )
-    # gram hashes h[1..m], m = n-k+1 (sequence() would DESCEND for
-    # m < 1, so the whole expression is guarded by n >= k)
-    hs = F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: gh(i))
+    hs = F.col("__wn_hs")
     m = F.size(hs)
     windows = F.transform(
         F.sequence(F.lit(1), m - w + 1),
         lambda j: F.array_min(F.slice(hs, j, w)),
     )
-    return (
-        F.when(n < k, F.array().cast("array<bigint>"))
-        .when(n < k + w - 1, F.array(F.array_min(hs)))
-        .otherwise(F.array_sort(F.array_distinct(windows)))
-    )
+    # no_alias_inline fences the whole chain against downstream
+    # re-inlining: a consumer's explode() makes the optimizer infer
+    # size(out_col) > 0 and push it down SUBSTITUTING the alias — the
+    # O(m^2*k) re-evaluation this staging exists to prevent (measured
+    # >10 min vs seconds at sf0.1)
+    from ..sources import no_alias_inline
+
+    return staged.withColumn(
+        out_col,
+        no_alias_inline(
+            F.when(m == 0, F.array().cast("array<bigint>"))
+            .when(m < w, F.array(F.array_min(hs)))
+            .otherwise(F.array_sort(F.array_distinct(windows)))
+        ),
+    ).drop("__wn_tk", "__wn_hs")

@@ -63,6 +63,29 @@ def no_pushdown(cond) -> "F.Column":
     return cond | (F.monotonically_increasing_id() < -1)
 
 
+def no_alias_inline(col) -> "F.Column":
+    """Pin an EXPENSIVE projected column where it is computed: wrap it
+    in a never-taken non-deterministic branch
+    (``when(monotonically_increasing_id() < -1, col).otherwise(col)``).
+    A non-deterministic projection cannot be alias-substituted by
+    filter pushdown or collapsed by CollapseProject — so optimizer
+    rules that would otherwise RE-INLINE the full expression somewhere
+    it gets re-evaluated are fenced off, at the cost of one long
+    comparison per row and no semantic change (the guard branch is
+    impossible; both branches are ``col``).
+
+    The motivating pathology (pinned by tests/test_round9_ops.py):
+    ``explode(expensive_array_col)`` makes InferFiltersFromGenerate add
+    ``size(col) > 0``, and PushDownPredicates then substitutes the
+    alias — inlining the whole array expression into a Filter BELOW the
+    projection, where nested higher-order functions lose their staging
+    and re-evaluate per element (winnowing's gram-hash array went from
+    seconds to >10 minutes at sf0.1). Use for columns like that one:
+    costly to build, consumed by a generator or re-filtered downstream.
+    """
+    return F.when(F.monotonically_increasing_id() < -1, col).otherwise(col)
+
+
 def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
     """Header-only CSV read, every column StringType — the reference's
     input convention (no inferSchema). Schema inference over a 100 TB

@@ -424,9 +424,7 @@ class TestWinnowFingerprints:
         )
         got = {
             r["doc_id"]: r["fps"]
-            for r in d.select(
-                "doc_id", winnow_fingerprints("text", k=3, w=2).alias("fps")
-            ).collect()
+            for r in winnow_fingerprints(d, "text", k=3, w=2).collect()
         }
         assert got[1] == []          # fewer than k tokens: no grams
         assert len(got[2]) == 1      # one gram: one window-of-all
@@ -440,7 +438,7 @@ class TestWinnowFingerprints:
         text = " ".join(f"t{i}" for i in range(100))
         d = spark.createDataFrame([(1, text)], ["doc_id", "text"])
         n_fps = len(
-            d.select(winnow_fingerprints("text", k=4, w=5).alias("f"))
+            winnow_fingerprints(d, "text", k=4, w=5, out_col="f")
             .collect()[0]["f"]
         )
         # 97 grams; winnowing selects ~2/(w+1) = ~1/3 of them
@@ -779,3 +777,37 @@ class TestLocalClustering:
         e = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
         got = {r["node"]: r["lcc_ppm"] for r in local_clustering(e).collect()}
         assert got == {2: 0}
+
+
+class TestNoAliasInlineFence:
+    def test_explode_does_not_reinline_fingerprints_into_a_filter(
+        self, spark
+    ):
+        from pyspark_datacol_diff_spark.operators.text import (
+            winnow_fingerprints,
+        )
+        from pyspark_datacol_diff_spark.plans import optimized_plan
+
+        d = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "")], ["doc_id", "text"]
+        )
+        ex = winnow_fingerprints(d, "text", k=3, w=2).select(
+            "doc_id", F.explode("fps").alias("fp")
+        )
+        plan = optimized_plan(ex)
+        # InferFiltersFromGenerate adds size(fps) > 0; without the
+        # no_alias_inline fence PushDownPredicates substitutes the
+        # alias and the whole md5 gram-hash chain lands inside a
+        # Filter, re-evaluated per window — the 674 s -> 6 s sf0.1 bug
+        for line in plan.splitlines():
+            stripped = line.lstrip(" :+-")
+            if stripped.startswith("Filter"):
+                assert "md5(" not in line, line
+
+    def test_fence_preserves_values(self, spark):
+        from pyspark_datacol_diff_spark.sources import no_alias_inline
+
+        d = spark.range(100).select(
+            no_alias_inline(F.col("id") * 2).alias("x")
+        )
+        assert d.agg(F.sum("x")).collect()[0][0] == 9900
