@@ -338,6 +338,9 @@ def top_share(
     cross-join of two tiny relations. Returns one row
     ``(n_keys, n_rows, top_k, top_rows, share_ppm)`` where
     ``share_ppm = top_rows * ppm_scale DIV n_rows``.
+
+    Reference scope note: no aggregation beyond the diff summary exists
+    in the reference (SURVEY.md §2.7); north-star extension surface.
     """
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")

@@ -739,6 +739,9 @@ def seasonal_residual_census(
     census aggregate. No windows.
 
     Returns ``(type, n, max_abs_residual, n_anomalies)``.
+
+    Reference scope note: no time-series analytics exist in the
+    reference (SURVEY.md §2.7); north-star extension surface.
     """
     if threshold < 0:
         raise ValueError(f"threshold must be >= 0, got {threshold}")

@@ -142,6 +142,10 @@ def join_skew_probe(
 
     Returns ``(*on, n_left, n_right, pairs_out)`` — ``pairs_out`` =
     n_left * n_right (0 when the key is one-sided), descending.
+
+    Reference scope note: the reference's only join is the diff's
+    full-outer equi-join (``find_datacol_diff.py:96``) with no skew
+    handling (SURVEY.md §2.6); north-star extension surface.
     """
     if top < 1:
         raise ValueError(f"top must be >= 1, got {top}")

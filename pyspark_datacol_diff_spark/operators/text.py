@@ -319,6 +319,10 @@ def winnow_fingerprints(
     rightmost-tie rule in the paper matters only when positions are
     recorded; this form keeps the selected value set, which is what
     the pair miner joins on).
+
+    Reference scope note: no text operators exist in the reference
+    (SURVEY.md §2.7); north-star extension surface (public algorithm:
+    Schleimer/Wilkerson/Aiken, SIGMOD 2003).
     """
     if k < 1 or w < 1:
         raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")

@@ -826,6 +826,9 @@ def continuous_cusum(
     Runs to completion (availableNow) and returns the per-key census
     ``(*key_cols, n_rows, max_cusum, n_alarms)`` where ``n_alarms``
     counts rows with ``cusum > threshold``.
+
+    Reference scope note: no streaming exists in the reference
+    (SURVEY.md §2.8); north-star extension surface.
     """
     import os
     import tempfile
