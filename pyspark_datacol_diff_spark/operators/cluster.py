@@ -1639,10 +1639,14 @@ def local_clustering(
     Reference scope note: no graph operators exist in the reference
     (SURVEY.md §2.7); north-star extension surface.
     """
+    # self-loops dropped to match triangle_counts' _canonical edge set:
+    # a loop adds 2 to the naive degree but can never close a triangle,
+    # which would deflate lcc_ppm for any caller whose raw edge list
+    # carries loops (ADVICE r09)
     canon = edges.select(
         F.least(F.col(src), F.col(dst)).alias("a"),
         F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).distinct()
+    ).filter(F.col("a") != F.col("b")).distinct()
     deg = (
         canon.select(F.col("a").alias("node"))
         .unionAll(canon.select(F.col("b").alias("node")))

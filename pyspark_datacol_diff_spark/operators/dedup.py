@@ -21,8 +21,12 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger("pyspark_datacol_diff_spark.dedup")
 
 
 # ---------------------------------------------------------------------------
@@ -417,13 +421,22 @@ def minhash_lsh_pairs(
     # unchanged.
     from ..sources import balance_partitions
 
+    from ..sources import no_alias_inline
+
+    # no_alias_inline fence: approxSimilarityJoin's internal explode
+    # infers a size() filter that PushDownPredicates would otherwise
+    # re-inline this whole gram chain into, re-evaluating it per scan
+    # row UNDER the hash UDFs (the reinlined_generator_filter lint
+    # class — same mechanism as the round-9 winnowing pathology)
     grams = balance_partitions(df).select(
         F.col(id_col).alias("doc_id"),
-        F.when(F.size(raw) > 0, raw)
-        .otherwise(
-            F.array(F.concat(F.lit("\x00doc:"), F.col(id_col).cast("string")))
-        )
-        .alias("grams"),
+        no_alias_inline(
+            F.when(F.size(raw) > 0, raw).otherwise(
+                F.array(
+                    F.concat(F.lit("\x00doc:"), F.col(id_col).cast("string"))
+                )
+            )
+        ).alias("grams"),
     )
     tf = HashingTF(
         inputCol="grams", outputCol="features", numFeatures=num_features, binary=True
@@ -869,6 +882,16 @@ def winnow_shared_pairs(
 
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_df is None:
+        # deliberate opt-out, kept callable for small corpora where the
+        # full pair set IS the answer — but at corpus scale an unbounded
+        # posting self-join is the d(d-1)/2 hot-fp blow-up, so make the
+        # choice loud instead of silent (ADVICE r10 fresh-lens)
+        logger.warning(
+            "winnow_shared_pairs: max_df=None leaves posting lists "
+            "unbounded — a boilerplate fingerprint shared by d docs "
+            "emits d(d-1)/2 pairs; set max_df for corpus-scale runs"
+        )
     post = (
         winnow_fingerprints(
             df.select(F.col(id_col).alias("__id"), text_col),

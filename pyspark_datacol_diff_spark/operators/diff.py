@@ -290,6 +290,8 @@ def diff(
     null_equals_blank: bool = True,
     float_tol: float | None = None,
     carry_unmatched: bool = False,
+    skew_probe: bool = False,
+    skew_probe_top: int = 10,
 ) -> DataFrame:
     """Full diff of two same-schema DataFrames keyed by ``pk``.
 
@@ -297,6 +299,19 @@ def diff(
     mismatch array (reference: join :96-99, then a 2n-deep withColumn
     chain :101-115 — collapsed here into a single ``select`` with
     ``array_compact``).
+
+    ``skew_probe=True`` runs :func:`~..skew.join_skew_probe` on the key
+    columns BEFORE building the join and logs (WARNING) the
+    ``skew_probe_top`` heaviest keys by pair product — the documented
+    pre-flight for THIS join's one structural weakness: a full-outer
+    join preserves both sides, so AQE cannot skew-split it
+    (SURVEY.md §2.3), and a hot key (a fat-fingered key collapse, a
+    NULL-like sentinel) lands on one task with no runtime rescue. The
+    probe is an EAGER action (two key-grain map-combined aggregates +
+    a top-k — one extra pass over the key columns only); on a probe
+    hit, pre-filter the offender keys, fix the feed, or route the hot
+    keys through a separate path. Off by default: the probe pass is
+    the caller's scale/latency decision, not a tax on every diff.
 
     ``carry_unmatched=False`` (reference parity, :124): S1_ONLY/S2_ONLY
     rows get an EMPTY ``CompColArr``. ``carry_unmatched=True`` instead
@@ -324,6 +339,27 @@ def diff(
         "diff: pk=%s compare_cols=%s null_equals_blank=%s float_tol=%s",
         list(pk), comp_cols, null_equals_blank, float_tol,
     )
+    if skew_probe:
+        from .skew import join_skew_probe
+
+        # outer_rows metric: the diff's join is FULL-outer, so a key hot
+        # on one side only still funnels to a single task — the default
+        # pairs metric would rank it 0 and hide it
+        offenders = join_skew_probe(
+            s1.select(*pk),
+            s2.select(*pk),
+            list(pk),
+            top=skew_probe_top,
+            metric="outer_rows",
+        ).collect()
+        for r in offenders:
+            logger.warning(
+                "diff skew probe: key=%s n_s1=%s n_s2=%s pairs_out=%s",
+                tuple(r[k] for k in pk),
+                r["n_left"],
+                r["n_right"],
+                r["pairs_out"],
+            )
     cond = reduce(
         lambda x, y: x & y,
         [s1n[k1] == s2n[k2] for k1, k2 in zip(s1_keys, s2_keys)],
@@ -650,25 +686,39 @@ def profile_table(
     exact forms first, as the diff does).
 
     Shape: same map-side unpivot as the digest — values go long-form
-    ``(col_name, v)`` inside the scan stage, then ONE aggregation keyed
-    by column name. Exact distinct per column is safe HERE because each
-    group is one column's values (no multi-distinct Expand blow-up);
-    Spark plans it as the standard two-phase distinct aggregate, so the
-    exchange carries (col_name, value)-deduplicated rows — bounded by
-    the sum of per-column cardinalities, the same volume any exact
-    profiler must move. For columns where an estimate suffices at
-    100 TB, approx_count_distinct over the same unpivot halves the
-    shuffle; exact is the default because the profile's job is catching
-    off-by-small drift.
+    ``(col_name, v)`` inside the scan stage, then a MANUAL two-level
+    aggregate: first a map-side-combined count at (col_name, value)
+    grain (the exchange carries per-column-cardinality-bounded
+    deduplicated rows — the same volume any exact profiler must move),
+    then a tiny column-grain reduce where ``n_distinct`` is a plain
+    count and the row counts are sums of the grain counts. This is the
+    same math Spark's mixed distinct-aggregate planner produces, MINUS
+    its Expand step — the built-in plan duplicates every unpivoted row
+    2x and runs two exchanges to reconcile the distinct and non-distinct
+    aggregates (measured ~1.7x slower at sf0.1). For columns where an
+    estimate suffices at 100 TB, approx_count_distinct over the same
+    unpivot halves the shuffle; exact is the default because the
+    profile's job is catching off-by-small drift.
     """
     names = list(cols) if cols is not None else list(df.columns)
     stacked = df.select(
         *[F.col(c).cast("string").alias(c) for c in names]
     ).unpivot([], names, "col_name", "v")
-    agg = stacked.groupBy("col_name").agg(
-        F.count("v").alias("n_values"),
-        F.sum(F.isnull("v").cast("long")).alias("n_nulls"),
-        F.count_distinct(F.col("v")).alias("n_distinct"),
+    grain = stacked.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = grain.groupBy("col_name").agg(
+        F.sum(
+            F.when(F.col("v").isNotNull(), F.col("__c")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("n_values"),
+        F.sum(
+            F.when(F.col("v").isNull(), F.col("__c")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("n_nulls"),
+        F.count("v").alias("n_distinct"),
         F.min("v").alias("min_str"),
         F.max("v").alias("max_str"),
     )

@@ -357,10 +357,18 @@ def top_share(
         F.count(F.lit(1)).alias("top_k"),
         F.sum("__n").alias("top_rows"),
     )
+    # empty-input contract (ADVICE r09): sum() over zero rows is NULL in
+    # both engines; coalesce to 0 and define share_ppm = 0 when n_rows = 0
+    # so an empty table reads as "no concentration", never a NULL row
     return top_agg.crossJoin(F.broadcast(tot)).select(
         "n_keys",
-        "n_rows",
+        F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
         "top_k",
-        "top_rows",
-        F.expr(f"top_rows * {ppm_scale}L DIV n_rows").alias("share_ppm"),
+        F.coalesce(F.col("top_rows"), F.lit(0).cast("long")).alias(
+            "top_rows"
+        ),
+        F.expr(
+            "CASE WHEN coalesce(n_rows, 0L) = 0L THEN 0L "
+            f"ELSE coalesce(top_rows, 0L) * {ppm_scale}L DIV n_rows END"
+        ).alias("share_ppm"),
     )

@@ -652,28 +652,33 @@ def funnel_windowed(
     entity's most recent QUALIFIED stage k-1 event AND within
     ``within_seconds`` of it (the attribution-window semantics real
     funnels use: a purchase six months after the click is not that
-    click's conversion). Exactly three stages for now — the shape the
-    chained-running-max formulation keeps single-sort.
+    click's conversion). Any number of stages >= 2 (generalized in
+    round 10 from the original 3-stage shape — VERDICT r09 #8): the
+    chained-running-max formulation stays single-sort at every depth.
 
     Scale shape — ONE entity-keyed sort shared by every stage: stage-1
     presence is a running max of (ts when type = stages[0]) over
-    strictly-preceding rows; a stage-2 row qualifies when that latest
-    stage-1 timestamp is within the window (the LATEST is the nearest,
-    so "latest within window" == "any within window"); stage-3 chains
-    off the running max of QUALIFIED stage-2 timestamps. All windows
-    share one (keys, ts, tiebreaks) sort; the output is one final
-    grain-free aggregate.
+    strictly-preceding rows; a stage-k row qualifies when the latest
+    QUALIFIED stage-(k-1) timestamp is within the window (the LATEST is
+    the nearest, so "latest within window" == "any within window");
+    each stage chains off the running max of the previous stage's
+    qualified timestamps. All windows share one (keys, ts, tiebreaks)
+    sort; the output is one final grain-free aggregate.
 
-    Returns one row ``(n_stage1, n_stage2, n_stage3)`` — distinct
-    entities whose funnel reached each stage under the constraint.
+    Returns one row ``(n_stage1, ..., n_stage<len(stages)>)`` —
+    distinct entities whose funnel reached each stage under the
+    constraint.
 
     Reference scope note: no window functions exist in the reference
     (SURVEY.md §2.7); north-star extension surface.
     """
     from pyspark.sql import Window
 
-    if len(stages) != 3:
-        raise ValueError(f"exactly 3 stages supported, got {len(stages)}")
+    stages = list(stages)
+    if len(stages) < 2:
+        raise ValueError(f"need >= 2 stages, got {len(stages)}")
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"stages must be distinct, got {stages}")
     if within_seconds < 1:
         raise ValueError(f"within_seconds must be >= 1, got {within_seconds}")
     keys = list(key_cols)
@@ -685,33 +690,36 @@ def funnel_windowed(
     )
     win_us = within_seconds * 1_000_000
     us = F.unix_micros(F.col(ts_col))
-    s1, s2, s3 = stages
-    base = df.select(*keys, ts_col, *ties, F.col(type_col).alias("__t"))
-    st1 = base.withColumn(
-        "__last1", F.max(F.when(F.col("__t") == s1, us)).over(w_prev)
+    cur = df.select(*keys, ts_col, *ties, F.col(type_col).alias("__t"))
+    reached = [(F.col("__t") == stages[0]).cast("long").alias("__r1")]
+    # __last{k} = running max of stage-k QUALIFIED timestamps over
+    # strictly-preceding rows; stage 1 qualifies by type alone
+    cur = cur.withColumn(
+        "__last1", F.max(F.when(F.col("__t") == stages[0], us)).over(w_prev)
     )
-    q2 = (
-        (F.col("__t") == s2)
-        & F.col("__last1").isNotNull()
-        & (us - F.col("__last1") <= win_us)
-    )
-    st2 = st1.withColumn(
-        "__last2", F.max(F.when(q2, us)).over(w_prev)
-    ).withColumn("__q2", q2.cast("long"))
-    q3 = (
-        (F.col("__t") == s3)
-        & F.col("__last2").isNotNull()
-        & (us - F.col("__last2") <= win_us)
-    )
-    per_key = st2.groupBy(*keys).agg(
-        F.max((F.col("__t") == s1).cast("long")).alias("__r1"),
-        F.max("__q2").alias("__r2"),
-        F.max(q3.cast("long")).alias("__r3"),
+    for k in range(2, len(stages) + 1):
+        qk = (
+            (F.col("__t") == stages[k - 1])
+            & F.col(f"__last{k - 1}").isNotNull()
+            & (us - F.col(f"__last{k - 1}") <= win_us)
+        )
+        reached.append(qk.cast("long").alias(f"__r{k}"))
+        if k < len(stages):
+            cur = cur.withColumn(
+                f"__last{k}", F.max(F.when(qk, us)).over(w_prev)
+            )
+    cur = cur.select(*keys, *reached)
+    per_key = cur.groupBy(*keys).agg(
+        *[
+            F.max(f"__r{k}").alias(f"__m{k}")
+            for k in range(1, len(stages) + 1)
+        ]
     )
     return per_key.agg(
-        F.sum("__r1").alias("n_stage1"),
-        F.sum("__r2").alias("n_stage2"),
-        F.sum("__r3").alias("n_stage3"),
+        *[
+            F.sum(f"__m{k}").alias(f"n_stage{k}")
+            for k in range(1, len(stages) + 1)
+        ]
     )
 
 

@@ -177,16 +177,28 @@ def cell_ranks(
     """
     import math
 
-    entries = []
-    for cid, cvec in enumerate(centroids):
-        cn = math.sqrt(sum(x * x for x in cvec)) or float("nan")
-        csim = dot(vec, F.array(*[F.lit(float(x)) for x in cvec])) / (
-            vnorm * F.lit(cn)
-        )
-        entries.append(
-            F.struct((-csim).alias("negsim"), F.lit(cid).alias("cid"))
-        )
-    return F.array_sort(F.array(*entries))
+    # one nested-array literal instead of an unrolled nlist x dim
+    # CreateArray tree — identical float math (same dot fold, same
+    # python-computed norms), but a single Literal node keeps Catalyst
+    # analysis + codegen O(1) in nlist x dim (see _int_sq_dists)
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids]).cast(
+        "array<array<double>>"
+    )
+    meta_lit = F.lit(
+        [
+            [math.sqrt(sum(x * x for x in c)) or float("nan"), float(cid)]
+            for cid, c in enumerate(centroids)
+        ]
+    ).cast("array<array<double>>")
+    entries = F.zip_with(
+        cent_lit,
+        meta_lit,
+        lambda c, m: F.struct(
+            (-(dot(vec, c) / (vnorm * m[0]))).alias("negsim"),
+            m[1].cast("int").alias("cid"),
+        ),
+    )
+    return F.array_sort(entries)
 
 
 def assign_cells(
@@ -299,7 +311,13 @@ def _resolve_nlist(nlist, corpus: DataFrame) -> int:
     (the registered driver-scale queries keep their fixed contracts)."""
     if nlist == "auto":
         return auto_nlist(corpus)
-    if not isinstance(nlist, int) or nlist < 1:
+    # bool subclasses int: True would silently mean nlist=1 and False
+    # would hit the range test with a confusing message (ADVICE r09)
+    if (
+        not isinstance(nlist, int)
+        or isinstance(nlist, bool)
+        or nlist < 1
+    ):
         raise ValueError(f"nlist must be a positive int or 'auto', got {nlist!r}")
     return nlist
 
@@ -314,7 +332,7 @@ def ivf_topk(
     query_id_col: str = "qid",
     query_vec_col: str = "qv",
     nlist: int | str = 16,
-    nprobe: int = 4,
+    nprobe: int | str = 4,
     seed: int = 42,
     exclude_self: bool = True,
     fit_fraction: float = 0.25,
@@ -347,8 +365,13 @@ def ivf_topk(
     :func:`auto_nlist` (one count job) — the scaling default for
     corpora whose size the caller does not pin; a fixed int stays a
     fixed contract (the registered driver-scale queries keep theirs).
+    ``nprobe="all"`` resolves to the (possibly auto-sized) nlist —
+    probe every cell, the exact oracle-verifiable configuration even
+    when the cell count is data-derived.
     """
     nlist = _resolve_nlist(nlist, corpus)
+    if nprobe == "all":
+        nprobe = nlist
     if fit_method == "sample":
         centroids = _sample_centroids(corpus, id_col, vec_col, nlist, seed)
         return _ivf_probe(
@@ -731,23 +754,31 @@ def random_hyperplane_buckets(
     """LSH bucket id: sign pattern of dot products against fixed random
     hyperplanes, packed into a BIGINT. Deterministic given ``planes``
     (caller supplies seeded numpy-generated planes)."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket.bitwiseOR(
-            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
+    # one nested-array literal (see _int_sq_dists): identical per-plane
+    # dot fold and bit packing, but a single Literal node instead of an
+    # unrolled n_planes x dim CreateArray tree that every job re-analyzes
+    planes_lit = F.lit([[float(x) for x in p] for p in planes]).cast(
+        "array<array<double>>"
+    )
+    bit_lit = F.lit([1 << i for i in range(len(planes))]).cast(
+        "array<bigint>"
+    )
+    bits = F.zip_with(
+        planes_lit,
+        bit_lit,
+        lambda p, b: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-        )
-    return bucket
+            >= 0,
+            b,
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)
+    )
 
 
 def lsh_near_dup_pairs(
@@ -1077,7 +1108,24 @@ def pq_assign(
     code_exprs = []
     for s, book in enumerate(codebooks):
         subv = F.slice(F.col(vec_col), s * sub + 1, sub)
-        dists = F.array(*[_sq_l2_lit(subv, c) for c in book])
+        # one nested-array literal per subspace codebook (k x sub) —
+        # same first-min argmin, O(1) plan nodes (see _int_sq_dists)
+        book_lit = F.lit([[float(x) for x in c] for c in book]).cast(
+            "array<array<double>>"
+        )
+        dists = F.transform(
+            book_lit,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    subv,
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
         code_exprs.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
@@ -1498,20 +1546,27 @@ def _int_sq_dists(qv: Column, centroids: list[list[int]]) -> Column:
     """Array of EXACT squared integer distances from a quantized vector
     to each centroid (index = cell id) — the shared scoring expression
     of the integer-exact Lloyd family; pure Column, folds the nlist x
-    dim centroid literals into the plan."""
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    qv,
-                    F.array(*[F.lit(int(v)) for v in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
+    dim centroid literals into the plan.
+
+    The centroid table enters as ONE nested-array literal (a single
+    Literal node), not an unrolled CreateArray tree of nlist x dim
+    Literal leaves: the unrolled form made every job that carries this
+    expression (seed pick, each refit, the final assign/probe plan) pay
+    ~1 s of analysis + codegen on a 512-node constant at nlist=8 /
+    dim=64 — measured 3.3 s for the three training collects over 400
+    rows at sf0.1, pure plan overhead. Semantics are identical:
+    transform preserves literal order (index = cell id) and the
+    integer math is unchanged."""
+    cents = F.lit([[int(v) for v in c] for c in centroids]).cast(
+        "array<array<bigint>>"
+    )
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(qv, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
@@ -1533,7 +1588,7 @@ def _int_probe_cells(
     ranked = F.array_sort(
         F.zip_with(
             _int_sq_dists(qv, centroids),
-            F.array(*[F.lit(i).cast("int") for i in range(len(centroids))]),
+            F.lit(list(range(len(centroids)))).cast("array<int>"),
             lambda d, c: F.struct(d.alias("d"), c.alias("c")),
         )
     )
@@ -1611,6 +1666,11 @@ def kmeans_exact_assign(
         )
         .alias("__qv"),
     )
+    # the seed pick and every refit re-read the same quantized frame —
+    # persist it across the training jobs (released before return; the
+    # caller's final assignment plan recomputes from source, keeping the
+    # returned plan cache-free and scan-pushdown-clean)
+    qdf = qdf.persist()
     seeds = (
         qdf.select(
             F.md5(F.col(id_col).cast("string")).alias("__h"), id_col, "__qv"
@@ -1653,6 +1713,9 @@ def kmeans_exact_assign(
             else centroids[c]  # empty cell keeps its previous centroid
             for c in range(nlist)
         ]
+    # release the training cache; the returned plan recomputes from the
+    # source so it stays cache-free (pushdown-clean) for the caller
+    qdf.unpersist(blocking=False)
     if centroids_out is not None:
         centroids_out.extend(centroids)
     if vector_out_col is not None:
@@ -2008,7 +2071,16 @@ def mutual_knn_pairs(
 def _reciprocal_pairs(edges: DataFrame) -> DataFrame:
     """Keep only MUTUAL directed edges, one row per unordered pair:
     the (id_a < id_b) orientation semi-joined against the swapped
-    orientation — over the compact ids-only edge list, never vectors."""
+    orientation — over the compact ids-only edge list, never vectors.
+
+    The edge list is materialized ONCE (``localCheckpoint(eager=False)``
+    — the cluster-module convention, released by quiesce_session):
+    without it the self-join's two branches each re-execute the whole
+    upstream scoring subtree (scan + quantize + probe join + rank
+    window — measured as 4 parquet scans / 2 full window passes in the
+    executed plan, at ANY scale). The checkpointed state is n x k id
+    pairs — ids only, bounded by the kNN contract, never vectors."""
+    edges = edges.localCheckpoint(eager=False)
     fwd = edges.filter(F.col("id_a") < F.col("id_b"))
     rev = edges.filter(F.col("id_a") > F.col("id_b")).select(
         F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")

@@ -218,7 +218,17 @@ def _count_pass(
     if total == 0 or not candidates:
         return spark.createDataFrame([], "item string, cnt long")
 
-    exploded = df.select(F.explode(items_col).alias("item"))
+    # no_alias_inline fence: the explode's inferred size() filter would
+    # otherwise re-inline a caller-projected gram chain below this
+    # projection and re-evaluate it per scan row (the
+    # reinlined_generator_filter lint class)
+    from ..sources import no_alias_inline
+
+    exploded = df.select(
+        no_alias_inline(
+            F.col(items_col) if isinstance(items_col, str) else items_col
+        ).alias("__items")
+    ).select(F.explode("__items").alias("item"))
     if len(candidates) <= _ISIN_CANDIDATE_CAP:
         filtered = exploded.filter(F.col("item").isin(candidates))
     else:
@@ -416,7 +426,15 @@ def heavy_hitters_by(
         ),
         f"{out_schema_key}, __total long",
     )
-    exploded = df.select(*keys, F.explode(items_col).alias("item"))
+    # same no_alias_inline fence as _count_pass (keyed variant)
+    from ..sources import no_alias_inline
+
+    exploded = df.select(
+        *keys,
+        no_alias_inline(
+            F.col(items_col) if isinstance(items_col, str) else items_col
+        ).alias("__items"),
+    ).select(*keys, F.explode("__items").alias("item"))
     # null-safe key equality end to end: a NULL group key is a group,
     # and plain equi joins would silently drop it
     semi_cond = F.lit(True)

@@ -123,6 +123,7 @@ def join_skew_probe(
     on: list[str],
     *,
     top: int = 20,
+    metric: str = "pairs",
 ) -> DataFrame:
     """JOIN-SKEW DIAGNOSTIC — before shipping a join to a big cluster,
     measure which keys would dominate it: per-key row counts on both
@@ -138,10 +139,28 @@ def join_skew_probe(
     itself a finding), and a TakeOrdered top-k — never a global sort.
     The product runs in DECIMAL(38,0) (two billion-row sides would
     overflow int64) and is emitted as DECIMAL->BIGINT after the top-k
-    cut, where the survivors are small by selection.
+    cut through :func:`cluster.checked_long` — the top-k SURVIVORS are
+    by selection the LARGEST products, exactly the values that could
+    exceed int64, and non-ANSI Spark's plain cast would silently NULL
+    them while the DuckDB oracle's BIGINT multiply raises. A loud
+    execution-time error on overflow keeps the two engines aligned
+    (ADVICE r09).
+
+    ``metric`` picks the ranking for the top-k cut:
+
+    - ``"pairs"`` (default): n_left * n_right — the INNER-join blow-up
+      metric (one-sided keys rank 0: their rows drop from an inner
+      join, a finding but not a task-size one).
+    - ``"outer_rows"``: the key's OUTER-join output rows — product when
+      both sides have the key, else the one-sided count. This is the
+      full-outer pre-flight metric (used by ``diff(skew_probe=True)``):
+      a hot key present on ONE side only still funnels all its rows to
+      one task, and AQE cannot skew-split a full-outer join. Under the
+      pairs metric such a key ranks 0 and hides.
 
     Returns ``(*on, n_left, n_right, pairs_out)`` — ``pairs_out`` =
-    n_left * n_right (0 when the key is one-sided), descending.
+    n_left * n_right (0 when the key is one-sided), ``metric``-ranked
+    descending with ascending-key tie-break.
 
     Reference scope note: the reference's only join is the diff's
     full-outer equi-join (``find_datacol_diff.py:96``) with no skew
@@ -149,6 +168,10 @@ def join_skew_probe(
     """
     if top < 1:
         raise ValueError(f"top must be >= 1, got {top}")
+    if metric not in ("pairs", "outer_rows"):
+        raise ValueError(
+            f"metric must be 'pairs' or 'outer_rows', got {metric!r}"
+        )
     lc = left.groupBy(*on).agg(F.count(F.lit(1)).alias("n_left"))
     rc = right.groupBy(*on).agg(F.count(F.lit(1)).alias("n_right"))
     both = lc.join(rc, on, "full_outer").select(
@@ -159,9 +182,27 @@ def join_skew_probe(
     prod = F.expr(
         "CAST(CAST(n_left AS DECIMAL(38,0)) * n_right AS DECIMAL(38,0))"
     )
+    from .cluster import checked_long
+
+    rank = prod
+    if metric == "outer_rows":
+        rank = F.expr(
+            "CASE WHEN n_left > 0 AND n_right > 0 "
+            "THEN CAST(CAST(n_left AS DECIMAL(38,0)) * n_right "
+            "AS DECIMAL(38,0)) "
+            "ELSE CAST(n_left + n_right AS DECIMAL(38,0)) END"
+        )
     return (
         both.withColumn("__p", prod)
-        .orderBy(F.desc("__p"), *[F.asc(c) for c in on])
+        .withColumn("__rank", rank)
+        .orderBy(F.desc("__rank"), *[F.asc(c) for c in on])
         .limit(top)
-        .select(*on, "n_left", "n_right", F.col("__p").cast("long").alias("pairs_out"))
+        .select(
+            *on,
+            "n_left",
+            "n_right",
+            checked_long(
+                F.col("__p"), context="join_skew_probe pairs_out"
+            ).alias("pairs_out"),
+        )
     )

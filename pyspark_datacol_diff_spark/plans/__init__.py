@@ -222,6 +222,13 @@ def scale_lint(
       predicates — fine for compute-heavy predicates deliberately held
       above a rebalance (see sources.no_pushdown), wrong for selective
       key predicates.
+    - ``reinlined_generator_filter`` (warn): a generator's inferred
+      ``size()`` filter carries a nested higher-order-function chain —
+      the optimizer alias-substituted an expensive array column into
+      the Filter BELOW the projection defining it, where it re-evaluates
+      per row (the round-9 winnowing pathology, seconds -> >10 min at
+      sf0.1). Pin the defining projection with
+      ``sources.no_alias_inline``.
 
     - ``forced_broadcast`` (error): a broadcast-HINTED join whose build
       side is an aggregate GROUPED BY data columns — the build's row
@@ -371,6 +378,39 @@ def scale_lint(
                 "cardinality — drop the hint (AQE picks from measured "
                 "sizes) or declare the bound",
             )
+    # re-inlined generator filter (the round-9 winnowing pathology,
+    # commit 9fa0085): InferFiltersFromGenerate adds `size(col) > 0`
+    # under an explode, and PushDownPredicates then alias-substitutes
+    # the column — inlining the FULL array-building expression into the
+    # Filter below the projection that defines it, where a nested
+    # higher-order-function chain loses its staging and re-evaluates
+    # per row (measured seconds -> >10 min at sf0.1). Signature: a
+    # Filter in a Generate's child subtree whose condition carries a
+    # size(...) predicate over a NESTED HOF chain (>= 2 lambdafunction
+    # occurrences — a bare inferred `size(col#n) > 0` over a fenced /
+    # plain column reference has none and is the healthy form). Fence
+    # the defining projection with sources.no_alias_inline.
+    for i, line in enumerate(lines):
+        if not re.search(r"\bGenerate\b", line):
+            continue
+        for j in _subtree(i):
+            fl = lines[j]
+            if (
+                re.search(r"(?:^|\s|\))Filter ", fl)
+                and "size(" in fl
+                and fl.count("lambdafunction(") >= 2
+            ):
+                add(
+                    "reinlined_generator_filter",
+                    "warn",
+                    "a generator's inferred size() filter re-evaluates a "
+                    "nested higher-order-function chain below the "
+                    "projection that defines it (InferFiltersFromGenerate "
+                    "+ alias substitution): pin the array column with "
+                    "sources.no_alias_inline at its defining projection",
+                )
+                break
+
     has_filter_node = re.search(r"(?m)^[\s:+*-]*(?:\*\(\d+\) )?Filter ", plan)
     if has_filter_node and not pushed_filters(df):
         add(

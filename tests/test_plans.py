@@ -535,3 +535,49 @@ def test_hist_queries_are_algebraic_aggregates(qs, spark):
         plan = P.physical_plan(df)
         assert plan.count("HashAggregate") >= 2, name  # partial + final
         assert "Window" not in plan, name
+
+
+class TestReinlinedGeneratorFilterLint:
+    """scale_lint's reinlined_generator_filter class (VERDICT r09 #6):
+    the DETECTOR for the round-9 winnowing pathology — an explode whose
+    inferred size() filter re-evaluates a nested HOF chain below the
+    projection that defines it. The no_alias_inline fence fixes it;
+    this lint catches the next unfenced expensive array column."""
+
+    def _expensive_arr(self):
+        # nested HOFs (transform over aggregate) -> >= 2 lambdafunctions
+        # when alias-substituted into the inferred size() filter
+        return F.transform(
+            F.split("text", " "),
+            lambda t: F.aggregate(
+                F.sequence(F.lit(1), F.lit(3)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc + F.length(t) * i,
+            ),
+        )
+
+    def test_fires_on_unfenced_offender(self, spark):
+        d = spark.createDataFrame([(1, "a b c d e")], ["id", "text"])
+        off = d.select("id", self._expensive_arr().alias("arr")).select(
+            "id", F.explode("arr").alias("v")
+        )
+        codes = {f["code"] for f in P.scale_lint(off)}
+        assert "reinlined_generator_filter" in codes
+
+    def test_silent_when_fenced(self, spark):
+        from pyspark_datacol_diff_spark.sources import no_alias_inline
+
+        d = spark.createDataFrame([(1, "a b c d e")], ["id", "text"])
+        ok = d.select(
+            "id", no_alias_inline(self._expensive_arr()).alias("arr")
+        ).select("id", F.explode("arr").alias("v"))
+        codes = {f["code"] for f in P.scale_lint(ok)}
+        assert "reinlined_generator_filter" not in codes
+
+    def test_silent_on_cheap_generator(self, spark):
+        d = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+        cheap = d.select(
+            "id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        codes = {f["code"] for f in P.scale_lint(cheap)}
+        assert "reinlined_generator_filter" not in codes
