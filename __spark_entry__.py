@@ -5263,6 +5263,26 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "neighbor_id", "rank")
 
 
+def _q_ann_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the SCALING DEFAULT index size: nlist="auto"
+    (operators/similarity.py:auto_nlist — ~sqrt(n) cells from one
+    count job, the standard FAISS-guideline sizing that keeps per-cell
+    scan cost and probe-list cost balanced as the corpus grows) and
+    nprobe="all" (probe every auto-sized cell), so the result equals
+    the exact brute-force top-k and shares ann_ivf_topk's exact-cosine
+    oracle. Registered beside the fixed-nlist contract queries per
+    VERDICT r09 #5: the auto path carries driver evidence, not just
+    unit tests — at 10x corpus the cell count grows ~3.2x instead of
+    staying pinned (the fixed-nlist silent-degradation mode)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return SIM.ivf_topk(
+        emb, q, 5, nlist="auto", nprobe="all", fit_method="sample"
+    ).select("qid", "neighbor_id", "rank")
+
+
 def _q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized maximum-inner-product top-5 — the
     memory-bound ANN scale path (4x smaller codes than float32). The
@@ -7731,74 +7751,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-derived MECHANICALLY each round from the CORRECTNESS_r01..r{N-1}
     union — each query's MOST RECENT green row sets its group, groups
     ordered never-checked/oldest-first with relative order preserved.
-    Round-9 derivation (this file was reordered by that script, not by
-    hand): the r08 window covered its 19-entry front plus the FIRST 31
-    of the 50-entry r04-evidence block (the r08-era docstring's "first
-    41 / trailing 9" was stale bookkeeping, corrected per VERDICT r08
-    What's-wrong #2 — SURVEY §8 had the right 31/19 account), so the
-    r09 front is (1) the 19 r04-evidence entries the r08 window
-    provably could not reach (hist_rollup_events ..
-    sample_split_docs), then (2) any never-checked r09 additions,
-    then (3) r05 / (4) r06 / (5) r07 / (6) r08 blocks freshest last.
-    After the r09 window, no entry's latest driver evidence predates
-    r05 except what a 50-window fronting new additions cannot reach.
+    Round-10 derivation (this file was reordered by that script, not
+    by hand): the CORRECTNESS_r01..r09 union's latest-evidence
+    histogram is exactly {r05: 32, r06: 50, r07: 48, r08: 50, r09: 50}
+    — the r09 window of 50 covered its 19+13 front plus the first 18
+    of the r05 block, leaving the 32 trailing r05-evidence entries
+    (multimodal_frames .. date_funcs_events) as the oldest block. The
+    r10 front is therefore (1) those 32 entries, then (2) the
+    never-checked r10 additions, then (3) r06 / (4) r07 / (5) r08 /
+    (6) r09 blocks freshest last (relative order preserved within each
+    group). After the r10 window, no entry's latest driver evidence
+    predates r06 except what a 50-window fronting 32 + additions
+    cannot reach.
     """
     return {
-        # --- r09 front (VERDICT r08 #6): the 19 r04-evidence entries the
-        # --- 50-slot r08 window provably could not reach (it fronted 19
-        # --- higher-priority entries + the first 31 of the r04 block)
-        "hist_rollup_events": _q_hist_rollup_events,
-        "oov_by_source_docs": _q_oov_by_source_docs,
-        "streaming_hist_rollup": _q_streaming_hist_rollup,
-        "split_leakage_docs": _q_split_leakage_docs,
-        "distinctive_terms_by_source": _q_distinctive_terms_by_source,
-        "budget_fill_docs": _q_budget_fill_docs,
-        "pctile_by_type_events": _q_pctile_by_type_events,
-        "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
-        "asof_forward_click_purchase": _q_asof_forward_click_purchase,
-        "dedup_survivor_longest": _q_dedup_survivor_longest,
-        "session_stats_events": _q_session_stats_events,
-        "wow_change_events": _q_wow_change_events,
-        "degree_hist_docs": _q_degree_hist_docs,
-        "shingle_overlap_sources": _q_shingle_overlap_sources,
-        "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
-        "lang_id_docs": _q_lang_id_docs,
-        "ann_topk_cosine": _q_ann_topk,
-        "text_quality_docs": _q_text_quality_docs,
-        "sample_split_docs": _q_sample_split_docs,
-        # --- never-checked r09 additions
-        "winnow_fp_docs": _q_winnow_fp_docs,
-        "winnow_pairs_docs": _q_winnow_pairs_docs,
-        "cluster_purity_docs": _q_cluster_purity_docs,
-        "mad_outliers_events": _q_mad_outliers_events,
-        "interarrival_users": _q_interarrival_users,
-        "doc_keywords_docs": _q_doc_keywords_docs,
-        "join_skew_lineitem_partsupp": _q_join_skew_lineitem_partsupp,
-        "label_coherence_embed": _q_label_coherence_embed,
-        "streaming_cusum_events": _q_streaming_cusum_events,
-        "funnel_windowed_events": _q_funnel_windowed_events,
-        "seasonal_residuals_events": _q_seasonal_residuals_events,
-        "top_share_users_events": _q_top_share_users_events,
-        "clustering_coeff_docs": _q_clustering_coeff_docs,
-        # --- latest green r05 (oldest remaining evidence block)
-        "pagerank_copurchase": _q_pagerank_copurchase,
-        "heavy_hitters_docs": _q_heavy_hitters_docs,
-        "diverse_sample_embed": _q_diverse_sample_embed,
-        "winsorize_events": _q_winsorize_events,
-        "scoped_diff_orders": _q_scoped_diff_orders,
-        "heavy_hitters_by_source_docs": _q_heavy_hitters_by_source_docs,
-        "streaming_heavy_hitters": _q_streaming_heavy_hitters,
-        "cumulative_users_daily": _q_cumulative_users_daily,
-        "cc_star_docs": _q_cc_star_docs,
-        "srp_near_dup_embed": _q_srp_near_dup_embed,
-        "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
-        "srp_dedup_embed": _q_srp_dedup_embed,
-        "len_pctile_by_source_docs": _q_len_pctile_by_source_docs,
-        "stratified_sample_docs": _q_stratified_sample_docs,
-        "embed_cosine_near_dup": _q_embed_cosine_near_dup,
-        "minhash_portable_docs": _q_minhash_portable_docs,
-        "simhash_portable_docs": _q_simhash_portable_docs,
-        "multimodal_payload_stats": _q_multimodal_payload_stats,
+        # --- r10 front: the 32 trailing r05-evidence entries the r09 window
+        # --- provably could not reach (VERDICT r09 rotation note)
         "multimodal_frames": _q_multimodal_frames,
         "text_stats_docs": _q_text_stats_docs,
         "pipeline_training_corpus": _q_pipeline_training_corpus,
@@ -7831,6 +7799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digest_orders": _q_digest_orders,
         "zorder_key_events": _q_zorder_key_events,
         "date_funcs_events": _q_date_funcs_events,
+        # --- r10 additions (never-checked)
+        "ann_ivf_auto_topk": _q_ann_ivf_auto_topk,
         # --- latest green r06
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,
         "q11_important_stock": _q_q11_important_stock,
@@ -7931,7 +7901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_orders": _q_merge_upsert_orders,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "streaming_dedup_events": _q_streaming_dedup_events,
-        # --- latest green r08 (freshest last)
+        # --- latest green r08
         "streaming_sliding_windows": _q_streaming_sliding_windows,
         "attribution_user_clicks": _q_attribution_user_clicks,
         "common_neighbors_copurchase": _q_common_neighbors_copurchase,
@@ -7982,6 +7952,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_hist_by_source_docs": _q_len_hist_by_source_docs,
         "hard_negatives_embed": _q_hard_negatives_embed,
         "dedup_rate_by_source_docs": _q_dedup_rate_by_source_docs,
+        # --- latest green r09 (the full r09 driver window, freshest last)
+        "hist_rollup_events": _q_hist_rollup_events,
+        "oov_by_source_docs": _q_oov_by_source_docs,
+        "streaming_hist_rollup": _q_streaming_hist_rollup,
+        "split_leakage_docs": _q_split_leakage_docs,
+        "distinctive_terms_by_source": _q_distinctive_terms_by_source,
+        "budget_fill_docs": _q_budget_fill_docs,
+        "pctile_by_type_events": _q_pctile_by_type_events,
+        "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
+        "asof_forward_click_purchase": _q_asof_forward_click_purchase,
+        "dedup_survivor_longest": _q_dedup_survivor_longest,
+        "session_stats_events": _q_session_stats_events,
+        "wow_change_events": _q_wow_change_events,
+        "degree_hist_docs": _q_degree_hist_docs,
+        "shingle_overlap_sources": _q_shingle_overlap_sources,
+        "fingerprint_rolling_docs": _q_fingerprint_rolling_docs,
+        "lang_id_docs": _q_lang_id_docs,
+        "ann_topk_cosine": _q_ann_topk,
+        "text_quality_docs": _q_text_quality_docs,
+        "sample_split_docs": _q_sample_split_docs,
+        "winnow_fp_docs": _q_winnow_fp_docs,
+        "winnow_pairs_docs": _q_winnow_pairs_docs,
+        "cluster_purity_docs": _q_cluster_purity_docs,
+        "mad_outliers_events": _q_mad_outliers_events,
+        "interarrival_users": _q_interarrival_users,
+        "doc_keywords_docs": _q_doc_keywords_docs,
+        "join_skew_lineitem_partsupp": _q_join_skew_lineitem_partsupp,
+        "label_coherence_embed": _q_label_coherence_embed,
+        "streaming_cusum_events": _q_streaming_cusum_events,
+        "funnel_windowed_events": _q_funnel_windowed_events,
+        "seasonal_residuals_events": _q_seasonal_residuals_events,
+        "top_share_users_events": _q_top_share_users_events,
+        "clustering_coeff_docs": _q_clustering_coeff_docs,
+        "pagerank_copurchase": _q_pagerank_copurchase,
+        "heavy_hitters_docs": _q_heavy_hitters_docs,
+        "diverse_sample_embed": _q_diverse_sample_embed,
+        "winsorize_events": _q_winsorize_events,
+        "scoped_diff_orders": _q_scoped_diff_orders,
+        "heavy_hitters_by_source_docs": _q_heavy_hitters_by_source_docs,
+        "streaming_heavy_hitters": _q_streaming_heavy_hitters,
+        "cumulative_users_daily": _q_cumulative_users_daily,
+        "cc_star_docs": _q_cc_star_docs,
+        "srp_near_dup_embed": _q_srp_near_dup_embed,
+        "hard_negatives_ivf_recall": _q_hard_negatives_ivf_recall,
+        "srp_dedup_embed": _q_srp_dedup_embed,
+        "len_pctile_by_source_docs": _q_len_pctile_by_source_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "embed_cosine_near_dup": _q_embed_cosine_near_dup,
+        "minhash_portable_docs": _q_minhash_portable_docs,
+        "simhash_portable_docs": _q_simhash_portable_docs,
+        "multimodal_payload_stats": _q_multimodal_payload_stats,
     }
 
 
@@ -9508,6 +9529,9 @@ FROM documents
         # the brute-force top-k SQL is its oracle too — this verifies
         # the IVF assignment/probe/merge machinery end-to-end
         "ann_ivf_topk": _SQL_EXACT_TOPK,
+        # auto-sized IVF (nlist="auto", nprobe="all"): full probe is
+        # exact whatever the data-derived cell count — same oracle
+        "ann_ivf_auto_topk": _SQL_EXACT_TOPK,
         # int8 codes replayed exactly: scale is a max (no fold), codes
         # are floors of correctly-rounded divides, the code dot is an
         # integer sum (order-independent), and the rank key keeps the
