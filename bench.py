@@ -154,11 +154,18 @@ def main() -> None:
     def quiesce():
         quiesce_session(spark)
 
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
+    # Box-drift canary (VERDICT r09 #1a, same discipline as the
+    # SCALETEST gate's two_stage_agg_events): a deliberately boring,
+    # never-edited plan timed with the IDENTICAL warm/median-of-runs
+    # methodology and recorded IN the headline artifact. Round N+1's
+    # canary_sec / round N's canary_sec is the box-epoch factor — the
+    # mechanical adjudication of "did the driver box slow down or did
+    # the code": per-query drift claims divide by it instead of being
+    # argued from local re-runs. The canary is NOT in BENCH_QUERIES
+    # and its time is NOT part of the headline total.
+    CANARY = "two_stage_agg_events"
+
+    def _timed(name: str) -> tuple[float, float]:
         if warm:
             qs[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
@@ -167,13 +174,25 @@ def main() -> None:
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            df = qs[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
             samples.append(time.perf_counter() - t0)
             quiesce()
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
-        spreads[name] = round(samples[-1] - samples[0], 3)
+        return (
+            round(samples[len(samples) // 2], 3),
+            round(samples[-1] - samples[0], 3),
+        )
+
+    canary_sec, _canary_spread = _timed(CANARY)
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        timings[name], spreads[name] = _timed(name)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
     # r06 format fix (VERDICT r05 "What's wrong" #1): the driver parses the
@@ -194,6 +213,12 @@ def main() -> None:
                 # are run noise, not regressions).
                 "warm_per_query": warm,
                 "runs": runs,
+                # canary_sec: the never-edited two_stage_agg_events plan
+                # timed with the same methodology; cross-round ratio of
+                # canary_sec IS the box-epoch factor (see comment at
+                # CANARY above). Excluded from the headline total.
+                "canary": CANARY,
+                "canary_sec": canary_sec,
                 "spread": spreads,
             }
         )
@@ -205,6 +230,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "canary": {"name": CANARY, "sec": canary_sec},
                 "sf": sf,
             }
         )

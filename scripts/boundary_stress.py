@@ -206,6 +206,18 @@ QUERIES = [
     "mad_outliers_events",
     "interarrival_users",
     "label_coherence_embed",
+    # r10 (VERDICT r09 #4): the four unstressed r09-wave queries. The
+    # injected u5/u6 rows sit exactly AT and 1us PAST the funnel's
+    # within_seconds <= bound; the u7 burst puts four simultaneous rows
+    # through the order-sensitive CUSUM prefix fold (and the streaming
+    # time-splits' (ts, event_id) tiebreak); the Sunday-23:59:59.999999
+    # / Monday-00:00 / DST-instant rows pin the hour-of-week cell map
+    # at its boundaries; the six 100-event users put top_share's
+    # top_k=5 cut mid-tie, decided only by the ascending-id tiebreak.
+    "funnel_windowed_events",
+    "streaming_cusum_events",
+    "seasonal_residuals_events",
+    "top_share_users_events",
 ]
 
 
@@ -280,6 +292,47 @@ def synth(out: str) -> None:
     add(b - dt.timedelta(days=2), u4, "refund", -0.01)   # -1 >> 31 = -1
     add(b - dt.timedelta(days=1), u4, "refund", -0.005)  # bround -> 0
     add(b, u4, "refund", -1.27)                          # -127 >> 29 = -1
+    # r10 (VERDICT r09 #4a): funnel stage landing EXACTLY at
+    # within_seconds=1800 — the <= inclusive boundary must convert...
+    u5 = 9_000_005
+    add(b, u5, "view", 1.0)
+    add(b + dt.timedelta(seconds=1800), u5, "click", 1.0)
+    add(b + dt.timedelta(seconds=3600), u5, "purchase", 1.0)
+    # ...and 1 microsecond past it must NOT
+    u6 = 9_000_006
+    add(b, u6, "view", 1.0)
+    add(b + dt.timedelta(seconds=1800, microseconds=1), u6, "click", 1.0)
+    # r10 (#4b): a simultaneous-timestamp burst for the order-sensitive
+    # CUSUM prefix fold — four rows at ONE instant with mixed signs of
+    # (cents - drift), distinct event_ids; the (ts, event_id) tiebreak
+    # must produce the same prefix in the streaming time-splits (rows
+    # may straddle a batch boundary) and the batch SQL
+    u7 = 9_000_007
+    add(b + dt.timedelta(hours=2), u7, "burst", 100.0)
+    add(b + dt.timedelta(hours=2), u7, "burst", 0.0)
+    add(b + dt.timedelta(hours=2), u7, "burst", -50.0)
+    add(b + dt.timedelta(hours=2), u7, "burst", 20.0)
+    # r10 (#4c): hour-of-week cell boundaries for the seasonal residual
+    # census — last microsecond of the ISO week (Sunday 23:59:59.999999,
+    # cell 167) against the existing Monday-00:00 row (cell 0), plus the
+    # EU DST-transition instant (2024-03-31 01:30 UTC): both engines run
+    # UTC so the cell must be the plain UTC hour-of-week, not a
+    # locale-shifted one
+    add(dt.datetime(2024, 1, 7, 23, 59, 59, 999999), u3, "error", 2.0)
+    add(dt.datetime(2024, 3, 31, 1, 30, 0), u3, "error", 3.0)
+    # r10 (#4d): a top_share tie AT the k-th rank — six injected users
+    # with identical 100-event counts outrank every organic user (max 88
+    # at sf0.001), so the top_k=5 cut lands mid-tie and only the
+    # ascending-user_id tiebreak decides membership; both engines must
+    # pick users 9_100_001..9_100_005
+    for tied_u in range(9_100_001, 9_100_007):
+        for i in range(100):
+            add(
+                b + dt.timedelta(days=3, seconds=7 * i),
+                tied_u,
+                "tick",
+                1.0,
+            )
     con.execute(
         "CREATE TABLE inj (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
         "event_type VARCHAR, value DOUBLE, props VARCHAR)"
