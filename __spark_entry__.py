@@ -7736,6 +7736,386 @@ WHERE deg.degree >= 2
 """
 
 
+
+# ---------------------------------------------------------------------------
+# round-10 additions
+# ---------------------------------------------------------------------------
+
+_CENTS_ORDERS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _q_pivot_orders_status_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PIVOT rollup: order count and exact revenue cents per
+    (priority, status) cell, statuses pivoted to columns with an
+    EXPLICIT value list (["F","O","P"]) — the deterministic-schema
+    form (a values-less pivot runs a distinct-scan job and its column
+    set follows the data; at 100 TB the explicit list is both the
+    single-pass plan and the stable contract). Absent cells coalesce
+    to 0 so the result is total. Oracle: conditional aggregation
+    (count/sum FILTER), the relational equivalent of the same cells."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.expr(_CENTS_ORDERS).alias("__cents"),
+        )
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__cents").alias("cents"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return wide.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{st}_{m}"), zero).alias(
+                f"{st.lower()}_{m}"
+            )
+            for st in ("F", "O", "P")
+            for m in ("n", "cents")
+        ],
+    )
+
+
+_SQL_PIVOT_ORDERS = f"""
+WITH b AS (SELECT o_orderpriority, o_orderstatus,
+                  {_CENTS_ORDERS} AS cents FROM orders)
+SELECT o_orderpriority,
+  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+  CAST(coalesce(sum(cents) FILTER (o_orderstatus = 'F'), 0) AS BIGINT) AS f_cents,
+  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+  CAST(coalesce(sum(cents) FILTER (o_orderstatus = 'O'), 0) AS BIGINT) AS o_cents,
+  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
+  CAST(coalesce(sum(cents) FILTER (o_orderstatus = 'P'), 0) AS BIGINT) AS p_cents
+FROM b GROUP BY 1
+"""
+
+
+def _q_spearman_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type MONOTONE TREND detector (operators/quality.py:
+    spearman_ppm): exact-ppm Spearman rank correlation between event
+    value (cents) and time — "is this event type's value drifting?"
+    robust to any monotone transform, where Pearson is not. Ranks are
+    row_number over (x, event_id) / (ts, event_id) total orders (the
+    documented tie-broken contract, bit-replayable), the rho arithmetic
+    is DECIMAL(38,0) end-to-end and emits through the checked BIGINT
+    cast."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        "ts",
+        "event_id",
+    )
+    return QA.spearman_ppm(
+        b, ["event_type"], "cents", "ts", tiebreak_cols=["event_id"]
+    )
+
+
+_SQL_SPEARMAN_TREND = """
+WITH b AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+r AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rx,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS ry
+  FROM b),
+a AS (SELECT event_type, count(*) AS n,
+             sum((CAST(rx AS HUGEINT) - ry) * (rx - ry)) AS sd2
+      FROM r GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(1000000 - (CAST(6 AS HUGEINT) * 1000000 * sd2)
+            // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_ppm
+FROM a WHERE n >= 2
+"""
+
+
+def _q_hapax_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HAPAX LEGOMENA census (operators/corpus.py:
+    hapax_census): tokens, types, once-occurring types, and the exact
+    hapax share in ppm — the vocabulary-richness drift signal one rung
+    past TTR (template-heavy sources collapse it, OCR noise explodes
+    it). One (source, token)-grain map-side-combined count — the only
+    corpus-sized exchange — then a source-grain reduce."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.hapax_census(d, ["source"])
+
+
+_SQL_HAPAX_BY_SOURCE = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+g AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+       CAST((count(*) FILTER (c = 1)) * 1000000 // count(*) AS BIGINT)
+         AS hapax_share_ppm
+FROM g GROUP BY 1
+"""
+
+
+def _q_golden_record_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY-RESOLUTION survivor merge (operators/dedup.py:
+    golden_record) over the shared exact-Jaccard near-dup components:
+    every multi-member cluster elects, per field (lang, source), its
+    most frequent non-null value with (count DESC, value ASC)
+    tie-break — the master-data "golden record" step AFTER the pair
+    miners + connected components. rep_doc_id = min member id. The
+    oracle replays the recursive-CTE components fixpoint, the same
+    string-space election windows, and the conditional-aggregate pivot
+    back to one row per cluster."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = _ngram_pairs(spark, sf_dir)
+    comps = CC.connected_components(pairs, "id_a", "id_b")
+    m = d.join(comps, d["doc_id"] == comps["node"]).select(
+        "comp", "doc_id", "lang", "source"
+    )
+    return DD.golden_record(m, "comp", "doc_id", ["lang", "source"])
+
+
+_SQL_GOLDEN_RECORD = (
+    _SQL_CC_PREFIX
+    + """,
+m AS (SELECT c.comp, d.doc_id, d.lang, d.source
+      FROM comp c JOIN documents d ON d.doc_id = c.node),
+sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members,
+              min(doc_id) AS rep_doc_id
+       FROM m GROUP BY 1 HAVING count(*) >= 2),
+st AS (SELECT comp, 'lang' AS f, lang AS v FROM m WHERE lang IS NOT NULL
+       UNION ALL
+       SELECT comp, 'source', source FROM m WHERE source IS NOT NULL),
+cn AS (SELECT st.comp, f, v, count(*) AS c
+       FROM st JOIN sz ON sz.comp = st.comp GROUP BY 1, 2, 3),
+el AS (SELECT comp, f, v FROM (
+         SELECT comp, f, v,
+                row_number() OVER (PARTITION BY comp, f
+                                   ORDER BY c DESC, v ASC) AS rn
+         FROM cn) WHERE rn = 1),
+w AS (SELECT comp,
+             max(CASE WHEN f = 'lang' THEN v END) AS lang,
+             max(CASE WHEN f = 'source' THEN v END) AS source
+      FROM el GROUP BY 1)
+SELECT sz.comp, sz.n_members, sz.rep_doc_id, w.lang, w.source
+FROM sz LEFT JOIN w ON w.comp = sz.comp
+"""
+)
+
+
+def _q_block_volume_winnow_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLOCKING pre-flight census (operators/dedup.py:blocking_volume)
+    over the winnowing fingerprint postings (k=4, w=5 — the same
+    posting relation winnow_pairs_docs self-joins): block-size
+    histogram plus each size's candidate-pair volume n_blocks * s *
+    (s-1) / 2 in DECIMAL with the checked BIGINT emit. The
+    LSH-specific sibling of join_skew_probe — it prices the coming
+    self-join (and names the hot-fp size class max_df must cap)
+    BEFORE any pair materializes."""
+    d = _t(spark, sf_dir, "documents")
+    fps = TX.winnow_fingerprints(
+        d.select(F.col("doc_id").alias("__id"), "text"),
+        "text",
+        k=4,
+        w=5,
+        out_col="__wn_out",
+    )
+    post = fps.select(
+        "__id", F.explode(F.col("__wn_out")).alias("fp")
+    ).distinct()
+    return DD.blocking_volume(post, ["fp"])
+
+
+_SQL_BLOCK_VOLUME_WINNOW = (
+    "WITH "
+    + _SQL_WINNOW_FP_BODY
+    + """,
+post AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wf),
+sz AS (SELECT fp, count(*) AS block_size FROM post GROUP BY 1)
+SELECT CAST(block_size AS BIGINT) AS block_size,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(CAST(count(*) AS HUGEINT) * block_size * (block_size - 1)
+            // 2 AS BIGINT) AS pairs
+FROM sz GROUP BY block_size
+"""
+)
+
+
+def _q_weighted_sample_aes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sample (operators/sampling.py:
+    weighted_hash_sample): the 50 docs with the smallest md5(id) DIV
+    n_chars rank key — the integer h/w sibling of A-ES exponential-key
+    weighted sampling (documented contract: monotone in the weight,
+    reproducible, engine-replayable — exact A-ES needs log/pow floats
+    no cross-engine hash can replay). One TakeOrdered top-k, never a
+    global sort; non-positive weights raise at execution."""
+    d = _t(spark, sf_dir, "documents")
+    return SAMP.weighted_hash_sample(
+        d.select("doc_id", "n_chars"), "doc_id", "n_chars", 50
+    ).select("doc_id", "n_chars", F.col("__wkey").alias("wkey"))
+
+
+_SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars,
+       CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            // CAST(n_chars AS BIGINT) AS BIGINT) AS wkey
+FROM documents
+ORDER BY wkey, doc_id LIMIT 50
+"""
+
+
+def _q_collapse_repeats_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Consecutive-duplicate collapse census (operators/range_join.py:
+    collapse_consecutive): per event type, rows before, runs kept
+    (each run's first row), and repeats dropped — the sequence-hygiene
+    pass run before funnels/paths/Markov models so a triple-fired
+    tracker cannot count as three steps. One entity-keyed lag window
+    over the (ts, event_id) total order + two keyed aggregates."""
+    e = _t(spark, sf_dir, "events")
+    kept = RJ.collapse_consecutive(
+        e, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
+    )
+    before = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return before.join(after, "event_type").select(
+        "event_type",
+        "n_before",
+        "n_kept",
+        (F.col("n_before") - F.col("n_kept")).alias("n_dropped"),
+    )
+
+
+_SQL_COLLAPSE_REPEATS = """
+WITH k AS (
+  SELECT event_type,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS keep
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped
+FROM k GROUP BY 1
+"""
+
+
+def _q_q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose lineitem
+    quantity total exceeds 300, joined back to customer. The HAVING
+    subquery becomes aggregate-then-semi-shape: lineitem reduces to
+    order grain FIRST (map-side combined — the only corpus-sized
+    exchange, on the key the join needs anyway), the qualifying order
+    list joins orders on the same key, and customer is a broadcast-
+    sized dim the planner sizes via AQE. Quantities are integral, so
+    the threshold is an exact integer predicate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("qty").alias("total_qty")
+    ).filter(F.col("total_qty") > 300)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.expr(_CENTS_ORDERS).alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty", "cents")
+    )
+
+
+_SQL_Q18 = f"""
+WITH po AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS total_qty
+            FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, po.total_qty,
+       {_CENTS_ORDERS} AS cents
+FROM po JOIN orders o ON o.o_orderkey = po.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def _q_q22_idle_balance_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity, adapted to this
+    schema's columns): customers with above-average positive account
+    balance and no URGENT orders (every customer here has SOME order,
+    so the spec's no-orders test is vacuous on this data — the urgent
+    variant keeps the anti-join shape selective), rolled up per market
+    segment. The AVG scalar subquery is one grouping-free aggregate
+    broadcast back as an exact integer CROSS-MULTIPLIED predicate
+    (cents * n_pos > sum_pos_cents — no float divide, no engine
+    rounding); the no-urgent-orders test is a LEFT ANTI join on the
+    customer key over the priority-filtered orders (the filter pushes
+    to the scan)."""
+    cents = "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.expr(cents).alias("cents")
+    )
+    pos = c.filter(F.col("cents") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum("cents").alias("sum_pos"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("cents") * F.col("n_pos") > F.col("sum_pos"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("balance_cents"),
+    )
+
+
+_SQL_Q22 = """
+WITH c AS (SELECT c_custkey, c_mktsegment,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents
+           FROM customer),
+p AS (SELECT count(*) AS n_pos, sum(cents) AS sum_pos FROM c WHERE cents > 0),
+rich AS (SELECT c.* FROM c, p
+         WHERE CAST(c.cents AS HUGEINT) * p.n_pos > p.sum_pos
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT'))
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS balance_cents
+FROM rich GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the core diff on the sf0.001 perturbed orders pair."""
     s1, s2 = _orders_pair(spark, "/root/testdata/sf0.001")
@@ -7801,6 +8181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_funcs_events": _q_date_funcs_events,
         # --- r10 additions (never-checked)
         "ann_ivf_auto_topk": _q_ann_ivf_auto_topk,
+        "pivot_orders_status_priority": _q_pivot_orders_status_priority,
+        "spearman_trend_events": _q_spearman_trend_events,
+        "hapax_by_source_docs": _q_hapax_by_source_docs,
+        "golden_record_docs": _q_golden_record_docs,
+        "block_volume_winnow_docs": _q_block_volume_winnow_docs,
+        "weighted_sample_aes_docs": _q_weighted_sample_aes_docs,
+        "collapse_repeats_events": _q_collapse_repeats_events,
+        "q18_large_volume_customers": _q_q18_large_volume_customers,
+        "q22_idle_balance_customers": _q_q22_idle_balance_customers,
         # --- latest green r06
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,
         "q11_important_stock": _q_q11_important_stock,
@@ -9532,6 +9921,15 @@ FROM documents
         # auto-sized IVF (nlist="auto", nprobe="all"): full probe is
         # exact whatever the data-derived cell count — same oracle
         "ann_ivf_auto_topk": _SQL_EXACT_TOPK,
+        "pivot_orders_status_priority": _SQL_PIVOT_ORDERS,
+        "spearman_trend_events": _SQL_SPEARMAN_TREND,
+        "hapax_by_source_docs": _SQL_HAPAX_BY_SOURCE,
+        "golden_record_docs": _SQL_GOLDEN_RECORD,
+        "block_volume_winnow_docs": _SQL_BLOCK_VOLUME_WINNOW,
+        "weighted_sample_aes_docs": _SQL_WEIGHTED_SAMPLE,
+        "collapse_repeats_events": _SQL_COLLAPSE_REPEATS,
+        "q18_large_volume_customers": _SQL_Q18,
+        "q22_idle_balance_customers": _SQL_Q22,
         # int8 codes replayed exactly: scale is a max (no fold), codes
         # are floors of correctly-rounded divides, the code dot is an
         # integer sum (order-independent), and the rank key keeps the

@@ -111,6 +111,11 @@ BENCH_QUERIES = [
     "doc_keywords_docs",         # vocab-grain AQE df-join + per-doc top-k
     "label_coherence_embed",     # posexplode (label, pos) integer sums
     "cluster_purity_docs",       # CC fixpoint + two-level purity agg
+    # new shapes in round 10:
+    "pivot_orders_status_priority",  # explicit-values pivot aggregate
+    "spearman_trend_events",     # dual row_number windows, one partition
+    "golden_record_docs",        # CC + unpivot + counted-grain elections
+    "hapax_by_source_docs",      # (group, token)-grain two-level agg
 ]
 
 

@@ -1052,3 +1052,57 @@ def doc_keywords(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def hapax_census(
+    df: DataFrame,
+    group_cols,
+    text_col: str = "text",
+    *,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group HAPAX LEGOMENA census — vocabulary-richness one rung
+    past TTR: how much of each group's vocabulary occurs exactly once?
+    A corpus whose hapax share collapses is template/boilerplate-heavy
+    (few fresh types); one whose share explodes is OCR noise or
+    tokenizer breakage — both the classic pretraining-corpus smells
+    (Baayen, Word Frequency Distributions, 2001).
+
+    Tokens are the standard lowercased whitespace split with empties
+    dropped (the corpus-module convention). Shape: explode to (group,
+    token) grain, ONE map-side-combined count at that grain (the only
+    corpus-sized exchange — vocabulary-bounded after the combine), then
+    a group-grain reduce: n_tokens = sum of counts, n_types = count,
+    n_hapax = count of count-1 types, hapax_share_ppm = n_hapax *
+    ppm_scale DIV n_types (exact integer, floor == trunc: both
+    non-negative).
+
+    Returns ``(*group_cols, n_tokens, n_types, n_hapax,
+    hapax_share_ppm)``. Groups with no tokens produce no row.
+
+    Reference scope note: no text operators exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    gc = list(group_cols)
+    tok = df.select(
+        *gc,
+        F.explode(
+            F.filter(
+                tokens(F.lower(F.col(text_col))), lambda x: x != ""
+            )
+        ).alias("__tok"),
+    )
+    grain = tok.groupBy(*gc, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    return grain.groupBy(*gc).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("n_hapax"),
+    ).select(
+        *gc,
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr(f"n_hapax * {ppm_scale}L DIV n_types").alias(
+            "hapax_share_ppm"
+        ),
+    )

@@ -924,3 +924,133 @@ def winnow_shared_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    fields,
+    *,
+    min_members: int = 2,
+) -> DataFrame:
+    """FIELD-WISE SURVIVOR MERGE ("golden record") over entity/dup
+    clusters — the entity-resolution step AFTER the pair miners and
+    connected components: each multi-member cluster elects, per field,
+    its most frequent non-null value (ties to the smallest value, so
+    the election replays deterministically in any engine). The standard
+    master-data/record-linkage consolidation (Talburt, Entity
+    Resolution and Information Quality, 2011).
+
+    Election values are compared in STRING space (fields are cast once
+    up front) — the same engine-portable convention as the diff's
+    output encoding; NULLs never stand for election (an all-null field
+    elects NULL via the left join). ``rep_<id_col>`` = min member id,
+    the deterministic cluster representative.
+
+    Scale shape: one cluster-grain aggregate (size + rep id), one
+    unpivot to (cluster, field, value) grain with a map-side-combined
+    count, one (cluster, field)-partitioned top-1 window over the
+    COUNTED grain (vocabulary-of-values-sized, never row-sized), and
+    one conditional-aggregate pivot back to one row per cluster. No
+    data-grain broadcast anywhere; joins are cluster-grain and
+    AQE-sized.
+
+    Returns ``(cluster_col, n_members, rep_<id_col>, *fields)``.
+
+    Reference scope note: the reference diffs rows, it never merges
+    them (SURVEY.md §2.7); north-star extension surface.
+    """
+    flds = list(fields)
+    if not flds:
+        raise ValueError("fields must be non-empty")
+    members = (
+        df.groupBy(cluster_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(id_col).alias(f"rep_{id_col}"),
+        )
+        .filter(F.col("n_members") >= min_members)
+    )
+    stacked = (
+        df.select(
+            cluster_col,
+            *[F.col(f).cast("string").alias(f) for f in flds],
+        )
+        .unpivot([cluster_col], flds, "__field", "__v")
+        .filter(F.col("__v").isNotNull())
+        # cluster-grain semi join: singleton clusters never enter the
+        # election counts
+        .join(members.select(cluster_col), cluster_col, "semi")
+    )
+    counts = stacked.groupBy(cluster_col, "__field", "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(cluster_col, "__field").orderBy(
+        F.desc("__c"), F.asc("__v")
+    )
+    elected = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy(cluster_col)
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("__field") == f, F.col("__v"))
+                ).alias(f)
+                for f in flds
+            ]
+        )
+    )
+    return members.join(elected, cluster_col, "left").select(
+        cluster_col, "n_members", f"rep_{id_col}", *flds
+    )
+
+
+def blocking_volume(
+    df: DataFrame,
+    block_cols,
+) -> DataFrame:
+    """BLOCKING-SCHEME pre-flight census — before running any
+    band/bucket self-join (MinHash bands, winnowing postings, SRP
+    buckets, k-means cells), measure what it will cost: the block-size
+    histogram and each size's candidate-pair volume ``n_blocks * s *
+    (s-1) / 2``. The LSH-specific sibling of join_skew_probe: a single
+    oversized block IS the hot key of the coming self-join, and this
+    census names it by size class before any pair is materialized.
+
+    Input is the posting relation at (block, member) grain (dedupe it
+    first if members can repeat within a block). Shape: one
+    map-side-combined block count, then a size-grain reduce — output
+    rows = distinct block sizes (log-scale few). Pair volume runs in
+    DECIMAL(38,0) and emits through the checked BIGINT cast (a single
+    billion-member block is exactly what this probe exists to catch —
+    silently NULLing it would invert the tool).
+
+    Returns ``(block_size, n_blocks, pairs)`` — size-grain (a handful
+    of rows), deliberately UNordered: a total-order sort on the way out
+    would rangepartition for nothing at plan level; sort the tiny
+    result client-side if you want a report order.
+
+    Reference scope note: no join diagnostics exist in the reference
+    (SURVEY.md §2.6); north-star extension surface.
+    """
+    from .cluster import checked_long
+
+    bc = list(block_cols)
+    sizes = df.groupBy(*bc).agg(F.count(F.lit(1)).alias("block_size"))
+    return (
+        sizes.groupBy("block_size")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+        .select(
+            "block_size",
+            "n_blocks",
+            checked_long(
+                F.expr(
+                    "CAST(n_blocks AS DECIMAL(38,0)) * block_size "
+                    "* (block_size - 1) DIV 2"
+                ),
+                context="blocking_volume pairs",
+            ).alias("pairs"),
+        )
+    )

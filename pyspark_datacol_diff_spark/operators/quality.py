@@ -548,3 +548,84 @@ def mad_robust_stats(
         )
         .select(*gc, "n", "median", "mad", "n_outliers")
     )
+
+
+def spearman_ppm(
+    df: DataFrame,
+    group_cols,
+    x_col: str,
+    y_col: str,
+    *,
+    tiebreak_cols,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group SPEARMAN rank correlation in exact scaled ppm — the
+    monotone-trend detector ("is engagement drifting with time?", "does
+    length track quality?") that is robust to any monotone transform of
+    either variable, where Pearson is not.
+
+    CONTRACT: ranks are ``row_number`` over a TOTAL order — ``(x,
+    *tiebreak_cols)`` and ``(y, *tiebreak_cols)`` — not the average-rank
+    tie variant (average ranks are fractional; this stays in exact
+    integers, and the tiebreak makes the permutation deterministic so
+    any SQL engine replays it bit-for-bit). With ranks a permutation of
+    1..n, rho = 1 - 6*sum(d^2)/(n(n^2-1)); emitted as
+    ``rho_ppm = ppm_scale - (6*ppm_scale*sum_d2) DIV (n(n^2-1))``, all
+    DECIMAL(38,0) (n^3 passes int64 around n ~ 2M; sum_d2*6e6 long
+    before that), quotient >= 0 so floor == trunc in both engines;
+    emitted through the checked BIGINT cast. Groups with n < 2 are
+    dropped (rho undefined).
+
+    Scale shape: two ``row_number`` windows over the SAME group
+    partition (one exchange, two sorts — Spark reuses the partitioning)
+    and one keyed aggregate. NULL x or y rows are excluded up front
+    (rank of NULL is engine-dependent).
+
+    Returns ``(*group_cols, n, rho_ppm)``.
+
+    Reference scope note: no correlation/statistics operators exist in
+    the reference (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    from .cluster import checked_long
+
+    gc = list(group_cols)
+    ties = list(tiebreak_cols)
+    if not ties:
+        raise ValueError("tiebreak_cols must make the rank order total")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*gc, x_col, y_col, *ties)
+    wx = Window.partitionBy(*gc).orderBy(
+        F.col(x_col), *[F.col(t) for t in ties]
+    )
+    wy = Window.partitionBy(*gc).orderBy(
+        F.col(y_col), *[F.col(t) for t in ties]
+    )
+    ranked = base.select(
+        *gc,
+        F.row_number().over(wx).alias("__rx"),
+        F.row_number().over(wy).alias("__ry"),
+    )
+    agg = ranked.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr(
+                "CAST((__rx - __ry) AS DECIMAL(38,0)) * (__rx - __ry)"
+            )
+        ).alias("__sd2"),
+    )
+    rho = F.expr(
+        f"CAST({ppm_scale} AS DECIMAL(38,0)) - "
+        f"(CAST(6 AS DECIMAL(38,0)) * {ppm_scale} * __sd2) DIV "
+        "(CAST(n AS DECIMAL(38,0)) * n * n - n)"
+    )
+    return (
+        agg.filter(F.col("n") >= 2)
+        .select(
+            *gc,
+            "n",
+            checked_long(rho, context="spearman rho_ppm").alias("rho_ppm"),
+        )
+    )

@@ -771,3 +771,53 @@ def seasonal_residual_census(
             "n_anomalies"
         ),
     )
+
+
+def collapse_consecutive(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    type_col: str,
+    *,
+    tiebreak_cols,
+) -> DataFrame:
+    """Collapse CONSECUTIVE duplicate events per entity — keep each
+    run's FIRST row, drop the repeats: the sequence-hygiene pass
+    ("refresh spam", double-fired trackers, at-least-once replays that
+    land adjacent) run before funnels/paths/Markov models so a
+    triple-fired click cannot count as three steps. Distinct from
+    global dedup: the SAME type recurring later (after a different
+    event) legitimately survives.
+
+    One entity-keyed window (``lag`` of the type over (ts,
+    *tiebreak_cols)) and a null-safe comparison — a leading NULL type
+    starts a run like any value, and NULL-vs-NULL adjacent rows ARE a
+    run (eqNullSafe). ``tiebreak_cols`` must make the order total or
+    "consecutive" is undefined (same contract as the funnel/CUSUM
+    family).
+
+    Returns the surviving rows (original columns).
+
+    Reference scope note: no window functions exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    ties = list(tiebreak_cols)
+    if not ties:
+        raise ValueError("tiebreak_cols must make the event order total")
+    if "__prev" in df.columns:
+        raise ValueError(
+            "collapse_consecutive reserves the column name '__prev'; "
+            "rename it on the input"
+        )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(t) for t in ties]
+    )
+    prev = F.lag(F.col(type_col)).over(w)
+    return (
+        df.withColumn("__prev", prev)
+        .filter(~F.col(type_col).eqNullSafe(F.col("__prev")))
+        .drop("__prev")
+    )

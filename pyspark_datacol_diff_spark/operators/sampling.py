@@ -203,3 +203,66 @@ def weighted_sample(
         hash_bucket(key, buckets=buckets)
         < w.cast("double") * F.lit(float(buckets))
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """DETERMINISTIC weighted sample without replacement: keep the ``k``
+    rows with the smallest ``h DIV w``, where ``h`` is a 60-bit md5 key
+    of (salt, id) and ``w`` the row's positive integer weight — the
+    integer sibling of the A-ES exponential-key scheme (Efraimidis &
+    Spirmulis, IPL 2006, key u^(1/w)): dividing the uniform hash by the
+    weight makes heavy rows proportionally likelier to rank early.
+    CONTRACT: this is the h/w INTEGER approximation, not exact A-ES
+    (whose keys need log/pow floats no cross-engine hash can replay) —
+    deterministic, replayable, and monotone in the weight, which is
+    what reproducible corpus-budget sampling needs.
+
+    Scale shape: one TakeOrdered top-k over a pure projection (never a
+    global sort); re-running with the same salt reproduces the sample,
+    a new salt redraws it. Weights < 1 raise AT EXECUTION naming the
+    row (a zero weight would divide-by-zero into NULL and silently
+    win/lose the cut in engine-dependent ways).
+
+    Returns the sampled rows with their ``__wkey`` rank key attached
+    (ascending = the sample order).
+
+    Reference scope note: no sampling exists in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # the salt is inlined into a SQL expression string: reject quoting
+    # metacharacters instead of trusting the caller (same guard class
+    # as phrase_search's token literal — ADVICE r08)
+    if any(ch in salt for ch in ("'", "\\", "\n", "\r")):
+        raise ValueError(
+            "salt must not contain quotes, backslashes, or newlines"
+        )
+    w = F.col(weight_col).cast("long")
+    key = F.when(
+        w >= 1,
+        F.expr(
+            f"CAST(conv(substring(md5(concat('{salt}', "
+            f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+            f"DIV CAST({weight_col} AS BIGINT)"
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_hash_sample: non-positive weight at "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    return (
+        df.withColumn("__wkey", key)
+        .orderBy(F.asc("__wkey"), F.asc(id_col))
+        .limit(k)
+    )

@@ -144,6 +144,19 @@ QUERIES = [
     "winnow_pairs_docs",
     "doc_keywords_docs",
     "label_coherence_embed",
+    # round-10 additions: the AUTO-sized IVF (claim under measurement:
+    # nlist tracks ~sqrt(n), so at 10x corpus the cell count grows
+    # ~3.2x instead of staying pinned — the fixed-nlist silent-
+    # degradation mode the auto default exists to close; VERDICT r09
+    # #5's SCALETEST evidence), the ER golden-record election (unpivot
+    # + counted-grain top-1 windows at volume), the hapax vocabulary
+    # census (the (group, token)-grain combine is the only corpus-
+    # sized exchange), and the blocking-volume pre-flight (size-grain
+    # reduce over the winnow postings)
+    "ann_ivf_auto_topk",
+    "golden_record_docs",
+    "hapax_by_source_docs",
+    "block_volume_winnow_docs",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those

@@ -289,3 +289,166 @@ class TestNoAliasInlinePruning:
         pruned = winnow_fingerprints(d, "text", k=3, w=2).select("doc_id")
         plan = pruned._jdf.queryExecution().optimizedPlan().toString()
         assert "md5(" not in plan
+
+
+class TestRound10Operators:
+    """Unit pins for the round-10 operator additions (their driver
+    evidence is the oracle registry; these pin edge semantics)."""
+
+    def test_hapax_census(self, spark):
+        from pyspark_datacol_diff_spark.operators.corpus import hapax_census
+
+        d = spark.createDataFrame(
+            [("s1", "a a b c"), ("s1", "c d"), ("s2", "")],
+            ["source", "text"],
+        )
+        rows = {r["source"]: r for r in hapax_census(d, ["source"]).collect()}
+        # s1: tokens a a b c c d -> types a,b,c,d; hapax b,d
+        assert (
+            rows["s1"]["n_tokens"],
+            rows["s1"]["n_types"],
+            rows["s1"]["n_hapax"],
+            rows["s1"]["hapax_share_ppm"],
+        ) == (6, 4, 2, 500_000)
+        assert "s2" not in rows  # empty text -> no tokens -> no row
+
+    def test_golden_record_election_and_ties(self, spark):
+        from pyspark_datacol_diff_spark.operators.dedup import golden_record
+
+        d = spark.createDataFrame(
+            [
+                # cluster 1: lang mode 'en' (2 vs 1); source tie
+                # ('a' vs 'b' 1-1) -> smallest value wins
+                (1, 10, "en", "b"),
+                (1, 11, "en", "a"),
+                (1, 12, "fr", None),
+                # singleton cluster: dropped by min_members
+                (2, 20, "de", "c"),
+            ],
+            ["comp", "doc_id", "lang", "source"],
+        )
+        out = golden_record(d, "comp", "doc_id", ["lang", "source"]).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (
+            r["comp"],
+            r["n_members"],
+            r["rep_doc_id"],
+            r["lang"],
+            r["source"],
+        ) == (1, 3, 10, "en", "a")
+
+    def test_golden_record_all_null_field(self, spark):
+        from pyspark_datacol_diff_spark.operators.dedup import golden_record
+
+        d = spark.createDataFrame(
+            [(1, 1, None), (1, 2, None)],
+            "comp long, doc_id long, lang string",
+        )
+        r = golden_record(d, "comp", "doc_id", ["lang"]).collect()[0]
+        assert r["lang"] is None
+
+    def test_blocking_volume(self, spark):
+        from pyspark_datacol_diff_spark.operators.dedup import (
+            blocking_volume,
+        )
+
+        post = spark.createDataFrame(
+            [("b1", 1), ("b1", 2), ("b1", 3), ("b2", 4), ("b2", 5), ("b3", 6)],
+            ["blk", "id"],
+        )
+        rows = {
+            r["block_size"]: (r["n_blocks"], r["pairs"])
+            for r in blocking_volume(post, ["blk"]).collect()
+        }
+        assert rows == {3: (1, 3), 2: (1, 1), 1: (1, 0)}
+
+    def test_collapse_consecutive_runs_and_nulls(self, spark):
+        import datetime as dt
+
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            collapse_consecutive,
+        )
+
+        b = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, b, 1, "a"),
+            (2, b + dt.timedelta(seconds=1), 1, "a"),   # run -> dropped
+            (3, b + dt.timedelta(seconds=2), 1, "b"),
+            (4, b + dt.timedelta(seconds=3), 1, "a"),   # re-occurs: kept
+            (5, b + dt.timedelta(seconds=4), 1, None),  # null starts a run
+            (6, b + dt.timedelta(seconds=5), 1, None),  # null run -> dropped
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        kept = collapse_consecutive(
+            df, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
+        ).collect()
+        assert sorted(r["event_id"] for r in kept) == [1, 3, 4, 5]
+
+    def test_spearman_perfect_and_reversed(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import spearman_ppm
+
+        rows = [("g", i, i, i) for i in range(10)]
+        df = spark.createDataFrame(rows, ["g", "x", "y", "eid"])
+        r = spearman_ppm(
+            df, ["g"], "x", "y", tiebreak_cols=["eid"]
+        ).collect()[0]
+        assert r["rho_ppm"] == 1_000_000
+        rev = spark.createDataFrame(
+            [("g", i, 9 - i, i) for i in range(10)], ["g", "x", "y", "eid"]
+        )
+        r2 = spearman_ppm(
+            rev, ["g"], "x", "y", tiebreak_cols=["eid"]
+        ).collect()[0]
+        assert r2["rho_ppm"] == -1_000_000
+
+    def test_weighted_sample_monotone_in_weight(self, spark):
+        from pyspark_datacol_diff_spark.operators.sampling import (
+            weighted_hash_sample,
+        )
+
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"), F.lit(1).alias("w_lo")
+        ).withColumn("w_hi", F.lit(100))
+        lo = weighted_hash_sample(df, "doc_id", "w_lo", 100).collect()
+        hi = weighted_hash_sample(df, "doc_id", "w_hi", 100).collect()
+        # scaling EVERY weight by the same factor preserves the sample
+        # (keys divide uniformly); the rank keys shrink 100x
+        assert sorted(r["doc_id"] for r in lo) == sorted(
+            r["doc_id"] for r in hi
+        )
+        assert max(r["__wkey"] for r in hi) < max(r["__wkey"] for r in lo)
+
+
+class TestRound10Guards:
+    """Fresh-lens guards on the round-10 additions themselves."""
+
+    def test_weighted_sample_rejects_quoting_salt(self, spark):
+        from pyspark_datacol_diff_spark.operators.sampling import (
+            weighted_hash_sample,
+        )
+
+        df = spark.range(3).select(
+            F.col("id").alias("doc_id"), F.lit(1).alias("w")
+        )
+        with pytest.raises(ValueError, match="salt"):
+            weighted_hash_sample(df, "doc_id", "w", 1, salt="x'y")
+
+    def test_collapse_rejects_reserved_column(self, spark):
+        import datetime as dt
+
+        from pyspark_datacol_diff_spark.operators.range_join import (
+            collapse_consecutive,
+        )
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 1, "a", 0)],
+            ["event_id", "ts", "user_id", "event_type", "__prev"],
+        )
+        with pytest.raises(ValueError, match="__prev"):
+            collapse_consecutive(
+                df, ["user_id"], "ts", "event_type",
+                tiebreak_cols=["event_id"],
+            )
