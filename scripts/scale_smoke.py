@@ -393,6 +393,15 @@ def main() -> None:
                 "label-inequality predicate prunes pairs but not "
                 "asymptotics — the IVF cell machinery is the scale path"
             ),
+            "ann_ivf_auto_topk": (
+                "the nlist='auto' scaling default under measurement "
+                "(VERDICT r09 #5): cells = max(16, isqrt(n)), so at "
+                f"{K}x corpus the cell count grows ~sqrt({K})x instead "
+                "of staying pinned; the query set is the same fixed "
+                "corpus fraction as ann_topk_cosine and nprobe='all' "
+                "keeps it exact, so work is bounded by the probed-cell "
+                "volume, not O(n*q) brute force"
+            ),
             "ratios_below_replicas": (
                 "ratios under the replica count mean fixed per-job "
                 "overhead still dominates at this volume — the plan is "
