@@ -8116,6 +8116,70 @@ FROM rich GROUP BY 1
 """
 
 
+
+def _q_chi2_source_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency independence drift gate (operators/quality.py:
+    chi2_ppm): the exact-ppm Pearson chi-square of the (source, lang)
+    mix — joint-shift detection the marginals alone miss. Sum-of-
+    squares identity keeps it to OBSERVED cells (no category cross
+    join); per-cell truncated integer terms replay in HUGEINT."""
+    d = _t(spark, sf_dir, "documents")
+    return QA.chi2_ppm(d, "source", "lang")
+
+
+_SQL_CHI2_SOURCE_LANG = """
+WITH obs AS (SELECT source AS r, lang AS c, count(*) AS o
+             FROM documents GROUP BY 1, 2),
+rm AS (SELECT r, sum(o) AS rn FROM obs GROUP BY 1),
+cm AS (SELECT c, sum(o) AS cn FROM obs GROUP BY 1),
+tot AS (SELECT sum(rn) AS n, count(*) AS n_row_cats FROM rm),
+nc AS (SELECT count(*) AS n_col_cats FROM cm),
+cells AS (SELECT (CAST(o AS HUGEINT) * o * t.n * 1000000)
+                   // (CAST(rn AS HUGEINT) * cn) AS term,
+                 t.n, t.n_row_cats
+          FROM obs
+          JOIN rm ON obs.r IS NOT DISTINCT FROM rm.r
+          JOIN cm ON obs.c IS NOT DISTINCT FROM cm.c
+          CROSS JOIN tot t),
+s AS (SELECT n, n_row_cats, sum(term) AS st FROM cells GROUP BY 1, 2)
+SELECT CAST(s.n AS BIGINT) AS n,
+       CAST(s.n_row_cats AS BIGINT) AS n_row_cats,
+       CAST(nc.n_col_cats AS BIGINT) AS n_col_cats,
+       CAST((s.n_row_cats - 1) * (nc.n_col_cats - 1) AS BIGINT) AS dof,
+       CAST(st - CAST(s.n AS HUGEINT) * 1000000 AS BIGINT) AS chi2_ppm
+FROM s, nc
+"""
+
+
+def _q_simpson_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini-Simpson vocabulary diversity (operators/
+    corpus.py:simpson_diversity): 1 - sum(p_i^2) in exact ppm — the
+    concentration complement of the hapax census (head vs tail of the
+    token distribution); entropy needs logs no cross-engine arithmetic
+    replays, Simpson is one exact DECIMAL division per group."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.simpson_diversity(d, ["source"])
+
+
+_SQL_SIMPSON_DIVERSITY = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+g AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+a AS (SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+             sum(CAST(c AS HUGEINT) * c) AS sq
+      FROM g GROUP BY 1)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(1000000 - (sq * 1000000)
+            // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+         AS simpson_ppm
+FROM a
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the core diff on the sf0.001 perturbed orders pair."""
     s1, s2 = _orders_pair(spark, "/root/testdata/sf0.001")
@@ -8190,6 +8254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_repeats_events": _q_collapse_repeats_events,
         "q18_large_volume_customers": _q_q18_large_volume_customers,
         "q22_idle_balance_customers": _q_q22_idle_balance_customers,
+        "chi2_source_lang_docs": _q_chi2_source_lang_docs,
+        "simpson_diversity_docs": _q_simpson_diversity_docs,
         # --- latest green r06
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,
         "q11_important_stock": _q_q11_important_stock,
@@ -9930,6 +9996,8 @@ FROM documents
         "collapse_repeats_events": _SQL_COLLAPSE_REPEATS,
         "q18_large_volume_customers": _SQL_Q18,
         "q22_idle_balance_customers": _SQL_Q22,
+        "chi2_source_lang_docs": _SQL_CHI2_SOURCE_LANG,
+        "simpson_diversity_docs": _SQL_SIMPSON_DIVERSITY,
         # int8 codes replayed exactly: scale is a max (no fold), codes
         # are floors of correctly-rounded divides, the code dot is an
         # integer sum (order-independent), and the rank key keeps the

@@ -1106,3 +1106,62 @@ def hapax_census(
             "hapax_share_ppm"
         ),
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_cols,
+    text_col: str = "text",
+    *,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group GINI-SIMPSON vocabulary diversity in exact ppm —
+    ``1 - sum(p_i^2)`` over the group's token distribution: the
+    probability two independently drawn tokens differ. The
+    concentration complement of :func:`hapax_census` (hapax reads the
+    distribution's tail, Simpson its head): a feed whose diversity
+    collapses is one template repeated; entropy needs logs no
+    cross-engine arithmetic replays, Simpson is one exact integer
+    division per group — ``ppm_scale - (sum(c_i^2) * ppm_scale) DIV
+    n^2`` in DECIMAL(38,0) (exact while ``n^2 * ppm_scale < 10^38``),
+    emitted through the checked BIGINT cast.
+
+    Same token convention and (group, token)-grain single-exchange
+    shape as hapax_census. Groups with no tokens produce no row.
+
+    Returns ``(*group_cols, n_tokens, n_types, simpson_ppm)``.
+
+    Reference scope note: no text operators exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from .cluster import checked_long
+
+    gc = list(group_cols)
+    tok = df.select(
+        *gc,
+        F.explode(
+            F.filter(
+                tokens(F.lower(F.col(text_col))), lambda x: x != ""
+            )
+        ).alias("__tok"),
+    )
+    grain = tok.groupBy(*gc, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    agg = grain.groupBy(*gc).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.expr("CAST(__c AS DECIMAL(38,0)) * __c")
+        ).alias("__sq"),
+    )
+    return agg.select(
+        *gc,
+        "n_tokens",
+        "n_types",
+        checked_long(
+            F.expr(
+                f"{ppm_scale} - (__sq * {ppm_scale}) DIV "
+                "(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"
+            ),
+            context="simpson_ppm",
+        ).alias("simpson_ppm"),
+    )

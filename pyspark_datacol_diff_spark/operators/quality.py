@@ -629,3 +629,80 @@ def spearman_ppm(
             checked_long(rho, context="spearman rho_ppm").alias("rho_ppm"),
         )
     )
+
+
+def chi2_ppm(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    *,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Pearson CHI-SQUARE independence statistic over a contingency of
+    two categorical columns, in exact scaled ppm — the drift detector
+    for "did the (source x lang) mix change?" / "is label balanced
+    across splits?" questions where eyeballing marginals misses joint
+    shifts.
+
+    Uses the algebraic identity ``chi2 = n * (sum_cells O^2/(R*C)) - n``
+    (empty cells contribute ZERO to the sum-of-squares form, so only
+    OBSERVED cells are ever materialized — no row-category x
+    col-category cross join, which the naive (O-E)^2/E form needs and
+    which is a cartesian blow-up at vocabulary-sized categories).
+    CONTRACT: each observed cell contributes the truncated integer
+    ``O^2 * n * ppm_scale DIV (R * C)`` and the statistic is the sum of
+    those minus ``n * ppm_scale`` — per-cell truncation, deterministic
+    and bit-replayable, bias bounded by n_cells/ppm_scale. Arithmetic
+    is DECIMAL(38,0) end-to-end; exactness requires
+    ``n^3 * ppm_scale < 10^38`` (n up to ~10^10 rows — document or
+    sample beyond), and the emit goes through the checked BIGINT cast.
+
+    Scale shape: one (row, col)-grain map-side-combined count (the only
+    corpus-sized exchange), two category-grain marginal aggregates
+    joined back AQE-sized, one grouping-free reduce. NULL categories
+    count as real categories (a NULL lang IS a mix shift); rows where
+    BOTH are null still form the (NULL, NULL) cell.
+
+    Returns one row ``(n, n_row_cats, n_col_cats, dof, chi2_ppm)``.
+
+    Reference scope note: no statistics exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from .cluster import checked_long
+
+    obs = df.groupBy(
+        F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    rm = obs.groupBy("__r").agg(F.sum("__o").alias("__rn"))
+    cm = obs.groupBy("__c").agg(F.sum("__o").alias("__cn"))
+    # null-safe joins: NULL categories are legitimate cells
+    j = obs.join(rm, obs["__r"].eqNullSafe(rm["__r"]), "inner").drop(
+        rm["__r"]
+    ).join(cm, obs["__c"].eqNullSafe(cm["__c"]), "inner").drop(cm["__c"])
+    per_cell = F.expr(
+        f"CAST(__o AS DECIMAL(38,0)) * __o * __n * {ppm_scale} "
+        "DIV (CAST(__rn AS DECIMAL(38,0)) * __cn)"
+    )
+    tot = rm.agg(
+        F.sum("__rn").alias("__n"),
+        F.count(F.lit(1)).alias("n_row_cats"),
+    )
+    ncols = cm.agg(F.count(F.lit(1)).alias("n_col_cats"))
+    cells = j.crossJoin(F.broadcast(tot)).select(
+        per_cell.alias("__t"), "__n", "n_row_cats"
+    )
+    agg = cells.groupBy("__n", "n_row_cats").agg(
+        F.sum("__t").alias("__sum_t")
+    )
+    return agg.crossJoin(F.broadcast(ncols)).select(
+        F.col("__n").alias("n"),
+        "n_row_cats",
+        "n_col_cats",
+        (
+            (F.col("n_row_cats") - 1) * (F.col("n_col_cats") - 1)
+        ).alias("dof"),
+        checked_long(
+            F.expr(f"__sum_t - CAST(__n AS DECIMAL(38,0)) * {ppm_scale}"),
+            context="chi2_ppm",
+        ).alias("chi2_ppm"),
+    )

@@ -452,3 +452,57 @@ class TestRound10Guards:
                 df, ["user_id"], "ts", "event_type",
                 tiebreak_cols=["event_id"],
             )
+
+
+class TestChi2AndSimpson:
+    """Hand-computed pins for the wave-2 r10 statistics operators."""
+
+    def test_chi2_hand_case(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import chi2_ppm
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "x"), ("b", "x")], ["r", "c"]
+        )
+        row = chi2_ppm(df, "r", "c").collect()[0]
+        # true chi2 = 4*(1/6 + 1/2 + 4/6) - 4 = 4/3; per-cell truncated
+        # terms: 666666 + 2000000 + 2666666 - 4000000 = 1333332
+        assert (
+            row["n"],
+            row["n_row_cats"],
+            row["n_col_cats"],
+            row["dof"],
+            row["chi2_ppm"],
+        ) == (4, 2, 2, 1, 1_333_332)
+
+    def test_chi2_null_category_is_a_cell(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import chi2_ppm
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", None), ("b", "x"), ("b", None)],
+            "r string, c string",
+        )
+        row = chi2_ppm(df, "r", "c").collect()[0]
+        # perfectly independent 2x2 -> every term O^2*n*ppm/(R*C) =
+        # 1*4e6/4 = 1e6, sum 4e6, chi2 = 0
+        assert (row["n_col_cats"], row["chi2_ppm"]) == (2, 0)
+
+    def test_simpson_hand_case(self, spark):
+        from pyspark_datacol_diff_spark.operators.corpus import (
+            simpson_diversity,
+        )
+
+        d = spark.createDataFrame(
+            [("s1", "a a b"), ("s2", "z z z z")], ["source", "text"]
+        )
+        rows = {
+            r["source"]: r
+            for r in simpson_diversity(d, ["source"]).collect()
+        }
+        # s1: 1 - 5/9 = 4/9 -> 1e6 - 5e6 DIV 9 = 444445
+        assert (
+            rows["s1"]["n_tokens"],
+            rows["s1"]["n_types"],
+            rows["s1"]["simpson_ppm"],
+        ) == (3, 2, 444_445)
+        # one repeated token: zero diversity
+        assert rows["s2"]["simpson_ppm"] == 0
