@@ -7999,20 +7999,31 @@ def _q_collapse_repeats_events(
     after = kept.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_kept")
     )
-    return before.join(after, "event_type").select(
-        "event_type",
-        "n_before",
-        "n_kept",
-        (F.col("n_before") - F.col("n_kept")).alias("n_dropped"),
+    # eqNullSafe: a NULL event-type group must survive the join (plain
+    # equi-join drops it, while the oracle's GROUP BY emits it) — same
+    # null-safe-group convention as sketch.heavy_hitters_by (ADVICE r10)
+    return (
+        before.join(
+            after, before["event_type"].eqNullSafe(after["event_type"])
+        )
+        .drop(after["event_type"])
+        .select(
+            "event_type",
+            "n_before",
+            "n_kept",
+            (F.col("n_before") - F.col("n_kept")).alias("n_dropped"),
+        )
     )
 
 
 _SQL_COLLAPSE_REPEATS = """
 WITH k AS (
   SELECT event_type,
-         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+         CASE WHEN lag(1) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+                OR lag(event_type) OVER (PARTITION BY user_id
                                          ORDER BY ts, event_id)
-              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS keep
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS keep
   FROM events)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_before,

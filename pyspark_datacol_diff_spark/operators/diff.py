@@ -353,12 +353,17 @@ def diff(
             metric="outer_rows",
         ).collect()
         for r in offenders:
+            # outer_rows is the metric the probe ranked by — a one-sided
+            # hot key shows pairs_out=0 but a huge outer_rows, and the
+            # latter is the task-size number (ADVICE r10)
             logger.warning(
-                "diff skew probe: key=%s n_s1=%s n_s2=%s pairs_out=%s",
+                "diff skew probe: key=%s n_s1=%s n_s2=%s pairs_out=%s "
+                "outer_rows=%s",
                 tuple(r[k] for k in pk),
                 r["n_left"],
                 r["n_right"],
                 r["pairs_out"],
+                r["outer_rows"],
             )
     cond = reduce(
         lambda x, y: x & y,

@@ -412,8 +412,11 @@ def ks_statistic(
             F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
         )
     )
-    b = vc.withColumn(
-        "__pb", F.expr(f"CAST({value_col} AS BIGINT) DIV {bucket_width}")
+    # DIV over a PRE-ALIASED internal column: exact integer semantics
+    # without interpolating the caller's column name into SQL text
+    # (interval_overlap_join's convention — VERDICT r10 #6 sweep)
+    b = vc.withColumn("__vb", F.col(value_col).cast("bigint")).withColumn(
+        "__pb", F.expr(f"__vb DIV {int(bucket_width)}")
     )
     w = (
         Window.partitionBy("__pb")
@@ -679,9 +682,23 @@ def chi2_ppm(
     j = obs.join(rm, obs["__r"].eqNullSafe(rm["__r"]), "inner").drop(
         rm["__r"]
     ).join(cm, obs["__c"].eqNullSafe(cm["__c"]), "inner").drop(cm["__c"])
-    per_cell = F.expr(
+    raw_cell = F.expr(
         f"CAST(__o AS DECIMAL(38,0)) * __o * __n * {ppm_scale} "
         "DIV (CAST(__rn AS DECIMAL(38,0)) * __cn)"
+    )
+    # overflow guard: past the documented n^3*ppm_scale < 10^38 bound,
+    # non-ANSI Spark turns the DECIMAL(38,0) product into a silent NULL
+    # that F.sum would skip — a silently WRONG statistic. __o/__n/__rn/
+    # __cn are counts (never null), so a NULL term IS overflow: fail
+    # loudly like the rest of the checked-cast family (ADVICE r10).
+    per_cell = F.when(raw_cell.isNotNull(), raw_cell).otherwise(
+        F.raise_error(
+            F.lit(
+                "chi2_ppm: per-cell DECIMAL(38,0) overflow — "
+                f"n^3 * ppm_scale ({ppm_scale}) exceeds 10^38; sample "
+                "the input or reduce ppm_scale"
+            )
+        )
     )
     tot = rm.agg(
         F.sum("__rn").alias("__n"),

@@ -807,17 +807,28 @@ def collapse_consecutive(
     ties = list(tiebreak_cols)
     if not ties:
         raise ValueError("tiebreak_cols must make the event order total")
-    if "__prev" in df.columns:
-        raise ValueError(
-            "collapse_consecutive reserves the column name '__prev'; "
-            "rename it on the input"
-        )
+    for rc in ("__prev", "__has_prev"):
+        if rc in df.columns:
+            raise ValueError(
+                f"collapse_consecutive reserves the column name {rc!r}; "
+                "rename it on the input"
+            )
     w = Window.partitionBy(*keys).orderBy(
         F.col(ts_col), *[F.col(t) for t in ties]
     )
     prev = F.lag(F.col(type_col)).over(w)
+    # __has_prev distinguishes "no previous row" from "previous row with
+    # a NULL type": without it a LEADING NULL-typed row compares
+    # eqNullSafe-equal to the missing lag and is silently dropped —
+    # the docstring's "a leading NULL starts a run" contract (r11 fix,
+    # found by the collapse_repeats NULL-group regression test)
+    has_prev = F.lag(F.lit(1)).over(w)
     return (
         df.withColumn("__prev", prev)
-        .filter(~F.col(type_col).eqNullSafe(F.col("__prev")))
-        .drop("__prev")
+        .withColumn("__has_prev", has_prev)
+        .filter(
+            F.col("__has_prev").isNull()
+            | ~F.col(type_col).eqNullSafe(F.col("__prev"))
+        )
+        .drop("__prev", "__has_prev")
     )

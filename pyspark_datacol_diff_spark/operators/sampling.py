@@ -238,22 +238,30 @@ def weighted_hash_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # the salt is inlined into a SQL expression string: reject quoting
-    # metacharacters instead of trusting the caller (same guard class
-    # as phrase_search's token literal — ADVICE r08)
-    if any(ch in salt for ch in ("'", "\\", "\n", "\r")):
-        raise ValueError(
-            "salt must not contain quotes, backslashes, or newlines"
-        )
-    w = F.col(weight_col).cast("long")
-    key = F.when(
-        w >= 1,
-        F.expr(
-            f"CAST(conv(substring(md5(concat('{salt}', "
-            f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT) "
-            f"DIV CAST({weight_col} AS BIGINT)"
+    # No identifier reaches a SQL string: the hash and weight are
+    # composed as Column expressions (salt via F.lit, id/weight via
+    # F.col), then the one non-Column operation — integer DIV — runs in
+    # an F.expr over RESERVED internal names only (VERDICT r10 #6). A
+    # quote/backtick in a caller-supplied column name can no longer
+    # break or reshape the expression; the salt needs no metacharacter
+    # rejection because F.lit never interpolates.
+    for c in ("__h", "__w", "__wkey"):
+        if c in df.columns:
+            raise ValueError(
+                f"weighted_hash_sample: input must not carry reserved "
+                f"column {c!r}"
+            )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            15,
         ),
-    ).otherwise(
+        16,
+        10,
+    ).cast("long")
+    w = F.col(weight_col).cast("long")
+    guarded_w = F.when(w >= 1, w).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("weighted_hash_sample: non-positive weight at "),
@@ -262,7 +270,11 @@ def weighted_hash_sample(
         )
     )
     return (
-        df.withColumn("__wkey", key)
+        df.withColumn("__h", h)
+        .withColumn("__w", guarded_w)
+        # fixed string over reserved names — nothing caller-supplied
+        .withColumn("__wkey", F.expr("__h DIV __w"))
+        .drop("__h", "__w")
         .orderBy(F.asc("__wkey"), F.asc(id_col))
         .limit(k)
     )

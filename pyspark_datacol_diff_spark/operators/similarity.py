@@ -1671,51 +1671,60 @@ def kmeans_exact_assign(
     # caller's final assignment plan recomputes from source, keeping the
     # returned plan cache-free and scan-pushdown-clean)
     qdf = qdf.persist()
-    seeds = (
-        qdf.select(
-            F.md5(F.col(id_col).cast("string")).alias("__h"), id_col, "__qv"
-        )
-        .orderBy("__h", id_col)
-        .limit(nlist)
-        .collect()
-    )
-    if len(seeds) < nlist:
-        raise ValueError(
-            f"corpus has only {len(seeds)} vectors for nlist={nlist}"
-        )
-    centroids = [list(r["__qv"]) for r in seeds]
-    dim = len(centroids[0])
-
-    def assign(frame: DataFrame) -> DataFrame:
-        # first-min position = smallest cell id on ties (both engines)
-        return frame.withColumn(
-            "cell", _int_cell_argmin(F.col("__qv"), centroids)
-        )
-
-    for _ in range(iterations):
-        assigned = assign(qdf)
-        stats = (
-            assigned.select(
-                "cell", F.posexplode("__qv").alias("__d", "__v")
+    # try/finally: a failed seed/refit collect must still release the
+    # training cache, or the frame leaks for the session's lifetime
+    # (ADVICE r10). The returned plan recomputes from the source either
+    # way, so it stays cache-free (pushdown-clean) for the caller.
+    try:
+        seeds = (
+            qdf.select(
+                F.md5(F.col(id_col).cast("string")).alias("__h"),
+                id_col,
+                "__qv",
             )
-            .groupBy("cell", "__d")
-            .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .orderBy("__h", id_col)
+            .limit(nlist)
             .collect()
         )
-        sums: dict[int, list] = {}
-        cnts: dict[int, int] = {}
-        for r in stats:
-            sums.setdefault(r["cell"], [0] * dim)[r["__d"]] = r["__s"]
-            cnts[r["cell"]] = r["__n"]
-        centroids = [
-            [_tdiv(sums[c][d], cnts[c]) for d in range(dim)]
-            if c in cnts
-            else centroids[c]  # empty cell keeps its previous centroid
-            for c in range(nlist)
-        ]
-    # release the training cache; the returned plan recomputes from the
-    # source so it stays cache-free (pushdown-clean) for the caller
-    qdf.unpersist(blocking=False)
+        if len(seeds) < nlist:
+            raise ValueError(
+                f"corpus has only {len(seeds)} vectors for nlist={nlist}"
+            )
+        centroids = [list(r["__qv"]) for r in seeds]
+        dim = len(centroids[0])
+
+        def assign(frame: DataFrame) -> DataFrame:
+            # first-min position = smallest cell id on ties (both engines)
+            return frame.withColumn(
+                "cell", _int_cell_argmin(F.col("__qv"), centroids)
+            )
+
+        for _ in range(iterations):
+            assigned = assign(qdf)
+            stats = (
+                assigned.select(
+                    "cell", F.posexplode("__qv").alias("__d", "__v")
+                )
+                .groupBy("cell", "__d")
+                .agg(
+                    F.sum("__v").alias("__s"),
+                    F.count(F.lit(1)).alias("__n"),
+                )
+                .collect()
+            )
+            sums: dict[int, list] = {}
+            cnts: dict[int, int] = {}
+            for r in stats:
+                sums.setdefault(r["cell"], [0] * dim)[r["__d"]] = r["__s"]
+                cnts[r["cell"]] = r["__n"]
+            centroids = [
+                [_tdiv(sums[c][d], cnts[c]) for d in range(dim)]
+                if c in cnts
+                else centroids[c]  # empty cell keeps its previous centroid
+                for c in range(nlist)
+            ]
+    finally:
+        qdf.unpersist(blocking=False)
     if centroids_out is not None:
         centroids_out.extend(centroids)
     if vector_out_col is not None:

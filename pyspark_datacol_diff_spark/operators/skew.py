@@ -160,7 +160,10 @@ def join_skew_probe(
 
     Returns ``(*on, n_left, n_right, pairs_out)`` — ``pairs_out`` =
     n_left * n_right (0 when the key is one-sided), ``metric``-ranked
-    descending with ascending-key tie-break.
+    descending with ascending-key tie-break. With
+    ``metric="outer_rows"`` an extra ``outer_rows`` column carries the
+    rank metric itself, so one-sided hot keys (pairs_out 0) still show
+    their true task-size number.
 
     Reference scope note: the reference's only join is the diff's
     full-outer equi-join (``find_datacol_diff.py:96``) with no skew
@@ -192,17 +195,28 @@ def join_skew_probe(
             "AS DECIMAL(38,0)) "
             "ELSE CAST(n_left + n_right AS DECIMAL(38,0)) END"
         )
+    out_cols = [
+        F.col(c) for c in on
+    ] + [
+        F.col("n_left"),
+        F.col("n_right"),
+        checked_long(
+            F.col("__p"), context="join_skew_probe pairs_out"
+        ).alias("pairs_out"),
+    ]
+    if metric == "outer_rows":
+        # the ranking number IS the finding for one-sided hot keys
+        # (pairs_out reads 0 for them, which looks harmless) — emit it
+        # so callers/logs show the true task size (ADVICE r10)
+        out_cols.append(
+            checked_long(
+                F.col("__rank"), context="join_skew_probe outer_rows"
+            ).alias("outer_rows")
+        )
     return (
         both.withColumn("__p", prod)
         .withColumn("__rank", rank)
         .orderBy(F.desc("__rank"), *[F.asc(c) for c in on])
         .limit(top)
-        .select(
-            *on,
-            "n_left",
-            "n_right",
-            checked_long(
-                F.col("__p"), context="join_skew_probe pairs_out"
-            ).alias("pairs_out"),
-        )
+        .select(*out_cols)
     )

@@ -390,6 +390,7 @@ def scale_lint(
     # occurrences — a bare inferred `size(col#n) > 0` over a fenced /
     # plain column reference has none and is the healthy form). Fence
     # the defining projection with sources.no_alias_inline.
+    seen_offending_filters: set[int] = set()
     for i, line in enumerate(lines):
         if not re.search(r"\bGenerate\b", line):
             continue
@@ -399,7 +400,12 @@ def scale_lint(
                 re.search(r"(?:^|\s|\))Filter ", fl)
                 and "size(" in fl
                 and fl.count("lambdafunction(") >= 2
+                # dedupe by the Filter line: nested generators over the
+                # SAME offending Filter must yield ONE finding, not one
+                # per enclosing Generate (ADVICE r10)
+                and j not in seen_offending_filters
             ):
+                seen_offending_filters.add(j)
                 add(
                     "reinlined_generator_filter",
                     "warn",
@@ -409,7 +415,6 @@ def scale_lint(
                     "+ alias substitution): pin the array column with "
                     "sources.no_alias_inline at its defining projection",
                 )
-                break
 
     has_filter_node = re.search(r"(?m)^[\s:+*-]*(?:\*\(\d+\) )?Filter ", plan)
     if has_filter_node and not pushed_filters(df):

@@ -616,3 +616,127 @@ def test_position_attribution_full_first_last_split(spark):
     assert sum(x["credit_ppm"] for x in r) == 999_999
     got = sorted((x["touch_no"], x["credit_ppm"]) for x in r)
     assert got == [(1, 399_999), (2, 1), (3, 599_999)]
+
+
+# --- round-10 advice items (fixed in round 11) ---
+
+
+def test_collapse_repeats_entry_keeps_null_event_type_group(spark, tmp_path):
+    """ADVICE r10 #1: the collapse_repeats_events entry joined
+    before/after counts with a plain inner equi-join on event_type,
+    which drops a NULL event-type group (NULL never equals NULL) while
+    the oracle's GROUP BY emits it. The join is now eqNullSafe."""
+    import datetime as dt
+
+    import __spark_entry__ as E
+
+    b = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, b, 1, None),
+        (2, b + dt.timedelta(minutes=1), 1, None),  # consecutive dup
+        (3, b + dt.timedelta(minutes=2), 1, "click"),
+        (4, b + dt.timedelta(minutes=3), 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["event_type"]: (r["n_before"], r["n_kept"], r["n_dropped"])
+        for r in E._q_collapse_repeats_events(spark, str(tmp_path)).collect()
+    }
+    assert out[None] == (2, 1, 1)  # the NULL group survives, run collapsed
+    assert out["click"] == (2, 2, 0)
+
+
+def test_chi2_per_cell_overflow_raises_loudly(spark):
+    """ADVICE r10 #2: past the n^3*ppm_scale < 10^38 bound the per-cell
+    DECIMAL(38,0) product went NULL in non-ANSI mode and F.sum silently
+    skipped it — a silently WRONG statistic. It now raises at
+    execution, like the rest of the checked-cast family."""
+    from pyspark_datacol_diff_spark.operators.quality import chi2_ppm
+
+    df = spark.createDataFrame(
+        [("a", "x")] * 100 + [("b", "y")] * 50, ["r", "c"]
+    )
+    # sane scale still works (150^3 * 1e6 << 1e38)
+    ok = chi2_ppm(df, "r", "c").collect()[0]
+    assert ok["n"] == 150 and ok["chi2_ppm"] > 0
+    # blown scale must raise, not skip: O^2*n*ppm ~ 1e4*1.5e2*1e34 > 1e38
+    # ANSI mode (the Spark 4 default) raises its own loud
+    # NUMERIC_VALUE_OUT_OF_RANGE on the product; the in-plan guard
+    # covers non-ANSI mode where the product would go silently NULL
+    with pytest.raises(
+        Exception, match="chi2_ppm.*overflow|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        chi2_ppm(df, "r", "c", ppm_scale=10**34).collect()
+
+
+def test_skew_probe_outer_rows_metric_emits_rank_column(spark):
+    """ADVICE r10 #3: with metric="outer_rows" the ranked number is now
+    emitted as an outer_rows column — a one-sided hot key shows
+    pairs_out=0 but its true task size in outer_rows."""
+    from pyspark_datacol_diff_spark.operators.skew import join_skew_probe
+
+    left = spark.createDataFrame([(1,)] * 5 + [(2,)], ["k"])
+    right = spark.createDataFrame([(2,)] * 2, ["k"])
+    rows = join_skew_probe(
+        left, right, ["k"], top=2, metric="outer_rows"
+    ).collect()
+    by_key = {r["k"]: r for r in rows}
+    assert by_key[1]["pairs_out"] == 0 and by_key[1]["outer_rows"] == 5
+    assert by_key[2]["pairs_out"] == 2 and by_key[2]["outer_rows"] == 2
+    # the one-sided hot key ranks FIRST under the outer metric
+    assert rows[0]["k"] == 1
+    # the default pairs metric keeps its documented 4-column schema
+    plain = join_skew_probe(left, right, ["k"], top=1)
+    assert "outer_rows" not in plain.columns
+
+
+def test_kmeans_exact_assign_releases_cache_on_error(spark):
+    """ADVICE r10 #4: an exception inside the training loop (here: a
+    corpus smaller than nlist, raised after the seed collect) must
+    still release the persisted quantized frame."""
+    from pyspark_datacol_diff_spark.operators.similarity import (
+        kmeans_exact_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])], ["id", "vec"]
+    )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    with pytest.raises(ValueError, match="nlist"):
+        kmeans_exact_assign(df, id_col="id", vec_col="vec", nlist=10)
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) <= before  # the training persist is gone
+
+
+def test_reinlined_generator_filter_dedupes_nested_generators(spark):
+    """ADVICE r10 #5: nested generators over the SAME offending Filter
+    produced one duplicate finding per enclosing Generate; the detector
+    now dedupes by the Filter line."""
+    from pyspark_datacol_diff_spark import plans as P
+
+    d = spark.createDataFrame([(1, "a b c d e")], ["id", "text"])
+    expensive = F.transform(
+        F.split("text", " "),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(1), F.lit(3)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.length(t) * i,
+        ),
+    )
+    off = d.select("id", expensive.alias("arr")).select(
+        "id", F.explode("arr").alias("v")
+    )
+    # a SECOND generator above the first: its subtree contains the same
+    # offending Filter line
+    nested = off.select(
+        "id", "v", F.explode(F.array("v", "v")).alias("w")
+    )
+    findings = [
+        f
+        for f in P.scale_lint(nested)
+        if f["code"] == "reinlined_generator_filter"
+    ]
+    assert len(findings) == 1

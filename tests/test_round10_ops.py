@@ -425,16 +425,40 @@ class TestRound10Operators:
 class TestRound10Guards:
     """Fresh-lens guards on the round-10 additions themselves."""
 
-    def test_weighted_sample_rejects_quoting_salt(self, spark):
+    def test_weighted_sample_quoting_salt_and_names_safe(self, spark):
+        # r11: the key is composed from Column calls (F.lit/F.col), so a
+        # quoted salt or a quote-bearing COLUMN NAME can no longer break
+        # or reshape the expression — they must simply work (VERDICT r10
+        # #6 replaced the string-rejection guard with composition)
+        from pyspark_datacol_diff_spark.operators.sampling import (
+            weighted_hash_sample,
+        )
+
+        df = spark.range(5).select(
+            F.col("id").alias("doc'id"), F.lit(2).alias("w'x")
+        )
+        rows = weighted_hash_sample(df, "doc'id", "w'x", 3, salt="x'y")
+        got = rows.collect()
+        assert len(got) == 3
+        assert all(r["__wkey"] >= 0 for r in got)
+        # same salt reproduces; the weird identifiers round-trip
+        again = weighted_hash_sample(
+            df, "doc'id", "w'x", 3, salt="x'y"
+        ).collect()
+        assert [r["doc'id"] for r in got] == [r["doc'id"] for r in again]
+
+    def test_weighted_sample_rejects_reserved_columns(self, spark):
         from pyspark_datacol_diff_spark.operators.sampling import (
             weighted_hash_sample,
         )
 
         df = spark.range(3).select(
-            F.col("id").alias("doc_id"), F.lit(1).alias("w")
+            F.col("id").alias("doc_id"),
+            F.lit(1).alias("w"),
+            F.lit(0).alias("__h"),
         )
-        with pytest.raises(ValueError, match="salt"):
-            weighted_hash_sample(df, "doc_id", "w", 1, salt="x'y")
+        with pytest.raises(ValueError, match="__h"):
+            weighted_hash_sample(df, "doc_id", "w", 1)
 
     def test_collapse_rejects_reserved_column(self, spark):
         import datetime as dt
