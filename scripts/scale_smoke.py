@@ -157,6 +157,17 @@ QUERIES = [
     "golden_record_docs",
     "hapax_by_source_docs",
     "block_volume_winnow_docs",
+    # round-11 additions (VERDICT r10 #3): the two bench heavies that
+    # carried NO isolated min-of-3 row — every co-run blip on them was
+    # an argument instead of a lookup. pipeline_training_corpus is the
+    # r10 "weak" (driver 1.86->4.58 s on a plan untouched since r07);
+    # cluster_purity_docs drifted 2.82->4.89 driver with no alibi.
+    "pipeline_training_corpus",
+    "cluster_purity_docs",
+    # round-11 (VERDICT r10 #5): the PRODUCTION auto-IVF configuration
+    # (nlist="auto", bounded nprobe=8) — the bounded-probe cost curve
+    # at 1x/10x next to ann_ivf_auto_topk's exact nprobe="all" row
+    "ann_ivf_auto_recall",
 ]
 
 # dev-loop subset knob: SPARK_GRAFT_SMOKE_ONLY=a,b,c measures just those
