@@ -218,6 +218,36 @@ QUERIES = [
     "streaming_cusum_events",
     "seasonal_residuals_events",
     "top_share_users_events",
+    # r11 (VERDICT r10 #7): the r10 wave. (a) the injected "tiedx"
+    # event type has a FULLY-TIED x column — rho is defined only by the
+    # documented (x, event_id) total-order tiebreak, pinned here
+    # hash-exact against the oracle's identical row_number ranks;
+    # (c) srcONE is a one-token group and srcDUP an all-duplicate-token
+    # group for the diversity/hapax censuses (D=0 boundaries, hapax=0);
+    # (d) user u8 walks collapse_repeats through a LEADING NULL type,
+    # a NULL-vs-NULL adjacent run, and a simultaneous-timestamp pair
+    # decided only by the event_id tiebreak; (e) the 90_000_008/9 dup
+    # pair is its own 2-cluster with a 50/50 lang tie (value-ASC
+    # tiebreak must elect "aa") and an all-NULL source field; the
+    # injected NULL/""-status and NULL-priority orders rows walk the
+    # pivot's explicit-value columns and NULL groupBy group, and the
+    # NULL-custkey orders walk q18/q22's join/anti-join key boundaries.
+    # chi2_source_lang_docs sees the srcONE/srcDUP cells plus the
+    # (NULL, NULL)-category documents row — NULL categories are real
+    # cells by contract. (weighted_sample_aes_docs is EXCLUDED by
+    # design: the injected empty doc has n_chars=0 and the operator's
+    # contract is an execution-time raise on non-positive weights —
+    # pinned by tests/test_round10_ops.py, not replayable as a hash.)
+    "spearman_trend_events",
+    "chi2_source_lang_docs",
+    "simpson_diversity_docs",
+    "hapax_by_source_docs",
+    "golden_record_docs",
+    "collapse_repeats_events",
+    "block_volume_winnow_docs",
+    "pivot_orders_status_priority",
+    "q18_large_volume_customers",
+    "q22_idle_balance_customers",
 ]
 
 
@@ -333,6 +363,26 @@ def synth(out: str) -> None:
                 "tick",
                 1.0,
             )
+    # r11 (#7a): a FULLY-TIED x column — every "tiedx" event has the
+    # same cents value, so Spearman's rho is defined ONLY by the
+    # (x, event_id) tiebreak order; both engines must produce the same
+    # (deterministic, documented) tie-broken statistic
+    u9 = 9_000_009
+    for i in range(6):
+        add(b + dt.timedelta(hours=3, seconds=i), u9, "tiedx", 7.0)
+    # r11 (#7d): collapse_consecutive NULL-run boundaries for user u8 —
+    # a LEADING NULL type (must start a run, not vanish against the
+    # missing lag), a NULL-vs-NULL adjacent pair (one run, collapse),
+    # then a click, then TWO SIMULTANEOUS rows whose keep/drop order is
+    # decided only by the ascending event_id tiebreak, then NULL again
+    # (a new run after a non-NULL)
+    u8 = 9_000_008
+    add(b + dt.timedelta(hours=4), u8, None, 1.0)
+    add(b + dt.timedelta(hours=4, seconds=1), u8, None, 1.0)
+    add(b + dt.timedelta(hours=4, seconds=2), u8, "click", 1.0)
+    add(b + dt.timedelta(hours=4, seconds=3), u8, "click", 1.0)  # dup ts pair
+    add(b + dt.timedelta(hours=4, seconds=3), u8, "view", 1.0)   # same instant
+    add(b + dt.timedelta(hours=4, seconds=4), u8, None, 1.0)
     con.execute(
         "CREATE TABLE inj (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
         "event_type VARCHAR, value DOUBLE, props VARCHAR)"
@@ -351,6 +401,22 @@ def synth(out: str) -> None:
         (90_000_005, "exactly three tokens", "en", "srcX", 20),  # exact dup pair
         (90_000_006, "a  b\tc   d", "en", "srcX", 10),           # whitespace runs
         (90_000_007, "x " * 100, "en", "srcX", 200),             # n_chars bin edge
+        # r11 (#7e): an exact-duplicate pair forming its OWN 2-member
+        # cluster with a 50/50 lang tie (count tie -> value-ASC
+        # tiebreak must elect "aa" in both engines) and an all-NULL
+        # source field (the election has no candidate rows — the
+        # pivoted field must come back NULL identically)
+        (90_000_008, "golden tie record pair", "aa", None, 22),
+        (90_000_009, "golden tie record pair", "bb", None, 22),
+        # r11 (#7c): a one-token source group (hapax=1, types=1 -> the
+        # diversity index's n*(n-1) denominator floor) and an
+        # all-duplicate-token group (types=1, hapax=0, D=0)
+        (90_000_010, "solo", "en", "srcONE", 4),
+        (90_000_011, "dup dup dup dup", "en", "srcDUP", 15),
+        (90_000_012, "dup dup", "en", "srcDUP", 7),
+        # r11: a both-NULL-category documents row — chi2's (NULL, NULL)
+        # contingency cell is a real cell by contract
+        (90_000_013, "null category cell row", None, None, 22),
     ]
     con.execute(
         "CREATE TABLE dinj (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
@@ -430,6 +496,39 @@ def check_ks_empty_group() -> bool:
     return ok
 
 
+def check_chi2_degenerate() -> bool:
+    """The chi2 degenerate-contingency boundaries (VERDICT r10 #7b):
+    a 1x1 contingency (every row in ONE cell) has dof 0 and statistic
+    exactly 0 — the sum-of-squares identity gives n*ppm - n*ppm with
+    no truncation loss, so the 0 is exact, not approximate; a
+    single-row table is the 1x1 case at n=1. Injecting these into the
+    shared documents table is impossible (the base data already spans
+    many cells), so they run as dedicated in-process checks."""
+    from pyspark_datacol_diff_spark import get_spark
+    from pyspark_datacol_diff_spark.operators.quality import chi2_ppm
+
+    spark = get_spark(
+        app_name="boundary-chi2", master="local[4]", shuffle_partitions=4
+    )
+    one_cell = spark.createDataFrame([("a", "x")] * 7, ["r", "c"])
+    r = chi2_ppm(one_cell, "r", "c").collect()[0]
+    ok1 = (
+        r["n"], r["n_row_cats"], r["n_col_cats"], r["dof"], r["chi2_ppm"]
+    ) == (7, 1, 1, 0, 0)
+    single_row = spark.createDataFrame([("a", None)], "r string, c string")
+    s = chi2_ppm(single_row, "r", "c").collect()[0]
+    ok2 = (
+        s["n"], s["n_row_cats"], s["n_col_cats"], s["dof"], s["chi2_ppm"]
+    ) == (1, 1, 1, 0, 0)
+    print(
+        "chi2_degenerate: PASS (1x1 and single-row both exact-zero, "
+        "dof 0)" if ok1 and ok2
+        else f"chi2_degenerate: FAIL (1x1={dict(r.asDict())}, "
+        f"single={dict(s.asDict())})"
+    )
+    return ok1 and ok2
+
+
 def main() -> int:
     keep = len(sys.argv) > 1
     out = sys.argv[1] if keep else tempfile.mkdtemp(prefix="dcd_boundary_")
@@ -441,6 +540,8 @@ def main() -> int:
              "--sf", out, *QUERIES]
         )
         if not check_ks_empty_group():
+            rc = rc or 1
+        if not check_chi2_degenerate():
             rc = rc or 1
         return rc
     finally:
