@@ -8224,6 +8224,222 @@ FROM a
 """
 
 
+def _q_mwu_click_view_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample MANN-WHITNEY U (operators/quality.py:mann_whitney_u2)
+    between click and view event values — the stochastic-dominance
+    drift direction KS throws away. Average-rank ties via the DOUBLED
+    integer statistic (u2 = 2U, always exact); the same value-grain
+    two-phase prefix machinery as ks_drift_events."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return QA.mann_whitney_u2(b, "event_type", "cents", "click", "view")
+
+
+_SQL_MWU_CLICK_VIEW = """
+WITH b AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+vc AS (
+  SELECT cents,
+         count(*) FILTER (event_type = 'click') AS ca,
+         count(*) FILTER (event_type = 'view') AS cb
+  FROM b GROUP BY 1),
+c AS (
+  SELECT ca, cb, ca + cb AS t,
+         sum(ca + cb) OVER (ORDER BY cents) AS cum
+  FROM vc),
+s AS (
+  SELECT sum(ca) AS na, sum(cb) AS nb,
+         sum(CAST(ca AS HUGEINT) * (2 * (cum - t) + t + 1)) AS r2a
+  FROM c)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2_a,
+       CAST(2 * CAST(na AS HUGEINT) * nb
+            - (r2a - CAST(na AS HUGEINT) * (na + 1)) AS BIGINT) AS u2_b
+FROM s
+"""
+
+
+def _q_acf_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type lag-1 AUTOCORRELATION of event value (operators/
+    quality.py:autocorr_ppm) — serial dependence over the (ts,
+    event_id) total order, exact cross-multiplied integers with a
+    sign-split DIV (truncation toward zero in both engines). The
+    self-similarity complement of spearman_trend_events' monotone
+    drift."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        "ts",
+        "event_id",
+    )
+    return QA.autocorr_ppm(
+        b, ["event_type"], "cents", "ts", lag=1, tiebreak_cols=["event_id"]
+    )
+
+
+_SQL_ACF_VALUE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+l AS (
+  SELECT event_type, x,
+         lag(x) OVER (PARTITION BY event_type
+                      ORDER BY ts, event_id) AS xl
+  FROM b),
+a AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(x) AS s,
+         count(xl) AS n_pairs,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * xl) AS sxy,
+         sum(CASE WHEN xl IS NOT NULL THEN x END) AS sxp,
+         sum(xl) AS slp
+  FROM l GROUP BY 1),
+t AS (
+  SELECT event_type, n, n_pairs,
+         CAST(n AS HUGEINT) * n * sxy
+           - CAST(n AS HUGEINT) * s * (sxp + slp)
+           + CAST(n_pairs AS HUGEINT) * s * s AS num,
+         CAST(n AS HUGEINT) * n * sxx
+           - CAST(n AS HUGEINT) * s * s AS den
+  FROM a WHERE n > 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+                 ELSE -(((-num) * 1000000) // den) END AS BIGINT)
+         AS acf_ppm
+FROM t WHERE den <> 0
+"""
+
+
+def _q_kappa_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between the labeled lang column and the n-gram
+    heuristic's prediction (operators/quality.py:cohens_kappa_ppm over
+    operators/text.py:lang_id) — chance-corrected agreement, the
+    label-quality gate raw accuracy can fake via majority collapse.
+    NULL is a real category and the diagonal is null-safe; exact
+    cross-multiplied integers, sign-split DIV."""
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        F.col("lang").alias("actual"),
+        TX.lang_id("text").alias("detected"),
+    )
+    return QA.cohens_kappa_ppm(p, "actual", "detected")
+
+
+def _sql_kappa_langid_docs() -> str:
+    sels, case, _langs = _sql_lang_parts()
+    return f"""
+WITH s AS (
+  SELECT lang,
+       {sels}
+  FROM documents),
+p AS (SELECT lang AS ra, {case} AS rb FROM s),
+obs AS (SELECT ra, rb, count(*) AS c FROM p GROUP BY 1, 2),
+am AS (SELECT ra, sum(c) AS an FROM obs GROUP BY 1),
+bm AS (SELECT rb, sum(c) AS bn FROM obs GROUP BY 1),
+mm AS (SELECT coalesce(sum(CAST(an AS HUGEINT) * bn), 0) AS mm
+       FROM am JOIN bm ON am.ra IS NOT DISTINCT FROM bm.rb),
+d AS (SELECT sum(c) AS n,
+             coalesce(sum(CASE WHEN ra IS NOT DISTINCT FROM rb
+                                 THEN c END), 0) AS dd
+      FROM obs),
+na AS (SELECT count(*) AS n_cats_a FROM am),
+nb AS (SELECT count(*) AS n_cats_b FROM bm)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_cats_a AS BIGINT) AS n_cats_a,
+       CAST(n_cats_b AS BIGINT) AS n_cats_b,
+       CAST(CASE WHEN (CAST(n AS HUGEINT) * dd - mm) >= 0
+                 THEN ((CAST(n AS HUGEINT) * dd - mm) * 1000000)
+                      // (CAST(n AS HUGEINT) * n - mm)
+                 ELSE -((((mm - CAST(n AS HUGEINT) * dd)) * 1000000)
+                        // (CAST(n AS HUGEINT) * n - mm)) END AS BIGINT)
+         AS kappa_ppm
+FROM d CROSS JOIN mm CROSS JOIN na CROSS JOIN nb
+"""
+
+
+def _q_tv_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOTAL-VARIATION distance vs the rest of the corpus
+    (operators/corpus.py:tv_distance_vs_rest) — the exact-integer
+    "odd source out" divergence (KL/JSD need logs no cross-engine
+    arithmetic replays; TV cross-multiplies). One (source, token)-grain
+    exchange + a vocabulary-sized marginal join."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.tv_distance_vs_rest(d, "source")
+
+
+_SQL_TV_SOURCE = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+g AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+tt AS (SELECT t, sum(c) AS tot FROM g GROUP BY 1),
+gt AS (SELECT source, sum(c) AS tg FROM g GROUP BY 1),
+grand AS (SELECT sum(c) AS tn FROM g),
+j AS (SELECT g.source, g.c, tt.tot, gt.tg, grand.tn
+      FROM g JOIN tt USING (t)
+      JOIN gt ON g.source IS NOT DISTINCT FROM gt.source
+      CROSS JOIN grand),
+p AS (SELECT source, tg, tn,
+             sum(abs(CAST(c AS HUGEINT) * (tn - tg)
+                     - CAST(tot - c AS HUGEINT) * tg)) AS s,
+             sum(tot) AS ag
+      FROM j GROUP BY 1, 2, 3)
+SELECT source, CAST(tg AS BIGINT) AS n_tokens,
+       CAST(((s + CAST(tg AS HUGEINT) * (tn - ag)) * 1000000)
+            // (2 * CAST(tg AS HUGEINT) * (tn - tg)) AS BIGINT) AS tv_ppm
+FROM p WHERE 2 * CAST(tg AS HUGEINT) * (tn - tg) <> 0
+"""
+
+
+def _q_kmv_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source K-MINIMUM-VALUES distinct-token estimate
+    (operators/sketch.py:kmv_distinct, k=64) — the deterministic
+    bottom-k cardinality sketch whose ESTIMATE replays bit-for-bit in
+    any engine with md5 (HLL registers are engine-private; KMV is just
+    order statistics of a shared hash)."""
+    d = _t(spark, sf_dir, "documents")
+    return SK.kmv_distinct(d, ["source"], k=64)
+
+
+_SQL_KMV_DISTINCT = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+d AS (SELECT DISTINCT source,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+      FROM tok),
+r AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM d)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN count(*) < 64 THEN CAST(count(*) AS HUGEINT)
+                 ELSE (CAST(63 AS HUGEINT) * 1152921504606846976)
+                      // greatest(max(CASE WHEN rn = 64 THEN h END), 1)
+            END AS BIGINT) AS kmv_distinct
+FROM r WHERE rn <= 64 GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the core diff on the sf0.001 perturbed orders pair."""
     s1, s2 = _orders_pair(spark, "/root/testdata/sf0.001")
@@ -8302,6 +8518,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson_diversity_docs": _q_simpson_diversity_docs,
         # --- r11 additions (never-checked)
         "ann_ivf_auto_recall": _q_ann_ivf_auto_recall,
+        "mwu_click_view_events": _q_mwu_click_view_events,
+        "acf_value_events": _q_acf_value_events,
+        "kappa_langid_docs": _q_kappa_langid_docs,
+        "tv_source_docs": _q_tv_source_docs,
+        "kmv_distinct_docs": _q_kmv_distinct_docs,
         # --- latest green r06
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,
         "q11_important_stock": _q_q11_important_stock,
@@ -10202,6 +10423,11 @@ FROM embeddings WHERE vec_id % 25 = 0
 SELECT (10 * count(*))::BIGINT AS n_exact, TRUE AS recall_ok
 FROM embeddings WHERE vec_id % 25 = 0
 """,
+        "mwu_click_view_events": _SQL_MWU_CLICK_VIEW,
+        "acf_value_events": _SQL_ACF_VALUE,
+        "kappa_langid_docs": _sql_kappa_langid_docs(),
+        "tv_source_docs": _SQL_TV_SOURCE,
+        "kmv_distinct_docs": _SQL_KMV_DISTINCT,
         "merge_upsert_orders": _sql_merge_upsert_orders(),
         "weighted_sample_docs": _sql_weighted_sample_docs(),
     }

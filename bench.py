@@ -116,6 +116,11 @@ BENCH_QUERIES = [
     "spearman_trend_events",     # dual row_number windows, one partition
     "golden_record_docs",        # CC + unpivot + counted-grain elections
     "hapax_by_source_docs",      # (group, token)-grain two-level agg
+    # new shapes in round 11 (the three statistics — MWU, ACF, kappa —
+    # share the ks/spearman/chi2 plan families already on the bench and
+    # stay on the correctness gate):
+    "tv_source_docs",            # token-grain marginal join + keyed reduce
+    "kmv_distinct_docs",         # per-group bottom-k window over vocab grain
 ]
 
 

@@ -1165,3 +1165,95 @@ def simpson_diversity(
             context="simpson_ppm",
         ).alias("simpson_ppm"),
     )
+
+
+def tv_distance_vs_rest(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    *,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group TOTAL-VARIATION DISTANCE between the group's token
+    distribution and the REST of the corpus, in exact scaled ppm — the
+    "which source is the odd one out?" divergence census. KL/JSD need
+    logs no cross-engine integer arithmetic replays; TV is the L1
+    sup-norm ``1/2 * sum_t |p_t - q_t|`` and cross-multiplies exactly:
+    with per-(group, token) counts ``c``, token totals ``tot_t``,
+    group total ``T_g`` and grand total ``T``::
+
+        num_g = sum over tokens IN g of |c*(T - T_g) - (tot_t - c)*T_g|
+                + T_g * (T - A_g)        # mass of tokens absent from g
+        tv_ppm = num_g * ppm_scale DIV (2 * T_g * (T - T_g))
+
+    where ``A_g = sum over tokens in g of tot_t``. All quantities
+    non-negative, so DIV truncation agrees across engines; arithmetic
+    is DECIMAL(38,0) and exact while ``T^2 * ppm_scale < 10^38``
+    (T up to ~3e15 tokens); emit is the checked BIGINT cast.
+
+    Same token convention as :func:`hapax_census`. Scale shape: ONE
+    (group, token)-grain map-side-combined count (the only corpus-sized
+    exchange), a token-grain marginal joined back on the token key
+    (vocabulary-sized, AQE-planned), broadcast group/grand totals, one
+    keyed reduce. Groups whose complement is empty (the group IS the
+    corpus — TV undefined, den = 0) are dropped; NULL group values are
+    a real group (null-safe totals join).
+
+    Returns ``(group_col, n_tokens, tv_ppm)``.
+
+    Reference scope note: no text operators exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from .cluster import checked_long
+
+    tok = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(
+            F.filter(
+                tokens(F.lower(F.col(text_col))), lambda x: x != ""
+            )
+        ).alias("__tok"),
+    )
+    grain = tok.groupBy("__g", "__tok").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    tt = grain.groupBy("__tok").agg(F.sum("__c").alias("__tot"))
+    gt = grain.groupBy("__g").agg(F.sum("__c").alias("__tg"))
+    grand = grain.agg(F.sum("__c").alias("__tn"))
+    j = (
+        grain.join(tt, "__tok")
+        .join(gt.withColumnRenamed("__g", "__g2"),
+              F.col("__g").eqNullSafe(F.col("__g2")))
+        .drop("__g2")
+        .crossJoin(F.broadcast(grand))
+    )
+    per_g = j.groupBy("__g", "__tg", "__tn").agg(
+        F.sum(
+            F.abs(
+                F.expr(
+                    "CAST(__c AS DECIMAL(38,0)) * (__tn - __tg) "
+                    "- CAST(__tot - __c AS DECIMAL(38,0)) * __tg"
+                )
+            )
+        ).alias("__s"),
+        F.sum("__tot").alias("__ag"),
+    )
+    num = F.expr(
+        "__s + CAST(__tg AS DECIMAL(38,0)) * (__tn - __ag)"
+    )
+    den = F.expr(
+        "CAST(2 AS DECIMAL(38,0)) * __tg * (__tn - __tg)"
+    )
+    return (
+        per_g.withColumn("__num", num)
+        .withColumn("__den", den)
+        .filter(F.col("__den") != 0)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__tg").alias("n_tokens"),
+            checked_long(
+                F.expr(f"(__num * {ppm_scale}) DIV __den"),
+                context="tv_distance tv_ppm",
+            ).alias("tv_ppm"),
+        )
+    )

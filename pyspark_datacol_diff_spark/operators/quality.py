@@ -723,3 +723,333 @@ def chi2_ppm(
             context="chi2_ppm",
         ).alias("chi2_ppm"),
     )
+
+
+def mann_whitney_u2(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """EXACT two-sample MANN-WHITNEY U (Wilcoxon rank-sum) between two
+    groups' value distributions, in DOUBLED integer units — the
+    location-shift drift test that complements :func:`ks_statistic`'s
+    sup-norm: KS asks "did the distribution change anywhere?", U asks
+    "did one side stochastically dominate?" (the effect direction KS
+    throws away).
+
+    CONTRACT: ties take the standard AVERAGE (mid) rank, which is
+    half-integral — so the emitted statistic is ``u2 = 2*U`` (always an
+    exact integer; halve client-side). With per-value counts ``ca, cb``
+    and the exclusive both-group prefix ``c_below``:
+    ``2*R_a = sum_v ca(v) * (2*c_below(v) + t(v) + 1)`` where
+    ``t = ca + cb``, and ``u2_a = 2*R_a - n_a*(n_a+1)``,
+    ``u2_b = 2*n_a*n_b - u2_a`` (the standard identity, so both sides
+    replay from one pass). All DECIMAL(38,0); exactness needs
+    ``n^2 < 10^38`` (always, for BIGINT counts); emitted through the
+    checked BIGINT cast (u2 <= 2*n_a*n_b, so n_a*n_b < 4.6e18 — beyond
+    that the statistic itself outgrows int64 and the cast raises).
+
+    Scale shape (shared with :func:`ks_statistic`): one map-combined
+    aggregate to distinct (value) grain, the TWO-PHASE distributed
+    prefix sum over the value order (per-bucket local window +
+    driver-gathered bucket offsets as a literal map — never a
+    SinglePartition window), one 1-row reduce. Raises ``ValueError``
+    on an empty side (statistic undefined; Spark/DuckDB would diverge)
+    and on NULL bucket keys (non-numeric values have no rank).
+
+    Returns one row ``(n_a, n_b, u2_a, u2_b)``.
+
+    Reference scope note: no statistics exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    from .cluster import checked_long
+
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    )
+    vc = base.groupBy(value_col).agg(
+        F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
+        F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
+    )
+    b = vc.withColumn("__vb", F.col(value_col).cast("bigint")).withColumn(
+        "__pb", F.expr(f"__vb DIV {int(bucket_width)}")
+    )
+    w = (
+        Window.partitionBy("__pb")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
+        b.withColumn("__t", F.col("ca") + F.col("cb"))
+        .withColumn("__lt", F.sum("__t").over(w))
+        .persist()
+    )
+    raw_totals = [
+        (r["__pb"], r["ta"], r["tb"])
+        for r in local.groupBy("__pb")
+        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+        .collect()
+    ]
+    if any(k is None for k, _, _ in raw_totals):
+        local.unpersist()
+        raise ValueError(
+            f"{value_col} produced NULL bucket keys (non-numeric or "
+            "BIGINT-overflowing values cast to NULL): a NULL bucket has "
+            "no position in the value ordering — cast or filter such "
+            "rows first (running_total's contract)"
+        )
+    totals = sorted(raw_totals)
+    off_t, acc_a, acc_b, acc_t = {}, 0, 0, 0
+    for key, ta, tb in totals:
+        off_t[key] = acc_t
+        acc_a += ta or 0
+        acc_b += tb or 0
+        acc_t += (ta or 0) + (tb or 0)
+    if acc_a == 0 or acc_b == 0:
+        local.unpersist()
+        raise ValueError(
+            f"mann_whitney_u2 needs non-empty samples on both sides: "
+            f"group_a={group_a!r} has {acc_a} rows, group_b={group_b!r} "
+            f"has {acc_b} rows (after NULL-value filtering)"
+        )
+    map_t = F.create_map(*[F.lit(x) for kv in off_t.items() for x in kv])
+    # exclusive both-group prefix: inclusive cum minus this value's own t
+    r2 = local.select(
+        F.expr(
+            "CAST(ca AS DECIMAL(38,0))"
+        ).alias("__ca_d"),
+        (
+            (F.col("__lt") + map_t[F.col("__pb")] - F.col("__t")) * 2
+            + F.col("__t")
+            + F.lit(1)
+        ).alias("__2r_term"),
+    ).agg(F.sum(F.col("__ca_d") * F.col("__2r_term")).alias("__2ra"))
+    na, nb = acc_a, acc_b
+    u2a = F.expr(f"__2ra - CAST({na} AS DECIMAL(38,0)) * {na + 1}")
+    return r2.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        checked_long(u2a, context="mann_whitney u2_a").alias("u2_a"),
+        checked_long(
+            F.expr(f"CAST(2 AS DECIMAL(38,0)) * {na} * {nb}") - u2a,
+            context="mann_whitney u2_b",
+        ).alias("u2_b"),
+    )
+
+
+def autocorr_ppm(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    order_col: str,
+    *,
+    lag: int = 1,
+    tiebreak_cols,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group lag-``k`` AUTOCORRELATION in exact scaled ppm — the
+    serial-dependence detector ("do high-value events cluster in
+    time?", "is the series mean-reverting?") that complements the
+    monotone-trend Spearman: trend asks "drifting?", ACF asks
+    "self-similar at lag k?".
+
+    CONTRACT (exact cross-multiplied integers, no float mean): with
+    ``S = sum(x)`` over the FULL group of ``n`` rows, the centered
+    products are scaled by ``n``:
+    ``num = sum over the n-k lagged pairs of (n*x_t - S)*(n*x_{t-k} - S)``
+    ``den = sum over ALL n rows of (n*x_t - S)^2``
+    ``acf_ppm = sign(num) * (|num| * ppm_scale DIV den)`` — the
+    sign-split keeps DIV truncation toward zero identical in Spark and
+    DuckDB (their negative-quotient conventions differ). This is the
+    standard ACF estimator (denominator over the full series) up to
+    exact integer truncation; order is the TOTAL order ``(order_col,
+    *tiebreak_cols)`` so the lag pairing is deterministic. All
+    DECIMAL(38,0); exactness needs ``n^3 * x_max^2 * ppm_scale <
+    10^38`` (cents-scale values pass to n ~ 10^8; sample or pre-
+    aggregate beyond). Groups with ``n <= lag`` or zero variance
+    (``den = 0``) are dropped — the statistic is undefined there and
+    Spark's NULL DIV vs DuckDB's division error would diverge.
+
+    Scale shape: ONE window sort per group partition (the lag), reused
+    by the sum/count aggregates on the same keys, then a keyed reduce.
+    NULL value or order rows are excluded up front.
+
+    Returns ``(*group_cols, n, n_pairs, acf_ppm)``.
+
+    Reference scope note: no statistics exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    from .cluster import checked_long
+
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    gc = list(group_cols)
+    ties = list(tiebreak_cols)
+    if not ties:
+        raise ValueError("tiebreak_cols must make the lag order total")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        *gc,
+        F.col(value_col).cast("long").alias("__x"),
+        order_col,
+        *ties,
+    )
+    w = Window.partitionBy(*gc).orderBy(
+        F.col(order_col), *[F.col(t) for t in ties]
+    )
+    lagged = base.select(
+        *gc, "__x", F.lag("__x", lag).over(w).alias("__xl")
+    )
+    agg = lagged.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__s"),
+        F.count("__xl").alias("n_pairs"),
+        # raw moments: centered sums are recovered exactly below
+        F.sum(F.expr("CAST(__x AS DECIMAL(38,0)) * __x")).alias("__sxx"),
+        F.sum(
+            F.expr("CAST(__x AS DECIMAL(38,0)) * __xl")
+        ).alias("__sxy"),
+        F.sum(F.when(F.col("__xl").isNotNull(), F.col("__x"))).alias(
+            "__sx_p"
+        ),
+        F.sum("__xl").alias("__sl_p"),
+    )
+    # num = n^2*sxy - n*S*(sx_p + sl_p) + (n-k)*S^2
+    # den = n^2*sxx - n*S*S*2/2 ... = n^2*sxx - 2*n*S*S + n*S^2
+    #     = n^2*sxx - n*S^2
+    num = F.expr(
+        "CAST(n AS DECIMAL(38,0)) * n * __sxy "
+        "- CAST(n AS DECIMAL(38,0)) * __s * (__sx_p + __sl_p) "
+        "+ CAST(n_pairs AS DECIMAL(38,0)) * __s * __s"
+    )
+    den = F.expr(
+        "CAST(n AS DECIMAL(38,0)) * n * __sxx "
+        "- CAST(n AS DECIMAL(38,0)) * __s * __s"
+    )
+    out = (
+        agg.filter(F.col("n") > lag)
+        .withColumn("__num", num)
+        .withColumn("__den", den)
+        .filter(F.col("__den") != 0)
+    )
+    return out.select(
+        *gc,
+        "n",
+        "n_pairs",
+        checked_long(
+            F.when(
+                F.col("__num") >= 0,
+                F.expr(f"(__num * {ppm_scale}) DIV __den"),
+            ).otherwise(
+                -F.expr(f"((- __num) * {ppm_scale}) DIV __den")
+            ),
+            context="autocorr acf_ppm",
+        ).alias("acf_ppm"),
+    )
+
+
+def cohens_kappa_ppm(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    *,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """COHEN'S KAPPA chance-corrected agreement between two categorical
+    columns, in exact scaled ppm — the label-quality gate for "does the
+    cheap heuristic agree with the gold label beyond chance?" (raw
+    accuracy rewards majority-class collapse; kappa does not).
+
+    CONTRACT: ``kappa = (n*sum_diag - sum_k rm_k*cm_k) / (n^2 -
+    sum_k rm_k*cm_k)`` in cross-multiplied integers, emitted as
+    ``kappa_ppm = sign(num) * (|num| * ppm_scale DIV den)`` (sign-split
+    DIV, truncation toward zero in both engines). NULL is a REAL
+    category (chi2_ppm's convention) and the diagonal is null-safe:
+    a (NULL, NULL) pair counts as agreement. Like chi2, only OBSERVED
+    (a, b) cells materialize — the marginal product sum needs only the
+    per-category marginals, never a category cross join. All
+    DECIMAL(38,0); exact for ``n^2 * ppm_scale < 10^38``. Raises
+    ``ValueError`` via execution-time guard when den = 0 (both raters
+    constant — kappa undefined; Spark NULL vs DuckDB error would
+    diverge).
+
+    Returns one row ``(n, n_cats_a, n_cats_b, kappa_ppm)``.
+
+    Reference scope note: no statistics exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from .cluster import checked_long
+
+    obs = df.groupBy(
+        F.col(rater_a_col).alias("__a"), F.col(rater_b_col).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    am = obs.groupBy("__a").agg(F.sum("__o").alias("__an"))
+    bm = obs.groupBy("__b").agg(F.sum("__o").alias("__bn"))
+    # marginal product sum: join the two marginals on CATEGORY EQUALITY
+    # (null-safe) — only categories present on BOTH sides contribute to
+    # sum_k rm_k*cm_k, the standard kappa expected-agreement term
+    mm = am.join(
+        bm, am["__a"].eqNullSafe(bm["__b"]), "inner"
+    ).agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(__an AS DECIMAL(38,0)) * __bn")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__mm")
+    )
+    diag = obs.agg(
+        F.sum("__o").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__a").eqNullSafe(F.col("__b")), F.col("__o"))
+            ),
+            F.lit(0),
+        ).alias("__d"),
+    )
+    na = am.agg(F.count(F.lit(1)).alias("n_cats_a"))
+    nb = bm.agg(F.count(F.lit(1)).alias("n_cats_b"))
+    j = (
+        diag.crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    num = F.expr("CAST(n AS DECIMAL(38,0)) * __d - __mm")
+    # den = n^2 - sum_k rm_k*cm_k >= 0 by Cauchy-Schwarz (marginals
+    # each sum to n), with equality exactly when both raters are
+    # constant on the same category — the undefined case, raised loudly
+    den = F.expr("CAST(n AS DECIMAL(38,0)) * n - __mm")
+    out = j.withColumn("__num", num).withColumn(
+        "__den",
+        F.when(den != 0, den).otherwise(
+            F.raise_error(
+                F.lit(
+                    "cohens_kappa_ppm: expected agreement is 1 (both "
+                    "raters constant on one category) — kappa is "
+                    "undefined"
+                )
+            )
+        ),
+    )
+    return out.select(
+        "n",
+        "n_cats_a",
+        "n_cats_b",
+        checked_long(
+            F.when(
+                F.col("__num") >= 0,
+                F.expr(f"(__num * {ppm_scale}) DIV __den"),
+            ).otherwise(
+                -F.expr(f"((- __num) * {ppm_scale}) DIV __den")
+            ),
+            context="cohens_kappa kappa_ppm",
+        ).alias("kappa_ppm"),
+    )

@@ -455,3 +455,90 @@ def heavy_hitters_by(
         .filter(F.col("cnt") * F.lit(phi_den) >= F.lit(phi_num) * F.col("__total"))
         .drop("__total")
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols,
+    text_col: str = "text",
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group K-MINIMUM-VALUES distinct-token estimator — the
+    bounded-sketch cardinality answer ("how many distinct types does
+    each source carry?") when the exact distinct count's
+    vocabulary-sized state is the thing you can't afford. Unlike
+    HyperLogLog (whose register layout is engine-private), KMV is
+    DETERMINISTIC given the hash: keep the k smallest distinct 60-bit
+    hashes, estimate ``D ~ (k-1) * 2^60 DIV h_k`` (Bar-Yossef et al.
+    2002, the standard bottom-k estimator; relative error ~1/sqrt(k-2))
+    — every step replays bit-for-bit in any engine with md5, so the
+    ESTIMATE itself is oracle-checkable, not just plausible.
+
+    CONTRACT: the hash is the repo's standard 60-bit
+    ``conv(substr(md5(token), 1, 15), 16, 10)``; hash collisions merge
+    (deduped on hash — deterministic both engines). Groups with fewer
+    than ``k`` distinct hashes emit their EXACT count (the sketch is
+    lossless below k). ``h_k = 0`` (all-zero md5 prefix) guards to 1
+    rather than dividing by zero. ``(k-1) * 2^60`` exceeds int64 for
+    k > 8, so the estimate runs in DECIMAL(38,0) and emits through the
+    checked BIGINT cast.
+
+    Same token convention as the corpus censuses (lowercased
+    whitespace split, empties dropped). Scale shape: one distinct
+    (group, hash) grain (map-side partial distinct — the only
+    corpus-sized exchange), a per-group bottom-k window over that
+    vocabulary-sized grain, a group-grain reduce.
+
+    Returns ``(*group_cols, n_kept, kmv_distinct)``.
+
+    Reference scope note: no sketches exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    from .cluster import checked_long
+    from .text import tokens
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (the estimator divides by h_k "
+                         f"with k-1 in the numerator), got {k}")
+    gc = list(group_cols)
+    tok = df.select(
+        *gc,
+        F.explode(
+            F.filter(
+                tokens(F.lower(F.col(text_col))), lambda x: x != ""
+            )
+        ).alias("__tok"),
+    )
+    hashed = tok.select(
+        *gc,
+        F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    ).distinct()
+    w = Window.partitionBy(*gc).orderBy("__h")
+    kept = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    two60 = 1 << 60
+    agg = kept.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("decimal(38,0)")
+    ).otherwise(
+        F.expr(
+            f"CAST({k - 1} AS DECIMAL(38,0)) * {two60} "
+            "DIV greatest(__hk, 1)"
+        )
+    )
+    return agg.select(
+        *gc,
+        "n_kept",
+        checked_long(est, context="kmv_distinct estimate").alias(
+            "kmv_distinct"
+        ),
+    )

@@ -90,6 +90,13 @@ DECLARED_EXACT = {
         "the same deliberate broadcast-bounded O(n*q) scan as "
         "mutual_knn_embed"
     ),
+    "ann_ivf_auto_recall": (
+        "recall gate for the PRODUCTION auto-IVF configuration "
+        "(nlist=auto, bounded nprobe — the candidate arm is cell-"
+        "bounded, the scale path itself), measured against the same "
+        "deliberate broadcast-bounded O(n*q) exact scan as "
+        "ann_topk_cosine"
+    ),
 }
 
 
