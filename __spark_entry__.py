@@ -8262,7 +8262,9 @@ s AS (
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2_a,
        CAST(2 * CAST(na AS HUGEINT) * nb
-            - (r2a - CAST(na AS HUGEINT) * (na + 1)) AS BIGINT) AS u2_b
+            - (r2a - CAST(na AS HUGEINT) * (na + 1)) AS BIGINT) AS u2_b,
+       CAST(((r2a - CAST(na AS HUGEINT) * (na + 1)) * 1000000)
+            // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) AS auc_ppm
 FROM s
 """
 
@@ -8440,6 +8442,135 @@ FROM r WHERE rn <= 64 GROUP BY 1
 """
 
 
+def _q_pettitt_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type PETTITT changepoint localization (operators/quality.py:
+    pettitt_changepoint) on event cents over the (ts, event_id) total
+    order — WHERE the series shifted, the question the CUSUM score
+    flags but does not answer. Exact integer rank sweep (doubled
+    midranks make the classic U_t integral under ties); smallest-t
+    tie-break pins the argmax."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        "ts",
+        "event_id",
+    )
+    return QA.pettitt_changepoint(
+        b, ["event_type"], "cents", "ts", tiebreak_cols=["event_id"]
+    )
+
+
+_SQL_PETTITT_CHANGE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+vc AS (SELECT event_type, cents, count(*) AS c FROM b GROUP BY 1, 2),
+r2v AS (
+  SELECT event_type, cents,
+         2 * (sum(c) OVER (PARTITION BY event_type ORDER BY cents) - c)
+           + c + 1 AS r2
+  FROM vc),
+rw AS (
+  SELECT b.event_type, b.ts, b.event_id, r2v.r2
+  FROM b JOIN r2v
+    ON b.event_type IS NOT DISTINCT FROM r2v.event_type
+   AND b.cents = r2v.cents),
+sw AS (
+  SELECT event_type,
+         row_number() OVER w AS t,
+         sum(r2) OVER w AS pre,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM rw
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+u AS (
+  SELECT event_type, n, t,
+         abs(CAST(pre AS HUGEINT) - CAST(t AS HUGEINT) * (n + 1)) AS au
+  FROM sw WHERE t < n)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(au AS BIGINT) AS k_stat, CAST(t AS BIGINT) AS t_change
+FROM u
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY au DESC, t ASC) = 1
+"""
+
+
+def _q_gini_value_by_type_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type LORENZ GINI of event value mass (operators/quality.py:
+    gini_concentration_ppm) — "is this event type's value owned by a
+    few rows?", the numeric-mass inequality census (distinct from the
+    categorical gini_impurity). Exact rank formula in cross-multiplied
+    integers; negative values raise by contract (Lorenz undefined) —
+    the sweep's injected refunds are the pytest-pinned raise case, so
+    this query stays off the boundary list like weighted_sample."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        "event_id",
+    ).filter(F.col("cents").isNotNull())
+    return QA.gini_concentration_ppm(
+        b, ["event_type"], "cents", tiebreak_cols=["event_id"]
+    )
+
+
+_SQL_GINI_VALUE_BY_TYPE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         event_id
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, event_id) AS i
+  FROM b),
+a AS (
+  SELECT event_type, count(*) AS n, sum(x) AS s,
+         sum(CAST(i AS HUGEINT) * x) AS ix
+  FROM r GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_value,
+       CAST(((2 * ix - (CAST(n AS HUGEINT) + 1) * s) * 1000000)
+            // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
+FROM a WHERE s > 0
+"""
+
+
+def _q_fano_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type FANO FACTOR of hourly event counts (operators/
+    quality.py:fano_factor_ppm) — the burstiness gate: Poisson-steady
+    arrivals sit at 1e6 ppm, clumped traffic far above, metronome bots
+    far below. Occupied-bucket contract (documented); one
+    (type, hour)-grain exchange + a keyed reduce."""
+    e = _t(spark, sf_dir, "events")
+    return QA.fano_factor_ppm(e, ["event_type"], "ts", bucket="hour")
+
+
+_SQL_FANO_HOURLY = """
+WITH g AS (
+  SELECT event_type, date_trunc('hour', ts) AS bkt, count(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+a AS (
+  SELECT event_type, count(*) AS m, sum(c) AS cc,
+         sum(CAST(c AS HUGEINT) * c) AS sq
+  FROM g GROUP BY 1)
+SELECT event_type, CAST(m AS BIGINT) AS n_buckets,
+       CAST(cc AS BIGINT) AS n_events,
+       CAST(((CAST(m AS HUGEINT) * sq - CAST(cc AS HUGEINT) * cc)
+             * 1000000) // (CAST(m AS HUGEINT) * cc) AS BIGINT)
+         AS fano_ppm
+FROM a
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the core diff on the sf0.001 perturbed orders pair."""
     s1, s2 = _orders_pair(spark, "/root/testdata/sf0.001")
@@ -8523,6 +8654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_langid_docs": _q_kappa_langid_docs,
         "tv_source_docs": _q_tv_source_docs,
         "kmv_distinct_docs": _q_kmv_distinct_docs,
+        "pettitt_change_events": _q_pettitt_change_events,
+        "gini_value_by_type_events": _q_gini_value_by_type_events,
+        "fano_hourly_events": _q_fano_hourly_events,
         # --- latest green r06
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,
         "q11_important_stock": _q_q11_important_stock,
@@ -10428,6 +10562,9 @@ FROM embeddings WHERE vec_id % 25 = 0
         "kappa_langid_docs": _sql_kappa_langid_docs(),
         "tv_source_docs": _SQL_TV_SOURCE,
         "kmv_distinct_docs": _SQL_KMV_DISTINCT,
+        "pettitt_change_events": _SQL_PETTITT_CHANGE,
+        "gini_value_by_type_events": _SQL_GINI_VALUE_BY_TYPE,
+        "fano_hourly_events": _SQL_FANO_HOURLY,
         "merge_upsert_orders": _sql_merge_upsert_orders(),
         "weighted_sample_docs": _sql_weighted_sample_docs(),
     }

@@ -733,6 +733,7 @@ def mann_whitney_u2(
     group_b,
     *,
     bucket_width: int = 1000,
+    ppm_scale: int = 1_000_000,
 ) -> DataFrame:
     """EXACT two-sample MANN-WHITNEY U (Wilcoxon rank-sum) between two
     groups' value distributions, in DOUBLED integer units — the
@@ -761,7 +762,11 @@ def mann_whitney_u2(
     on an empty side (statistic undefined; Spark/DuckDB would diverge)
     and on NULL bucket keys (non-numeric values have no rank).
 
-    Returns one row ``(n_a, n_b, u2_a, u2_b)``.
+    Returns one row ``(n_a, n_b, u2_a, u2_b, auc_ppm)`` — ``auc_ppm``
+    is the common-language effect size ``U_a / (n_a*n_b)`` in exact
+    ppm: the probability a random group-a value outranks a random
+    group-b value (ties half-weighted) — exactly the ROC AUC when
+    group_a is the positive class and the value is the score.
 
     Reference scope note: no statistics exist in the reference
     (SURVEY.md §2.7); north-star extension surface.
@@ -836,11 +841,28 @@ def mann_whitney_u2(
     return r2.select(
         F.lit(na).cast("long").alias("n_a"),
         F.lit(nb).cast("long").alias("n_b"),
-        checked_long(u2a, context="mann_whitney u2_a").alias("u2_a"),
+        u2a.alias("__u2a"),
+    ).select(
+        "n_a",
+        "n_b",
+        checked_long(F.col("__u2a"), context="mann_whitney u2_a").alias(
+            "u2_a"
+        ),
         checked_long(
-            F.expr(f"CAST(2 AS DECIMAL(38,0)) * {na} * {nb}") - u2a,
+            F.expr(f"CAST(2 AS DECIMAL(38,0)) * {na} * {nb} - __u2a"),
             context="mann_whitney u2_b",
         ).alias("u2_b"),
+        # the common-language effect size rides along for free:
+        # AUC = U_a / (n_a*n_b) = P(a > b) + P(a == b)/2 — the exact
+        # probability a random group-a value outranks a random group-b
+        # value (ties half-weighted); u2_a >= 0 so DIV floor == trunc
+        checked_long(
+            F.expr(
+                f"(__u2a * {ppm_scale}) "
+                f"DIV (CAST(2 AS DECIMAL(38,0)) * {na} * {nb})"
+            ),
+            context="mann_whitney auc_ppm",
+        ).alias("auc_ppm"),
     )
 
 
@@ -1052,4 +1074,294 @@ def cohens_kappa_ppm(
             ),
             context="cohens_kappa kappa_ppm",
         ).alias("kappa_ppm"),
+    )
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    order_col: str,
+    *,
+    tiebreak_cols,
+) -> DataFrame:
+    """Per-group PETTITT rank-based changepoint LOCALIZATION in exact
+    integers — "WHERE did this series shift?", the question the CUSUM
+    drift score (cusum_hourly_events) flags but does not answer.
+    Pettitt's statistic is the Mann-Whitney U between the first ``t``
+    and last ``n - t`` observations, swept over every split point:
+    nonparametric, rank-only, no distributional assumption.
+
+    CONTRACT: with DOUBLED midranks ``r2`` (average-rank ties kept
+    integral, :func:`mann_whitney_u2`'s convention) over the group's
+    values, the sweep statistic at time position ``t`` is
+    ``u_t = sum_{i<=t} r2_i - t*(n+1)`` — EXACTLY the classic
+    ``U_t = 2*sum(R_i) - t*(n+1)`` (since ``r2 = 2R``), always an
+    integer even under half-integral midranks; the emitted changepoint
+    is ``argmax |u_t|`` over ``t in 1..n-1`` with the SMALLEST t on
+    ties, and ``k_stat = max |u_t|`` is the classic Pettitt K
+    unscaled. Compare client-side against the usual
+    ``p ~ 2*exp(-6K^2/(n^3+n^2))``. Time order is the TOTAL order
+    ``(order_col, *tiebreak_cols)``. All arithmetic fits DECIMAL(38,0)
+    for any BIGINT n; emit is the checked BIGINT cast. Groups with
+    ``n < 2`` are dropped (no interior split exists).
+
+    Scale shape: one (group, value)-grain count + per-group value-order
+    window for the midranks (vocabulary-of-values-sized), a row-grain
+    join back on (group, value), ONE time-order window for the prefix
+    sum, a keyed max-struct reduce. NULL value or order rows are
+    excluded up front.
+
+    Returns ``(*group_cols, n, k_stat, t_change)`` — ``t_change`` is
+    the 1-based position of the LAST point of the pre-change segment
+    in the (order_col, tiebreak) order.
+
+    Reference scope note: no statistics exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    from .cluster import checked_long
+
+    gc = list(group_cols)
+    ties = list(tiebreak_cols)
+    if not ties:
+        raise ValueError("tiebreak_cols must make the time order total")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(*gc, F.col(value_col).alias("__v"), order_col, *ties)
+    vc = base.groupBy(*gc, "__v").agg(F.count(F.lit(1)).alias("__c"))
+    wv = (
+        Window.partitionBy(*gc)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # doubled midrank of value v: 2*(#below) + (#tied) + 1
+    r2v = vc.withColumn("__cum", F.sum("__c").over(wv)).select(
+        *gc,
+        "__v",
+        (
+            (F.col("__cum") - F.col("__c")) * 2 + F.col("__c") + F.lit(1)
+        ).alias("__r2"),
+    )
+    # null-safe rank join: a NULL group key is a group (the repo's
+    # null-safe-group convention) — a name-list join would drop it.
+    # r2v shares base's lineage (self-join): RENAME its keys first so
+    # the join condition is unambiguous by construction
+    from functools import reduce as _reduce
+
+    r2k = r2v.select(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(gc)],
+        F.col("__v").alias("__v2"),
+        "__r2",
+    )
+    cond = _reduce(
+        lambda a, b: a & b,
+        [
+            F.col(c).eqNullSafe(F.col(f"__k{i}"))
+            for i, c in enumerate(gc)
+        ]
+        + [F.col("__v").eqNullSafe(F.col("__v2"))],
+    )
+    rows = base.join(r2k, cond).select(
+        *gc, "__v", F.col(order_col), *[F.col(t) for t in ties], "__r2"
+    )
+    wt = Window.partitionBy(*gc).orderBy(
+        F.col(order_col), *[F.col(t) for t in ties]
+    )
+    # n via an unbounded count over the SAME partition keys — no
+    # group-total join (and no null-safety hole), one reused exchange
+    swept = rows.select(
+        *gc,
+        F.row_number().over(wt).alias("__t"),
+        F.sum("__r2")
+        .over(wt.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__pre"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy(*gc).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    u = swept.filter(F.col("__t") < F.col("n")).select(
+        *gc,
+        "n",
+        "__t",
+        F.abs(
+            F.expr("CAST(__pre AS DECIMAL(38,0)) - CAST(__t AS "
+                   "DECIMAL(38,0)) * (n + 1)")
+        ).alias("__au"),
+    )
+    best = u.groupBy(*gc, "n").agg(
+        F.max(F.struct(F.col("__au"), (-F.col("__t")).alias("__negt")))
+        .alias("__b")
+    )
+    return best.select(
+        *gc,
+        "n",
+        checked_long(
+            F.col("__b.__au"), context="pettitt k_stat"
+        ).alias("k_stat"),
+        (-F.col("__b.__negt")).cast("long").alias("t_change"),
+    )
+
+
+def gini_concentration_ppm(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    *,
+    tiebreak_cols,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group GINI CONCENTRATION coefficient (the Lorenz-curve
+    income Gini) of a NON-NEGATIVE value column, in exact ppm — "is
+    the event/revenue/token mass spread out or owned by a few rows?".
+    Distinct from :func:`gini_impurity` (categorical diversity): this
+    is inequality of a NUMERIC mass across rows.
+
+    CONTRACT: with values sorted ascending (total order via
+    ``(value, *tiebreak_cols)`` — permutations among tied values leave
+    the statistic unchanged, the tiebreak just pins the plan),
+    ``gini_ppm = (2*sum(i*x_i) - (n+1)*S) * ppm_scale DIV (n*S)``
+    where ``S = sum(x)`` — the standard rank formula, all
+    cross-multiplied DECIMAL(38,0) (exact while ``n^2 * x_max *
+    ppm_scale < 10^38``), numerator >= 0 so DIV floor == trunc; emit
+    through the checked BIGINT cast. NEGATIVE values raise at
+    execution (the Lorenz curve is undefined below zero — a silent
+    wrong number otherwise); groups with ``S = 0`` (all zeros) are
+    dropped (0/0), groups with one row emit 0.
+
+    Scale shape: one per-group value-order window (row_number + prefix
+    via the same sort), one keyed reduce. NULL values are excluded up
+    front.
+
+    Returns ``(*group_cols, n, sum_value, gini_ppm)``.
+
+    Reference scope note: no statistics exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from pyspark.sql import Window
+
+    from .cluster import checked_long
+
+    gc = list(group_cols)
+    ties = list(tiebreak_cols)
+    if not ties:
+        raise ValueError("tiebreak_cols must make the value order total")
+    guarded = F.when(
+        F.col(value_col) >= 0, F.col(value_col).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "gini_concentration_ppm: negative value ("
+                ),
+                F.col(value_col).cast("string"),
+                F.lit(") — the Lorenz Gini is defined for non-negative "
+                      "mass; filter or shift first"),
+            )
+        )
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *gc, guarded.alias("__x"), *ties
+    )
+    w = Window.partitionBy(*gc).orderBy(
+        F.col("__x"), *[F.col(t) for t in ties]
+    )
+    ranked = base.select(
+        *gc, "__x", F.row_number().over(w).alias("__i")
+    )
+    agg = ranked.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sum_value"),
+        F.sum(
+            F.expr("CAST(__i AS DECIMAL(38,0)) * __x")
+        ).alias("__ix"),
+    )
+    num = F.expr(
+        "CAST(2 AS DECIMAL(38,0)) * __ix "
+        "- (CAST(n AS DECIMAL(38,0)) + 1) * sum_value"
+    )
+    return (
+        agg.filter(F.col("sum_value") > 0)
+        .withColumn("__num", num)
+        .select(
+            *gc,
+            "n",
+            "sum_value",
+            checked_long(
+                F.expr(
+                    f"(__num * {ppm_scale}) "
+                    "DIV (CAST(n AS DECIMAL(38,0)) * sum_value)"
+                ),
+                context="gini_concentration gini_ppm",
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+def fano_factor_ppm(
+    df: DataFrame,
+    group_cols,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group FANO FACTOR (index of dispersion, variance/mean) of
+    per-``bucket`` event counts, in exact ppm — the burstiness gate: a
+    Poisson-steady stream sits at 1e6, clumped/bursty arrivals blow
+    past it, metronome-regular traffic (bots) sits far below. The
+    dispersion complement of the seasonality census (which asks WHEN
+    the mass lands, not HOW CLUMPED it is).
+
+    CONTRACT: buckets are ``date_trunc(bucket, ts)``; ONLY buckets
+    with at least one event enter (a true zero-inflated Fano needs the
+    observation window's empty buckets — that is a different, windowed
+    contract; this one is the occupied-bucket dispersion, documented
+    and replayed identically by the oracle). With per-bucket counts
+    ``c_j``, ``m`` buckets, ``C = sum(c)``:
+    ``fano_ppm = (m*sum(c^2) - C^2) * ppm_scale DIV (m*C)`` — the
+    population variance/mean cross-multiplied (numerator >= 0 by
+    Cauchy-Schwarz, DIV floor == trunc). DECIMAL(38,0); exact while
+    ``m * C^2 * ppm_scale < 10^38``. Groups need ``m >= 1`` and
+    ``C > 0`` by construction (occupied buckets only).
+
+    Scale shape: one (group, bucket)-grain map-combined count — the
+    only row-sized exchange — then a keyed reduce. NULL timestamps are
+    excluded.
+
+    Returns ``(*group_cols, n_buckets, n_events, fano_ppm)``.
+
+    Reference scope note: no statistics exist in the reference
+    (SURVEY.md §2.7); north-star extension surface.
+    """
+    from .cluster import checked_long
+
+    gc = list(group_cols)
+    b = df.filter(F.col(ts_col).isNotNull()).select(
+        *gc, F.date_trunc(bucket, F.col(ts_col)).alias("__bkt")
+    )
+    grain = b.groupBy(*gc, "__bkt").agg(F.count(F.lit(1)).alias("__c"))
+    agg = grain.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("__c").alias("n_events"),
+        F.sum(F.expr("CAST(__c AS DECIMAL(38,0)) * __c")).alias("__sq"),
+    )
+    return agg.select(
+        *gc,
+        "n_buckets",
+        "n_events",
+        checked_long(
+            F.expr(
+                "((CAST(n_buckets AS DECIMAL(38,0)) * __sq "
+                "- CAST(n_events AS DECIMAL(38,0)) * n_events) "
+                f"* {ppm_scale}) "
+                "DIV (CAST(n_buckets AS DECIMAL(38,0)) * n_events)"
+            ),
+            context="fano_factor fano_ppm",
+        ).alias("fano_ppm"),
     )

@@ -24,6 +24,8 @@ class TestMannWhitney:
         )
         r = mann_whitney_u2(df, "g", "v", "a", "b").collect()[0]
         assert (r["n_a"], r["n_b"], r["u2_a"], r["u2_b"]) == (3, 3, 4, 14)
+        # AUC = U_a/(na*nb) = 2/9 -> 222222 ppm (truncated)
+        assert r["auc_ppm"] == 222222
 
     def test_identity_u2a_plus_u2b(self, spark):
         df = spark.createDataFrame(
@@ -201,3 +203,138 @@ class TestKmvDistinct:
         df = spark.createDataFrame([("A", "Tok tok TOK")], ["source", "text"])
         r = kmv_distinct(df, ["source"], k=8).collect()[0]
         assert (r["n_kept"], r["kmv_distinct"]) == (1, 1)
+
+
+class TestPettitt:
+    def test_clean_step_localized(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            pettitt_changepoint,
+        )
+
+        d = spark.createDataFrame(
+            [(i + 1, "g", 1 if i < 3 else 5) for i in range(6)],
+            ["t", "g", "v"],
+        )
+        r = pettitt_changepoint(
+            d, ["g"], "v", "t", tiebreak_cols=["t"]
+        ).collect()[0]
+        # K = max|U_t| = 9 (the classic sgn-sum over the 3x3 split),
+        # changepoint after position 3
+        assert (r["n"], r["k_stat"], r["t_change"]) == (6, 9, 3)
+
+    def test_tie_prefers_smallest_t(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            pettitt_changepoint,
+        )
+
+        # constant series: every |U_t| = 0 -> argmax tie, smallest t wins
+        d = spark.createDataFrame(
+            [(i + 1, "g", 7) for i in range(4)], ["t", "g", "v"]
+        )
+        r = pettitt_changepoint(
+            d, ["g"], "v", "t", tiebreak_cols=["t"]
+        ).collect()[0]
+        assert (r["k_stat"], r["t_change"]) == (0, 1)
+
+    def test_single_row_group_dropped(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            pettitt_changepoint,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "solo", 1), (1, "ok", 1), (2, "ok", 9)], ["t", "g", "v"]
+        )
+        out = {r["g"] for r in pettitt_changepoint(
+            d, ["g"], "v", "t", tiebreak_cols=["t"]
+        ).collect()}
+        assert out == {"ok"}
+
+    def test_null_group_is_real(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            pettitt_changepoint,
+        )
+
+        d = spark.createDataFrame(
+            [(1, None, 1), (2, None, 5), (1, "g", 2), (2, "g", 2)],
+            "t int, g string, v int",
+        )
+        out = {r["g"]: r["k_stat"] for r in pettitt_changepoint(
+            d, ["g"], "v", "t", tiebreak_cols=["t"]
+        ).collect()}
+        assert None in out and out[None] == 1  # |U_1| = |2 - 3| = 1
+
+
+class TestGiniConcentration:
+    def test_perfect_equality_zero(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            gini_concentration_ppm,
+        )
+
+        d = spark.createDataFrame(
+            [("g", 5, i) for i in range(4)], ["g", "v", "t"]
+        )
+        r = gini_concentration_ppm(
+            d, ["g"], "v", tiebreak_cols=["t"]
+        ).collect()[0]
+        assert r["gini_ppm"] == 0
+
+    def test_single_owner(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            gini_concentration_ppm,
+        )
+
+        # one row owns all mass: G = (n-1)/n = 0.75
+        d = spark.createDataFrame(
+            [("g", 0, 1), ("g", 0, 2), ("g", 0, 3), ("g", 4, 4)],
+            ["g", "v", "t"],
+        )
+        r = gini_concentration_ppm(
+            d, ["g"], "v", tiebreak_cols=["t"]
+        ).collect()[0]
+        assert (r["n"], r["sum_value"], r["gini_ppm"]) == (4, 4, 750000)
+
+    def test_negative_raises(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            gini_concentration_ppm,
+        )
+
+        d = spark.createDataFrame([("g", -1, 1)], ["g", "v", "t"])
+        with pytest.raises(Exception, match="negative value"):
+            gini_concentration_ppm(
+                d, ["g"], "v", tiebreak_cols=["t"]
+            ).collect()
+
+    def test_all_zero_group_dropped(self, spark):
+        from pyspark_datacol_diff_spark.operators.quality import (
+            gini_concentration_ppm,
+        )
+
+        d = spark.createDataFrame(
+            [("z", 0, 1), ("z", 0, 2), ("g", 1, 1)], ["g", "v", "t"]
+        )
+        out = {r["g"] for r in gini_concentration_ppm(
+            d, ["g"], "v", tiebreak_cols=["t"]
+        ).collect()}
+        assert out == {"g"}
+
+
+class TestFanoFactor:
+    def test_poisson_like_and_regular(self, spark):
+        import datetime as dt
+
+        from pyspark_datacol_diff_spark.operators.quality import (
+            fano_factor_ppm,
+        )
+
+        b = dt.datetime(2024, 1, 1, 10, 0)
+        # counts [3, 1]: mean 2, pop var 1 -> F = 0.5
+        rows = [("g", b)] * 3 + [("g", b + dt.timedelta(hours=1))]
+        # metronome: one event per hour -> F = 0
+        rows += [("m", b + dt.timedelta(hours=i)) for i in range(4)]
+        d = spark.createDataFrame(rows, ["g", "ts"])
+        out = {
+            r["g"]: (r["n_buckets"], r["n_events"], r["fano_ppm"])
+            for r in fano_factor_ppm(d, ["g"], "ts").collect()
+        }
+        assert out["g"] == (2, 4, 500000)
+        assert out["m"] == (4, 4, 0)
