@@ -8586,84 +8586,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-derived MECHANICALLY each round from the CORRECTNESS_r01..r{N-1}
     union — each query's MOST RECENT green row sets its group, groups
     ordered never-checked/oldest-first with relative order preserved.
-    Round-10 derivation (this file was reordered by that script, not
-    by hand): the CORRECTNESS_r01..r09 union's latest-evidence
-    histogram is exactly {r05: 32, r06: 50, r07: 48, r08: 50, r09: 50}
-    — the r09 window of 50 covered its 19+13 front plus the first 18
-    of the r05 block, leaving the 32 trailing r05-evidence entries
-    (multimodal_frames .. date_funcs_events) as the oldest block. The
-    r10 front is therefore (1) those 32 entries, then (2) the
-    never-checked r10 additions, then (3) r06 / (4) r07 / (5) r08 /
-    (6) r09 blocks freshest last (relative order preserved within each
-    group). After the r10 window, no entry's latest driver evidence
-    predates r06 except what a 50-window fronting 32 + additions
-    cannot reach.
+    Round-11 derivation (this file was reordered by that script, not
+    by hand): the CORRECTNESS_r01..r10 union's latest-evidence
+    histogram is exactly {r06: 44, r07: 48, r08: 50, r09: 50, r10: 50}
+    — the r10 window of 50 covered its 32+12 front plus the first 6 of
+    the r06 block, leaving the 44 trailing r06-evidence entries
+    (ngram_containment_docs .. span_dedup_docs) as the oldest block.
+    The r11 front is therefore (1) those 44 entries, then (2) the NINE
+    never-checked r11 additions (ann_ivf_auto_recall,
+    mwu_click_view_events, acf_value_events, kappa_langid_docs,
+    tv_source_docs, kmv_distinct_docs, pettitt_change_events,
+    gini_value_by_type_events, fano_hourly_events), then (3) r07 /
+    (4) r08 / (5) r09 / (6) r10 blocks freshest last (relative order
+    preserved within each group). The r11 window of 50 reaches the 44
+    rotated entries plus the first 6 additions; the trailing 3
+    (pettitt_change_events, gini_value_by_type_events,
+    fano_hourly_events) stay never-checked and must front the r12
+    window with the then-oldest cohort.
     """
     return {
-        # --- r10 front: the 32 trailing r05-evidence entries the r09 window
-        # --- provably could not reach (VERDICT r09 rotation note)
-        "multimodal_frames": _q_multimodal_frames,
-        "text_stats_docs": _q_text_stats_docs,
-        "pipeline_training_corpus": _q_pipeline_training_corpus,
-        "ngram_jaccard_docs": _q_ngram_jaccard_docs,
-        "streaming_events_hourly": _q_streaming_events_hourly,
-        "streaming_sessions": _q_streaming_sessions,
-        "diff_orders_detail": _q_diff_orders_detail,
-        "diff_orders_flags": _q_diff_orders_flags,
-        "diff_orders_col_counts": _q_diff_orders_col_counts,
-        "diff_drilldown_status": _q_diff_drilldown_status,
-        "diff_lineitem_flags": _q_diff_lineitem_flags,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "q3_shipping_priority": _q_q3_shipping_priority,
-        "join_semi_customers": _q_join_semi,
-        "join_anti_customers": _q_join_anti,
-        "topk_orders_per_customer": _q_topk_orders_per_customer,
-        "agg_orders_by_segment": _q_agg_orders_by_segment,
-        "rollup_customers_by_region": _q_rollup_customers,
-        "setop_building_except_frequent": _q_setop_except,
-        "setop_automobile_with_orders": _q_setop_intersect,
-        "events_hourly": _q_events_hourly,
-        "agg_event_stats": _q_agg_event_stats,
-        "quantiles_event_value": _q_quantiles_event_value,
-        "window_user_lag": _q_window_user_lag,
-        "asof_click_view": _q_asof_click_view,
-        "window_user_running": _q_window_user_running,
-        "window_user_range_frame": _q_window_user_range_frame,
-        "range_join_click_error": _q_range_join_click_error,
-        "string_funcs_customer": _q_string_funcs,
-        "digest_orders": _q_digest_orders,
-        "zorder_key_events": _q_zorder_key_events,
-        "date_funcs_events": _q_date_funcs_events,
-        # --- r10 additions (never-checked)
-        "ann_ivf_auto_topk": _q_ann_ivf_auto_topk,
-        "pivot_orders_status_priority": _q_pivot_orders_status_priority,
-        "spearman_trend_events": _q_spearman_trend_events,
-        "hapax_by_source_docs": _q_hapax_by_source_docs,
-        "golden_record_docs": _q_golden_record_docs,
-        "block_volume_winnow_docs": _q_block_volume_winnow_docs,
-        "weighted_sample_aes_docs": _q_weighted_sample_aes_docs,
-        "collapse_repeats_events": _q_collapse_repeats_events,
-        "q18_large_volume_customers": _q_q18_large_volume_customers,
-        "q22_idle_balance_customers": _q_q22_idle_balance_customers,
-        "chi2_source_lang_docs": _q_chi2_source_lang_docs,
-        "simpson_diversity_docs": _q_simpson_diversity_docs,
-        # --- r11 additions (never-checked)
-        "ann_ivf_auto_recall": _q_ann_ivf_auto_recall,
-        "mwu_click_view_events": _q_mwu_click_view_events,
-        "acf_value_events": _q_acf_value_events,
-        "kappa_langid_docs": _q_kappa_langid_docs,
-        "tv_source_docs": _q_tv_source_docs,
-        "kmv_distinct_docs": _q_kmv_distinct_docs,
-        "pettitt_change_events": _q_pettitt_change_events,
-        "gini_value_by_type_events": _q_gini_value_by_type_events,
-        "fano_hourly_events": _q_fano_hourly_events,
-        # --- latest green r06
-        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
-        "q11_important_stock": _q_q11_important_stock,
-        "q16_supplier_cnt": _q_q16_supplier_cnt,
-        "q20_potential_promotion": _q_q20_potential_promotion,
-        "diff_orders_skewed": _q_diff_orders_skewed,
-        "kmeans_cells_embed": _q_kmeans_cells_embed,
+        # --- r06 (oldest evidence — rotated to the front per SURVEY §8)
         "ngram_containment_docs": _q_ngram_containment_docs,
         "kmeans_cosine_pairs_embed": _q_kmeans_cosine_pairs_embed,
         "multimodal_audio_features": _q_multimodal_audio_features,
@@ -8708,6 +8650,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_events": _q_salted_join_events,
         "funnel_events": _q_funnel_events,
         "span_dedup_docs": _q_span_dedup_docs,
+        # --- r11 additions (never-checked)
+        "ann_ivf_auto_recall": _q_ann_ivf_auto_recall,
+        "mwu_click_view_events": _q_mwu_click_view_events,
+        "acf_value_events": _q_acf_value_events,
+        "kappa_langid_docs": _q_kappa_langid_docs,
+        "tv_source_docs": _q_tv_source_docs,
+        "kmv_distinct_docs": _q_kmv_distinct_docs,
+        "pettitt_change_events": _q_pettitt_change_events,
+        "gini_value_by_type_events": _q_gini_value_by_type_events,
+        "fano_hourly_events": _q_fano_hourly_events,
         # --- latest green r07
         "copurchase_pairs_capped": _q_copurchase_pairs_capped,
         "copurchase_triples_capped": _q_copurchase_triples_capped,
@@ -8808,7 +8760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_hist_by_source_docs": _q_len_hist_by_source_docs,
         "hard_negatives_embed": _q_hard_negatives_embed,
         "dedup_rate_by_source_docs": _q_dedup_rate_by_source_docs,
-        # --- latest green r09 (the full r09 driver window, freshest last)
+        # --- latest green r09
         "hist_rollup_events": _q_hist_rollup_events,
         "oov_by_source_docs": _q_oov_by_source_docs,
         "streaming_hist_rollup": _q_streaming_hist_rollup,
@@ -8859,6 +8811,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_portable_docs": _q_minhash_portable_docs,
         "simhash_portable_docs": _q_simhash_portable_docs,
         "multimodal_payload_stats": _q_multimodal_payload_stats,
+        # --- latest green r10 (freshest last)
+        "multimodal_frames": _q_multimodal_frames,
+        "text_stats_docs": _q_text_stats_docs,
+        "pipeline_training_corpus": _q_pipeline_training_corpus,
+        "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "streaming_events_hourly": _q_streaming_events_hourly,
+        "streaming_sessions": _q_streaming_sessions,
+        "diff_orders_detail": _q_diff_orders_detail,
+        "diff_orders_flags": _q_diff_orders_flags,
+        "diff_orders_col_counts": _q_diff_orders_col_counts,
+        "diff_drilldown_status": _q_diff_drilldown_status,
+        "diff_lineitem_flags": _q_diff_lineitem_flags,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "join_semi_customers": _q_join_semi,
+        "join_anti_customers": _q_join_anti,
+        "topk_orders_per_customer": _q_topk_orders_per_customer,
+        "agg_orders_by_segment": _q_agg_orders_by_segment,
+        "rollup_customers_by_region": _q_rollup_customers,
+        "setop_building_except_frequent": _q_setop_except,
+        "setop_automobile_with_orders": _q_setop_intersect,
+        "events_hourly": _q_events_hourly,
+        "agg_event_stats": _q_agg_event_stats,
+        "quantiles_event_value": _q_quantiles_event_value,
+        "window_user_lag": _q_window_user_lag,
+        "asof_click_view": _q_asof_click_view,
+        "window_user_running": _q_window_user_running,
+        "window_user_range_frame": _q_window_user_range_frame,
+        "range_join_click_error": _q_range_join_click_error,
+        "string_funcs_customer": _q_string_funcs,
+        "digest_orders": _q_digest_orders,
+        "zorder_key_events": _q_zorder_key_events,
+        "date_funcs_events": _q_date_funcs_events,
+        "ann_ivf_auto_topk": _q_ann_ivf_auto_topk,
+        "pivot_orders_status_priority": _q_pivot_orders_status_priority,
+        "spearman_trend_events": _q_spearman_trend_events,
+        "hapax_by_source_docs": _q_hapax_by_source_docs,
+        "golden_record_docs": _q_golden_record_docs,
+        "block_volume_winnow_docs": _q_block_volume_winnow_docs,
+        "weighted_sample_aes_docs": _q_weighted_sample_aes_docs,
+        "collapse_repeats_events": _q_collapse_repeats_events,
+        "q18_large_volume_customers": _q_q18_large_volume_customers,
+        "q22_idle_balance_customers": _q_q22_idle_balance_customers,
+        "chi2_source_lang_docs": _q_chi2_source_lang_docs,
+        "simpson_diversity_docs": _q_simpson_diversity_docs,
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
+        "q11_important_stock": _q_q11_important_stock,
+        "q16_supplier_cnt": _q_q16_supplier_cnt,
+        "q20_potential_promotion": _q_q20_potential_promotion,
+        "diff_orders_skewed": _q_diff_orders_skewed,
+        "kmeans_cells_embed": _q_kmeans_cells_embed,
     }
 
 
