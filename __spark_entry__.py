@@ -3476,26 +3476,41 @@ def _q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end training-corpus pipeline: quality filter ->
     language filter -> exact near-dup removal (normalized-content
     fingerprint, min-id survivor) -> deterministic split -> audit
-    counts. Everything before the dedup window is a single codegen'd
-    projection over one parquet scan; total cost is two shuffles
-    (fingerprint partition + final aggregation)."""
+    counts. Everything up to the dedup aggregate is a single codegen'd
+    projection over one parquet scan that reduces each doc to
+    (doc_id, fp, token_count); total cost is two shuffles (fingerprint
+    aggregate + final aggregation), both map-side-combined, and the
+    text payload never crosses an exchange."""
     d = SRC.balance_partitions(_t(spark, sf_dir, "documents"))
+    # narrow-proxy dedup (r11, guide §2.3/§8): the token count is a
+    # pure function of text, so compute it IN the scan-stage projection
+    # and never ship text again — the fingerprint exchange carries
+    # (fp, doc_id, tc) ≈ 50 bytes/row instead of the full document
+    # payload, and the survivor election is a map-side-combined
+    # min(struct(doc_id, tc)) hash aggregate instead of a window
+    # (no per-partition sort, partial aggregation before the exchange).
+    # Survivor semantics identical: min doc_id per fingerprint, its tc.
     q = d.filter(
         SRC.no_pushdown(
             (F.round(TX.quality_score("text") * 10).cast("long") >= 6)
             & (TX.lang_id("text") == "en")
         )
-    ).select("doc_id", "text", TX.doc_fingerprint("text").alias("fp"))
-    w = Window.partitionBy("fp")
-    rep = (
-        q.withColumn("rep_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("rep_id"))
-        .drop("rep_id", "fp")
+    ).select(
+        "doc_id",
+        TX.doc_fingerprint("text").alias("fp"),
+        TX.bpe_ish_token_count("text").cast("long").alias("tc"),
+    )
+    # min + min_by (not min-of-struct): struct ordering plans as a
+    # SortAggregate; the scalar pair keeps the aggregate hash-based.
+    # doc_id is unique, so min_by is deterministic.
+    rep = q.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("tc", "doc_id").alias("tc"),
     )
     s = SAMP.hash_split(rep, "doc_id", _SPLITS)
     return s.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(TX.bpe_ish_token_count("text")).alias("n_tokens"),
+        F.sum("tc").alias("n_tokens"),
     )
 
 

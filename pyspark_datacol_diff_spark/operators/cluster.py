@@ -1425,12 +1425,24 @@ def edge_structural_similarity(
             f"max_degree must be >= 2 (a 1-neighbor cap generates no "
             f"wedges at all), got {max_degree}"
         )
+    # the canonical edge list is consumed THREE times (both union arms
+    # of the undirected doubling + the existing-edge probe of the final
+    # left join), and Catalyst/AQE do not reuse the subtree (measured:
+    # the upstream pair-mining pipeline executed 3x = 7 parquet scans
+    # in one action, ReusedExchange count 0) — checkpoint it lazily,
+    # the triangle_counts convention. The doubling itself becomes an
+    # explode (ONE reference) instead of a two-arm union.
     e = _canonical(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-    )
-    und = e.unionByName(
-        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
+    ).localCheckpoint(eager=False)
+    und = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s"), F.col("d")),
+                F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+            )
+        ).alias("x")
+    ).select("x.s", "x.d")
     full = F.array_sort(F.collect_set("d"))
     hubs = und.groupBy(F.col("s").alias("n")).agg(full.alias("ns_full"))
     sliced = (
@@ -1441,9 +1453,11 @@ def edge_structural_similarity(
     hubs = hubs.select(
         "n", F.size("ns_full").cast("long").alias("deg"), sliced.alias("ns")
     )
+    # node-grain branch point (wedge expansion + two degree joins read
+    # it): checkpoint so the neighborhood aggregate runs once
     hubs = hubs.repartition(
         edges.sparkSession.sparkContext.defaultParallelism
-    )
+    ).localCheckpoint(eager=False)
     x1 = hubs.select("ns", F.posexplode("ns").alias("i", "a"))
     wedges = x1.select(
         F.col("a").alias("u"),
@@ -1541,9 +1555,15 @@ def hits_bipartite(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    # the deduplicated incidence is re-read by every iteration's two
+    # joins plus the init aggregate (2*iterations - 1 references), and
+    # each reference re-executed the whole upstream build (measured on
+    # hits_parts_customers: 3 executions of the orders-lineitem join =
+    # 6 parquet scans in one action) — checkpoint it lazily, the
+    # triangle_counts/CC convention
     inc = incidence.select(
         F.col(hub_col).alias("h"), F.col(auth_col).alias("a")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     # a_1 = in-degree (h_0 = 1), in DECIMAL(38,0) from the start
     auth = inc.groupBy("a").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("score")

@@ -802,6 +802,14 @@ def skipgram_pairs(
         .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
+        # the counted pair relation feeds FOUR consumers (both
+        # marginals, the scalar total, and the main stream) and the
+        # planner reuses none of them — without truncation the token
+        # explode + pair count re-executes per consumer (4 corpus
+        # scans in one action, measured). Lazy checkpoint = the
+        # cluster-module convention; the relation is vocabulary-
+        # pair-grain, far smaller than the corpus.
+        .localCheckpoint(eager=False)
     )
     src = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
     tgt = pairs.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
@@ -1216,7 +1224,11 @@ def tv_distance_vs_rest(
     )
     grain = tok.groupBy("__g", "__tok").agg(
         F.count(F.lit(1)).alias("__c")
-    )
+    # the (group, token) grain feeds four consumers (token marginal,
+    # group marginal, grand total, main join) and the planner reuses
+    # none — lazy checkpoint so the corpus-sized explode+count runs
+    # once (the skipgram_pairs convention; grain is vocabulary-sized)
+    ).localCheckpoint(eager=False)
     tt = grain.groupBy("__tok").agg(F.sum("__c").alias("__tot"))
     gt = grain.groupBy("__g").agg(F.sum("__c").alias("__tg"))
     grand = grain.agg(F.sum("__c").alias("__tn"))

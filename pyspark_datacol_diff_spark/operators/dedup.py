@@ -738,10 +738,15 @@ def prefix_jaccard_pairs(
         raise ValueError(f"n must be >= 1, got {n}")
     from ..sources import balance_partitions
 
+    # the shingle stream is consumed three times (frequency vocab, the
+    # ordered-prefix build, the verify sets) and the planner reuses
+    # none — without truncation the corpus re-shingles per reference
+    # (3 scans in one action, measured). Lazy checkpoint, the
+    # cluster-module convention.
     toks = balance_partitions(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, n)).alias("tok"),
-    )
+    ).localCheckpoint(eager=False)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     docs = (
         toks.join(vocab.hint("shuffle_hash"), "tok")
@@ -822,7 +827,11 @@ def prefix_jaccard_pairs(
         .select("id_a", F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    vsets = toks.groupBy("doc_id").agg(F.collect_list("tok").alias("vt"))
+    # doc-grain verify sets feed both join sides — checkpoint so the
+    # collect_list aggregate runs once
+    vsets = toks.groupBy("doc_id").agg(
+        F.collect_list("tok").alias("vt")
+    ).localCheckpoint(eager=False)
     a = vsets.select(
         F.col("doc_id").alias("id_a"),
         F.col("vt").alias("__ta"),
@@ -902,6 +911,13 @@ def winnow_shared_pairs(
         )
         .select("__id", F.explode(F.col("__wn_out")).alias("__fp"))
         .distinct()
+        # the posting relation is read three times (hot-fp census +
+        # both self-join sides) and the planner reuses none of them —
+        # without truncation the whole winnowing fingerprint chain
+        # (the expensive HOF gram-hash pipeline) re-executes per
+        # reference (3 corpus scans in one action, measured). Lazy
+        # checkpoint = the cluster-module convention.
+        .localCheckpoint(eager=False)
     )
     if max_df is not None:
         if max_df < 2:
