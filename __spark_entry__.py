@@ -4444,19 +4444,37 @@ def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies the same predicate).
     """
     d = _t(spark, sf_dir, "documents")
-    lowered = F.lower(F.col("text"))
-    grams = TX.word_bigrams(lowered)
-    return d.filter(TX.token_count(lowered) >= 2).select(
+    # STAGE the token and bigram arrays as named columns (r11): higher-
+    # order-function subtrees are not common-subexpression-eliminated,
+    # so the previous inline form re-ran the whitespace split ~6x and
+    # the zip_with gram build 3x per row (token_count in filter +
+    # select, distinct, consec, grams x3) — measured 2.4 -> 0.95 s at
+    # sf0.1 for the staged form. no_alias_inline fences both stages
+    # against CollapseProject/filter-pushdown re-inlining (the
+    # winnow_fingerprints pathology).
+    staged = d.select(
         "doc_id",
-        TX.token_count(lowered).cast("long").alias("n_words"),
-        TX.distinct_token_count(lowered).cast("long")
+        SRC.no_alias_inline(TX.tokens(F.lower(F.col("text")))).alias(
+            "__tk"
+        ),
+    ).filter(F.size("__tk") >= 2)
+    staged = staged.withColumn(
+        "__gr", SRC.no_alias_inline(TX.gram_multiset(F.col("__tk"), 2))
+    )
+    tk, gr = F.col("__tk"), F.col("__gr")
+    shifted = F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0)))
+    hits = F.zip_with(tk, shifted, lambda a, b: a == b)
+    return staged.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_words"),
+        F.size(F.array_distinct(tk)).cast("long")
         .alias("n_distinct_words"),
-        TX.consec_repeat_count(lowered).cast("long")
+        F.size(F.filter(hits, lambda x: x)).cast("long")
         .alias("n_consec_repeat"),
-        F.size(grams).cast("long").alias("n_bigrams"),
-        F.size(F.array_distinct(grams)).cast("long")
+        F.size(gr).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(gr)).cast("long")
         .alias("n_distinct_bigrams"),
-        TX.max_equal_run(F.array_sort(grams)).alias("top_bigram_count"),
+        TX.max_equal_run(F.array_sort(gr)).alias("top_bigram_count"),
     )
 
 

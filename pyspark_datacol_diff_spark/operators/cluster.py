@@ -931,6 +931,10 @@ def triangle_counts(
     )
     z = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
     tri = wedges.join(z, ["b", "c"])
+    # 3-arm union, NOT an explode: each arm re-runs the wedge-close
+    # join, but the arms are independent broadcast joins over the
+    # CHECKPOINTED o (cheap to re-probe) and run as parallel stages —
+    # A/B-measured 2.9 s (union) vs 3.1 s (explode) at sf0.1 in r11.
     members = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))

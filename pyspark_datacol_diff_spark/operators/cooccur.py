@@ -211,13 +211,27 @@ def symmetric_edges(
     directed ``(src, dst[, weights...])`` edge list the graph
     operators (pagerank_exact, kcore_peel, khop_reachable,
     label_propagation) consume — each pair emitted in both
-    orientations via one union of two projections, no shuffle."""
-    cols_a = [F.col(p1_col).alias(src_col), F.col(p2_col).alias(dst_col)]
-    cols_b = [F.col(p2_col).alias(src_col), F.col(p1_col).alias(dst_col)]
-    for w in weight_cols or []:
-        cols_a.append(F.col(w))
-        cols_b.append(F.col(w))
-    return pairs.select(*cols_a).unionByName(pairs.select(*cols_b))
+    orientations via one EXPLODE of a two-struct array (a narrow
+    flatmap, no shuffle). An explode references the pair relation
+    once; the previous two-arm union referenced it twice, and the
+    planner reuses no subtree, so every downstream materialization
+    (pagerank's persisted edge frame, khop's, the k-core init
+    checkpoint) executed the whole upstream pair-mining pipeline
+    twice (measured r11)."""
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col(p1_col).alias(src_col), F.col(p2_col).alias(dst_col)
+            ),
+            F.struct(
+                F.col(p2_col).alias(src_col), F.col(p1_col).alias(dst_col)
+            ),
+        )
+    ).alias("__sym")
+    keep = [F.col(w) for w in weight_cols or []]
+    return pairs.select(both, *keep).select(
+        f"__sym.{src_col}", f"__sym.{dst_col}", *(weight_cols or [])
+    )
 
 
 def association_rules(

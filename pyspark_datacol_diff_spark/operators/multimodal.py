@@ -776,9 +776,10 @@ def pcm_features(payload: Column | str, *, stride: int = 1) -> Column:
     WAV (wrong magic, wrong layout, compressed) — the caller's schema
     stays total. A spec-valid but EMPTY data chunk (data_size=0) is
     likewise non-feature-bearing and yields the NULL struct: the
-    predicate requires n >= 1, and the slice lengths are clamped to
-    >= 0 so a zero-sample row can never abort the job (it used to
-    raise INVALID_PARAMETER_VALUE.LENGTH via slice(samples, 1, -1)).
+    predicate requires n >= 1, and the sample sequence length is
+    clamped to >= 1 so a zero-sample row can never abort the job
+    (the pre-r11 slice formulation used to raise
+    INVALID_PARAMETER_VALUE.LENGTH via slice(samples, 1, -1)).
     Scale shape: a pure projection over bounded-length
     payloads; features shuffle as 4 longs, the payload never does.
 
@@ -811,32 +812,50 @@ def pcm_features(payload: Column | str, *, stride: int = 1) -> Column:
     # decimated sample count: ceil(n_raw / stride) — the number of
     # indices 0, stride, 2*stride, ... below n_raw
     n = ((n_raw + (stride - 1)) / stride).cast("long")
-    # clamped pair length: never negative even if feats is ever
-    # evaluated against a degenerate payload (defense in depth on top
-    # of the n >= 1 predicate above)
-    pair_len = F.greatest(n - 1, F.lit(0).cast("long")).cast("int")
     samples = F.transform(
         F.sequence(F.lit(0).cast("long"), F.greatest(n - 1, F.lit(0).cast("long"))),
         lambda i: _le_int16_at(
             p, (F.lit(45) + i * (2 * stride)).cast("int")
         ),
     )
-    feats = F.struct(
-        _le_uint(p, 25, 4).cast("int").alias("sample_rate"),
-        n.alias("n_samples"),
-        F.aggregate(
-            samples, F.lit(0).cast("long"), lambda acc, s: acc + s * s
-        ).alias("energy"),
-        F.array_max(F.transform(samples, F.abs)).alias("peak_abs"),
-        F.aggregate(
-            F.zip_with(
-                F.slice(samples, 1, pair_len),
-                F.slice(samples, 2, pair_len),
-                lambda a, b: F.when(a * b < 0, 1).otherwise(0),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("zero_cross"),
+    # ONE fold computes all three signal features (r11): the previous
+    # shape referenced `samples` four times (energy fold, peak
+    # transform, two zero-cross slices) and HOF subtrees are not
+    # common-subexpression-eliminated, so the byte decode ran 4x per
+    # row — measured 3.7 -> 1.7 s at sf0.1 for the fused single
+    # traversal. The accumulator carries (prev, energy, peak, zc);
+    # zero-cross seeds prev=NULL (NULL * s < 0 is NULL -> otherwise 0,
+    # the same "first element never counts" semantics as the slice
+    # pairing), and the finish lambda assembles the full output struct
+    # so the aggregate itself is referenced exactly once.
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("energy"),
+        F.lit(0).cast("long").alias("peak"),
+        F.lit(0).cast("long").alias("zc"),
     )
+
+    def _step(acc: Column, s: Column) -> Column:
+        return F.struct(
+            s.alias("prev"),
+            (acc["energy"] + s * s).alias("energy"),
+            F.greatest(acc["peak"], F.abs(s)).alias("peak"),
+            (
+                acc["zc"]
+                + F.when(acc["prev"] * s < 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("zc"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        return F.struct(
+            _le_uint(p, 25, 4).cast("int").alias("sample_rate"),
+            n.alias("n_samples"),
+            acc["energy"].alias("energy"),
+            acc["peak"].alias("peak_abs"),
+            acc["zc"].alias("zero_cross"),
+        )
+
+    feats = F.aggregate(samples, acc0, _step, _finish)
     null_t = "struct<sample_rate:int,n_samples:bigint,energy:bigint,peak_abs:bigint,zero_cross:bigint>"
     return F.when(is_pcm16_mono, feats).otherwise(F.lit(None).cast(null_t))
