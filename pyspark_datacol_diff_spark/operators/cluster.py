@@ -1237,12 +1237,21 @@ def common_neighbor_candidates(
             f"max_degree must be >= 2 (a 1-neighbor cap generates no "
             f"wedges at all), got {max_degree}"
         )
+    # checkpoint the canonical edge list (consumed by both doubling
+    # arms + the existing-edge anti join — the un-reused upstream pair
+    # pipeline executed 3x, the edge_structural_similarity finding);
+    # doubling via explode keeps it to ONE reference
     e = _canonical(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-    )
-    und = e.unionByName(
-        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
+    ).localCheckpoint(eager=False)
+    und = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s"), F.col("d")),
+                F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+            )
+        ).alias("x")
+    ).select("x.s", "x.d")
     nbrs = F.array_sort(F.collect_set("d"))
     if max_degree is not None:
         nbrs = F.slice(nbrs, 1, max_degree)
@@ -1265,14 +1274,16 @@ def common_neighbor_candidates(
         F.count(F.lit(1)).alias("common_cnt")
     )
     # drop already-adjacent pairs: candidates are canonical (u < v from
-    # the sorted neighbor arrays), so one semi-orientation anti join
+    # the sorted neighbor arrays), so one semi-orientation anti join.
+    # Checkpointed: BOTH orientation arms below read it, and without
+    # truncation the whole wedge expansion + anti join ran twice.
     cand = cn.join(
         e.select(F.col("s").alias("u"), F.col("d").alias("v")).hint(
             "shuffle_hash"
         ),
         ["u", "v"],
         "anti",
-    )
+    ).localCheckpoint(eager=False)
     # per-node top-k over BOTH orientations of each candidate pair
     both = cand.select(
         F.col("u").alias("node"),
@@ -1336,12 +1347,19 @@ def resource_allocation_candidates(
             f"max_degree must be >= 2 (a 1-neighbor cap generates no "
             f"wedges at all), got {max_degree}"
         )
+    # same branch-point truncation as common_neighbor_candidates: the
+    # canonical edge list feeds the doubling AND the anti join
     e = _canonical(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-    )
-    und = e.unionByName(
-        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
+    ).localCheckpoint(eager=False)
+    und = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s"), F.col("d")),
+                F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+            )
+        ).alias("x")
+    ).select("x.s", "x.d")
     full = F.array_sort(F.collect_set("d"))
     hubs = und.groupBy(F.col("s").alias("n")).agg(full.alias("ns_full"))
     sliced = (
@@ -1373,13 +1391,15 @@ def resource_allocation_candidates(
         F.sum("w_ppm").alias("ra_ppm"),
         F.count(F.lit(1)).alias("common_cnt"),
     )
+    # checkpointed: both orientation arms below read it (the
+    # common_neighbor_candidates finding)
     cand = ra.join(
         e.select(F.col("s").alias("u"), F.col("d").alias("v")).hint(
             "shuffle_hash"
         ),
         ["u", "v"],
         "anti",
-    )
+    ).localCheckpoint(eager=False)
     both = cand.select(
         F.col("u").alias("node"),
         F.col("v").alias("candidate"),
@@ -1692,17 +1712,24 @@ def local_clustering(
     # a loop adds 2 to the naive degree but can never close a triangle,
     # which would deflate lcc_ppm for any caller whose raw edge list
     # carries loops (ADVICE r09)
+    # checkpointed: consumed by both degree arms AND fed to
+    # triangle_counts (which would otherwise re-run the whole upstream
+    # pair pipeline for its own canonicalization — 3 executions total,
+    # the edge_structural_similarity finding). _canonical is idempotent
+    # on an already-canonical frame, so passing canon through is exact.
     canon = edges.select(
         F.least(F.col(src), F.col(dst)).alias("a"),
         F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).filter(F.col("a") != F.col("b")).distinct()
+    ).filter(F.col("a") != F.col("b")).distinct().localCheckpoint(
+        eager=False
+    )
     deg = (
         canon.select(F.col("a").alias("node"))
         .unionAll(canon.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangle_counts(edges, src, dst)
+    tri = triangle_counts(canon, "a", "b")
     return (
         deg.filter(F.col("degree") >= 2)
         .join(tri, "node", "left")
