@@ -4736,9 +4736,19 @@ def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
         F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
+    # last_type pins DuckDB arg_max's NULL-SKIPPING convention (latest
+    # NON-NULL type): DuckDB's arg_max ignores rows whose arg is NULL
+    # while Spark's max_by returns the value at the max key even when
+    # NULL — divergent only when a user's latest event carries a NULL
+    # type (the r11 boundary sweep's u8 case; driver data has no NULL
+    # types, so driver hashes are unchanged). Nulling the ORDER key
+    # makes Spark's max_by skip those rows, matching the oracle.
     return e.groupBy("user_id").agg(
         F.max_by("event_id", key).alias("last_event_id"),
-        F.max_by("event_type", key).alias("last_type"),
+        F.max_by(
+            "event_type",
+            F.when(F.col("event_type").isNotNull(), key),
+        ).alias("last_type"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -6803,7 +6813,11 @@ c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt
       FROM g GROUP BY 1, 2),
 tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY source)
 SELECT c.source, c.gram, c.cnt
-FROM c JOIN tot USING (source) WHERE c.cnt * 200 >= tot.n
+-- null-safe: heavy_hitters_by treats a NULL group key as a real group
+-- ("an unlabeled feed still gets its hot keys reported"); USING drops
+-- the NULL group (r11 boundary)
+FROM c JOIN tot ON c.source IS NOT DISTINCT FROM tot.source
+WHERE c.cnt * 200 >= tot.n
 """
 
 
@@ -10011,7 +10025,9 @@ c AS (
   SELECT h.source, h.bin, t.total,
          sum(h.n) OVER (PARTITION BY h.source ORDER BY h.bin
                         ROWS UNBOUNDED PRECEDING) AS cum
-  FROM h JOIN t ON h.source = t.source),
+  -- null-safe: a NULL source is a real group (the operator's grouped-
+  -- histogram contract; a plain = join would drop it — r11 boundary)
+  FROM h JOIN t ON h.source IS NOT DISTINCT FROM t.source),
 q AS (SELECT unnest([500, 900]) AS q_permille)
 SELECT source, CAST(q_permille AS BIGINT) AS q_permille,
        min(bin) AS bin, CAST(min(bin) * 200 AS BIGINT) AS lo_edge
