@@ -175,7 +175,7 @@ def main() -> None:
     # and its time is NOT part of the headline total.
     CANARY = "two_stage_agg_events"
 
-    def _timed(name: str) -> tuple[float, float]:
+    def _timed(name: str) -> tuple[float, float, float]:
         if warm:
             qs[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
@@ -193,16 +193,18 @@ def main() -> None:
         return (
             round(samples[len(samples) // 2], 3),
             round(samples[-1] - samples[0], 3),
+            round(samples[0], 3),
         )
 
-    canary_sec, _canary_spread = _timed(CANARY)
+    canary_sec, _canary_spread, _canary_min = _timed(CANARY)
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        timings[name], spreads[name] = _timed(name)
+        timings[name], spreads[name], mins[name] = _timed(name)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
     # r06 format fix (VERDICT r05 "What's wrong" #1): the driver parses the
@@ -240,6 +242,16 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # r12 additions (VERDICT r11 #5), additions-only — every
+                # pre-existing key above is byte-identical in meaning:
+                # `spread` = max-min of the timed runs per query (the
+                # noise band: a cross-round delta inside it is run
+                # noise); `qmin` = min-of-runs per query (the
+                # noise-resistant point estimate). Medians in `queries`
+                # stay the headline so round-over-round comparison of
+                # the existing keys is unbroken.
+                "spread": spreads,
+                "qmin": mins,
                 "canary": {"name": CANARY, "sec": canary_sec},
                 "sf": sf,
             }

@@ -123,16 +123,19 @@ def connected_components(
     node that appears in at least one edge (singletons, by definition,
     never appear in a pair list and are trivially their own component).
 
-    Job economy (the round-4 re-profile): exactly ONE Spark job per
-    propagation round. The per-round convergence digest doubles as the
-    checkpoint materializer — ``localCheckpoint(eager=False)`` marks
-    the label frame, and the digest aggregate is its first action, so
-    one job both truncates lineage and probes the fixpoint (the
-    previous eager + separate-collect shape ran two jobs per round).
-    The identity-label round is fused into initialization: labels
-    start at each node's neighborhood min (what round 1 used to
-    compute from identity labels), saving one full join + aggregate +
-    materialization round.
+    Job economy (round-4 re-profile, tightened in round 12): exactly
+    ONE Spark job per propagation round and NO init job. Each round's
+    aggregate carries the node's PREVIOUS label alongside the new one —
+    the self-loop row (s == d) in every node's group holds exactly
+    label(d) — so the convergence witness is a deterministic
+    count-of-changed-labels computed in the round's own job (the same
+    collect that materializes the round's ``localCheckpoint``), and
+    the separate init-digest job the cross-round hash-compare needed
+    (one extra job per call, plus a full hash pass over the label
+    frame) is gone. The identity-label round is fused into
+    initialization: labels start at each node's neighborhood min (what
+    round 1 used to compute from identity labels), saving one full
+    join + aggregate + materialization round.
 
     Storage economy (the round-5 fix): the previous round's checkpoint
     blocks are released (:func:`_free_ckpt`) the moment the new round
@@ -177,43 +180,62 @@ def connected_components(
     # label is min(self, direct neighbors) — the self-loop supplies
     # "self". Every node appears as `s` in e, so the node set is
     # preserved.
+    # NOT checkpointed: the init frame is consumed exactly once (round
+    # 1's join inlines it), so a checkpoint would only persist blocks
+    # that are retired the moment round 1 materializes. The `e`
+    # checkpoint above is what truncates the expensive upstream.
     labels = (
         e.groupBy("s")
         .agg(F.min("d").alias("comp"))
         .select(F.col("s").alias("node"), "comp")
-        .localCheckpoint(eager=False)
     )
     try:
-        # convergence witness: decimal sum of xxhash64(node, comp) —
-        # type-agnostic (string ids work, where a sum of comp itself
-        # would not cast) and overflow-safe (decimal, not long, under
-        # ANSI). Equal digests across a round mean no label moved
-        # (hash-sum collision on a changed labeling is ~2^-64-
-        # improbable — the same witness contract as _edge_digest).
-        # This collect is also what materializes `e` and `labels`.
-        def digest(frame: DataFrame):
-            return frame.agg(
-                F.sum(F.xxhash64("node", "comp").cast("decimal(38,0)"))
-            ).collect()[0][0]
-
-        prev_sum = digest(labels)
+        # Convergence witness, computed INSIDE each round's job: the
+        # self-loop row (s == d) in node d's group carries d's previous
+        # label, so `comp != __old` is an exact per-node changed flag —
+        # deterministic (no hash-collision caveat), type-agnostic, and
+        # free of the init-digest job the cross-round hash-compare
+        # needed. A NULL node id never matches the equi-join (its
+        # self-loop row is dropped, so its __old is NULL every round);
+        # such a group is excluded from the changed count and watched
+        # through a hash of its label instead, compared across rounds —
+        # one extra confirming round for NULL-id graphs only, identical
+        # round counts everywhere else.
+        changed_cnt = F.count(
+            F.when(
+                F.col("node").isNotNull()
+                & ~F.col("comp").eqNullSafe(F.col("__old")),
+                True,
+            )
+        )
+        null_grp_dig = F.max(
+            F.when(F.col("node").isNull(), F.xxhash64("comp"))
+        )
+        prev_null_dig = object()  # sentinel: no prior round observed
 
         for rounds in range(1, max_iter + 1):
             new_labels = (
                 e.join(labels, e["s"] == labels["node"])
                 .groupBy(e["d"])
-                .agg(F.min("comp").alias("comp"))
-                .select(F.col("d").alias("node"), "comp")
+                .agg(
+                    F.min("comp").alias("comp"),
+                    F.min(
+                        F.when(e["s"] == e["d"], F.col("comp"))
+                    ).alias("__old"),
+                )
+                .select(F.col("d").alias("node"), "comp", "__old")
                 .localCheckpoint(eager=False)
             )
-            new_sum = digest(new_labels)
+            # this collect materializes the round's checkpoint (and, in
+            # round 1, `e` and the init labels) — still one job/round
+            row = new_labels.agg(changed_cnt, null_grp_dig).collect()[0]
             _free_ckpt(labels)  # retired round: never read again
             labels = new_labels
-            if new_sum == prev_sum:
+            if row[0] == 0 and (row[1] is None or row[1] == prev_null_dig):
                 if stats is not None:
                     stats["rounds"] = rounds
-                return labels
-            prev_sum = new_sum
+                return labels.select("node", "comp")
+            prev_null_dig = row[1]
         _free_ckpt(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
@@ -373,27 +395,32 @@ def connected_components_star(
 
     Same output contract as :func:`connected_components`:
     ``(node, comp)`` for every node appearing in an edge. The result
-    plan reads the converged star edge set and node set (both
-    checkpointed and edge-list-sized); their blocks stay live after
-    the caller's action — ``_free_ckpt`` them in long-lived sessions.
+    plan reads the converged star edge set and the INITIAL canonical
+    edge set (both checkpointed and edge-list-sized; the node set is
+    derived from the latter inside the caller's action — round 12, one
+    job and one checkpoint fewer per call); their blocks stay live
+    after the caller's action — ``_free_ckpt`` them in long-lived
+    sessions (the bench/smoke harnesses do, via ``quiesce_session``).
     """
     # localCheckpoint per round (lineage truncation — see the module
     # docstring for why persist chaining recomputes the whole chain),
     # with the retired round's blocks freed as soon as the new round
     # is materialized by its _edge_digest (still ONE job per round).
-    e = _canonical(
+    e0 = _canonical(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     ).localCheckpoint(eager=False)
-    # keep the full node set: star rounds contract edges, and an
-    # already-settled satellite can drop out of the edge list entirely.
-    # Materialized eagerly (one cheap job over the checkpointed edge
-    # set) because the initial `e` blocks are freed long before the
-    # caller's final action would otherwise materialize it.
+    # the full node set: star rounds contract edges, and an already-
+    # settled satellite can drop out of the edge list entirely. Derived
+    # LAZILY from the initial checkpointed edge set and computed inside
+    # the caller's final action (round 12 — it previously ran as its
+    # own eager count job plus a checkpoint of its own); the initial
+    # `e0` blocks therefore stay live through the loop (edge-list-
+    # sized, one extra frame of peak storage) instead of being freed
+    # after round 1.
     nodes = (
-        e.select(F.col("s").alias("node"))
-        .union(e.select(F.col("d").alias("node")))
+        e0.select(F.col("s").alias("node"))
+        .union(e0.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     # the witness job doubles as the checkpoint materializer (the role
     # _edge_digest used to play); an already-star-forest input skips
@@ -402,21 +429,23 @@ def connected_components_star(
     # is a whole round of shuffles on the near-dup graphs (measured:
     # their edge set settles in round 1 and digest-compare paid round 2
     # purely to see it).
+    e = e0
     done = _is_min_star_forest(e)
-    nodes.count()
     if not done:
         for _ in range(max_iter):
             new_e = _star_round(
                 _star_round(e, large=True, dedup=False), large=False
             ).localCheckpoint(eager=False)
             done = _is_min_star_forest(new_e)
-            _free_ckpt(e)
+            if e is not e0:  # e0 feeds the node set until the caller acts
+                _free_ckpt(e)
             e = new_e
             if done:
                 break
         else:
-            _free_ckpt(e)
-            _free_ckpt(nodes)
+            if e is not e0:
+                _free_ckpt(e)
+            _free_ckpt(e0)
             raise RuntimeError(
                 f"star rounds did not converge in {max_iter} iterations"
             )

@@ -229,8 +229,12 @@ def symmetric_edges(
         )
     ).alias("__sym")
     keep = [F.col(w) for w in weight_cols or []]
+    # getField access (ADVICE r11): a dotted string path mis-parses
+    # src/dst names containing dots or backtick-worthy characters
     return pairs.select(both, *keep).select(
-        f"__sym.{src_col}", f"__sym.{dst_col}", *(weight_cols or [])
+        F.col("__sym").getField(src_col).alias(src_col),
+        F.col("__sym").getField(dst_col).alias(dst_col),
+        *(weight_cols or []),
     )
 
 

@@ -354,6 +354,14 @@ def minhash_near_dup_pairs(
     # (measured 2x slower) — so the shingle -> minhash shuffle pipeline
     # runs once
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # r12 A/B (VERDICT r11 #4): the ids-only band join + two sig
+    # join-backs onto the persisted compact relation (shuffling 2 longs
+    # per band row instead of bands x 64-long signature copies) was
+    # measured SLOWER at 64 hashes — isolated interleaved min-of-5,
+    # sig-riding 3.34 s vs ids-only 3.53 s min (3.42 vs 3.95 median):
+    # the two extra keyed joins cost more than the narrower band
+    # shuffle saves until signatures get long. Sig-riding stays, as the
+    # docstring's ~256-hash switchover already documents.
     banded = sigs.select(
         "doc_id", "sig", F.explode(band_entries).alias("b")
     ).select("doc_id", "sig", "b.band", "b.bkey")
@@ -827,11 +835,19 @@ def prefix_jaccard_pairs(
         .select("id_a", F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # doc-grain verify sets feed both join sides — checkpoint so the
-    # collect_list aggregate runs once
+    # doc-grain verify sets feed both join sides but are NOT
+    # checkpointed (r12, VERDICT r11 #1/#2): materializing the wide
+    # token-array rows costs more than re-running the collect_list
+    # aggregate from the checkpointed token stream once per side —
+    # isolated interleaved min-of-5, ckpt 3.32 s vs no-ckpt 2.92 s min
+    # (3.45 vs 3.05 median) — and was the one r11 change the driver
+    # run measured slower. The duplicated work at scale is one extra
+    # doc-grain aggregate over already-checkpointed tokens, not a
+    # corpus re-shingle; the `toks` checkpoint above is what truncates
+    # the expensive upstream.
     vsets = toks.groupBy("doc_id").agg(
         F.collect_list("tok").alias("vt")
-    ).localCheckpoint(eager=False)
+    )
     a = vsets.select(
         F.col("doc_id").alias("id_a"),
         F.col("vt").alias("__ta"),
@@ -987,7 +1003,10 @@ def golden_record(
     # + components fixpoint join) re-executes per reference. Project
     # to the consumed columns first, then checkpoint lazily (the
     # cluster-module convention).
-    df = df.select(cluster_col, id_col, *flds).localCheckpoint(
+    # dict.fromkeys-dedupe (ADVICE r11): `fields` may legitimately
+    # include the id or cluster column; a duplicated select would make
+    # every later reference ambiguous (AnalysisException)
+    df = df.select(*dict.fromkeys([cluster_col, id_col, *flds])).localCheckpoint(
         eager=False
     )
     members = (
